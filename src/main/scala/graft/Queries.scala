@@ -1,0 +1,413 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.sql.SqlRunner
+
+/** The declared query inventory (SURVEY.md §2b Q1–Q32 + §2c extensions).
+  *
+  * The reference delegates its entire relational surface to Postgres by
+  * embedding user SQL in `COPY (...) TO STDOUT`
+  * (`/root/reference/src/airflow_postgres_csv/operators.py:80`); this registry
+  * is that surface made explicit and testable. Each entry has an idiomatic
+  * DataFrame/Dataset implementation (Catalyst plans them — pushdown, partial
+  * aggregation, join selection, AQE all apply) and, where ANSI-expressible, a
+  * DuckDB oracle with IDENTICAL output column names (the driver sorts columns
+  * by name before hashing).
+  *
+  * Determinism rules (FIXTURES.md §Canonicalization): every query ends in a
+  * total ORDER BY; float aggregates are ROUND(x,2); casts pin types where
+  * Spark and DuckDB defaults differ (LENGTH→BIGINT in DuckDB vs INT in Spark,
+  * SUM(BIGINT)→HUGEINT in DuckDB, CEIL(double)→LONG in Spark vs DOUBLE in
+  * DuckDB).
+  */
+object Queries {
+
+  final case class DeclaredQuery(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  /** For spark.sql-based entries: register views then run the shared text. */
+  private def viaSql(sql: String)(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    SqlRunner.run(s, sql)
+  }
+
+
+  /** Canonical 2-decimal rounding: FLOOR(x*100 + 0.5)/100 in BOTH engines.
+    * Unlike ROUND(double,2) — which Spark implements via exact BigDecimal
+    * expansion and DuckDB via pow-multiply, diverging at representation ties —
+    * this is a fixed IEEE op sequence, bit-identical across engines. */
+  private def round2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5) / 100
+
+  // ---------------------------------------------------------------- Q1–Q8: scan/filter/expr/agg
+
+  private val q01 = DeclaredQuery("q01_scan_project",
+    (s, d) => t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity"))
+
+  private val q02 = DeclaredQuery("q02_filter",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 20)
+        && col("l_returnflag").isin("A", "R")
+        && col("l_linestatus").like("F%"))
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%' ORDER BY l_orderkey, l_linenumber"))
+
+  private val q03 = DeclaredQuery("q03_expr_case",
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+        when(col("l_quantity") > 25, "big").otherwise("small").as("bucket"))
+      .orderBy("l_orderkey", "l_linenumber", "charge", "bucket"),
+    Some("SELECT l_orderkey, l_linenumber, FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge, CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS bucket FROM lineitem ORDER BY l_orderkey, l_linenumber, charge, bucket"))
+
+  private val q04 = DeclaredQuery("q04_agg",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round2(sum("l_quantity")).as("sum_qty"),
+        round2(avg("l_extendedprice")).as("avg_price"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("SELECT l_returnflag, l_linestatus, FLOOR(SUM(l_quantity) * 100 + 0.5) / 100 AS sum_qty, FLOOR(AVG(l_extendedprice) * 100 + 0.5) / 100 AS avg_price, MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+
+  private val q05 = DeclaredQuery("q05_distinct_filter_agg",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(when(col("o_totalprice") > 100000, 1)).as("n_big"))
+      .orderBy("o_orderstatus"),
+    Some("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+
+  private val q06 = DeclaredQuery("q06_having",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .orderBy("o_custkey"),
+    Some("SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey"))
+
+  private val q07 = DeclaredQuery("q07_rollup",
+    (s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
+
+  private val q08Sql =
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"
+  private val q08 = DeclaredQuery("q08_grouping_sets", viaSql(q08Sql), Some(q08Sql))
+
+  // ---------------------------------------------------------------- Q9–Q16: joins
+
+  private val q09 = DeclaredQuery("q09_join_inner",
+    (s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("o_totalprice") > 200000)
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 200000 ORDER BY o.o_orderkey"))
+
+  private val q10 = DeclaredQuery("q10_join_broadcast",
+    (s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+        .orderBy("n_name")
+    },
+    Some("SELECT n.n_name, COUNT(*) AS n FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name ORDER BY n.n_name"))
+
+  private val q11 = DeclaredQuery("q11_join_multiway",
+    (s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("SELECT r.r_name, n.n_name, COUNT(*) AS n FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name"))
+
+  private val q12 = DeclaredQuery("q12_join_left",
+    (s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey ORDER BY c.c_custkey"))
+
+  private val q12b = DeclaredQuery("q12b_join_full",
+    (s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, o("o_custkey") === c("c_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"), col("o_orderkey"))
+        .groupBy("k").agg(count(col("o_orderkey")).as("n"))
+        .orderBy("k")
+    },
+    Some("SELECT COALESCE(c.c_custkey, o.o_custkey) AS k, COUNT(o.o_orderkey) AS n FROM customer c FULL JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY COALESCE(c.c_custkey, o.o_custkey) ORDER BY k"))
+
+  private val q13 = DeclaredQuery("q13_semi_join",
+    (s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o.filter(col("o_totalprice") > 300000), c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey AND o.o_totalprice > 300000) ORDER BY c_custkey"))
+
+  private val q14 = DeclaredQuery("q14_anti_join",
+    (s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey) ORDER BY c_custkey"))
+
+  private val q15 = DeclaredQuery("q15_theta_join",
+    (s, d) => {
+      val p = t(s, d, "part"); val l = t(s, d, "lineitem")
+      p.join(l, l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
+        .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("p_partkey")
+    },
+    Some("SELECT p.p_partkey, COUNT(*) AS n FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size GROUP BY p.p_partkey ORDER BY p.p_partkey"))
+
+  private val q16 = DeclaredQuery("q16_cross_join",
+    (s, d) => {
+      val r = t(s, d, "region")
+      val r1 = r.select(col("r_regionkey").as("k1"), col("r_name").as("r_name_1"))
+      val r2 = r.select(col("r_regionkey").as("k2"), col("r_name").as("r_name_2"))
+      r1.crossJoin(r2).filter(col("k1") < col("k2"))
+        .select("r_name_1", "r_name_2")
+        .orderBy("r_name_1", "r_name_2")
+    },
+    Some("SELECT r1.r_name AS r_name_1, r2.r_name AS r_name_2 FROM region r1 CROSS JOIN region r2 WHERE r1.r_regionkey < r2.r_regionkey ORDER BY r_name_1, r_name_2"))
+
+  // ---------------------------------------------------------------- Q17–Q18: subqueries / CTE
+
+  private val q17Sql =
+    "SELECT o_orderkey FROM orders o WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey"
+  private val q17 = DeclaredQuery("q17_correlated_subquery", viaSql(q17Sql), Some(q17Sql))
+
+  private val q18Sql =
+    "WITH t AS (SELECT AVG(l_quantity) AS a FROM lineitem) SELECT l_orderkey, l_linenumber FROM lineitem, t WHERE l_quantity > t.a ORDER BY l_orderkey, l_linenumber"
+  private val q18 = DeclaredQuery("q18_cte_scalar_subquery", viaSql(q18Sql), Some(q18Sql))
+
+  // ---------------------------------------------------------------- Q19–Q22: windows / top-k
+
+  private val q19 = DeclaredQuery("q19_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn"))
+
+  private val q20 = DeclaredQuery("q20_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), lag("o_orderkey", 1).over(w).as("prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("SELECT o_custkey, o_orderkey, LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders ORDER BY o_custkey, o_orderkey"))
+
+  private val q21 = DeclaredQuery("q21_window_frame",
+    (s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — the frame
+      // order adds l_extendedprice so the running sum is well-defined (rows
+      // tying on both keys are interchangeable without changing any prefix sum).
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round2(sum("l_extendedprice").over(w)).as("run"))
+        .orderBy("l_orderkey", "l_linenumber", "run")
+    },
+    Some("SELECT l_orderkey, l_linenumber, FLOOR(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS run FROM lineitem ORDER BY l_orderkey, l_linenumber, run"))
+
+  private val q22 = DeclaredQuery("q22_topk",
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"))
+
+  // ---------------------------------------------------------------- Q23–Q24: distinct / set ops
+
+  private val q23 = DeclaredQuery("q23_distinct",
+    (s, d) => t(s, d, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"))
+
+  private val q24 = DeclaredQuery("q24_intersect",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k"),
+    Some("SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k"))
+
+  private val q24a = DeclaredQuery("q24a_union_all",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k"),
+    Some("SELECT k, COUNT(*) AS n FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) u GROUP BY k ORDER BY k"))
+
+  private val q24b = DeclaredQuery("q24b_except",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k"),
+    Some("SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k"))
+
+  // ---------------------------------------------------------------- Q25–Q28: scalar functions
+
+  private val q25 = DeclaredQuery("q25_string_funcs",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("pfx"),
+        length(col("p_name")).cast("int").as("len"),
+        replace(col("p_brand"), lit("#"), lit("-")).as("brand2"))
+      .orderBy("p_partkey"),
+    Some("SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 5)) AS pfx, CAST(LENGTH(p_name) AS INT) AS len, REPLACE(p_brand, '#', '-') AS brand2 FROM part ORDER BY p_partkey"))
+
+  private val q26 = DeclaredQuery("q26_datetime",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_trunc("MONTH", col("o_orderdate")).cast("date").as("mo"))
+      .orderBy("o_orderkey"),
+    Some("SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mo FROM orders ORDER BY o_orderkey"))
+
+  private val q26b = DeclaredQuery("q26b_date_arith",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1994-01-01").cast("date")).as("dd"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d30"))
+      .orderBy("o_orderkey"),
+    // Per-engine spelling (declared, like Q29/Q30a): DuckDB spells day-diff and
+    // day-add differently; semantics pinned by the shared result hash.
+    Some("SELECT o_orderkey, CAST(DATEDIFF('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd, CAST(o_orderdate AS DATE) + 30 AS d30 FROM orders ORDER BY o_orderkey"))
+
+  private val q27 = DeclaredQuery("q27_math_funcs",
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ceil(col("l_quantity")).as("cq"),
+        floor(col("l_tax") * 100).as("ft"),
+        (abs(col("l_discount") - 0.05) > 0.001).as("big_disc"),
+        round2(pow(col("l_quantity"), 2)).as("pw"),
+        (col("l_orderkey") % 7).as("md"))
+      .orderBy("l_orderkey", "l_linenumber", "cq", "ft", "big_disc", "pw"),
+    Some("SELECT l_orderkey, l_linenumber, CAST(CEIL(l_quantity) AS BIGINT) AS cq, CAST(FLOOR(l_tax * 100) AS BIGINT) AS ft, ABS(l_discount - 0.05) > 0.001 AS big_disc, FLOOR(POWER(l_quantity, 2) * 100 + 0.5) / 100 AS pw, CAST(MOD(l_orderkey, 7) AS BIGINT) AS md FROM lineitem ORDER BY l_orderkey, l_linenumber, cq, ft, big_disc, pw"))
+
+  private val q28 = DeclaredQuery("q28_null_handling",
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("n/a")).as("seg"),
+        floor(col("c_acctbal")).cast("long").as("bal"))
+      .orderBy("c_custkey"),
+    // FLOOR before the integer cast: Spark casts double→long by truncation,
+    // DuckDB by rounding — FLOOR pins identical semantics in both engines.
+    Some("SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'n/a') AS seg, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal FROM customer ORDER BY c_custkey"))
+
+  // ---------------------------------------------------------------- Q29–Q32: JSON / arrays / events
+
+  private val q29 = DeclaredQuery("q29_json_extract",
+    (s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id"))
+
+  private val q30 = DeclaredQuery("q30_split_size",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens FROM documents ORDER BY doc_id"))
+
+  private val q30a = DeclaredQuery("q30a_explode_wordcount",
+    (s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy("w"),
+    Some("SELECT w, COUNT(*) AS n FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) u GROUP BY w ORDER BY w"))
+
+  private val q31 = DeclaredQuery("q31_count_distinct_exact",
+    (s, d) => t(s, d, "events").agg(countDistinct(col("user_id")).as("n")),
+    Some("SELECT COUNT(DISTINCT user_id) AS n FROM events"))
+
+  private val q32 = DeclaredQuery("q32_event_time_buckets",
+    (s, d) => t(s, d, "events")
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round2(sum("value")).as("sv"))
+      .orderBy("h", "event_type"),
+    Some("SELECT DATE_TRUNC('HOUR', ts) AS h, event_type, COUNT(*) AS n, FLOOR(SUM(value) * 100 + 0.5) / 100 AS sv FROM events GROUP BY DATE_TRUNC('HOUR', ts), event_type ORDER BY h, event_type"))
+
+  // ---------------------------------------------------------------- X: driver-mandated extensions
+
+  private val x1 = DeclaredQuery("x01_dedup_exact",
+    (s, d) => graft.operators.Dedup
+      .exactKeepFirst(t(s, d, "documents"), Seq("text"), "doc_id")
+      .select("doc_id").orderBy("doc_id"),
+    Some("SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1 ORDER BY doc_id"))
+
+  private val x1b = DeclaredQuery("x01b_dedup_stats",
+    (s, d) => t(s, d, "documents")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("text")).as("n_distinct")),
+    Some("SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct FROM documents"))
+
+  private val x4 = DeclaredQuery("x04_text_stats",
+    (s, d) => t(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round2(avg("n_chars")).as("avg_chars"))
+      .orderBy("lang"),
+    Some("SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, FLOOR(AVG(n_chars) * 100 + 0.5) / 100 AS avg_chars FROM documents GROUP BY lang ORDER BY lang"))
+
+  private val x5 = DeclaredQuery("x05_embedding_dims",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("dim"), col("label"))
+      .orderBy("vec_id"),
+    Some("SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim, label FROM embeddings ORDER BY vec_id"))
+
+  private val x5b = DeclaredQuery("x05b_embedding_norm",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("vec_id"),
+        round2(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))).as("norm"))
+      .orderBy("vec_id"),
+    // Both engines fold the list left-to-right in double precision — identical
+    // summation order, so ROUND(...,2) is stable across engines.
+    Some("SELECT vec_id, FLOOR(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 100 + 0.5) / 100 AS norm FROM embeddings ORDER BY vec_id"))
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[DeclaredQuery] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q09, q10, q11, q12, q12b, q13, q14, q15, q16,
+    q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
+    q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
+    x1, x1b, x4, x5, x5b)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
