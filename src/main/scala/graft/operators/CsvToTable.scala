@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.sources.{CsvDialect, PgCsv}
+
+/** E2 — the Spark-native `CsvToPostgresOperator`
+  * (`/root/reference/src/airflow_postgres_csv/operators.py:101-212`).
+  *
+  * Parameter surface mirrors `(conn_id, table_name, csv_file_path, delimiter,
+  * quote_char, null_string, has_header, columns, truncate, compression,
+  * timeout)`. Two sinks:
+  *  - catalog tables (`saveAsTable`/`insertInto`) — the Spark-native target;
+  *  - JDBC (`toJdbc`) — the literal analog of the reference's Postgres write,
+  *    with per-part identifier quoting (E9) and truncate-preserving overwrite
+  *    (E11: JDBC `truncate=true` issues `TRUNCATE TABLE` instead of
+  *    `DROP/CREATE`, like the reference's `TRUNCATE` + `COPY`,
+  *    `operators.py:175-177`). The reference commits truncate+load in ONE
+  *    transaction (`operators.py:184`); a distributed JDBC write is
+  *    per-partition transactional only — documented weaker semantics.
+  *
+  * Row count is returned (E13, `operators.py:183-192`). Missing input raises
+  * [[MissingInputException]] (E12, `operators.py:153-154`). Gzip input is
+  * auto-detected from the `.gz` extension (E8 — the reference switches on an
+  * explicit `compression` flag; we accept it for signature parity but Spark's
+  * codec inference keys off the extension).
+  */
+object CsvToTable {
+
+  /** Shared load path: dialect read + optional explicit column mapping (E10).
+    * With `columns` given and a header present, the header row is consumed
+    * but its NAMES are ignored — positional mapping, exactly the reference's
+    * "skip the first line" behavior (`operators.py:180-181`). */
+  def load(spark: SparkSession, csvFilePath: String, dialect: CsvDialect,
+           columns: Option[Seq[String]] = None): DataFrame = {
+    if (!new java.io.File(csvFilePath).exists())
+      throw new MissingInputException(csvFilePath)
+    val df = PgCsv.read(spark, csvFilePath, dialect)
+    columns match {
+      case Some(cols) =>
+        require(cols.size == df.columns.size,
+          s"columns has ${cols.size} names but CSV has ${df.columns.size} fields")
+        df.toDF(cols: _*)
+      case None => df
+    }
+  }
+
+  /** Align a typeless CSV frame to a target schema: positional/by-name column
+    * match, missing columns filled with NULL, values cast to target types —
+    * the role Postgres' input conversion plays on `COPY FROM`. */
+  private[graft] def align(df: DataFrame, target: StructType): DataFrame = {
+    val byName = df.columns.toSet
+    val aligned = target.fields.map { f =>
+      if (byName.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(aligned.toIndexedSeq: _*)
+  }
+
+  /** Load into an EXISTING catalog table (parity: `COPY` requires the table
+    * to exist). `truncate=true` replaces contents, else appends. */
+  def run(spark: SparkSession,
+          tableName: String,
+          csvFilePath: String,
+          dialect: CsvDialect = CsvDialect(),
+          columns: Option[Seq[String]] = None,
+          truncate: Boolean = false,              // operators.py:116
+          timeoutMinutes: Long = TimeoutGuard.DefaultTimeoutMinutes): Long =
+    TimeoutGuard.run(spark, timeoutMinutes) {
+      if (!spark.catalog.tableExists(tableName))
+        throw new GraftException(s"target table does not exist: $tableName")
+      val target = spark.table(tableName).schema
+      val df = loadPositional(spark, csvFilePath, dialect, columns, target)
+      val n = df.count()
+      align(df, target).write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+        .insertInto(tableName)
+      n
+    }
+
+  /** Load into a JDBC table — the direct E2 analog. */
+  def toJdbc(spark: SparkSession,
+             url: String,
+             tableName: String,
+             csvFilePath: String,
+             dialect: CsvDialect = CsvDialect(),
+             columns: Option[Seq[String]] = None,
+             truncate: Boolean = false,
+             connectionProperties: java.util.Properties = new java.util.Properties(),
+             timeoutMinutes: Long = TimeoutGuard.DefaultTimeoutMinutes): Long =
+    TimeoutGuard.run(spark, timeoutMinutes) {
+      val quoted = Identifiers.quoteQualified(tableName)
+      val target = spark.read.jdbc(url, quoted, connectionProperties).schema
+      val df = loadPositional(spark, csvFilePath, dialect, columns, target)
+      val n = df.count()
+      align(df, target).write
+        .mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+        .option("truncate", "true") // preserve DDL on overwrite (E11)
+        .jdbc(url, quoted, connectionProperties)
+      n
+    }
+
+  /** When no explicit `columns` and no usable header names, map CSV fields to
+    * the target's columns positionally (the reference's bare `COPY table FROM`
+    * semantics). */
+  private def loadPositional(spark: SparkSession, path: String,
+                             dialect: CsvDialect, columns: Option[Seq[String]],
+                             target: StructType): DataFrame = {
+    val df = load(spark, path, dialect, columns)
+    if (columns.isEmpty && !dialect.hasHeader) {
+      require(df.columns.length <= target.fields.length,
+        s"CSV has ${df.columns.length} fields but table has only ${target.fields.length} columns")
+      df.toDF(target.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
+    } else df
+  }
+}

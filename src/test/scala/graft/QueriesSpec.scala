@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every declared query runs at sf0.001 and returns a sane row count;
+  * every oracle key has a query. The full hash-match against DuckDB is the
+  * driver's CORRECTNESS gate (tools/check.py locally). */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // q14 (anti-join) legitimately returns 0 rows when every customer has orders
+  private val mayBeEmpty = Set("q14_anti_join", "q24b_except")
+
+  Queries.all.foreach { q =>
+    test(s"${q.name} runs at sf0.001") {
+      val n = q.run(spark, TestSpark.sf0001).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("Dedup.exactKeepFirst is deterministic and keeps min tiebreaker") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
+    val kept = graft.operators.Dedup.exactKeepFirst(df, Seq("k"), "id")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+}

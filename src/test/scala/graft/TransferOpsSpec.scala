@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.CsvDialect
+import java.nio.file.Files
+
+/** E1/E2 behavior specs — the direct analog of the reference's operator tests
+  * (`/root/reference/tests/test_operators.py`): header toggle, gzip, column
+  * mapping + header skip, truncate mode, missing input, row counts,
+  * identifier quoting, semicolon strip. */
+class TransferOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(name: String) =
+    Files.createTempDirectory("xfer").resolve(name).toString
+
+  test("QueryToCsv: header, row count, exact path (test_operators.py:76-87)") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+    val out = tmp("regions.csv")
+    val r = QueryToCsv.run(spark,
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey;", out)
+    assert(r.rowCount == 5 && r.csvFilePath == out)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(out))
+    assert(lines.get(0) == "r_regionkey,r_name" && lines.size == 6)
+  }
+
+  test("QueryToCsv: has_header=false omits header (test_operators.py:147-163)") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+    val out = tmp("noheader.csv")
+    QueryToCsv.run(spark, "SELECT r_regionkey FROM region ORDER BY 1", out,
+      hasHeader = false)
+    val first = Files.readAllLines(java.nio.file.Paths.get(out)).get(0)
+    assert(first == "0")
+  }
+
+  test("QueryToCsv: gzip export readable (test_operators.py:89-102)") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+    val out = tmp("r.csv.gz")
+    val r = QueryToCsv.run(spark, "SELECT r_name FROM region ORDER BY r_name", out,
+      compression = Some("gzip"))
+    assert(r.rowCount == 5)
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(out))
+    assert(new String(in.readAllBytes(), "UTF-8").startsWith("r_name\n"))
+  }
+
+  test("QueryToCsv: named parameters bind (operators.py:77)") {
+    graft.sources.Tables.registerAll(spark, TestSpark.sf0001)
+    val out = tmp("params.csv")
+    val r = QueryToCsv.run(spark,
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > :p ORDER BY 1",
+      out, parameters = Map("p" -> 400000))
+    assert(r.rowCount > 0 && r.rowCount < 1500)
+  }
+
+  test("CsvToTable: catalog append + truncate + row count (test_operators.py:165-180)") {
+    spark.sql("DROP TABLE IF EXISTS xfer_target")
+    spark.sql("CREATE TABLE xfer_target (id INT, name STRING) USING parquet")
+    val csv = tmp("in.csv")
+    Files.writeString(java.nio.file.Paths.get(csv), "id,name\n1,alpha\n2,beta\n")
+    assert(CsvToTable.run(spark, "xfer_target", csv) == 2)
+    assert(spark.table("xfer_target").count() == 2)
+    assert(CsvToTable.run(spark, "xfer_target", csv) == 2) // append
+    assert(spark.table("xfer_target").count() == 4)
+    assert(CsvToTable.run(spark, "xfer_target", csv, truncate = true) == 2)
+    assert(spark.table("xfer_target").count() == 2) // truncated then loaded
+  }
+
+  test("CsvToTable: explicit columns map positionally, header skipped (test_operators.py:148-157)") {
+    spark.sql("DROP TABLE IF EXISTS xfer_cols")
+    spark.sql("CREATE TABLE xfer_cols (name STRING, id INT, extra STRING) USING parquet")
+    val csv = tmp("cols.csv")
+    // file header names DON'T match the mapping — must be ignored positionally
+    Files.writeString(java.nio.file.Paths.get(csv), "h1,h2\nalpha,1\nbeta,2\n")
+    assert(CsvToTable.run(spark, "xfer_cols", csv,
+      columns = Some(Seq("name", "id"))) == 2)
+    val rows = spark.table("xfer_cols").orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    assert(rows.forall(_.isNullAt(2))) // unmapped column NULL-filled
+  }
+
+  test("CsvToTable: headerless positional load") {
+    spark.sql("DROP TABLE IF EXISTS xfer_pos")
+    spark.sql("CREATE TABLE xfer_pos (id INT, name STRING) USING parquet")
+    val csv = tmp("pos.csv")
+    Files.writeString(java.nio.file.Paths.get(csv), "7,seven\n8,eight\n")
+    assert(CsvToTable.run(spark, "xfer_pos", csv,
+      dialect = CsvDialect(hasHeader = false)) == 2)
+    assert(spark.table("xfer_pos").where("id = 7").count() == 1)
+  }
+
+  test("CsvToTable: missing file raises (test_operators.py:106-114)") {
+    intercept[MissingInputException] {
+      CsvToTable.run(spark, "xfer_target", "/nonexistent/file.csv")
+    }
+  }
+
+  test("CsvToTable: gzip import (test_operators.py:182-196)") {
+    spark.sql("DROP TABLE IF EXISTS xfer_gz")
+    spark.sql("CREATE TABLE xfer_gz (id INT, name STRING) USING parquet")
+    val csv = tmp("in.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(csv))
+    out.write("id,name\n5,five\n".getBytes("UTF-8")); out.close()
+    assert(CsvToTable.run(spark, "xfer_gz", csv) == 1)
+    assert(spark.table("xfer_gz").head().getInt(0) == 5)
+  }
+
+  test("CsvToTable: JDBC sink round-trip with truncate (Derby in-memory)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    // quoted DDL: Derby folds unquoted names to uppercase, and our E9 quoting
+    // (like the reference's) preserves the given case
+    // CLOB, not VARCHAR: Spark's Derby dialect maps StringType → CLOB and
+    // Derby refuses implicit CLOB→VARCHAR conversion on insert
+    conn.createStatement().execute("CREATE TABLE \"jtarget\" (id INT, name CLOB)")
+    conn.close()
+    val csv = tmp("jdbc.csv")
+    Files.writeString(java.nio.file.Paths.get(csv), "id,name\n1,uno\n2,dos\n")
+    assert(CsvToTable.toJdbc(spark, url, "jtarget", csv,
+      connectionProperties = props) == 2)
+    assert(CsvToTable.toJdbc(spark, url, "jtarget", csv,
+      connectionProperties = props, truncate = true) == 2)
+    val df = spark.read.jdbc(url, "\"jtarget\"", props)
+    assert(df.count() == 2) // truncate replaced, not appended
+  }
+
+  test("Identifiers: per-part quoting with embedded quotes (operators.py:194-208)") {
+    assert(Identifiers.quoteQualified("myschema.mytable") == "\"myschema\".\"mytable\"")
+    assert(Identifiers.quote("we\"ird") == "\"we\"\"ird\"")
+    assert(Identifiers.columnList(Seq("a", "b")) == "(\"a\", \"b\")")
+  }
+
+  test("SqlRunner: trailing semicolon + whitespace stripped (test_operators.py:64-74)") {
+    assert(graft.sql.SqlRunner.normalize("  SELECT 1 ;  ") == "SELECT 1")
+    assert(graft.sql.SqlRunner.normalize("SELECT 1") == "SELECT 1")
+  }
+}
