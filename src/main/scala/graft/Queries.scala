@@ -396,6 +396,81 @@ object Queries {
     // summation order, so ROUND(...,2) is stable across engines.
     Some("SELECT vec_id, FLOOR(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 100 + 0.5) / 100 AS norm FROM embeddings ORDER BY vec_id"))
 
+  // ------------------------------------------------- X2/X3/X4/X5 operator entries
+  // (not ANSI-SQL-expressible → no oracle; the driver records a rows-only
+  // check. All are deterministic and totally ordered regardless.)
+
+  private val x2 = DeclaredQuery("x02_minhash_neardup",
+    (s, d) => graft.operators.NearDup
+      .nearDuplicates(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.8)
+      .select(col("id_1"), col("id_2"), round2(col("jaccard")).as("jaccard"))
+      .orderBy("id_1", "id_2"),
+    None)
+
+  private val x2b = DeclaredQuery("x02b_simhash_pairs",
+    (s, d) => graft.operators.NearDup
+      .simhashPairs(t(s, d, "documents"), "doc_id", "text", maxBits = 8)
+      .orderBy("id_1", "id_2"),
+    None)
+
+  private val x3 = DeclaredQuery("x03_cosine_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.operators.SimilaritySearch.topK(e, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round2(col("score")).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    None)
+
+  private val x3b = DeclaredQuery("x03b_ann_lsh_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.SimilaritySearch.lshBucketedTopK(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id",
+          k = 5, dim = 64, planes = 4)
+        .select(col("query_id"), col("corpus_id"), round2(col("score")).as("score"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  private val x4b = DeclaredQuery("x04b_quality_scores",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.functions.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        round2(graft.functions.TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        round2(graft.functions.TextAnalysis.qualityScore(col("text"))).as("quality"))
+      .orderBy("doc_id"),
+    None)
+
+  private val x4c = DeclaredQuery("x04c_lang_id",
+    (s, d) => t(s, d, "documents")
+      .groupBy(graft.functions.TextAnalysis.langId(col("text")).as("detected"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("detected"),
+    None)
+
+  private val x4d = DeclaredQuery("x04d_fingerprints",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    None)
+
+  private val x5c = DeclaredQuery("x05c_multimodal_decode",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val media = graft.operators.Multimodal.synthesize(t(s, d, "documents"), "doc_id")
+      graft.operators.Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          round2(element_at(col("feature"), 1)).as("f0"))
+        .orderBy("media_id")
+    },
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -403,7 +478,7 @@ object Queries {
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    x1, x1b, x4, x5, x5b)
+    x1, x1b, x2, x2b, x3, x3b, x4, x4b, x4c, x4d, x5, x5b, x5c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2c X3).
+  *
+  *  - [[topK]] — brute-force cosine top-k for ONE query vector: score is a
+  *    per-row expression, `ORDER BY ... LIMIT k` plans as
+  *    TakeOrderedAndProject (per-partition heaps + driver merge of k·P rows —
+  *    fully distributed, the exact baseline).
+  *  - [[lshBucketedTopK]] — the scale path for MANY queries: random-hyperplane
+  *    signatures bucket the corpus; each query joins only its bucket
+  *    (equi-join shuffle on a 4-byte key), exact cosine re-ranks within the
+  *    bucket, a window keeps top-k per query. Recall is tunable via `planes`
+  *    (fewer planes → bigger buckets → higher recall, more compute).
+  */
+object SimilaritySearch {
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays — resolved
+    * once on the driver, broadcast with the plan; dim·planes doubles. */
+  private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+
+  /** Pack sign(v·h_i) bits into one integer bucket id — per-row expression. */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column =
+    hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>
+      when(Vectors.dot(vec, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Brute-force cosine top-k against a single query vector. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+           query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(x => lit(x.toDouble)): _*)
+    corpus.select(col(idCol),
+        Vectors.cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Many-query ANN: bucket corpus and queries by LSH signature, exact-rerank
+    * within buckets, top-k per query. Both sides shuffle once on the bucket
+    * id; no cross join ever materializes. Multi-probe (the standard recall
+    * fix): each query additionally probes every bucket at Hamming distance 1
+    * from its own — `planes+1` probe rows per query, corpus stays single-
+    * bucketed, so the blow-up is on the (small) query side only. */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, queryIdCol: String,
+                      k: Int, dim: Int, planes: Int = 8,
+                      seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), dim, planes, seed).as("__bucket"))
+    val qb0 = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), dim, planes, seed).as("__b0"))
+    val qb =
+      if (!multiProbe) qb0.withColumnRenamed("__b0", "__bucket")
+      else qb0.select(col("query_id"), col("__qv"),
+          explode(array(col("__b0") +:
+            (0 until planes).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*))
+            .as("__bucket"))
+    val scored = qb.join(cb, "__bucket")
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", Vectors.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
+  }
+
+  /** All same-bucket pairs with exact cosine — the candidate generator for
+    * embedding near-dup detection. */
+  def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String,
+                   planes: Int = 16, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      lshBucket(col(vecCol), dim, planes, seed).as("__bucket"))
+    val a = sig.select(col("__bucket"), col("__id").as("id_1"), col("__v").as("__v1"))
+    val b = sig.select(col("__bucket"), col("__id").as("id_2"), col("__v").as("__v2"))
+    a.join(b, Seq("__bucket")).where(col("id_1") < col("id_2"))
+      .withColumn("cosine", Vectors.cosine(col("__v1"), col("__v2")))
+      .select("id_1", "id_2", "cosine")
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.{TextAnalysis, Vectors}
+
+/** X2–X5 extension specs: near-dup detection, similarity search, text
+  * analysis, multimodal plumbing — on the driver testdata plus adversarial
+  * synthetic rows. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs: DataFrame =
+    graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+  private def embs: DataFrame =
+    graft.sources.Tables.table(spark, TestSpark.sf0001, "embeddings")
+
+  // ---- X2: near-dup ----
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // 1-word edit
+    val far = "completely different content about spark distributed query engines"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = NearDup.nearDuplicates(df, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash est_jaccard ≈ exact jaccard on identical docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val est = NearDup.minhashCandidates(df, "doc_id", "text").head().getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical → distance 0, near → small, far → large") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "tokX")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, base), (4L, far)).toDF("id", "t")
+    val sh = df.select(col("id"), NearDup.simhash(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) < 12)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 12)
+    val pairs = NearDup.simhashPairs(df, "id", "t", maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("exact jaccard column") {
+    import spark.implicits._
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
+    val j = df.select(NearDup.jaccard(col("t1"), col("t2"), k = 2)).collect().map(_.getDouble(0))
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+
+  test("LSH near-dup finds EXACTLY the ground-truth pairs in documents (recall+precision 1.0)") {
+    val got = NearDup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs ground truth via crossJoin (feasible at 500 docs)
+    val a = docs.select(col("doc_id").as("id_1"), col("text").as("t1"))
+    val b = docs.select(col("doc_id").as("id_2"), col("text").as("t2"))
+    val want = a.crossJoin(b).where(col("id_1") < col("id_2"))
+      .withColumn("j", NearDup.jaccard(col("t1"), col("t2")))
+      .where(col("j") >= 0.8)
+      .select("id_1", "id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "testdata should contain planted near-duplicates")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
+  // ---- X3: similarity search ----
+
+  test("brute-force topK returns the query's own vector first (cosine=1)") {
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = SimilaritySearch.topK(embs, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("LSH bucketed topK achieves decent recall@10 vs brute force") {
+    val queries = embs.where(col("vec_id") < 20)
+    val ann = SimilaritySearch.lshBucketedTopK(embs, queries,
+      "vec_id", "embedding", "vec_id", k = 10, dim = 64, planes = 4)
+    val annSets = ann.groupBy("query_id").agg(collect_set("corpus_id").as("got"))
+    // brute force per query via self-join rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    val bf = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(embs.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .groupBy("query_id").agg(collect_set("corpus_id").as("want"))
+    val recall = annSets.join(bf, "query_id")
+      .select(avg(size(array_intersect(col("got"), col("want"))) / size(col("want"))))
+      .head().getDouble(0)
+    assert(recall > 0.3, s"recall@10 = $recall") // 4 planes ⇒ ~16 buckets over 500 vecs
+  }
+
+  test("embedding near-dup: planted duplicate vector found") {
+    import spark.implicits._
+    val v1 = Array.fill(8)(1.0f); val v2 = v1.map(_ * 2.0f) // cosine 1
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("id", "vec")
+    val pairs = NearDup.embeddingNearDups(df, "id", "vec", minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- X4: text analysis ----
+
+  test("token counts and quality metrics") {
+    import spark.implicits._
+    val df = Seq(
+      ("clean", "the cat sat on the mat and it was happy to be there"),
+      ("noisy", "@@@ ### !!! $$$ %%% ^^^ &&&"),
+      ("empty", "")).toDF("name", "text")
+    val r = df.select(col("name"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe"),
+      TextAnalysis.punctRatio(col("text")).as("punct"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r("clean").getInt(1) == 13)
+    assert(r("clean").getDouble(4) > r("noisy").getDouble(4))
+    assert(r("noisy").getDouble(3) > 0.5)
+  }
+
+  test("langId: script + stopword heuristics") {
+    import spark.implicits._
+    val df = Seq(
+      ("zh", "这是 一个 中文 句子 关于 数据"),
+      ("en", "the cat is on the mat and it is happy"),
+      ("es", "el gato está en la casa y es feliz con los niños"),
+      ("ru", "это русское предложение о данных"),
+      ("und", "zzz qqq xxx")).toDF("want", "text")
+    val got = df.select(col("want"), TextAnalysis.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    import spark.implicits._
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"), ("c", "hello worlds"))
+      .toDF("id", "t")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b") && fp("a") != fp("c"))
+  }
+
+  // ---- X5: multimodal ----
+
+  test("multimodal: synthesize → batch decode → features (stubbed codec)") {
+    implicit val s = spark
+    val media = Multimodal.synthesize(docs.limit(50), "doc_id")
+    assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
+    val decoded = Multimodal.decodeFeatures(media)
+    val rows = decoded.collect()
+    assert(rows.length == 50)
+    rows.foreach { d =>
+      assert(d.width % 8 == 0 && d.width >= 8 && d.height >= 8)
+      assert(d.feature.length == 4 && d.feature.forall(v => v >= 0 && v <= 255))
+    }
+    // deterministic: same id → same features
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(rows.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal: frame-sample plan prunes payload column") {
+    val media = Multimodal.synthesize(docs.limit(10), "doc_id")
+    val frames = Multimodal.sampleFramePlan(media, everyN = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
+    assert(frames.count() > 10) // at least one frame per media, most have several
+    val plan = frames.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("content"), "payload column must be pruned from the plan")
+  }
+}
