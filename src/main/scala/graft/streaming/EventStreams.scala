@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer (SURVEY.md §2b "Streaming", §7.4).
+  *
+  * The reference is batch-only — one `COPY` per Airflow task run
+  * (`/root/reference/src/airflow_postgres_csv/operators.py:61,152`);
+  * incremental behavior comes from re-running the DAG on templated paths
+  * (`operators.py:35-39`). The Spark-native upgrade is a first-class
+  * streaming layer over the same `events` shape: file-source streams,
+  * event-time windows + watermarks for late data, session windows, arbitrary
+  * state, and a `foreachBatch` sink that reuses the batch E2 path — so the
+  * batch query inventory (Q32 is the batch anchor) carries over unchanged.
+  *
+  * Scale notes: file-source streaming scales by `maxFilesPerTrigger`;
+  * windowed aggregation state is partitioned by group key across executors;
+  * watermarks bound state size — without one, 100 TB of history accumulates.
+  */
+object EventStreams {
+
+  /** Event shape after normalization (ts is a proper timestamp). */
+  val eventSchema: StructType = new StructType()
+    .add("event_id", "long").add("ts", "timestamp_ntz").add("user_id", "long")
+    .add("event_type", "string").add("value", "double").add("props", "string")
+
+  /** File-source stream of event parquet (one file per micro-batch by
+    * default — deterministic for tests; raise for throughput). */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      // watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so the
+      // cast from the on-disk NTZ values is value-preserving
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Tumbling event-time window counts — the streaming form of Q32.
+    * The watermark bounds both late-data acceptance and state retention. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sv"))
+
+  /** Sliding windows (overlapping buckets). */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"))
+
+  /** Session windows: activity bursts per user separated by `gap` of
+    * inactivity — `session_window` keeps state per open session only. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sv"))
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing (`mapGroupsWithState`): running per-user
+    * totals across micro-batches — the pattern for custom state machines the
+    * built-in windows can't express. State lives in the state store,
+    * partitioned by key; use with Update output mode. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events; var v = prev.total_value
+          rows.foreach { r => n += 1; v += r._2 }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Stream → table sink via foreachBatch: every micro-batch appends through
+    * the SAME alignment/write path as the batch E2 operator — exactly-once
+    * per batch id is the caller's contract (idempotent target or dedup key).
+    * Mirrors `CsvToPostgresOperator`'s role in a DAG re-run loop. */
+  def writeToTable(df: DataFrame, tableName: String,
+                   checkpointDir: String,
+                   outputMode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").insertInto(tableName)
+      }
+}

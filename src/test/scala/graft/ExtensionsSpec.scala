@@ -64,14 +64,19 @@ class ExtensionsSpec extends AnyFunSuite {
   test("LSH near-dup finds EXACTLY the ground-truth pairs in documents (recall+precision 1.0)") {
     val got = NearDup.nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // exact all-pairs ground truth via crossJoin (feasible at 500 docs)
-    val a = docs.select(col("doc_id").as("id_1"), col("text").as("t1"))
-    val b = docs.select(col("doc_id").as("id_2"), col("text").as("t2"))
+    // exact all-pairs ground truth via crossJoin (feasible at 500 docs);
+    // shingle sets precomputed ONCE per side, not per pair
+    val sh = docs.select(col("doc_id"),
+      array_distinct(NearDup.shingles(col("text"))).as("sh")).cache()
+    val a = sh.select(col("doc_id").as("id_1"), col("sh").as("s1"))
+    val b = sh.select(col("doc_id").as("id_2"), col("sh").as("s2"))
     val want = a.crossJoin(b).where(col("id_1") < col("id_2"))
-      .withColumn("j", NearDup.jaccard(col("t1"), col("t2")))
+      .withColumn("j", size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))))
       .where(col("j") >= 0.8)
       .select("id_1", "id_2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
     assert(want.nonEmpty, "testdata should contain planted near-duplicates")
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import java.nio.file.Files
+
+/** Streaming layer specs: file-source micro-batches driven synchronously
+  * (`processAllAvailable`), results asserted against the equivalent batch
+  * query — streaming/batch parity is the core Structured Streaming promise. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Events split across 3 parquet files → 3 micro-batches at
+    * maxFilesPerTrigger=1. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("events-stream").toString
+    val ev = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+    ev.repartitionByRange(3, col("event_id")).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling window counts match the batch Q32 aggregation") {
+    runToMemory(EventStreams.tumblingCounts(
+      EventStreams.readEvents(spark, streamDir)), "tumbling",
+      OutputMode.Complete())
+    val streamed = spark.table("tumbling")
+      .select(col("h"), col("event_type"), col("n"))
+      .orderBy("h", "event_type").collect().toSeq
+    val batch = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+      .groupBy(date_trunc("HOUR", col("ts").cast("timestamp")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("h", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("session windows merge activity bursts per user") {
+    runToMemory(EventStreams.userSessions(
+      EventStreams.readEvents(spark, streamDir), gap = "30 minutes"),
+      "sessions", OutputMode.Complete())
+    val s = spark.table("sessions")
+    assert(s.count() > 0)
+    // session invariants: start <= end, n_events >= 1, no overlapping
+    // sessions per user
+    assert(s.where(col("session_start") > col("session_end")).count() == 0)
+    assert(s.where(col("n_events") < 1).count() == 0)
+    val x = s.select(col("user_id"), col("session_start").as("a_start"),
+      col("session_end").as("a_end"))
+    val y = s.select(col("user_id").as("uid2"), col("session_start").as("b_start"))
+    val overlaps = x.join(y, col("user_id") === col("uid2") &&
+      col("a_start") < col("b_start") && col("b_start") < col("a_end")).count()
+    assert(overlaps == 0)
+  }
+
+  test("stateful running totals accumulate across micro-batches") {
+    implicit val s = spark
+    runToMemory(EventStreams.runningUserTotals(spark,
+      EventStreams.readEvents(spark, streamDir)).toDF(), "running",
+      OutputMode.Update())
+    // final state per user (last update) must equal the batch totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalState = spark.table("running")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "n_events").orderBy("user_id").collect().toSeq
+    val batch = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+  }
+
+  test("foreachBatch sink lands micro-batches in a catalog table") {
+    spark.sql("DROP TABLE IF EXISTS stream_sink")
+    spark.sql("CREATE TABLE stream_sink (h TIMESTAMP, event_type STRING, n BIGINT, sv DOUBLE) USING parquet")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = EventStreams.writeToTable(
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, streamDir)),
+      "stream_sink", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // append-mode windowed agg only emits windows closed by the watermark;
+    // with a 10min watermark over 1000 events most hourly windows close
+    assert(spark.table("stream_sink").count() > 0)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    val dir = Files.createTempDirectory("late").toString
+    import spark.implicits._
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: events up to 10:00 → watermark advances to ~09:50
+    write("b1", Seq(
+      (1L, "2024-01-01 08:10:00", 1L, "a", 1.0, "{}"),
+      (2L, "2024-01-01 10:00:00", 1L, "a", 1.0, "{}")))
+    val q = EventStreams.tumblingCounts(
+      EventStreams.readEvents(spark, dir), watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_agg").start()
+    q.processAllAvailable()
+    // batch 2: an event at 07:30 — far behind the watermark → dropped
+    write("b2", Seq((3L, "2024-01-01 07:30:00", 1L, "a", 99.0, "{}")))
+    q.processAllAvailable()
+    // batch 3: advance watermark far so the 08:00 window finalizes
+    write("b3", Seq((4L, "2024-01-01 23:00:00", 1L, "a", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val eight = spark.table("late_agg")
+      .where(col("h") === lit("2024-01-01 08:00:00").cast("timestamp"))
+      .select("n").collect()
+    assert(eight.length == 1 && eight.head.getLong(0) == 1L,
+      s"late event must not be counted: ${eight.mkString}")
+  }
+}
