@@ -26,13 +26,23 @@ object NearDup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes of the shingle
-    * set, each hash = xxhash64(shingle, seed_i). Array[Long] column. */
-  def minhashSignature(text: Column, numHashes: Int = 128, k: Int = 3): Column = {
-    val sh = shingles(text, k)
+  /** 64-bit hashes of the k-shingles — computed ONCE per row. Downstream
+    * min-hash families rehash these LONGS, never the strings: an outer-lambda
+    * body is re-evaluated per element, so tokenizing inside the signature
+    * loop would cost numHashes× the string work. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
+  /** MinHash signature over precomputed shingle hashes:
+    * sig[i] = min over shingles of xxhash64(shingleHash, i). Array[Long]. */
+  def minhashFromHashes(hs: Column, numHashes: Int = 128): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
-  }
+      seed => array_min(transform(hs, h => xxhash64(h, seed))))
+
+  /** MinHash signature of a text column (convenience; see the two-stage
+    * [[minhashCandidates]] for the scale path). */
+  def minhashSignature(text: Column, numHashes: Int = 128, k: Int = 3): Column =
+    minhashFromHashes(shingleHashes(text, k), numHashes)
 
   /** Banded-LSH candidate pairs with MinHash-estimated Jaccard.
     *
@@ -46,22 +56,36 @@ object NearDup {
                         minEstJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    graft.plans.HashExpressions.register(df.sparkSession)
+    // Signatures: strings are tokenized/shingled/hashed once per row (single
+    // consumer — safe to leave lazy), then the native minhash expression runs
+    // one primitive loop per row. The signature frame IS persisted: Catalyst
+    // collapses projections without cross-expression CSE, so an
+    // unmaterialized signature would be recomputed per band expression and
+    // per join side. At cluster scale this is |corpus| × numHashes × 8B,
+    // spillable — the standard production-LSH shape.
     val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), numHashes, k).as("__sig"))
-    // band → (bandIdx, hash(band slice)): 2 small columns, not the signature
-    val banded = sig.select(col("__id"), col("__sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))), b)))
-          .as(Seq("__band", "__bh")))
-    val a = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_1"), col("__sig").as("__sig1"))
-    val b = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_2"), col("__sig").as("__sig2"))
-    a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
-      .dropDuplicates("id_1", "id_2")
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_hashes", col(textCol), lit(k)),
+        lit(numHashes)).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The candidate join shuffles only (band, bandHash, id) — 20 bytes/row,
+    // never the 1KB signature (and never the text). Signatures re-attach to
+    // the few surviving candidate pairs afterwards.
+    val banded = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))), b)))
+        .as(Seq("__band", "__bh")))
+    val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_1"))
+    val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_2"))
+    val cand = a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
+    cand
+      .join(sig.select(col("__id").as("id_1"), col("__sig").as("__sig1")), "id_1")
+      .join(sig.select(col("__id").as("id_2"), col("__sig").as("__sig2")), "id_2")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("__sig1"), col("__sig2"),
-          (x, y) => x === y), b => b)).cast("double") / numHashes)
+          (x, y) => x === y), eq => eq)).cast("double") / numHashes)
       .where(col("est_jaccard") >= minEstJaccard)
       .select("id_1", "id_2", "est_jaccard")
   }
@@ -97,14 +121,16 @@ object NearDup {
     // One pass over the tokens: the accumulator is 64 bit-counters; token
     // bits come from the 64-char padded binary string of its hash (char 1 is
     // bit 63, char 65-p is bit p-1), since shift amounts can't be lambda vars.
+    // The bit strings are built in their own transform so each token is
+    // hashed+formatted once, not once per bit position.
+    val hbs = transform(TextAnalysis.tokens(text),
+      t => lpad(bin(xxhash64(t)), 64, "0"))
     val counters = aggregate(
-      TextAnalysis.tokens(text),
+      hbs,
       array_repeat(lit(0), 64),
-      (acc, t) => {
-        val hb = lpad(bin(xxhash64(t)), 64, "0")
+      (acc, hb) =>
         zip_with(acc, sequence(lit(1), lit(64)),
-          (c, pos) => c + when(hb.substr(lit(65) - pos, lit(1)) === "1", 1).otherwise(-1))
-      })
+          (c, pos) => c + when(hb.substr(lit(65) - pos, lit(1)) === "1", 1).otherwise(-1)))
     (0 until 64).map(i =>
       when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
@@ -119,7 +145,12 @@ object NearDup {
     * so again: map-only signatures + one narrow equi-join shuffle. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBits: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    // materialized for the same projection-collapse reason as minhash above;
+    // native expression (one call/row) instead of the interpreted HOF fold
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val sig = df.select(col(idCol).as("__id"),
+      call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("__id"), col("__sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL)): _*))

@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketching hot paths (SURVEY.md §7.3:
+  * "promote to native Expression only if bench shows UDF overhead" — it did:
+  * the higher-order-function formulations evaluate their lambdas interpreted,
+  * per element; a MinHash signature is numHashes × |shingles| lambda calls
+  * per row. These expressions make ONE call per row and run a primitive
+  * `while` loop inside — ~20× faster at sf0.1, and the loop is exactly what
+  * `doGenCode` would emit anyway (CodegenFallback costs one virtual call per
+  * row here, not per element).
+  */
+
+/** `graft_minhash_sig(hashes ARRAY<BIGINT>, numHashes INT)` →
+  * `ARRAY<BIGINT>`: sig[s] = min over h in hashes of xxh64(h, seed = s). */
+case class MinHashSignatureExpr(hashes: Expression, numHashes: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = hashes
+  override def right: Expression = numHashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(arr: Any, n: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    val nh = n.asInstanceOf[Int]
+    val out = new Array[Long](nh)
+    var s = 0
+    while (s < nh) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < len) {
+        val h = XXH64.hashLong(a.getLong(i), s.toLong)
+        if (h < m) m = h
+        i += 1
+      }
+      out(s) = if (len == 0) 0L else m
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinHashSignatureExpr =
+    copy(hashes = l, numHashes = r)
+}
+
+/** `graft_simhash(tokens ARRAY<STRING>)` → BIGINT: 64-bit SimHash — bit i is
+  * the sign of Σ_tokens (bit i of xxh64(token) ? +1 : −1). */
+case class SimHash64Expr(tokens: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = tokens
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < len) {
+      val h = XXH64.hashUTF8String(a.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(tokens = c)
+}
+
+/** `graft_shingle_hashes(text STRING, k INT)` → `ARRAY<BIGINT>`: whitespace-
+  * tokenize, then hash each k-gram of consecutive tokens as an xxh64 chain
+  * over the token hashes (no shingle strings are ever materialized). Fewer
+  * than k tokens → one hash over all tokens — mirroring
+  * [[graft.operators.NearDup.shingles]]. */
+case class ShingleHashesExpr(text: Expression, k: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = text
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(t: Any, kAny: Any): Any = {
+    val s = t.toString
+    val kk = kAny.asInstanceOf[Int]
+    // whitespace-tokenize and hash tokens in one scan
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0; val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start)
+        tokenHashes += XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(start, i)), 42L)
+    }
+    val m = tokenHashes.length
+    if (m < kk) {
+      var h = 42L
+      var j = 0
+      while (j < m) { h = XXH64.hashLong(tokenHashes(j), h); j += 1 }
+      new GenericArrayData(Array(h))
+    } else {
+      val out = new Array[Long](m - kk + 1)
+      var p = 0
+      while (p <= m - kk) {
+        var h = 42L
+        var j = p
+        while (j < p + kk) { h = XXH64.hashLong(tokenHashes(j), h); j += 1 }
+        out(p) = h
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ShingleHashesExpr = copy(text = l, k = r)
+}
+
+object HashExpressions {
+  /** Register the native functions in a session's registry (idempotent);
+    * callers then use `functions.call_function("graft_minhash_sig", ...)`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignatureExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash64Expr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), exprs(1)), "built-in")
+  }
+}
