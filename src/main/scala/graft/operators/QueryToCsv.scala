@@ -19,6 +19,46 @@ object QueryToCsv {
 
   final case class Result(csvFilePath: String, rowCount: Long)
 
+  /** Range partitioning for parallel JDBC reads: N concurrent connections
+    * each scanning a slice of `column` — the scale upgrade over the
+    * reference's single socket (`operators.py:85`). */
+  final case class JdbcPartitioning(column: String, lower: Long, upper: Long,
+                                    numPartitions: Int)
+
+  /** E1 with a REAL external database source: the SQL text executes inside
+    * the source engine via JDBC `query` pushdown — the exact delegation
+    * semantics of the reference's `COPY (<sql>) TO STDOUT`
+    * (`operators.py:80`), with the result streamed to a single CSV file.
+    * With `partitioning`, the pushed query becomes a parallel range scan. */
+  def fromJdbc(spark: SparkSession,
+               url: String,
+               sql: String,
+               csvFilePath: String,
+               connectionProperties: java.util.Properties = new java.util.Properties(),
+               hasHeader: Boolean = true,
+               compression: Option[String] = None,
+               timeoutMinutes: Long = TimeoutGuard.DefaultTimeoutMinutes,
+               partitioning: Option[JdbcPartitioning] = None,
+               dialect: CsvDialect = CsvDialect()): Result =
+    TimeoutGuard.run(spark, timeoutMinutes) {
+      var r = spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", SqlRunner.normalize(SqlRunner.resolve(sql)))
+        // server-side statement timeout — the reference's semantics
+        // (`SET statement_timeout`, operators.py:76), minutes→seconds
+        .option("queryTimeout", (timeoutMinutes * 60L).toString)
+      partitioning.foreach { p =>
+        r = r.option("partitionColumn", p.column)
+          .option("lowerBound", p.lower.toString)
+          .option("upperBound", p.upper.toString)
+          .option("numPartitions", p.numPartitions.toString)
+      }
+      connectionProperties.forEach((k, v) => r = r.option(k.toString, v.toString))
+      val df = r.load()
+      val effective = dialect.copy(hasHeader = hasHeader, compression = compression)
+      Result(csvFilePath, PgCsv.writeSingleFile(df, csvFilePath, effective))
+    }
+
   def run(spark: SparkSession,
           sql: String,
           csvFilePath: String,

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the plans that matter at 100 TB, pinned so a
+  * refactor can't silently regress them: filters/columns must reach the
+  * parquet scan, small dims must broadcast, top-k must not global-sort,
+  * aggregates must partial-aggregate before the exchange. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = Queries.queries(name)(spark, TestSpark.sf0001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("Q2 filter is pushed down to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p) // range predicate reaches the scan
+  }
+
+  test("Q1 projection prunes the read schema to 3 columns") {
+    val p = plan("q01_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"),
+      s"scan must not read unused columns: $read")
+  }
+
+  test("Q10 small-dimension join broadcasts (no shuffle of the fact side)") {
+    val p = plan("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Q22 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q22_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("Q4 aggregate is partial (map-side) before the exchange") {
+    val p = plan("q04_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // formatted plans list operators leaf-first: the partial aggregate
+    // appears before the exchange that feeds the final aggregate
+    assert(p.contains("partial_"), "expected partial aggregation functions")
+  }
+
+  test("Q13 EXISTS plans as a semi join (no row multiplication)") {
+    assert(plan("q13_semi_join").contains("LeftSemi"))
+  }
+
+  test("Q19 rank filter stays inside the window stage (rn<=2 not post-collected)") {
+    val p = plan("q19_window_rank")
+    assert(p.contains("Window"), p)
+    // the rn <= 2 filter must appear as a Filter operator in the plan, i.e.
+    // executed distributed, not on the driver
+    assert(p.contains("Filter"), p)
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline (Q2)") {
+    // under AQE the codegen'd stages exist only in the EXECUTED plan
+    val df = Queries.queries("q02_filter")(spark, TestSpark.sf0001)
+    df.collect()
+    // codegen'd stages print with the `*(n)` prefix
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Filter") || p.contains("WholeStageCodegen"), p.take(500))
+  }
+
+  test("multimodal frame plan never reads the content column") {
+    val media = graft.operators.Multimodal.synthesize(
+      graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"), "doc_id")
+    val p = graft.operators.Multimodal.sampleFramePlan(media)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("sha2"), s"payload synthesis must be pruned away:\n$p")
+  }
+}

@@ -126,6 +126,25 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(df.count() == 2) // truncate replaced, not appended
   }
 
+  test("QueryToCsv.fromJdbc: query pushdown to the source DB → single CSV (operators.py:80)") {
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute("CREATE TABLE \"src\" (id INT, v INT)")
+    val st = conn.createStatement()
+    (1 to 20).foreach(i => st.execute(s"INSERT INTO \"src\" VALUES ($i, ${i * 10})"))
+    conn.close()
+    val out = tmp("jdbc_export.csv")
+    // arbitrary SQL — aggregation runs INSIDE Derby (query pushdown)
+    val r = QueryToCsv.fromJdbc(spark, url,
+      "SELECT COUNT(*) AS n, SUM(v) AS sv FROM \"src\";", out,
+      connectionProperties = props)
+    assert(r.rowCount == 1)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(out))
+    assert(lines.get(0).equalsIgnoreCase("n,sv") && lines.get(1) == "20,2100")
+  }
+
   test("Identifiers: per-part quoting with embedded quotes (operators.py:194-208)") {
     assert(Identifiers.quoteQualified("myschema.mytable") == "\"myschema\".\"mytable\"")
     assert(Identifiers.quote("we\"ird") == "\"we\"\"ird\"")
