@@ -436,6 +436,24 @@ object Queries {
     },
     None)
 
+  private val q31b = DeclaredQuery("q31b_approx_count_distinct",
+    // HLL sketch (bench-only per SURVEY Q31: approx form is not hash-matched)
+    (s, d) => t(s, d, "events")
+      .agg(approx_count_distinct(col("user_id")).as("n_approx")),
+    None)
+
+  private val x3c = DeclaredQuery("x03c_ann_ivf_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.SimilaritySearch.ivfTopK(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id",
+          k = 5, nlist = 16, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), round2(col("score")).as("score"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   private val x4b = DeclaredQuery("x04b_quality_scores",
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"),
@@ -478,7 +496,8 @@ object Queries {
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    x1, x1b, x2, x2b, x3, x3b, x4, x4b, x4c, x4d, x5, x5b, x5c)
+    q31b,
+    x1, x1b, x2, x2b, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -75,6 +75,38 @@ object SimilaritySearch {
       .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a data-adaptive coarse quantizer — `nlist`
+    * centroids sampled deterministically from the corpus; each corpus vector
+    * lives in its nearest centroid's cell, each query probes its `nprobe`
+    * nearest cells. Versus random hyperplanes, cells follow the data's
+    * cluster structure, so recall at equal candidate count is higher on
+    * clustered embeddings. The centroid table is driver-side literals
+    * (nlist × dim doubles — a real IVF would k-means refine them; sampling is
+    * the standard cheap initialization and keeps this fully deterministic). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents: Array[Column] = corpus
+      .select(col(vecCol)).orderBy(xxhash64(col(idCol))).limit(nlist)
+      .collect()
+      .map(r => array(r.getSeq[Float](0).map(x => lit(x.toDouble)): _*))
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.l2Distance(col(vecCol), c).as("d"), lit(i).as("cell"))
+    }: _*)
+    val corpusCell = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      array_min(dists).getField("cell").as("__cell"))
+    val queryCells = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(transform(slice(array_sort(dists), 1, nprobe), s => s.getField("cell")))
+          .as("__cell"))
+    val scored = queryCells.join(corpusCell, "__cell")
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", Vectors.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
+  }
+
   /** All same-bucket pairs with exact cosine — the candidate generator for
     * embedding near-dup detection. */
   def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -112,6 +112,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall@10 = $recall") // 4 planes ⇒ ~16 buckets over 500 vecs
   }
 
+  test("IVF topK achieves decent recall@10 vs brute force") {
+    val queries = embs.where(col("vec_id") < 20)
+    val ivf = SimilaritySearch.ivfTopK(embs, queries,
+      "vec_id", "embedding", "vec_id", k = 10, nlist = 8, nprobe = 3)
+    val got = ivf.groupBy("query_id").agg(collect_set("corpus_id").as("got"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    val bf = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(embs.select(col("vec_id").as("corpus_id"), col("embedding").as("cv")))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .groupBy("query_id").agg(collect_set("corpus_id").as("want"))
+    val recall = got.join(bf, "query_id")
+      .select(avg(size(array_intersect(col("got"), col("want"))) / size(col("want"))))
+      .head().getDouble(0)
+    assert(recall > 0.3, s"IVF recall@10 = $recall")
+  }
+
+  test("salted join equals plain join on skewed data and splits the hot key") {
+    import spark.implicits._
+    // hot key: 10k rows of key=1, a handful of others
+    val big = ((1 to 10000).map(i => (1L, i.toLong)) ++ Seq((2L, 1L), (3L, 2L)))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "warm"), (3L, "cool"), (4L, "unused"))
+      .toDF("k", "label")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k", "label").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k", "label").count().orderBy("k").collect().toSeq)
+    val hist = Skew.keyHistogram(big, col("k"), 3).collect()
+    assert(hist.head.getLong(0) == 1L && hist.head.getLong(1) == 10000L)
+  }
+
   test("embedding near-dup: planted duplicate vector found") {
     import spark.implicits._
     val v1 = Array.fill(8)(1.0f); val v2 = v1.map(_ * 2.0f) // cosine 1
