@@ -325,6 +325,82 @@ object Queries {
     // DuckDB by rounding — FLOOR pins identical semantics in both engines.
     Some("SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'n/a') AS seg, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal FROM customer ORDER BY c_custkey"))
 
+  // -------------------------------------------- Q33+: widened SQL surface
+
+  private val q19b = DeclaredQuery("q19b_window_analytics",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          first_value(col("o_orderkey")).over(w).as("top_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // percent_rank = (rank-1)/(n-1): same integer division in IEEE double in
+    // both engines — bit-equal, no rounding needed
+    Some("SELECT o_custkey, o_orderkey, CAST(NTILE(4) OVER w AS INT) AS quartile, PERCENT_RANK() OVER w AS pr, FIRST_VALUE(o_orderkey) OVER w AS top_order FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_custkey, o_orderkey"))
+
+  private val q25b = DeclaredQuery("q25b_string_extras",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        trim(col("p_name")).as("t"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "*").as("rp"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("bt"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("w1"))
+      .orderBy("p_partkey"),
+    Some("SELECT p_partkey, TRIM(p_name) AS t, LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '*') AS rp, CONCAT(p_brand, ':', p_type) AS bt, SPLIT_PART(p_name, ' ', 1) AS w1 FROM part ORDER BY p_partkey"))
+
+  private val q27b = DeclaredQuery("q27b_math_extras",
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round2(sqrt(col("l_extendedprice"))).as("sq"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        greatest(col("l_quantity"), col("l_tax") * 100).as("gr"),
+        least(col("l_quantity"), col("l_extendedprice") / 1000).as("ls"),
+        col("l_orderkey").bitwiseAND(255).as("ba"))
+      .orderBy("l_orderkey", "l_linenumber", "sq", "sg", "gr", "ls"),
+    // SQRT is IEEE-correctly-rounded (identical across engines); transcendental
+    // fns (exp/ln) are libm-dependent and deliberately excluded from oracles
+    Some("SELECT l_orderkey, l_linenumber, FLOOR(SQRT(l_extendedprice) * 100 + 0.5) / 100 AS sq, CAST(SIGN(l_discount - 0.05) AS INT) AS sg, GREATEST(l_quantity, l_tax * 100) AS gr, LEAST(l_quantity, l_extendedprice / 1000) AS ls, l_orderkey & 255 AS ba FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, sg, gr, ls"))
+
+  private val q33Sql =
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000) ORDER BY c_custkey"
+  private val q33 = DeclaredQuery("q33_in_subquery", viaSql(q33Sql), Some(q33Sql))
+
+  private val q34 = DeclaredQuery("q34_string_agg",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"))
+      .orderBy("l_returnflag"),
+    // per-engine spelling (declared): ordered distinct string aggregation
+    Some("SELECT l_returnflag, STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  private val q35 = DeclaredQuery("q35_pivot",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R")).count()
+      .na.fill(0L)
+      .orderBy("l_linestatus"),
+    Some("SELECT l_linestatus, COUNT(*) FILTER (WHERE l_returnflag = 'A') AS A, COUNT(*) FILTER (WHERE l_returnflag = 'N') AS N, COUNT(*) FILTER (WHERE l_returnflag = 'R') AS R FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"))
+
+  private val q36 = DeclaredQuery("q36_stats_aggs",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round2(stddev_samp(col("l_quantity"))).as("sd"),
+        round2(var_samp(col("l_quantity"))).as("vr"),
+        (floor(corr(col("l_quantity"), col("l_extendedprice")) * 10000 + 0.5) / 10000).as("cr"))
+      .orderBy("l_returnflag"),
+    Some("SELECT l_returnflag, FLOOR(STDDEV_SAMP(l_quantity) * 100 + 0.5) / 100 AS sd, FLOOR(VAR_SAMP(l_quantity) * 100 + 0.5) / 100 AS vr, FLOOR(CORR(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  private val q38 = DeclaredQuery("q38_limit_offset",
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .offset(20).limit(10),
+    Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20"))
+
   // ---------------------------------------------------------------- Q29–Q32: JSON / arrays / events
 
   private val q29 = DeclaredQuery("q29_json_extract",
@@ -496,7 +572,7 @@ object Queries {
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    q31b,
+    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q38,
     x1, x1b, x2, x2b, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
