@@ -135,6 +135,25 @@ case class ShingleHashesExpr(text: Expression, k: Expression)
       l: Expression, r: Expression): ShingleHashesExpr = copy(text = l, k = r)
 }
 
+/** Standard Spark extensions entry point: registers the native functions at
+  * session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash_sig"),
+      exprs => MinHashSignatureExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
+      exprs => SimHash64Expr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      exprs => ShingleHashesExpr(exprs(0), exprs(1))))
+  }
+}
+
 object HashExpressions {
   /** Register the native functions in a session's registry (idempotent);
     * callers then use `functions.call_function("graft_minhash_sig", ...)`. */

@@ -1,0 +1,24 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed tables: pre-shuffled, co-located storage for repeated joins and
+  * aggregations on the same key (SURVEY.md "bucketing for co-located joins").
+  *
+  * At 100 TB the win is structural: two tables bucketed on the join key into
+  * the same bucket count join WITHOUT any Exchange — the shuffle was paid
+  * once at write time and amortizes over every subsequent query. The same
+  * layout serves `groupBy(bucketKey)` with no exchange either.
+  * `PlanQualitySpec` pins the no-Exchange property.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty)
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+}

@@ -5,6 +5,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // 1. driver contract: flagship entry
@@ -27,6 +28,9 @@ object Probe {
       println("PROBE missing-param: NO ERROR (unexpected)")
     } catch { case ex: Exception =>
       println(s"PROBE missing-param error: ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}") }
+    // 5. extensions-injected native function callable from plain SQL
+    val sh = spark.sql("SELECT graft_simhash(array('alpha','beta','gamma')) AS h").head().getLong(0)
+    println(s"PROBE graft_simhash via SQL = $sh (nonzero=${sh != 0L})")
     spark.stop()
   }
 }

@@ -71,6 +71,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(1) Filter") || p.contains("WholeStageCodegen"), p.take(500))
   }
 
+  test("bucketed tables join with NO exchange (pre-shuffled co-location)") {
+    val orders = graft.sources.Tables.table(spark, TestSpark.sf0001, "orders")
+    val customer = graft.sources.Tables.table(spark, TestSpark.sf0001, "customer")
+    graft.sources.Bucketing.writeBucketed(orders, "orders_b", Seq("o_custkey"), 8)
+    graft.sources.Bucketing.writeBucketed(customer, "cust_b", Seq("c_custkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_b").join(spark.table("cust_b"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${p.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("GraftExtensions registers native functions at session build time") {
+    // the shared test session predates the extensions; exercising apply()
+    // against a fresh SparkSessionExtensions validates the injection wiring
+    // (runtime SQL use is covered via the registry path in NearDup specs)
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(e) // must not throw
+    // end-to-end SQL use of the injected functions is driven by
+    // graft.tools.Probe (fresh session built withExtensions) and by the
+    // registry path in the NearDup specs
+  }
+
   test("multimodal frame plan never reads the content column") {
     val media = graft.operators.Multimodal.synthesize(
       graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"), "doc_id")
