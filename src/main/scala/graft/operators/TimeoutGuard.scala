@@ -18,19 +18,28 @@ object TimeoutGuard {
   val DefaultTimeoutMinutes = 60L // operators.py:32
 
   def run[T](spark: SparkSession, timeoutMinutes: Long = DefaultTimeoutMinutes)
-            (body: => T): T = {
+            (body: => T): T =
+    runMillis(spark, timeoutMinutes * 60L * 1000L, timeoutMinutes)(body)
+
+  /** Millisecond-granularity core (separate for testability — the public
+    * surface is minutes, like the reference's `timeout` param). Like
+    * `statement_timeout`, cancellation hits jobs RUNNING at the deadline;
+    * work finishing before the cancel lands succeeds. */
+  private[graft] def runMillis[T](spark: SparkSession, timeoutMs: Long,
+                                  reportedMinutes: Long = 0)(body: => T): T = {
     val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
     val sc = spark.sparkContext
-    sc.setJobGroup(group, s"graft query (timeout ${timeoutMinutes}m)",
+    sc.setJobGroup(group, s"graft query (timeout ${timeoutMs}ms)",
       interruptOnCancel = true)
     val timedOut = new AtomicBoolean(false)
     val timer = new Timer("graft-timeout", true)
     timer.schedule(new TimerTask {
       def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
-    }, timeoutMinutes * 60L * 1000L)
+    }, timeoutMs)
     try body
     catch {
-      case e: Throwable if timedOut.get() => throw new GraftTimeoutException(timeoutMinutes)
+      case _: Throwable if timedOut.get() =>
+        throw new GraftTimeoutException(reportedMinutes)
     } finally {
       timer.cancel()
       sc.clearJobGroup()

@@ -145,6 +145,20 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(lines.get(0).equalsIgnoreCase("n,sv") && lines.get(1) == "20,2100")
   }
 
+  test("TimeoutGuard: expired timeout cancels the job group and raises (operators.py:76)") {
+    import spark.implicits._
+    val slow = spark.range(0, 64, 1, 8).mapPartitions { it =>
+      Thread.sleep(5000); it
+    }
+    intercept[GraftTimeoutException] {
+      TimeoutGuard.runMillis(spark, timeoutMs = 800) { slow.count() }
+    }
+  }
+
+  test("TimeoutGuard: fast work inside the deadline passes through") {
+    assert(TimeoutGuard.run(spark, timeoutMinutes = 60) { 1 + 1 } == 2)
+  }
+
   test("Identifiers: per-part quoting with embedded quotes (operators.py:194-208)") {
     assert(Identifiers.quoteQualified("myschema.mytable") == "\"myschema\".\"mytable\"")
     assert(Identifiers.quote("we\"ird") == "\"we\"\"ird\"")
