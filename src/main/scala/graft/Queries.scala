@@ -531,20 +531,29 @@ object Queries {
     None)
 
   private val x4b = DeclaredQuery("x04b_quality_scores",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        graft.functions.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
-        round2(graft.functions.TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
-        round2(graft.functions.TextAnalysis.qualityScore(col("text"))).as("quality"))
-      .orderBy("doc_id"),
+    (s, d) => {
+      // native single-pass stats (equivalence to the Column forms is pinned
+      // by NativeTextSpec); qualityScore composes from the struct fields
+      graft.plans.HashExpressions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          call_function("graft_text_stats", col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.n_bpeish").as("n_bpeish"),
+          round2(col("st.punct_ratio")).as("punct_ratio"),
+          round2(graft.functions.TextAnalysis.qualityFromStats(col("st"))).as("quality"))
+        .orderBy("doc_id")
+    },
     None)
 
   private val x4c = DeclaredQuery("x04c_lang_id",
-    (s, d) => t(s, d, "documents")
-      .groupBy(graft.functions.TextAnalysis.langId(col("text")).as("detected"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("detected"),
+    (s, d) => {
+      graft.plans.HashExpressions.register(s)
+      t(s, d, "documents")
+        .groupBy(call_function("graft_lang_id", col("text")).as("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("detected")
+    },
     None)
 
   private val x4d = DeclaredQuery("x04d_fingerprints",

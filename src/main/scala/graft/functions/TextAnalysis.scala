@@ -23,7 +23,9 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(filter(
       split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0))
+      // \S, not trim(): Spark's trim strips only U+0020, so tab/newline
+      // pieces would otherwise count as tokens
+      t => t.rlike("\\S")))
 
   /** Ratio of non-alphanumeric-non-space chars to total chars. */
   def punctRatio(text: Column): Column =
@@ -50,11 +52,23 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: long enough, low punctuation noise,
     * sane token lengths, some stopword mass. Weights are heuristic — the
     * VALUE is the deterministic, shuffle-free plumbing. */
-  def qualityScore(text: Column): Column = {
-    val lenOk = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
-    val punctOk = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val tokLenOk = when(meanTokenLength(text).between(2.0, 12.0), 1.0).otherwise(0.3)
-    val swOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+  def qualityScore(text: Column): Column =
+    qualityFormula(tokenCount(text), punctRatio(text), meanTokenLength(text),
+      stopwordRatio(text))
+
+  /** Same score computed from a `graft_text_stats` struct — one native scan
+    * instead of four HOF passes over the tokens; bit-identical result
+    * (NativeTextSpec pins both equivalences). */
+  def qualityFromStats(st: Column): Column =
+    qualityFormula(st.getField("n_tokens"), st.getField("punct_ratio"),
+      st.getField("mean_tok_len"), st.getField("stopword_ratio"))
+
+  private def qualityFormula(nTokens: Column, punct: Column, meanTok: Column,
+                             sw: Column): Column = {
+    val lenOk = least(nTokens.cast("double") / 20.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punct * 4.0, lit(1.0))
+    val tokLenOk = when(meanTok.between(2.0, 12.0), 1.0).otherwise(0.3)
+    val swOk = least(sw * 5.0, lit(1.0))
     least(greatest(lenOk * 0.3 + punctOk * 0.3 + tokLenOk * 0.2 + swOk * 0.2,
       lit(0.0)), lit(1.0))
   }

@@ -151,6 +151,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       exprs => ShingleHashesExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "graft_text_stats"),
+      exprs => TextStatsExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),
+      exprs => LangIdExpr(exprs(0))))
   }
 }
 
@@ -165,5 +171,9 @@ object HashExpressions {
       exprs => SimHash64Expr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_text_stats",
+      exprs => TextStatsExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      exprs => LangIdExpr(exprs(0)), "built-in")
   }
 }

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.lang.Character.UnicodeScript
+
+/** Native single-pass text analysis (scale companions to
+  * [[graft.functions.TextAnalysis]]'s Column formulations — same semantics,
+  * one primitive scan per row instead of several interpreted HOF passes;
+  * equivalence is pinned by `NativeTextSpec`). At billions of documents the
+  * Column versions' ~0.4 ms/doc of interpreted lambda evals is hours of
+  * cluster time; these run in ~10 µs/doc. */
+object TextKernels {
+
+  /** whitespace per java regex \s — what the Column version splits on */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline def isAlnum(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  val EnglishStopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+      "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+      .foreach(s.add)
+    s
+  }
+
+  final case class Stats(nTokens: Int, nBpeish: Int, punctRatio: Double,
+                         meanTokLen: Double, stopwordRatio: Double)
+
+  def stats(s: String): Stats = {
+    var i = 0
+    val n = s.length
+    var nTokens = 0
+    var tokLenSum = 0L   // code points across tokens
+    var stopHits = 0
+    var alnumRuns = 0
+    var punct = 0        // non-alnum, non-whitespace code points
+    var totalCp = 0
+    var inAlnumRun = false
+    val tok = new java.lang.StringBuilder(32)
+    def endToken(): Unit = if (tok.length() > 0) {
+      nTokens += 1
+      tokLenSum += tok.codePoints().count()
+      if (EnglishStopwords.contains(tok.toString.toLowerCase)) stopHits += 1
+      tok.setLength(0)
+    }
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      totalCp += 1
+      val ws = cp < 0x10000 && isWs(cp.toChar)
+      if (ws) { endToken(); inAlnumRun = false }
+      else {
+        tok.appendCodePoint(cp)
+        if (isAlnum(cp)) {
+          if (!inAlnumRun) { alnumRuns += 1; inAlnumRun = true }
+        } else { punct += 1; inAlnumRun = false }
+      }
+      i += cc
+    }
+    endToken()
+    Stats(
+      nTokens,
+      alnumRuns + punct,
+      if (totalCp == 0) Double.NaN else punct.toDouble / totalCp,
+      if (nTokens == 0) Double.NaN else tokLenSum.toDouble / nTokens,
+      if (nTokens == 0) Double.NaN else stopHits.toDouble / nTokens)
+  }
+
+  private val EsSw = mkSet("el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un", "una", "con", "para")
+  private val DeSw = mkSet("der", "die", "das", "und", "ist", "von", "den", "im", "mit", "für", "auf", "ein", "eine", "nicht")
+  private val FrSw = mkSet("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans", "que", "pour", "sur")
+  private def mkSet(w: String*) = { val s = new java.util.HashSet[String](); w.foreach(s.add); s }
+
+  /** Mirrors [[graft.functions.TextAnalysis.langId]]'s decision chain. */
+  def langId(s: String): String = {
+    var i = 0; val n = s.length
+    var total = 0
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var ara = 0; var dev = 0
+    var en = 0; var es = 0; var de = 0; var fr = 0
+    val tok = new java.lang.StringBuilder(32)
+    def endToken(): Unit = if (tok.length() > 0) {
+      val w = tok.toString.toLowerCase
+      if (EnglishStopwords.contains(w)) en += 1
+      if (EsSw.contains(w)) es += 1
+      if (DeSw.contains(w)) de += 1
+      if (FrSw.contains(w)) fr += 1
+      tok.setLength(0)
+    }
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      total += 1
+      val script = UnicodeScript.of(cp)
+      script match {
+        case UnicodeScript.HAN => han += 1
+        case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => kana += 1
+        case UnicodeScript.HANGUL => hangul += 1
+        case UnicodeScript.CYRILLIC => cyr += 1
+        case UnicodeScript.ARABIC => ara += 1
+        case UnicodeScript.DEVANAGARI => dev += 1
+        case _ =>
+      }
+      val ws = cp < 0x10000 && isWs(cp.toChar)
+      if (ws) endToken() else tok.appendCodePoint(cp)
+      i += cc
+    }
+    endToken()
+    if (total == 0) return "und"
+    val t = total.toDouble
+    if (han / t > 0.05) "zh"
+    else if (kana / t > 0.05) "ja"
+    else if (hangul / t > 0.05) "ko"
+    else if (cyr / t > 0.2) "ru"
+    else if (ara / t > 0.2) "ar"
+    else if (dev / t > 0.2) "hi"
+    else if (es > en && es >= de && es >= fr) "es"
+    else if (de > en && de >= es && de >= fr) "de"
+    else if (fr > en && fr >= es && fr >= de) "fr"
+    else if (en > 0) "en"
+    else "und"
+  }
+}
+
+/** `graft_text_stats(text)` → struct<n_tokens INT, n_bpeish INT,
+  * punct_ratio DOUBLE, mean_tok_len DOUBLE, stopword_ratio DOUBLE>. */
+case class TextStatsExpr(text: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = text
+  override def prettyName: String = "graft_text_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false),
+    StructField("punct_ratio", DoubleType),
+    StructField("mean_tok_len", DoubleType),
+    StructField("stopword_ratio", DoubleType)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val st = TextKernels.stats(v.toString)
+    InternalRow(st.nTokens, st.nBpeish,
+      if (st.punctRatio.isNaN) null else st.punctRatio,
+      if (st.meanTokLen.isNaN) null else st.meanTokLen,
+      if (st.stopwordRatio.isNaN) null else st.stopwordRatio)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(text = c)
+}
+
+/** `graft_lang_id(text)` → STRING language code (or 'und'). */
+case class LangIdExpr(text: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = text
+  override def prettyName: String = "graft_lang_id"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextKernels.langId(v.toString))
+
+  override protected def withNewChildInternal(c: Expression): LangIdExpr =
+    copy(text = c)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** The native single-pass text expressions must agree with the Column/HOF
+  * formulations — checked over the full documents table plus adversarial
+  * rows (unicode, punctuation runs, empty). */
+class NativeTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def adversarial = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "@@@ ### !!!  double  spaces\tand\ttabs"),
+      (3L, "mixed123 runs45of6 alnum789"),
+      (4L, "这是 一个 中文 句子 关于 数据"),
+      (5L, "это русское предложение о данных"),
+      (6L, "el gato está en la casa y es feliz con los niños"),
+      (7L, "punct-u-ation's; tricky, (cases)!"),
+      (8L, "x")).toDF("doc_id", "text")
+  }
+
+  private def docsPlus = graft.sources.Tables
+    .table(spark, TestSpark.sf0001, "documents")
+    .select("doc_id", "text")
+    .unionAll(adversarial)
+
+  test("graft_text_stats ≡ Column formulations on documents + adversarial rows") {
+    graft.plans.HashExpressions.register(spark)
+    val native = docsPlus.select(col("doc_id"),
+      call_function("graft_text_stats", col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_tokens"), col("s.n_bpeish"),
+        round(col("s.punct_ratio"), 9).as("pr"),
+        round(col("s.mean_tok_len"), 9).as("mt"),
+        round(col("s.stopword_ratio"), 9).as("sr"))
+    val columnar = docsPlus.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+      round(TextAnalysis.punctRatio(col("text")), 9).as("pr"),
+      round(TextAnalysis.meanTokenLength(col("text")), 9).as("mt"),
+      round(TextAnalysis.stopwordRatio(col("text")), 9).as("sr"))
+    val diff = native.exceptAll(columnar).unionAll(columnar.exceptAll(native))
+    assert(diff.isEmpty, s"diverging rows:\n${diff.limit(5).collect().mkString("\n")}")
+  }
+
+  test("graft_lang_id ≡ Column langId on documents + adversarial rows") {
+    graft.plans.HashExpressions.register(spark)
+    val both = docsPlus.select(col("doc_id"),
+      call_function("graft_lang_id", col("text")).as("native"),
+      TextAnalysis.langId(col("text")).as("columnar"))
+    val bad = both.where(col("native") =!= col("columnar"))
+    assert(bad.isEmpty, s"diverging rows:\n${bad.limit(5).collect().mkString("\n")}")
+  }
+
+  test("qualityFromStats(graft_text_stats) ≡ qualityScore(text)") {
+    graft.plans.HashExpressions.register(spark)
+    val both = docsPlus.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("a"),
+      TextAnalysis.qualityFromStats(
+        call_function("graft_text_stats", col("text"))).as("b"))
+    val bad = both.where(col("a") =!= col("b") ||
+      (col("a").isNull =!= col("b").isNull))
+    assert(bad.isEmpty, s"diverging:\n${bad.limit(5).collect().mkString("\n")}")
+  }
+
+  test("native text stats are much faster than the HOF formulation at volume") {
+    graft.plans.HashExpressions.register(spark)
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+      .select("text")
+    // warm both paths once
+    docs.select(call_function("graft_text_stats", col("text"))).count()
+    docs.select(TextAnalysis.qualityScore(col("text"))).count()
+    def time(f: => Unit): Double = { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+    val rep = docs.unionAll(docs).unionAll(docs).unionAll(docs) // 2000 rows
+    val tn = time(rep.select(call_function("graft_text_stats", col("text"))).write.format("noop").mode("overwrite").save())
+    val tc = time(rep.select(TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeishTokenCount(col("text")), TextAnalysis.punctRatio(col("text")),
+      TextAnalysis.meanTokenLength(col("text")), TextAnalysis.stopwordRatio(col("text")))
+      .write.format("noop").mode("overwrite").save())
+    info(f"native=$tn%.2fs columnar=$tc%.2fs speedup=${tc / tn}%.1fx")
+    assert(tn < tc, s"native ($tn) should beat columnar ($tc)")
+  }
+}
