@@ -434,6 +434,29 @@ object Queries {
       .orderBy("h", "event_type"),
     Some("SELECT DATE_TRUNC('HOUR', ts) AS h, event_type, COUNT(*) AS n, FLOOR(SUM(value) * 100 + 0.5) / 100 AS sv FROM events GROUP BY DATE_TRUNC('HOUR', ts), event_type ORDER BY h, event_type"))
 
+  private val q32b = DeclaredQuery("q32b_sliding_windows",
+    // batch form of the streaming sliding window (EventStreams.slidingCounts):
+    // overlapping 1h windows every 30min; window() explodes each event into
+    // its covering buckets. Not ANSI-expressible in one shared text → rows-only.
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type"),
+    None)
+
+  private val q32c = DeclaredQuery("q32c_session_windows",
+    // batch session windows: per-user activity bursts with a 30min gap
+    (s, d) => t(s, d, "events")
+      .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round2(sum("value")).as("sv"))
+      .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"), col("sv"))
+      .orderBy("user_id", "session_start"),
+    None)
+
   // ---------------------------------------------------------------- X: driver-mandated extensions
 
   private val x1 = DeclaredQuery("x01_dedup_exact",
@@ -581,7 +604,7 @@ object Queries {
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q38,
+    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q38, q32b, q32c,
     x1, x1b, x2, x2b, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
