@@ -394,6 +394,16 @@ object Queries {
       .orderBy("l_returnflag"),
     Some("SELECT l_returnflag, FLOOR(STDDEV_SAMP(l_quantity) * 100 + 0.5) / 100 AS sd, FLOOR(VAR_SAMP(l_quantity) * 100 + 0.5) / 100 AS vr, FLOOR(CORR(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
+  private val q37 = DeclaredQuery("q37_percentiles",
+    // exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round2(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+        round2(percentile(col("l_extendedprice"), lit(0.9))).as("p90"))
+      .orderBy("l_returnflag"),
+    Some("SELECT l_returnflag, FLOOR(QUANTILE_CONT(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50, FLOOR(QUANTILE_CONT(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
   private val q38 = DeclaredQuery("q38_limit_offset",
     (s, d) => t(s, d, "orders")
       .select("o_orderkey", "o_totalprice")
@@ -604,7 +614,7 @@ object Queries {
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q38, q32b, q32c,
+    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q32b, q32c,
     x1, x1b, x2, x2b, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -67,6 +67,20 @@ class PgCsvSpec extends AnyFunSuite {
     assert(PgCsv.writeSingleFile(df, s"$dir/n.csv", CsvDialect()) == 57)
   }
 
+  test("custom null_string round-trips NULLs; colliding data value is a KNOWN divergence") {
+    val d = CsvDialect(nullString = "NULL")
+    val rows = Seq(("x", null), (null, "y"), ("", "z"))
+    assert(roundTrip(rows, d).toSet == rows.toSet)
+    // Postgres COPY quotes a DATA value equal to the null string to keep it
+    // distinguishable; Spark's writer has no such hook, so a literal "NULL"
+    // string under null_string="NULL" reads back as SQL NULL. The reference's
+    // default (null_string="", operators.py:112) is unaffected — that case is
+    // handled exactly via the quoted-empty sentinel. Pinned here so the
+    // divergence is explicit, not silent.
+    val collide = roundTrip(Seq(("NULL", "ok")), d)
+    assert(collide == Seq((null, "ok")))
+  }
+
   test("property: arbitrary content round-trips") {
     val cell: Gen[String] = Gen.oneOf(
       Gen.const(null: String),
