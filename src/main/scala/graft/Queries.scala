@@ -404,6 +404,13 @@ object Queries {
       .orderBy("l_returnflag"),
     Some("SELECT l_returnflag, FLOOR(QUANTILE_CONT(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50, FLOOR(QUANTILE_CONT(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
+  private val q39 = DeclaredQuery("q39_unpivot",
+    (s, d) => t(s, d, "lineitem")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")), "m", "v")
+      .orderBy("l_orderkey", "l_linenumber", "m", "v"),
+    Some("SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount' AS m, l_discount AS v FROM lineitem UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax' AS m, l_tax AS v FROM lineitem ORDER BY l_orderkey, l_linenumber, m, v"))
+
   private val q38 = DeclaredQuery("q38_limit_offset",
     (s, d) => t(s, d, "orders")
       .select("o_orderkey", "o_totalprice")
@@ -614,7 +621,7 @@ object Queries {
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q32b, q32c,
+    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q32b, q32c,
     x1, x1b, x2, x2b, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
