@@ -21,4 +21,15 @@ object Bucketing {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
   }
+
+  /** Hive-style partitioned layout (`.../col=value/...`): at 100 TB the
+    * dominant scan optimization is never opening irrelevant partitions — a
+    * predicate on the partition column becomes a PartitionFilter that prunes
+    * directories at planning time (pinned in PlanQualitySpec). Typical use:
+    * events partitioned by event date. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -100,6 +100,22 @@ class PlanQualitySpec extends AnyFunSuite {
     // registry path in the NearDup specs
   }
 
+  test("date-partitioned layout prunes partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("evpart").toString
+    val ev = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    graft.sources.Bucketing.writePartitioned(ev, dir, Seq("event_date"))
+    val back = spark.read.parquet(dir)
+      .where(col("event_date") === lit("2024-01-02").cast("date"))
+    val p = back.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), s"expected partition filter, plan:\n${p.take(600)}")
+    // pruning is real: only the matching partition's rows are read
+    val expected = ev.where(col("event_date") === lit("2024-01-02").cast("date")).count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("multimodal frame plan never reads the content column") {
     val media = graft.operators.Multimodal.synthesize(
       graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"), "doc_id")
