@@ -100,17 +100,19 @@ object CsvToTable {
       n
     }
 
-  /** When no explicit `columns` and no usable header names, map CSV fields to
-    * the target's columns positionally (the reference's bare `COPY table FROM`
-    * semantics). */
+  /** When no explicit `columns` are given, map CSV fields to the target's
+    * columns POSITIONALLY — exactly `COPY table FROM` semantics: a header row
+    * is consumed but its names are ignored (`operators.py:180-181`), and a
+    * field-count mismatch is an error, never a silent NULL-fill. */
   private def loadPositional(spark: SparkSession, path: String,
                              dialect: CsvDialect, columns: Option[Seq[String]],
                              target: StructType): DataFrame = {
     val df = load(spark, path, dialect, columns)
-    if (columns.isEmpty && !dialect.hasHeader) {
-      require(df.columns.length <= target.fields.length,
-        s"CSV has ${df.columns.length} fields but table has only ${target.fields.length} columns")
-      df.toDF(target.fields.take(df.columns.length).map(_.name).toIndexedSeq: _*)
+    if (columns.isEmpty) {
+      if (df.columns.length != target.fields.length)
+        throw new GraftException(
+          s"CSV has ${df.columns.length} fields but table has ${target.fields.length} columns")
+      df.toDF(target.fields.map(_.name).toIndexedSeq: _*)
     } else df
   }
 }

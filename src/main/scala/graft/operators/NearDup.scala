@@ -80,7 +80,7 @@ object NearDup {
     val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_2"))
     val cand = a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
       .select("id_1", "id_2").dropDuplicates("id_1", "id_2")
-    cand
+    val out = cand
       .join(sig.select(col("__id").as("id_1"), col("__sig").as("__sig1")), "id_1")
       .join(sig.select(col("__id").as("id_2"), col("__sig").as("__sig2")), "id_2")
       .withColumn("est_jaccard",
@@ -88,7 +88,16 @@ object NearDup {
           (x, y) => x === y), eq => eq)).cast("double") / numHashes)
       .where(col("est_jaccard") >= minEstJaccard)
       .select("id_1", "id_2", "est_jaccard")
+    materializeAndRelease(out, sig)
   }
+
+  /** Candidate-pair outputs are a tiny fraction of the corpus, so they are
+    * materialized eagerly (localCheckpoint) and the big signature cache is
+    * released immediately — repeated calls in a long-lived session no longer
+    * accumulate MEMORY_AND_DISK signature blocks the caller can't free. The
+    * returned (small) frame is itself cached; callers may `.unpersist()` it. */
+  private def materializeAndRelease(out: DataFrame, sig: DataFrame): DataFrame =
+    try out.localCheckpoint(true) finally sig.unpersist(false)
 
   /** Exact n-gram Jaccard for a pair of text columns (used to re-verify LSH
     * candidates, or directly at small scale). */
@@ -140,11 +149,23 @@ object NearDup {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: documents whose simhashes differ in ≤ maxBits.
-    * Candidate generation by 4×16-bit band equality (any document pair with
-    * Hamming distance ≤ 3 shares at least one exact 16-bit band — pigeonhole),
-    * so again: map-only signatures + one narrow equi-join shuffle. */
+    *
+    * Candidate generation by band equality with the band count DERIVED from
+    * the threshold: splitting 64 bits into `maxBits + 1` bands guarantees by
+    * pigeonhole that any pair within Hamming distance `maxBits` shares at
+    * least one exact band — full recall at every threshold (maxBits=3 → the
+    * classic 4×16-bit scheme). Map-only signatures + one narrow equi-join
+    * shuffle; more bands (higher maxBits) → more candidates, as it must. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBits: Int = 3): DataFrame = {
+    require(maxBits >= 0 && maxBits <= 63, s"maxBits must be in [0,63], got $maxBits")
+    val nBands = maxBits + 1
+    // Band b covers width 64/nBands (+1 for the first 64%nBands bands).
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def bandOf(sh: Column, b: Int): Column =
+      if (widths(b) >= 64) sh
+      else shiftright(sh, starts(b)).bitwiseAND((1L << widths(b)) - 1L)
     // materialized for the same projection-collapse reason as minhash above;
     // native expression (one call/row) instead of the interpreted HOF fold
     graft.plans.HashExpressions.register(df.sparkSession)
@@ -152,16 +173,16 @@ object NearDup {
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("__id"), col("__sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until nBands).map(b => bandOf(col("__sh"), b)): _*))
         .as(Seq("__band", "__bh")))
     val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_1"), col("__sh").as("__sh1"))
     val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_2"), col("__sh").as("__sh2"))
-    a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
+    val out = a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
       .dropDuplicates("id_1", "id_2")
       .withColumn("hamming", hammingDistance(col("__sh1"), col("__sh2")))
       .where(col("hamming") <= maxBits)
       .select("id_1", "id_2", "hamming")
+    materializeAndRelease(out, sig)
   }
 
   /** Embedding-cosine near-dup pairs via the similarity-search LSH machinery. */

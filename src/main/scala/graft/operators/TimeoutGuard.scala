@@ -22,9 +22,13 @@ object TimeoutGuard {
     runMillis(spark, timeoutMinutes * 60L * 1000L, timeoutMinutes)(body)
 
   /** Millisecond-granularity core (separate for testability — the public
-    * surface is minutes, like the reference's `timeout` param). Like
-    * `statement_timeout`, cancellation hits jobs RUNNING at the deadline;
-    * work finishing before the cancel lands succeeds. */
+    * surface is minutes, like the reference's `timeout` param).
+    *
+    * `cancelJobGroup` only hits jobs running at that instant, so a multi-job
+    * body (e.g. CsvToTable's count() then write) could start its NEXT job
+    * after the deadline fired — the cancel keeps re-firing every 100ms until
+    * the body returns, and a deadline that fired is surfaced as a timeout
+    * even when the body happened to slip through to completion. */
   private[graft] def runMillis[T](spark: SparkSession, timeoutMs: Long,
                                   reportedMinutes: Long = 0)(body: => T): T = {
     val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
@@ -33,11 +37,17 @@ object TimeoutGuard {
       interruptOnCancel = true)
     val timedOut = new AtomicBoolean(false)
     val timer = new Timer("graft-timeout", true)
-    timer.schedule(new TimerTask {
+    // Fixed-rate re-cancel from the deadline onward: jobs the body submits
+    // AFTER the first cancel landed get cancelled too (<=100ms later).
+    timer.scheduleAtFixedRate(new TimerTask {
       def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
-    }, timeoutMs)
-    try body
-    catch {
+    }, timeoutMs, 100L)
+    try {
+      val out = body
+      if (timedOut.get()) throw new GraftTimeoutException(reportedMinutes)
+      out
+    } catch {
+      case e: GraftTimeoutException => throw e
       case _: Throwable if timedOut.get() =>
         throw new GraftTimeoutException(reportedMinutes)
     } finally {

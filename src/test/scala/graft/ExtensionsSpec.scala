@@ -54,6 +54,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs: band count derived from maxBits keeps full recall past distance 3") {
+    import spark.implicits._
+    // find a mutation whose simhash lands 4-8 bits from base — under the old
+    // fixed 4x16 banding such a pair could share no band and be silently dropped
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val variants = (1 to 40).map(v =>
+      (v.toLong, base.replace(s"tok${v % 59 + 1}", s"m${v}a")
+                     .replace(s"tok${(v * 7) % 59 + 1}", s"m${v}b")))
+    val all = ((0L, base) +: variants).toDF("id", "t")
+    val sh = all.select(col("id"), NearDup.simhash(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pick = variants.map(_._1).find { v =>
+      val d = java.lang.Long.bitCount(sh(0L) ^ sh(v)); d >= 4 && d <= 8
+    }
+    assert(pick.nonEmpty, "no variant landed at distance 4-8")
+    val df = all.where(col("id").isin(0L, pick.get))
+    val pairs = NearDup.simhashPairs(df, "id", "t", maxBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, pick.get))) // pigeonhole: 9 bands guarantee a shared band
+  }
+
   test("exact jaccard column") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")

@@ -89,6 +89,26 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(spark.table("xfer_pos").where("id = 7").count() == 1)
   }
 
+  test("CsvToTable: header names ignored, mapped positionally (operators.py:180-181)") {
+    spark.sql("DROP TABLE IF EXISTS xfer_hdr")
+    spark.sql("CREATE TABLE xfer_hdr (id INT, name STRING) USING parquet")
+    val csv = tmp("hdr.csv")
+    // header names do NOT match the table — COPY ignores them; values load
+    Files.writeString(java.nio.file.Paths.get(csv), "colA,colB\n3,tres\n")
+    assert(CsvToTable.run(spark, "xfer_hdr", csv) == 1)
+    val row = spark.table("xfer_hdr").head()
+    assert(row.getInt(0) == 3 && row.getString(1) == "tres")
+  }
+
+  test("CsvToTable: field-count mismatch raises, never NULL-fills (COPY semantics)") {
+    spark.sql("DROP TABLE IF EXISTS xfer_mismatch")
+    spark.sql("CREATE TABLE xfer_mismatch (id INT, name STRING, extra STRING) USING parquet")
+    val csv = tmp("mismatch.csv")
+    Files.writeString(java.nio.file.Paths.get(csv), "id,name\n1,uno\n")
+    intercept[GraftException] { CsvToTable.run(spark, "xfer_mismatch", csv) }
+    assert(spark.table("xfer_mismatch").count() == 0)
+  }
+
   test("CsvToTable: missing file raises (test_operators.py:106-114)") {
     intercept[MissingInputException] {
       CsvToTable.run(spark, "xfer_target", "/nonexistent/file.csv")
@@ -152,6 +172,21 @@ class TransferOpsSpec extends AnyFunSuite {
     }
     intercept[GraftTimeoutException] {
       TimeoutGuard.runMillis(spark, timeoutMs = 800) { slow.count() }
+    }
+  }
+
+  test("TimeoutGuard: deadline between jobs of a multi-job body still times out") {
+    import spark.implicits._
+    // job 1 finishes before the deadline; job 2 starts after it fired — the
+    // re-cancel loop must catch it (previously it ran to completion uncancelled)
+    val quick = spark.range(0, 4, 1, 2)
+    val slow = spark.range(0, 64, 1, 8).mapPartitions { it => Thread.sleep(4000); it }
+    intercept[GraftTimeoutException] {
+      TimeoutGuard.runMillis(spark, timeoutMs = 600) {
+        quick.count()
+        Thread.sleep(900) // driver-side gap spanning the deadline
+        slow.count()
+      }
     }
   }
 
