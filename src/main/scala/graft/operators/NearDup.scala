@@ -54,28 +54,45 @@ object NearDup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, bands: Int = 32, k: Int = 3,
                         minEstJaccard: Double = 0.5): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val hs = shingleHashFrame(df, idCol, textCol, k)
+    try minhashCandidatesFromHashes(hs, numHashes, bands, minEstJaccard)
+    finally hs.unpersist(false)
+  }
+
+  /** (__id, __hs) with the text tokenized/shingled/hashed ONCE and persisted —
+    * the text column is the fat one; every downstream pass (signatures, exact
+    * verification) reuses the 8-byte hashes instead of re-reading text. */
+  private def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+                               k: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      call_function("graft_shingle_hashes", col(textCol), lit(k)).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def minhashCandidatesFromHashes(hs: DataFrame, numHashes: Int,
+                                          bands: Int,
+                                          minEstJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    graft.plans.HashExpressions.register(df.sparkSession)
-    // Signatures: strings are tokenized/shingled/hashed once per row (single
-    // consumer — safe to leave lazy), then the native minhash expression runs
-    // one primitive loop per row. The signature frame IS persisted: Catalyst
-    // collapses projections without cross-expression CSE, so an
-    // unmaterialized signature would be recomputed per band expression and
-    // per join side. At cluster scale this is |corpus| × numHashes × 8B,
+    // Signatures: the native minhash expression runs one primitive loop per
+    // row over the precomputed shingle hashes. The signature frame IS
+    // persisted: Catalyst collapses projections without cross-expression CSE,
+    // so an unmaterialized signature would be recomputed per band expression
+    // and per join side. At cluster scale this is |corpus| × numHashes × 8B,
     // spillable — the standard production-LSH shape.
-    val sig = df.select(col(idCol).as("__id"),
-      call_function("graft_minhash_sig",
-        call_function("graft_shingle_hashes", col(textCol), lit(k)),
-        lit(numHashes)).as("__sig"))
+    val sig = hs.select(col("__id"),
+      call_function("graft_minhash_sig", col("__hs"), lit(numHashes)).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The candidate join shuffles only (band, bandHash, id) — 20 bytes/row,
     // never the 1KB signature (and never the text). Signatures re-attach to
-    // the few surviving candidate pairs afterwards.
+    // the few surviving candidate pairs afterwards. Band keys are unrolled
+    // codegen'd xxhash64 over the band's longs — a HOF/slice/concat_ws
+    // formulation would be interpreted per band and build 32 strings per row.
     val banded = sig.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))), b)))
-        .as(Seq("__band", "__bh")))
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(((b * r) until ((b + 1) * r))
+          .map(i => element_at(col("__sig"), i + 1)) :+ lit(b): _*)
+      }: _*)).as(Seq("__band", "__bh")))
     val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_1"))
     val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_2"))
     val cand = a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
@@ -108,20 +125,34 @@ object NearDup {
   }
 
   /** Full near-dup pipeline: LSH candidates re-verified with exact Jaccard.
-    * Joining text back costs one broadcast-or-shuffle of (id → text) for the
-    * candidate ids only — not all pairs. */
+    *
+    * Verification works on DISTINCT 64-bit shingle hashes, not shingle
+    * strings: xxhash64 is injective-in-practice here (a corpus-level
+    * collision needs ~2^32 distinct shingles), so set intersection/union
+    * sizes — and hence Jaccard — are identical to the string computation,
+    * while `array_intersect`/`array_union` run codegen'd primitive-array
+    * paths instead of interpreted per-shingle string lambdas. Joining the
+    * shingle sets back costs one broadcast-or-shuffle of (id → hashes) for
+    * the candidate ids only — not all pairs. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      minJaccard: Double = 0.8, numHashes: Int = 128,
                      bands: Int = 32, k: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, k,
-      minEstJaccard = minJaccard * 0.7) // loose pre-filter; exact check below
-    val txt = df.select(col(idCol), col(textCol))
-    cands
-      .join(txt.select(col(idCol).as("id_1"), col(textCol).as("__t1")), "id_1")
-      .join(txt.select(col(idCol).as("id_2"), col(textCol).as("__t2")), "id_2")
-      .withColumn("jaccard", jaccard(col("__t1"), col("__t2"), k))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_1", "id_2", "jaccard")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val hs = shingleHashFrame(df, idCol, textCol, k)
+    try {
+      val cands = minhashCandidatesFromHashes(hs, numHashes, bands,
+        minEstJaccard = minJaccard * 0.7) // loose pre-filter; exact check below
+      val sh = hs.select(col("__id"), array_distinct(col("__hs")).as("__sh"))
+      val out = cands
+        .join(sh.select(col("__id").as("id_1"), col("__sh").as("__s1")), "id_1")
+        .join(sh.select(col("__id").as("id_2"), col("__sh").as("__s2")), "id_2")
+        .withColumn("jaccard",
+          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
+            nullif(size(array_union(col("__s1"), col("__s2"))), lit(0)).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select("id_1", "id_2", "jaccard")
+      out.localCheckpoint(true) // materialize before releasing the hash cache
+    } finally hs.unpersist(false)
   }
 
   /** 64-bit SimHash over whitespace tokens — per-row expression, no shuffle.
@@ -150,22 +181,33 @@ object NearDup {
 
   /** SimHash near-dup pairs: documents whose simhashes differ in ≤ maxBits.
     *
-    * Candidate generation by band equality with the band count DERIVED from
-    * the threshold: splitting 64 bits into `maxBits + 1` bands guarantees by
-    * pigeonhole that any pair within Hamming distance `maxBits` shares at
-    * least one exact band — full recall at every threshold (maxBits=3 → the
-    * classic 4×16-bit scheme). Map-only signatures + one narrow equi-join
-    * shuffle; more bands (higher maxBits) → more candidates, as it must. */
+    * Candidate generation is the multi-block scheme of Manku et al. (WWW'07,
+    * "Detecting Near-Duplicates for Web Crawling"): split the 64 bits into
+    * `b = maxBits + c` blocks and build one candidate table per c-subset of
+    * blocks, keyed on those blocks' concatenated bits. A pair within Hamming
+    * distance maxBits has its differing bits inside ≤ maxBits blocks, so some
+    * c-subset avoids them all and matches exactly — full recall by pigeonhole
+    * at ANY threshold. Choosing c > 1 keeps each table's key WIDE (selective):
+    * naive (maxBits+1)-way banding at maxBits=8 gives 7-bit keys → ~40 docs
+    * per bucket → quadratic candidate blowup; c=2 gives ~13-bit keys from
+    * C(10,2)=45 tables — a few hundred thousand narrow exploded rows instead
+    * of a million junk pairs. maxBits≤3 keeps the classic single-block bands
+    * (c=1: 16-bit keys, ≤4 tables). Map-only signatures + one narrow
+    * equi-join shuffle either way. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBits: Int = 3): DataFrame = {
-    require(maxBits >= 0 && maxBits <= 63, s"maxBits must be in [0,63], got $maxBits")
-    val nBands = maxBits + 1
-    // Band b covers width 64/nBands (+1 for the first 64%nBands bands).
-    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    require(maxBits >= 0 && maxBits <= 14, s"maxBits must be in [0,14], got $maxBits")
+    val c = if (maxBits <= 3) 1 else 2
+    val nBlocks = maxBits + c
+    val widths = Array.tabulate(nBlocks)(b => 64 / nBlocks + (if (b < 64 % nBlocks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    def bandOf(sh: Column, b: Int): Column =
+    def blockOf(sh: Column, b: Int): Column =
       if (widths(b) >= 64) sh
       else shiftright(sh, starts(b)).bitwiseAND((1L << widths(b)) - 1L)
+    // one table per c-subset of blocks; key = hash of the subset's block values
+    val tables = (0 until nBlocks).combinations(c).toSeq
+    def tableKey(sh: Column, blocks: Seq[Int], tid: Int): Column =
+      xxhash64((lit(tid) +: blocks.map(blockOf(sh, _))): _*)
     // materialized for the same projection-collapse reason as minhash above;
     // native expression (one call/row) instead of the interpreted HOF fold
     graft.plans.HashExpressions.register(df.sparkSession)
@@ -173,14 +215,14 @@ object NearDup {
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("__id"), col("__sh"),
-      posexplode(array((0 until nBands).map(b => bandOf(col("__sh"), b)): _*))
-        .as(Seq("__band", "__bh")))
-    val a = banded.select(col("__band"), col("__bh"), col("__id").as("id_1"), col("__sh").as("__sh1"))
-    val b = banded.select(col("__band"), col("__bh"), col("__id").as("id_2"), col("__sh").as("__sh2"))
-    val out = a.join(b, Seq("__band", "__bh")).where(col("id_1") < col("id_2"))
-      .dropDuplicates("id_1", "id_2")
+      explode(array(tables.zipWithIndex.map { case (blocks, tid) =>
+        tableKey(col("__sh"), blocks, tid) }: _*)).as("__bh"))
+    val a = banded.select(col("__bh"), col("__id").as("id_1"), col("__sh").as("__sh1"))
+    val b = banded.select(col("__bh"), col("__id").as("id_2"), col("__sh").as("__sh2"))
+    val out = a.join(b, Seq("__bh")).where(col("id_1") < col("id_2"))
       .withColumn("hamming", hammingDistance(col("__sh1"), col("__sh2")))
-      .where(col("hamming") <= maxBits)
+      .where(col("hamming") <= maxBits)   // cheap bit_count BEFORE the dedup shuffle
+      .dropDuplicates("id_1", "id_2")
       .select("id_1", "id_2", "hamming")
     materializeAndRelease(out, sig)
   }
