@@ -467,7 +467,15 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("timestamp_ntz").as("ws"), col("event_type"), col("n"))
       .orderBy("ws", "event_type"),
-    None)
+    // DuckDB spelling: each event belongs to exactly two epoch-aligned 1h/30min
+    // windows — floor-to-30min and that minus 30min (window() semantics).
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+b AS (
+  SELECT make_timestamp(CAST(FLOOR(epoch(t)/1800)*1800 AS BIGINT)*1000000) AS ws, event_type FROM e
+  UNION ALL
+  SELECT make_timestamp((CAST(FLOOR(epoch(t)/1800)*1800 AS BIGINT)-1800)*1000000) AS ws, event_type FROM e
+)
+SELECT ws, event_type, COUNT(*) AS n FROM b GROUP BY ws, event_type ORDER BY ws, event_type"""))
 
   private val q32c = DeclaredQuery("q32c_session_windows",
     // batch session windows: per-user activity bursts with a 30min gap
@@ -478,7 +486,17 @@ object Queries {
       .select(col("user_id"), col("w.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("sv"))
       .orderBy("user_id", "session_start"),
-    None)
+    // DuckDB spelling: classic gaps-and-islands — a session break where the
+    // gap to the previous event is >= 30min (session_window merges [t,t+gap)
+    // intervals that OVERLAP, so an exactly-30min gap starts a new session).
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+m AS (SELECT user_id, t, value,
+  CASE WHEN t >= LAG(t) OVER (PARTITION BY user_id ORDER BY t) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (SELECT user_id, t, value,
+  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events, FLOOR(SUM(value)*100+0.5)/100 AS sv
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
   // ---------------------------------------------------------------- X: driver-mandated extensions
 
@@ -519,8 +537,10 @@ object Queries {
     Some("SELECT vec_id, FLOOR(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 100 + 0.5) / 100 AS norm FROM embeddings ORDER BY vec_id"))
 
   // ------------------------------------------------- X2/X3/X4/X5 operator entries
-  // (not ANSI-SQL-expressible → no oracle; the driver records a rows-only
-  // check. All are deterministic and totally ordered regardless.)
+  // (All deterministic and totally ordered. Entries whose semantics reduce to
+  // SQL carry a DuckDB-dialect oracle — per-engine spelling is declared, like
+  // Q29. The rest — xxhash64-based sketches (x02*, x04d), ANN bucketing
+  // internals (x03b/c), HLL (q31b) — have no DuckDB equivalent → rows-only.)
 
   private val x2 = DeclaredQuery("x02_minhash_neardup",
     (s, d) => graft.operators.NearDup
@@ -544,7 +564,18 @@ object Queries {
         .select(col("vec_id"), round2(col("score")).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     },
-    None)
+    // DuckDB spelling: list-lambda cosine. Both engines fold the dot product
+    // and norms left-to-right in double precision → bit-identical scores, so
+    // the top-10 cut and the rounded output match exactly.
+    Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    list_sum(list_transform(list_zip(embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / NULLIF(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS raw
+  FROM embeddings, q),
+topk AS (SELECT vec_id, raw FROM scored ORDER BY raw DESC, vec_id LIMIT 10)
+SELECT vec_id, FLOOR(raw*100+0.5)/100 AS score FROM topk ORDER BY score DESC, vec_id"""))
 
   private val x3b = DeclaredQuery("x03b_ann_lsh_topk",
     (s, d) => {
@@ -590,7 +621,33 @@ object Queries {
           round2(graft.functions.TextAnalysis.qualityFromStats(col("st"))).as("quality"))
         .orderBy("doc_id")
     },
-    None)
+    // DuckDB spelling of the same text stats (stopword list kept in sync with
+    // TextAnalysis.EnglishStopwords). n_bpeish = alnum runs + punct chars —
+    // RE2 has no lookarounds, but the split-at-class-boundaries count reduces
+    // to exactly that sum.
+    Some("""WITH base AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks,
+    length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS n_runs,
+    length(text) AS n_chars
+  FROM documents),
+st AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(n_runs + n_punct AS INT) AS n_bpeish,
+    CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) AS praw,
+    list_sum(list_transform(toks, t -> length(t))) * 1.0 / NULLIF(len(toks), 0) AS mean_tok,
+    len(list_filter(toks, t -> list_contains(['the','of','and','a','to','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are'], lower(t)))) * 1.0 / NULLIF(len(toks), 0) AS swr
+  FROM base)
+SELECT doc_id, n_tokens, n_bpeish,
+  FLOOR(praw*100+0.5)/100 AS punct_ratio,
+  FLOOR(LEAST(GREATEST(
+      LEAST(n_tokens/20.0, 1.0)*0.3
+    + (1.0 - LEAST(praw*4.0, 1.0))*0.3
+    + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)*0.2
+    + LEAST(swr*5.0, 1.0)*0.2, 0.0), 1.0)*100+0.5)/100 AS quality
+FROM st ORDER BY doc_id"""))
 
   private val x4c = DeclaredQuery("x04c_lang_id",
     (s, d) => {
@@ -600,7 +657,39 @@ object Queries {
         .agg(count(lit(1)).as("n"))
         .orderBy("detected")
     },
-    None)
+    // DuckDB spelling of the same script-fraction + stopword-hit heuristic
+    // (RE2 spells Java's \p{IsHan} as \p{Han}; lists in sync w/ TextAnalysis).
+    Some("""WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+    list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    (length(text) - length(regexp_replace(text, '[\p{Han}]', '', 'g'))) * 1.0 / NULLIF(n,0) AS f_zh,
+    (length(text) - length(regexp_replace(text, '[\p{Hiragana}\p{Katakana}]', '', 'g'))) * 1.0 / NULLIF(n,0) AS f_ja,
+    (length(text) - length(regexp_replace(text, '[\p{Hangul}]', '', 'g'))) * 1.0 / NULLIF(n,0) AS f_ko,
+    (length(text) - length(regexp_replace(text, '[\p{Cyrillic}]', '', 'g'))) * 1.0 / NULLIF(n,0) AS f_ru,
+    (length(text) - length(regexp_replace(text, '[\p{Arabic}]', '', 'g'))) * 1.0 / NULLIF(n,0) AS f_ar,
+    (length(text) - length(regexp_replace(text, '[\p{Devanagari}]', '', 'g'))) * 1.0 / NULLIF(n,0) AS f_hi,
+    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','los','del','se','las','por','un','una','con','para'], lower(t)))) AS es,
+    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','den','im','mit','für','auf','ein','eine','nicht'], lower(t)))) AS de,
+    len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','du','dans','que','pour','sur'], lower(t)))) AS fr,
+    len(list_filter(toks, t -> list_contains(['the','of','and','a','to','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are'], lower(t)))) AS en
+  FROM base)
+SELECT detected, COUNT(*) AS n FROM (
+  SELECT CASE
+    WHEN f_zh > 0.05 THEN 'zh'
+    WHEN f_ja > 0.05 THEN 'ja'
+    WHEN f_ko > 0.05 THEN 'ko'
+    WHEN f_ru > 0.2 THEN 'ru'
+    WHEN f_ar > 0.2 THEN 'ar'
+    WHEN f_hi > 0.2 THEN 'hi'
+    WHEN es > en AND es >= de AND es >= fr THEN 'es'
+    WHEN de > en AND de >= es AND de >= fr THEN 'de'
+    WHEN fr > en AND fr >= es AND fr >= de THEN 'fr'
+    WHEN en > 0 THEN 'en'
+    ELSE 'und' END AS detected
+  FROM f) GROUP BY detected ORDER BY detected"""))
 
   private val x4d = DeclaredQuery("x04d_fingerprints",
     (s, d) => t(s, d, "documents")
@@ -618,7 +707,15 @@ object Queries {
           round2(element_at(col("feature"), 1)).as("f0"))
         .orderBy("media_id")
     },
-    None)
+    // DuckDB spelling: the synthesized payload is header + sha256(doc_id)
+    // bytes, so decode-then-feature reduces to pure SQL — metadata arithmetic
+    // from doc_id, f0 = mean of the 8 hex-pair bytes at offsets 0,4,..,28.
+    Some("""SELECT doc_id AS media_id,
+  CAST((doc_id % 64 + 1) * 8 AS INT) AS width,
+  CAST(((doc_id * 7) % 64 + 1) * 8 AS INT) AS height,
+  CAST((doc_id % 16 + 1) AS INT) AS n_frames,
+  FLOOR(((SELECT SUM(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i*8+1 AS INT), 2)) AS INT)) FROM range(8) t(i)) / 32.0) * 100 + 0.5)/100 AS f0
+FROM documents ORDER BY media_id"""))
 
   // ---------------------------------------------------------------- registry
 
