@@ -547,7 +547,41 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
       .nearDuplicates(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.8)
       .select(col("id_1"), col("id_2"), round2(col("jaccard")).as("jaccard"))
       .orderBy("id_1", "id_2"),
-    None)
+    // DuckDB spelling: BRUTE-FORCE 3-gram-shingle Jaccard (shingle explode +
+    // self-join — no MinHash). Matching it pins LSH recall at 1.0 for this
+    // threshold, not just "plausible pairs": the banded S-curve at j=0.8 is
+    // ~1-1e-7 and the 128-hash estimate filter sits 6σ below, so candidate
+    // loss is negligible by construction, and the exact-Jaccard verification
+    // makes precision exact.
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (SELECT id_1, id_2, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
+          FROM isect JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2)
+SELECT id_1, id_2, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY id_1, id_2"""))
+
+  private val x2c = DeclaredQuery("x02c_embedding_cosine_pairs",
+    // exact O(n²) baseline (native cosine expression); the LSH scale path is
+    // NearDup.embeddingNearDups / SimilaritySearch.lshSelfPairs. Threshold
+    // 0.45 because the synthetic embeddings have no planted near-identical
+    // pairs (max pairwise cosine ≈ 0.51).
+    (s, d) => graft.operators.NearDup
+      .cosinePairsExact(t(s, d, "embeddings"), "vec_id", "embedding", minCosine = 0.45)
+      .select(col("id_1"), col("id_2"), round2(col("cosine")).as("cosine"))
+      .orderBy("id_1", "id_2"),
+    Some("""WITH pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+    / NULLIF(SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS c
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT id_1, id_2, FLOOR(c*100+0.5)/100 AS cosine FROM pairs WHERE c >= 0.45 ORDER BY id_1, id_2"""))
 
   private val x2b = DeclaredQuery("x02b_simhash_pairs",
     (s, d) => graft.operators.NearDup
@@ -717,6 +751,32 @@ SELECT detected, COUNT(*) AS n FROM (
   FLOOR(((SELECT SUM(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i*8+1 AS INT), 2)) AS INT)) FROM range(8) t(i)) / 32.0) * 100 + 0.5)/100 AS f0
 FROM documents ORDER BY media_id"""))
 
+  private val x6 = DeclaredQuery("x06_stratified_sample",
+    // deterministic quota sampling (dataset mixing primitive): up to 50 docs
+    // per language, chosen by content-keyed pseudorandom order — identical
+    // sample on every engine, run, and partitioning
+    (s, d) => graft.operators.Sampling
+      .stratifiedQuota(t(s, d, "documents"), "lang", "doc_id", quota = 50)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t WHERE rn <= 50 ORDER BY doc_id"""))
+
+  private val x6b = DeclaredQuery("x06b_weighted_sample",
+    // per-stratum Bernoulli mixture weights, keyed on sha256(doc_id) so the
+    // kept set is stable across engines/partitionings
+    (s, d) => graft.operators.Sampling
+      .weightedByStratum(t(s, d, "documents"), "lang", "doc_id",
+        Map("en" -> 0.8, "de" -> 0.2), default = 0.05)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 <
+  CASE WHEN lang = 'en' THEN 0.8 WHEN lang = 'de' THEN 0.2 ELSE 0.05 END
+ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -725,7 +785,8 @@ FROM documents ORDER BY media_id"""))
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q32b, q32c,
-    x1, x1b, x2, x2b, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c)
+    x1, x1b, x2, x2b, x2c, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c,
+    x6, x6b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -227,10 +227,31 @@ object NearDup {
     materializeAndRelease(out, sig)
   }
 
-  /** Embedding-cosine near-dup pairs via the similarity-search LSH machinery. */
+  /** Embedding-cosine near-dup pairs via the similarity-search LSH machinery.
+    * Approximate: recall per pair is (1 − θ/π)^planes, so this is the scale
+    * path for near-IDENTICAL duplicates (θ≈0 → recall≈1); for exhaustive
+    * pair detection at lower thresholds use [[cosinePairsExact]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double = 0.95, planes: Int = 16,
                         seed: Long = 42L): DataFrame =
     SimilaritySearch.lshSelfPairs(df, idCol, vecCol, planes, seed)
       .where(col("cosine") >= minCosine)
+
+  /** EXACT embedding-cosine pairs — the brute-force O(n²) baseline that LSH
+    * variants are measured against. Cosine is the native one-call-per-row
+    * expression (an interpreted HOF fold would cost 3 lambda calls × dim per
+    * PAIR). Scale: n² pairs is inherent to exactness — Spark plans the self
+    * cross-join as a broadcast nested loop when one side fits (vectors only,
+    * ids + floats — no payload columns), and the LSH/IVF paths in
+    * [[SimilaritySearch]] are the subquadratic alternatives. */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_1"), col(vecCol).as("__v1"))
+    val b = df.select(col(idCol).as("id_2"), col(vecCol).as("__v2"))
+    a.crossJoin(b).where(col("id_1") < col("id_2"))
+      .withColumn("cosine", call_function("graft_cosine", col("__v1"), col("__v2")))
+      .where(col("cosine") >= minCosine)
+      .select("id_1", "id_2", "cosine")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for training-data pipelines (SURVEY.md §2c X6):
+  * stratified quotas and weighted Bernoulli — the primitives behind dataset
+  * mixing ("N docs per language", "p% of source X").
+  *
+  * Spark's `df.sample()` is seed-deterministic only for a FIXED partitioning —
+  * repartition the input and the sample changes. These operators key the
+  * randomness on a ROW's own identity (sha256 of its key), so a sample is
+  * reproducible across runs, partitionings, engines, and cluster sizes — the
+  * property a 100 TB pipeline needs to make reruns and audits converge
+  * (cf. content-keyed sampling in C4/Dolma-style corpus builds).
+  */
+object Sampling {
+
+  /** Uniform [0,1) from a key: first 8 hex chars of sha256(key) / 2^32.
+    * Portable: identical text spelling exists in DuckDB/Postgres/Trino. */
+  def hashUnit(key: Column): Column =
+    conv(substring(sha2(key.cast("string"), 256), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Keep each row independently with probability `fraction` — deterministic
+    * Bernoulli by key hash. One map-only pass, no shuffle. */
+  def bernoulliByKey(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(hashUnit(col(keyCol)) < fraction)
+
+  /** Up to `quota` rows per stratum, chosen by stable pseudorandom order
+    * (hash of the key breaks insertion-order bias; key itself breaks hash
+    * ties). One window pass — shuffles on the stratum column only.
+    *
+    * Skew note: a hot stratum serializes into one task; for quotas ≪ stratum
+    * size, pre-filter with [[bernoulliByKey]] at ~2×quota/|stratum| first to
+    * cap the sort input, then re-rank — same result distribution.  */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
+                      quota: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(sha2(col(keyCol).cast("string"), 256), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Per-stratum Bernoulli fractions — dataset-mixture weights ("keep 80% of
+    * en, 5% of und"). Strata absent from `fractions` fall back to `default`. */
+  def weightedByStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                        fractions: Map[String, Double],
+                        default: Double = 0.0): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(f)).otherwise(acc)
+    }
+    df.where(hashUnit(col(keyCol)) < frac)
+  }
+}

@@ -157,6 +157,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),
       exprs => LangIdExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -175,5 +178,7 @@ object HashExpressions {
       exprs => TextStatsExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       exprs => LangIdExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -75,6 +75,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, pick.get))) // pigeonhole: 9 bands guarantee a shared band
   }
 
+  test("graft_cosine: bit-identical to the HOF cosine; null on dim mismatch/zero") {
+    import spark.implicits._
+    graft.plans.HashExpressions.register(spark)
+    val pairs = embs.limit(50).crossJoin(
+        embs.limit(50).select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .select(
+        call_function("graft_cosine", col("embedding"), col("e2")).as("native"),
+        Vectors.cosine(col("embedding"), col("e2")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty && pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f)), (Seq(1.0f), Seq(0.0f)))
+      .toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b"))).collect()
+    assert(edge.forall(_.isNullAt(0))) // mismatched dims; zero vector
+  }
+
+  test("cosinePairsExact: equals HOF-computed ground truth, symmetric-free (id_1<id_2)") {
+    val got = NearDup.cosinePairsExact(embs, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = embs.select(col("vec_id").as("i1"), col("embedding").as("e1"))
+    val b = embs.select(col("vec_id").as("i2"), col("embedding").as("e2"))
+    val want = a.crossJoin(b).where(col("i1") < col("i2"))
+      .where(Vectors.cosine(col("e1"), col("e2")) >= 0.4)
+      .select("i1", "i2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.forall { case (i, j) => i < j })
+  }
+
   test("exact jaccard column") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic sampling specs: partitioning-invariance is the property that
+  * distinguishes these from `df.sample()` (whose output moves when the input
+  * is repartitioned). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs =
+    graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+
+  test("bernoulliByKey: deterministic, partitioning-invariant, ~fraction-sized") {
+    val n = docs.count()
+    val s1 = Sampling.bernoulliByKey(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.bernoulliByKey(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size.toDouble / n - 0.3) < 0.1) // loose CLT bound
+  }
+
+  test("stratifiedQuota: exactly min(quota, |stratum|) rows per stratum, stable") {
+    val q = 20
+    val sizes = Sampling.stratifiedQuota(docs, "lang", "doc_id", q)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == full.keySet)
+    sizes.foreach { case (lang, c) => assert(c == math.min(q.toLong, full(lang))) }
+    val a = Sampling.stratifiedQuota(docs, "lang", "doc_id", q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedQuota(docs.repartition(13), "lang", "doc_id", q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("weightedByStratum: per-stratum fractions honored; default applies") {
+    val out = Sampling.weightedByStratum(docs, "lang", "doc_id",
+      Map("en" -> 1.0), default = 0.0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en")) // default 0.0 drops every other stratum
+    assert(out.count() == docs.where(col("lang") === "en").count()) // 1.0 keeps all
+  }
+}
