@@ -777,6 +777,47 @@ WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 
   CASE WHEN lang = 'en' THEN 0.8 WHEN lang = 'de' THEN 0.2 ELSE 0.05 END
 ORDER BY doc_id"""))
 
+  private val x7 = DeclaredQuery("x07_asof_join",
+    // point-in-time join: each event gets the same user's most recent
+    // purchase value at-or-before its timestamp. Spark has no ASOF operator —
+    // AsofJoin.backward is the union-and-sweep composition (one shuffle, no
+    // range blow-up); the oracle is DuckDB's NATIVE ASOF LEFT JOIN.
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.backward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          by = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Map("value" -> "last_purchase"))
+        .select("event_id", "last_purchase")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, r.value AS last_purchase
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""))
+
+  private val x8 = DeclaredQuery("x08_range_join_binned",
+    // interval join via equi-binning (RangeJoin): lineitems shipped within 7
+    // days of a big order's date. A bare BETWEEN join would plan as a nested
+    // loop; the binned form is one shuffle on the bin key.
+    (s, d) => {
+      val pts = t(s, d, "lineitem")
+        .select(unix_date(col("l_shipdate").cast("date")).as("__p"))
+      val ivs = t(s, d, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).as("__lo"))
+        .withColumn("__hi", col("__lo") + 7)
+      graft.operators.RangeJoin.pointInInterval(pts, "__p", ivs, "__lo", "__hi",
+          binWidth = 8)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o.o_orderkey, COUNT(*) AS n FROM lineitem l JOIN orders o
+ON CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE) AND CAST(o.o_orderdate AS DATE) + 7
+WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -786,7 +827,7 @@ ORDER BY doc_id"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c,
-    x6, x6b)
+    x6, x6b, x7, x8)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join — point-in-interval joins that survive scale.
+  *
+  * Catalyst plans a bare `p BETWEEN lo AND hi` join as a broadcast nested
+  * loop (or cartesian product): every point against every interval. The
+  * standard fix (cf. Databricks' range-join binning) is to EQUI-BIN: explode
+  * each interval into the fixed-width bins it overlaps, map each point to
+  * its single bin, equi-join on the bin id, and re-check the exact predicate.
+  * The nested loop becomes one shuffle keyed on the bin — at 100 TB this is
+  * the difference between O(n·m) and O(n + m + output).
+  *
+  * `binWidth` trades duplication for selectivity: intervals explode into
+  * `span/binWidth + 1` rows, bins collect `binWidth`-proportional candidate
+  * sets. Rule of thumb: binWidth ≈ the typical interval span (each interval
+  * then covers ≤ 2 bins).
+  */
+object RangeJoin {
+
+  /** Join `points` (numeric column `pointCol`) to `intervals` rows whose
+    * `[loCol, hiCol]` (inclusive both ends) contains the point. Output:
+    * point columns ++ interval columns; column names must be disjoint. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p2 = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val i2 = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    p2.join(i2, "__bin")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}
