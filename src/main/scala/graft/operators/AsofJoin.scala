@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join — for each left row, the latest right row with
   * `rightTs <= leftTs` in the same key group. Spark has no native operator
@@ -12,11 +13,18 @@ import org.apache.spark.sql.expressions.Window
   * This is the UNION-AND-SWEEP form — the scalable composition (SURVEY.md
   * §7.3 preference (a)): tag both inputs, union them, and run ONE window
   * sweep per key ordered by (ts, side) where right rows sort before left
-  * rows at equal timestamps (as-of is inclusive). `last(value,
-  * ignoreNulls=true)` over the unbounded-preceding frame is evaluated
-  * incrementally by Spark's running window frame — O(1) per row, never
-  * re-scanning the prefix. Total cost: one shuffle on the key + one sort,
-  * identical to a sort-merge join — no range blow-up at any scale.
+  * rows at equal timestamps (as-of is inclusive). The sweep carries a single
+  * STRUCT of all right value columns — `last(struct, ignoreNulls=true)` over
+  * the unbounded-preceding running frame is evaluated incrementally by
+  * Spark's window — O(1) per row, never re-scanning the prefix. Total cost:
+  * one shuffle on the key + one sort, identical to a sort-merge join — no
+  * range blow-up at any scale.
+  *
+  * Matching ONE struct per left row (not one `last` per value column) gives
+  * SQL ASOF semantics for nullable right values: the matched row is chosen
+  * once by timestamp, and its values — NULLs included — propagate together.
+  * Per-column `last(ignoreNulls)` would instead skip a NULL value and leak
+  * an older row's value, mixing columns across right rows.
   */
 object AsofJoin {
 
@@ -25,31 +33,42 @@ object AsofJoin {
     * @param valueCols map of right-side column → output name (right columns
     *   may shadow left names — outputs are renamed, so no collision)
     * @note right side should be unique per (by, rightTs); with duplicates the
-    *   surviving row follows sort-tie order (same caveat as DuckDB ASOF). */
+    *   surviving row follows sort-tie order (same caveat as DuckDB ASOF).
+    * @note NULL semantics match SQL ASOF: right rows with a NULL key or NULL
+    *   timestamp never match (pre-filtered); left rows with a NULL key or
+    *   NULL timestamp get NULL outputs (NULL = NULL is not a match). */
   def backward(left: DataFrame, right: DataFrame, by: String,
                leftTs: String, rightTs: String,
                valueCols: Map[String, String]): DataFrame = {
     val vals = valueCols.toSeq
     val leftPayload = left.columns.toSeq.filterNot(_ == by)
+    val matchType = StructType(vals.map { case (rc, out) =>
+      StructField(out, right.schema(rc).dataType, nullable = true) })
     // common schema: by, __ats (event time), __side (0=right, 1=left),
-    // left payload (null on right rows), values (null on left rows)
+    // left payload (null on right rows), __v match-struct (null on left
+    // rows; non-null on every right row even when its fields are null,
+    // so ignoreNulls skips only the left rows interleaved in the sweep)
     val l2 = left.select(
       (col(by) +: col(leftTs).as("__ats") +: lit(1).as("__side") +:
-        leftPayload.map(c => col(c).as(s"__l_$c"))) ++
-        vals.map { case (rc, out) =>
-          lit(null).cast(right.schema(rc).dataType).as(s"__v_$out") }: _*)
-    val r2 = right.select(
-      (col(by) +: col(rightTs).as("__ats") +: lit(0).as("__side") +:
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))) ++
-        vals.map { case (rc, out) => col(rc).as(s"__v_$out") }: _*)
+        leftPayload.map(c => col(c).as(s"__l_$c"))) :+
+        lit(null).cast(matchType).as("__v"): _*)
+    // SQL equality never matches NULL keys/timestamps: drop them up front
+    // rather than letting Window.partitionBy group NULL keys together.
+    val r2 = right
+      .where(col(by).isNotNull && col(rightTs).isNotNull)
+      .select(
+        (col(by) +: col(rightTs).as("__ats") +: lit(0).as("__side") +:
+          leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))) :+
+          struct(vals.map { case (rc, out) => col(rc).as(out) }: _*).as("__v"): _*)
     val w = Window.partitionBy(by)
       .orderBy(col("__ats"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = vals.foldLeft(l2.unionByName(r2)) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(s"__v_$out"), ignoreNulls = true).over(w))
-    }
+    // NULL-ts left rows sort before every (non-null-ts) right row in their
+    // partition, so the running last sees no match — NULL out, as required.
+    val swept = l2.unionByName(r2)
+      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
     swept.where(col("__side") === 1)
       .select(col(by) +: leftPayload.map(c => col(s"__l_$c").as(c)) ++:
-        vals.map { case (_, out) => col(out) }: _*)
+        vals.map { case (_, out) => col("__m").getField(out).as(out) }: _*)
   }
 }

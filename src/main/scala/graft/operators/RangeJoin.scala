@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor-division kept entirely in LONG arithmetic. `floor(col / w)` would
+    * divide in double precision, and beyond 2^53 (epoch-nanosecond
+    * timestamps) a boundary point can land in the wrong bin — and since the
+    * exact BETWEEN re-check runs AFTER the equi-join, the true match would be
+    * silently dropped. Subtracting `pmod` first makes the dividend an exact
+    * multiple of `w`, so integral division (`div`, truncating) equals floor
+    * for negative values too. */
+  private def floorDiv(c: org.apache.spark.sql.Column, w: Long) = {
+    val cl = c.cast("long")
+    call_function("div", cl - pmod(cl, lit(w)), lit(w))
+  }
+
   /** Join `points` (numeric column `pointCol`) to `intervals` rows whose
     * `[loCol, hiCol]` (inclusive both ends) contains the point. Output:
     * point columns ++ interval columns; column names must be disjoint. */
@@ -27,9 +39,9 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p2 = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val p2 = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     val i2 = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+      explode(sequence(floorDiv(col(loCol), binWidth), floorDiv(col(hiCol), binWidth))))
     p2.join(i2, "__bin")
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

@@ -22,6 +22,38 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got(4L) == null) // right row is in the future
   }
 
+  test("asof backward: matched row's NULL values propagate, never an older row's") {
+    import spark.implicits._
+    // latest right row at t=15 has v=NULL, w=9.0 — ASOF must return that
+    // row's (NULL, 9.0), not leak v=1.0 from the older t=10 row.
+    val left = Seq((1L, "a", 20L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("a", 10L, Option(1.0), Option(2.0)),
+      ("a", 15L, Option.empty[Double], Option(9.0))).toDF("k", "t", "v", "w")
+    val row = AsofJoin.backward(left, right, "k", "t", "t",
+      Map("v" -> "v_out", "w" -> "w_out")).head()
+    assert(row.isNullAt(row.fieldIndex("v_out")))
+    assert(row.getAs[Double]("w_out") == 9.0)
+  }
+
+  test("asof backward: NULL keys and NULL timestamps never match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option.empty[String], Option(10L)), // null key
+      (2L, Option("a"), Option.empty[Long]),   // null ts
+      (3L, Option("a"), Option(10L)))          // control: matches
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (Option.empty[String], Option(5L), 111.0), // null key: never matches
+      (Option("a"), Option.empty[Long], 222.0),  // null ts: never matches
+      (Option("a"), Option(5L), 7.0))
+      .toDF("k", "t", "v")
+    val got = AsofJoin.backward(left, right, "k", "t", "t", Map("v" -> "v_out"))
+      .select("event_id", "v_out").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L) == null && got(2L) == null && got(3L) == 7.0)
+  }
+
   test("asof backward: left payload columns survive intact") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L, "keep")).toDF("id", "k", "t", "payload")
@@ -47,6 +79,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
       assert(binned == naive, s"binWidth=$w")
     }
     assert(naive.nonEmpty)
+  }
+
+  test("binned range join: exact bins beyond 2^53 (epoch-nanosecond magnitudes)") {
+    import spark.implicits._
+    // 2^53 = 9007199254740992: double arithmetic is no longer exact here, so
+    // floor(p / w) in double can misbin a boundary point and silently drop
+    // its true match. These points sit exactly on / adjacent to bin edges.
+    val base = 9007199254740992L // 2^53, itself a multiple of w=8
+    val pts = Seq(base - 1, base, base + 1, base + 7, base + 8).toDF("__p")
+    val ivs = Seq((1L, base, base + 7), (2L, base - 8, base - 1)).toDF("id", "__lo", "__hi")
+    val got = RangeJoin.pointInInterval(pts, "__p", ivs, "__lo", "__hi", 8L)
+      .select("__p", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((base - 1, 2L), (base, 1L), (base + 1, 1L), (base + 7, 1L))
+    assert(got == want)
+    // negative values: floor, not truncate-toward-zero
+    val npts = Seq(-1L, -8L, -9L).toDF("__p")
+    val nivs = Seq((9L, -9L, -1L)).toDF("id", "__lo", "__hi")
+    val ngot = RangeJoin.pointInInterval(npts, "__p", nivs, "__lo", "__hi", 8L)
+      .select("__p").collect().map(_.getLong(0)).toSet
+    assert(ngot == Set(-1L, -8L, -9L))
   }
 
   test("binned range join plans as an equi-join, not a nested loop") {
