@@ -231,10 +231,10 @@ object NearDup {
     * Approximate: recall per pair is (1 − θ/π)^planes, so this is the scale
     * path for near-IDENTICAL duplicates (θ≈0 → recall≈1); for exhaustive
     * pair detection at lower thresholds use [[cosinePairsExact]]. */
-  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         minCosine: Double = 0.95, planes: Int = 16,
                         seed: Long = 42L): DataFrame =
-    SimilaritySearch.lshSelfPairs(df, idCol, vecCol, planes, seed)
+    SimilaritySearch.lshSelfPairs(df, idCol, vecCol, dim, planes, seed)
       .where(col("cosine") >= minCosine)
 
   /** EXACT embedding-cosine pairs — the brute-force O(n²) baseline that LSH

@@ -36,12 +36,15 @@ object SimilaritySearch {
       when(Vectors.dot(vec, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Brute-force cosine top-k against a single query vector. */
+  /** Brute-force cosine top-k against a single query vector. Scoring uses
+    * the native expression (bit-identical to the HOF fold — pinned in
+    * ExtensionsSpec), so the exact baseline is also the fast one. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            query: Array[Float], k: Int): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
     val q = array(query.map(x => lit(x.toDouble)): _*)
     corpus.select(col(idCol),
-        Vectors.cosine(col(vecCol), q).as("score"))
+        call_function("graft_cosine", col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -66,9 +69,12 @@ object SimilaritySearch {
           explode(array(col("__b0") +:
             (0 until planes).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*))
             .as("__bucket"))
+    // exact rerank with the NATIVE cosine (one call per candidate, primitive
+    // loop) — the interpreted HOF form costs 3 lambda calls × dim per pair
+    graft.plans.HashExpressions.register(corpus.sparkSession)
     val scored = qb.join(cb, "__bucket")
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", Vectors.cosine(col("__qv"), col("__cv")))
+      .withColumn("score", call_function("graft_cosine", col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
@@ -86,21 +92,24 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents: Array[Column] = corpus
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    // centroid table as ONE foldable nested-array literal: the native
+    // graft_nearest_cells expression materializes it once per task and runs
+    // a primitive nlist×dim loop per row (vs. the interpreted per-centroid
+    // HOF distance scan this replaces — nlist×dim lambda calls per row).
+    val cents: Column = array(corpus
       .select(col(vecCol)).orderBy(xxhash64(col(idCol))).limit(nlist)
       .collect()
-      .map(r => array(r.getSeq[Float](0).map(x => lit(x.toDouble)): _*))
-    val dists = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(Vectors.l2Distance(col(vecCol), c).as("d"), lit(i).as("cell"))
-    }: _*)
+      .map(r => array(r.getSeq[Float](0).map(x => lit(x.toDouble)): _*)): _*)
     val corpusCell = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
-      array_min(dists).getField("cell").as("__cell"))
+      element_at(call_function("graft_nearest_cells", col(vecCol), cents, lit(1)), 1)
+        .as("__cell"))
     val queryCells = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(transform(slice(array_sort(dists), 1, nprobe), s => s.getField("cell")))
+        explode(call_function("graft_nearest_cells", col(vecCol), cents, lit(nprobe)))
           .as("__cell"))
     val scored = queryCells.join(corpusCell, "__cell")
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", Vectors.cosine(col("__qv"), col("__cv")))
+      .withColumn("score", call_function("graft_cosine", col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
@@ -109,15 +118,15 @@ object SimilaritySearch {
 
   /** All same-bucket pairs with exact cosine — the candidate generator for
     * embedding near-dup detection. */
-  def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String,
+  def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    planes: Int = 16, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    graft.plans.HashExpressions.register(df.sparkSession)
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       lshBucket(col(vecCol), dim, planes, seed).as("__bucket"))
     val a = sig.select(col("__bucket"), col("__id").as("id_1"), col("__v").as("__v1"))
     val b = sig.select(col("__bucket"), col("__id").as("id_2"), col("__v").as("__v2"))
     a.join(b, Seq("__bucket")).where(col("id_1") < col("id_2"))
-      .withColumn("cosine", Vectors.cosine(col("__v1"), col("__v2")))
+      .withColumn("cosine", call_function("graft_cosine", col("__v1"), col("__v2")))
       .select("id_1", "id_2", "cosine")
   }
 }

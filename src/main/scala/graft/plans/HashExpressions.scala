@@ -160,6 +160,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
       exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCentroidsExpr].getName, "graft_nearest_cells"),
+      exprs => NearestCentroidsExpr(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -180,5 +183,7 @@ object HashExpressions {
       exprs => LangIdExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_cells",
+      exprs => NearestCentroidsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -1,8 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native cosine similarity for embedding columns (SURVEY.md §2c X2/X3).
@@ -16,6 +18,9 @@ import org.apache.spark.sql.types._
   * Fold order is left-to-right in double precision — bit-identical to the
   * HOF form AND to DuckDB's `list_sum(list_transform(...))`, so oracle
   * queries can compare exact values (VectorExprSpec pins both equivalences).
+  * NULL semantics also mirror the HOF form: a NULL array, mismatched
+  * lengths (zip_with null-pads → null product), or any NULL element all
+  * yield NULL.
   */
 case class CosineSimilarityExpr(a: Expression, b: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -25,6 +30,14 @@ case class CosineSimilarityExpr(a: Expression, b: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult = (a.dataType, b.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
+        s"got ${a.dataType.simpleString} and ${b.dataType.simpleString}")
+  }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -41,6 +54,7 @@ case class CosineSimilarityExpr(a: Expression, b: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null // HOF fold: acc + null → null
       val xa = if (aFloat) va.getFloat(i).toDouble else va.getDouble(i)
       val xb = if (bFloat) vb.getFloat(i).toDouble else vb.getDouble(i)
       dot += xa * xb
@@ -54,4 +68,118 @@ case class CosineSimilarityExpr(a: Expression, b: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSimilarityExpr = copy(a = l, b = r)
+}
+
+/** `graft_nearest_cells(vec, centroids, n)` → `ARRAY<INT>`: the indices of
+  * the `n` centroids nearest to `vec` by L2 distance, ordered nearest-first
+  * (ties broken by index). `centroids` and `n` must be FOLDABLE (literal
+  * arrays built on the driver) — they are evaluated ONCE and cached, so the
+  * per-row cost is one primitive nlist×dim loop.
+  *
+  * This replaces the interpreted formulation (an `array` of per-centroid
+  * HOF `aggregate` distances + `array_sort`/`array_min`), which evaluated
+  * nlist × dim interpreted lambda calls per row — the round-1 HOF lesson
+  * applied to IVF cell assignment. Ordering matches the HOF form exactly:
+  * sorting by squared L2 equals sorting by `sqrt` of the same left-to-right
+  * fold, and the (distance, index) tie-break mirrors the struct sort.
+  */
+case class NearestCentroidsExpr(vec: Expression, centroids: Expression, n: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = centroids
+  override def third: Expression = n
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = centroids.dataType match {
+      case ArrayType(ArrayType(FloatType | DoubleType, _), _) => true
+      case _ => false
+    }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vec must be ARRAY<FLOAT|DOUBLE>, got ${vec.dataType.simpleString}")
+    else if (!centsOk || !centroids.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: centroids must be a foldable ARRAY<ARRAY<FLOAT|DOUBLE>>")
+    else if (n.dataType != IntegerType || !n.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be a foldable INT")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // centroids/n are foldable: evaluate once per task, not per row.
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val outerFloat = centroids.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    val ad = centroids.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements()) { j =>
+        if (outerFloat) inner.getFloat(j).toDouble else inner.getDouble(j)
+      }
+    }
+  }
+  @transient private lazy val topN: Int = n.eval(null).asInstanceOf[Int]
+
+  // Override eval (not nullSafeEval) so the centroid literal is never
+  // re-evaluated per row.
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (va.isNullAt(i)) return null
+      x(i) = if (vecFloat) va.getFloat(i).toDouble else va.getDouble(i)
+      i += 1
+    }
+    val m = cents.length
+    val d2 = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cent = cents(c)
+      val lim = math.min(dim, cent.length)
+      var s = 0.0
+      var j = 0
+      while (j < lim) { val d = x(j) - cent(j); s += d * d; j += 1 }
+      d2(c) = s
+      c += 1
+    }
+    val k = math.min(topN, m)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < k) { // selection over a small nlist — O(k·m), no alloc
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c2 = 0
+      while (c2 < m) {
+        if (!used(c2) && (best == -1 || d2(c2) < bestD)) { best = c2; bestD = d2(c2) }
+        c2 += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestCentroidsExpr =
+    copy(vec = f, centroids = s, n = t)
 }

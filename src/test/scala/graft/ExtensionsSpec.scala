@@ -89,6 +89,38 @@ class ExtensionsSpec extends AnyFunSuite {
       .toDF("a", "b")
       .select(call_function("graft_cosine", col("a"), col("b"))).collect()
     assert(edge.forall(_.isNullAt(0))) // mismatched dims; zero vector
+    // NULL element propagates (like the HOF fold: acc + null → null)
+    val withNull = Seq(1).toDF("x")
+      .select(call_function("graft_cosine",
+        array(lit(1.0), lit(null).cast("double")), array(lit(1.0), lit(2.0))))
+      .collect()
+    assert(withNull.head.isNullAt(0))
+    // non-array input is rejected at analysis, not runtime
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(call_function("graft_cosine", col("x"), col("x"))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("graft_cosine"))
+  }
+
+  test("graft_nearest_cells: same assignment and probe order as the HOF argmin form") {
+    graft.plans.HashExpressions.register(spark)
+    val cents = embs.orderBy("vec_id").limit(6)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val hofDists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.l2Distance(col("embedding"), array(c.map(lit): _*)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val rows = embs.select(
+        call_function("graft_nearest_cells", col("embedding"), centLit, lit(3)).as("native"),
+        transform(slice(array_sort(hofDists), 1, 3), s => s.getField("cell")).as("hof"),
+        array_min(hofDists).getField("cell").as("argmin"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), "probe order diverges from HOF sort")
+      assert(r.getSeq[Int](0).head == r.getInt(2), "cell assignment diverges from argmin")
+    }
   }
 
   test("cosinePairsExact: equals HOF-computed ground truth, symmetric-free (id_1<id_2)") {
@@ -202,7 +234,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val v1 = Array.fill(8)(1.0f); val v2 = v1.map(_ * 2.0f) // cosine 1
     val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
     val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("id", "vec")
-    val pairs = NearDup.embeddingNearDups(df, "id", "vec", minCosine = 0.99)
+    val pairs = NearDup.embeddingNearDups(df, "id", "vec", dim = 8, minCosine = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
