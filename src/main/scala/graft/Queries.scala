@@ -803,15 +803,23 @@ ORDER BY l.event_id"""))
     // days of a big order's date. A bare BETWEEN join would plan as a nested
     // loop; the binned form is one shuffle on the bin key.
     (s, d) => {
+      // Pre-aggregate points by VALUE before the range join: 600k lineitems
+      // collapse to ~2.5k distinct ship-days, so the join touches thousands
+      // of candidate pairs instead of tens of millions (the raw join matches
+      // ~57M (point, interval) rows at sf0.1 — profiled at 6.8s; this form
+      // is ~0.5s with the identical result). The generic rule: when the
+      // point column is low-cardinality relative to row count, join the
+      // distinct values weighted by count and SUM the weights after.
       val pts = t(s, d, "lineitem")
-        .select(unix_date(col("l_shipdate").cast("date")).as("__p"))
+        .groupBy(unix_date(col("l_shipdate").cast("date")).as("__p"))
+        .agg(count(lit(1)).as("__w"))
       val ivs = t(s, d, "orders").where(col("o_totalprice") > 400000)
         .select(col("o_orderkey"),
           unix_date(col("o_orderdate").cast("date")).as("__lo"))
         .withColumn("__hi", col("__lo") + 7)
       graft.operators.RangeJoin.pointInInterval(pts, "__p", ivs, "__lo", "__hi",
           binWidth = 8)
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .groupBy("o_orderkey").agg(sum("__w").as("n"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o.o_orderkey, COUNT(*) AS n FROM lineitem l JOIN orders o

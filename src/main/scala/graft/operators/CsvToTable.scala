@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.sources.{CsvDialect, PgCsv}
@@ -21,10 +21,10 @@ import graft.sources.{CsvDialect, PgCsv}
   *    per-partition transactional only — documented weaker semantics.
   *
   * Row count is returned (E13, `operators.py:183-192`). Missing input raises
-  * [[MissingInputException]] (E12, `operators.py:153-154`). Gzip input is
-  * auto-detected from the `.gz` extension (E8 — the reference switches on an
-  * explicit `compression` flag; we accept it for signature parity but Spark's
-  * codec inference keys off the extension).
+  * [[MissingInputException]] (E12, `operators.py:153-154`). Gzip input
+  * decompresses when `dialect.compression` is set — regardless of file
+  * extension, exactly the reference's flag semantics (E8,
+  * `operators.py:210-212`) — and also auto-detects from a `.gz` extension.
   */
 object CsvToTable {
 
@@ -72,10 +72,14 @@ object CsvToTable {
         throw new GraftException(s"target table does not exist: $tableName")
       val target = spark.table(tableName).schema
       val df = loadPositional(spark, csvFilePath, dialect, columns, target)
-      val n = df.count()
-      align(df, target).write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+      // row count observed on the WRITE pass itself (like PgCsv
+      // .writeSingleFile) — a separate count() would read the CSV twice,
+      // doubling ingest cost
+      val obs = Observation()
+      align(df, target).observe(obs, count(lit(1)).as("rows"))
+        .write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
         .insertInto(tableName)
-      n
+      obs.get("rows").asInstanceOf[Long]
     }
 
   /** Load into a JDBC table — the direct E2 analog. */
@@ -92,12 +96,13 @@ object CsvToTable {
       val quoted = Identifiers.quoteQualified(tableName)
       val target = spark.read.jdbc(url, quoted, connectionProperties).schema
       val df = loadPositional(spark, csvFilePath, dialect, columns, target)
-      val n = df.count()
-      align(df, target).write
+      val obs = Observation()
+      align(df, target).observe(obs, count(lit(1)).as("rows"))
+        .write
         .mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
         .option("truncate", "true") // preserve DDL on overwrite (E11)
         .jdbc(url, quoted, connectionProperties)
-      n
+      obs.get("rows").asInstanceOf[Long]
     }
 
   /** When no explicit `columns` are given, map CSV fields to the target's

@@ -33,8 +33,8 @@ object Sampling {
     * ties). One window pass — shuffles on the stratum column only.
     *
     * Skew note: a hot stratum serializes into one task; for quotas ≪ stratum
-    * size, pre-filter with [[bernoulliByKey]] at ~2×quota/|stratum| first to
-    * cap the sort input, then re-rank — same result distribution.  */
+    * size use [[stratifiedQuotaGuarded]], which pre-filters the sort input
+    * with [[bernoulliByKey]] and returns the SAME rows. */
   def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
                       quota: Int): DataFrame = {
     val w = Window.partitionBy(stratumCol)
@@ -42,6 +42,37 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= quota)
       .drop("__rn")
+  }
+
+  /** [[stratifiedQuota]] with the hot-stratum guard: rank only a Bernoulli
+    * pre-sample instead of sorting whole strata.
+    *
+    * Output-identical by construction: the window sorts on the full sha256
+    * hex string, and [[hashUnit]] is the numeric value of its first 8 hex
+    * chars — hex lexicographic order refines that numeric prefix order, so
+    * `hashUnit(key) < f` keeps exactly a PREFIX of each stratum's sort
+    * order. As long as at least `quota` rows survive per stratum, the top
+    * `quota` are the same rows stratifiedQuota would pick. The per-stratum
+    * fraction `(quota + 6√quota + 10) / |stratum|` puts the survivor count
+    * ~6σ above the quota (Chernoff lower-tail < 1e-8 per stratum); strata
+    * no bigger than that keep fraction 1 and skip the guard entirely.
+    *
+    * Cost: one extra count aggregate over (stratum) — a narrow map-side-
+    * combined pass — buys a window sort over O(quota) rows per stratum
+    * instead of O(|stratum|). At 100 TB with a billion-row hot stratum and
+    * quota 10k, that is the difference between a working job and a task
+    * that sorts one stratum forever. */
+  def stratifiedQuotaGuarded(df: DataFrame, stratumCol: String, keyCol: String,
+                             quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val margin = quota + 6.0 * math.sqrt(quota.toDouble) + 10.0
+    val fracs = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol), least(lit(1.0), lit(margin) / col("__n")).as("__f"))
+    val pre = df.join(broadcast(fracs), Seq(stratumCol))
+      .where(hashUnit(col(keyCol)) < col("__f"))
+      .drop("__f")
+    stratifiedQuota(pre, stratumCol, keyCol, quota)
   }
 
   /** Per-stratum Bernoulli fractions — dataset-mixture weights ("keep 80% of

@@ -25,10 +25,17 @@ object TimeoutGuard {
     * surface is minutes, like the reference's `timeout` param).
     *
     * `cancelJobGroup` only hits jobs running at that instant, so a multi-job
-    * body (e.g. CsvToTable's count() then write) could start its NEXT job
-    * after the deadline fired — the cancel keeps re-firing every 100ms until
-    * the body returns, and a deadline that fired is surfaced as a timeout
-    * even when the body happened to slip through to completion. */
+    * body (e.g. an aligned read then a write) could start its NEXT job after
+    * the deadline fired — the cancel keeps re-firing every 100ms until the
+    * body returns.
+    *
+    * A body that COMPLETES despite the deadline having fired (its last job
+    * finished before the cancel landed) SUCCEEDS — the same semantics as
+    * Postgres `statement_timeout`, where a statement that finishes before
+    * the cancel signal arrives commits normally. Timeout is raised only
+    * when work was actually interrupted (the body threw after the deadline);
+    * callers therefore never see a "timeout" for a load whose side effects
+    * committed, and retry-on-timeout stays safe. */
   private[graft] def runMillis[T](spark: SparkSession, timeoutMs: Long,
                                   reportedMinutes: Long = 0)(body: => T): T = {
     val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
@@ -43,11 +50,8 @@ object TimeoutGuard {
       def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
     }, timeoutMs, 100L)
     try {
-      val out = body
-      if (timedOut.get()) throw new GraftTimeoutException(reportedMinutes)
-      out
+      body
     } catch {
-      case e: GraftTimeoutException => throw e
       case _: Throwable if timedOut.get() =>
         throw new GraftTimeoutException(reportedMinutes)
     } finally {

@@ -45,6 +45,8 @@ object PgCsv {
            schema: Option[StructType] = None,
            inferSchema: Boolean = false): DataFrame = {
     val needSentinel = dialect.nullString.isEmpty
+    val effectivePath =
+      dialect.compression.map(withCodecExtension(path, _)).getOrElse(path)
     var r = spark.read
       .option("sep", dialect.delimiter)
       .option("quote", dialect.quote)
@@ -56,7 +58,7 @@ object PgCsv {
       .option("lineSep", "\n")                   // preserve \r inside fields
     schema.foreach(s => r = r.schema(s))
     if (schema.isEmpty && inferSchema) r = r.option("inferSchema", "true")
-    val df = r.csv(path)
+    val df = r.csv(effectivePath)
     if (!needSentinel) df
     else {
       val cols = df.schema.fields.map { f =>
@@ -65,6 +67,31 @@ object PgCsv {
         else col(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Hadoop picks the DEcompression codec from the file extension, but the
+    * reference keys import decompression off the explicit `compression` flag
+    * regardless of filename (`operators.py:210-212`) — a gzipped file named
+    * `data.csv` must still decompress. When the flag is set and the name
+    * lacks the codec's extension, read through a symlink that adds it
+    * (metadata only — no data copy; the lazily-read DataFrame keeps needing
+    * it, so cleanup is deferred to JVM exit). */
+  private def withCodecExtension(path: String, codec: String): String = {
+    val ext = codec match {
+      case "gzip" => ".gz"
+      case "bzip2" => ".bz2"
+      case other => "." + other
+    }
+    val f = new File(path)
+    if (!f.isFile || f.getName.endsWith(ext)) path
+    else {
+      val dir = Files.createTempDirectory("graft-codec-")
+      val link = dir.resolve(f.getName + ext)
+      Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+      link.toFile.deleteOnExit()
+      dir.toFile.deleteOnExit()
+      link.toString
     }
   }
 

@@ -39,6 +39,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stratifiedQuotaGuarded: identical rows to the unguarded form when a stratum ≫ quota") {
+    import spark.implicits._
+    // one hot stratum (5000 rows ≫ quota 8) plus small ones — the guard's
+    // Bernoulli pre-filter must not change WHICH rows win
+    val skewed = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 30).map(i => ("warm", 10000L + i)) ++
+      Seq(("cold", 20001L))).toDF("stratum", "id")
+    val q = 8
+    val plain = Sampling.stratifiedQuota(skewed, "stratum", "id", q)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val guarded = Sampling.stratifiedQuotaGuarded(skewed, "stratum", "id", q)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(guarded == plain)
+    assert(plain.count(_._1 == "hot") == q && plain.count(_._1 == "cold") == 1)
+    // and the pre-filter actually bites: far fewer than 5000 hot rows are ranked
+    val margin = q + 6.0 * math.sqrt(q.toDouble) + 10.0
+    val survivors = Sampling.bernoulliByKey(
+      skewed.where(col("stratum") === "hot"), "id", margin / 5000.0).count()
+    assert(survivors < 200 && survivors >= q)
+  }
+
   test("weightedByStratum: per-stratum fractions honored; default applies") {
     val out = Sampling.weightedByStratum(docs, "lang", "doc_id",
       Map("en" -> 1.0), default = 0.0)

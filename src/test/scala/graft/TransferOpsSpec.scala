@@ -66,6 +66,34 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(spark.table("xfer_target").count() == 2) // truncated then loaded
   }
 
+  test("CsvToTable: row count observed on the write pass — CSV scanned once") {
+    spark.sql("DROP TABLE IF EXISTS xfer_onejob")
+    spark.sql("CREATE TABLE xfer_onejob (id INT, name STRING) USING parquet")
+    val csv = tmp("once.csv")
+    Files.writeString(java.nio.file.Paths.get(csv), "id,name\n1,a\n2,b\n")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(CsvToTable.run(spark, "xfer_onejob", csv) == 2)
+      // listener events are delivered asynchronously — wait for them to settle
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && actions.get() != last) {
+        last = actions.get(); Thread.sleep(300)
+      }
+      // exactly ONE tracked action (the insertInto write) — the pre-fix shape
+      // was two (a count() scan, then the write re-reading the CSV)
+      assert(actions.get() == 1, s"expected 1 action per load, saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("CsvToTable: explicit columns map positionally, header skipped (test_operators.py:148-157)") {
     spark.sql("DROP TABLE IF EXISTS xfer_cols")
     spark.sql("CREATE TABLE xfer_cols (name STRING, id INT, extra STRING) USING parquet")
@@ -123,6 +151,19 @@ class TransferOpsSpec extends AnyFunSuite {
     out.write("id,name\n5,five\n".getBytes("UTF-8")); out.close()
     assert(CsvToTable.run(spark, "xfer_gz", csv) == 1)
     assert(spark.table("xfer_gz").head().getInt(0) == 5)
+  }
+
+  test("CsvToTable: compression flag decompresses a gzipped file named .csv (operators.py:210-212)") {
+    spark.sql("DROP TABLE IF EXISTS xfer_gzflag")
+    spark.sql("CREATE TABLE xfer_gzflag (id INT, name STRING) USING parquet")
+    // gzipped bytes but NO .gz extension — the reference keys on the flag,
+    // not the filename; extension inference alone would load garbage
+    val csv = tmp("flagged.csv")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(csv))
+    out.write("id,name\n7,seven\n".getBytes("UTF-8")); out.close()
+    assert(CsvToTable.run(spark, "xfer_gzflag", csv,
+      dialect = CsvDialect(compression = Some("gzip")), truncate = true) == 1)
+    assert(spark.table("xfer_gzflag").head().getInt(0) == 7)
   }
 
   test("CsvToTable: JDBC sink round-trip with truncate (Derby in-memory)") {
@@ -192,6 +233,15 @@ class TransferOpsSpec extends AnyFunSuite {
 
   test("TimeoutGuard: fast work inside the deadline passes through") {
     assert(TimeoutGuard.run(spark, timeoutMinutes = 60) { 1 + 1 } == 2)
+  }
+
+  test("TimeoutGuard: body that completes despite the deadline succeeds (statement_timeout parity)") {
+    // no Spark jobs → nothing for the cancel to interrupt; the work commits,
+    // so reporting a timeout would tell callers to retry an applied load
+    val out = TimeoutGuard.runMillis(spark, timeoutMs = 100) {
+      Thread.sleep(400); "committed"
+    }
+    assert(out == "committed")
   }
 
   test("Identifiers: per-part quoting with embedded quotes (operators.py:194-208)") {
