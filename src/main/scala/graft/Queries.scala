@@ -641,6 +641,32 @@ SELECT vec_id, FLOOR(raw*100+0.5)/100 AS score FROM topk ORDER BY score DESC, ve
     },
     None)
 
+  private val x3d = DeclaredQuery("x03d_multi_query_topk",
+    // exact many-query top-k (SimilaritySearch.topKAll) — the brute-force
+    // baseline the LSH (x03b) and IVF (x03c) paths approximate, and the one
+    // multi-query form with a full DuckDB oracle: native-cosine scores are
+    // bit-identical to DuckDB's list-lambda fold, so the per-query top-5 cut
+    // and ranks match exactly.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.SimilaritySearch.topKAll(
+          e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round2(col("score")).as("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS corpus_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+    / NULLIF(SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS raw
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, corpus_id, raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, corpus_id) AS rn FROM scored)
+SELECT query_id, corpus_id, FLOOR(raw*100+0.5)/100 AS score, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 5 ORDER BY query_id, rank"""))
+
   private val x4b = DeclaredQuery("x04b_quality_scores",
     (s, d) => {
       // native single-pass stats (equivalence to the Column forms is pinned
@@ -764,6 +790,19 @@ FROM documents ORDER BY media_id"""))
     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
   FROM documents) t WHERE rn <= 50 ORDER BY doc_id"""))
 
+  private val x6c = DeclaredQuery("x06c_stratified_guarded",
+    // hot-stratum guard: Bernoulli pre-filter + window. Shares x06's oracle
+    // SHAPE on purpose — the guard must return row-identical output to the
+    // unguarded quota sample, and the gate proves it against DuckDB.
+    (s, d) => graft.operators.Sampling
+      .stratifiedQuotaGuarded(t(s, d, "documents"), "lang", "doc_id", quota = 50)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t WHERE rn <= 50 ORDER BY doc_id"""))
+
   private val x6b = DeclaredQuery("x06b_weighted_sample",
     // per-stratum Bernoulli mixture weights, keyed on sha256(doc_id) so the
     // kept set is stable across engines/partitionings
@@ -834,8 +873,8 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x3, x3b, x3c, x4, x4b, x4c, x4d, x5, x5b, x5c,
-    x6, x6b, x7, x8)
+    x1, x1b, x2, x2b, x2c, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x5, x5b, x5c,
+    x6, x6b, x6c, x7, x8)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -23,18 +23,28 @@ object SimilaritySearch {
 
   /** Deterministic random hyperplanes (seeded) as literal arrays — resolved
     * once on the driver, broadcast with the plan; dim·planes doubles. */
-  private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new Random(seed)
     Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
 
-  /** Pack sign(v·h_i) bits into one integer bucket id — per-row expression. */
+  /** Pack sign(v·h_i) bits into one integer bucket id — per-row expression
+    * (HOF form; kept as the registration-free Column API and the equivalence
+    * baseline the native form is pinned against). */
   def lshBucket(vec: Column, dim: Int, planes: Int = 16, seed: Long = 42L): Column =
     hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>
       when(Vectors.dot(vec, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Native bucket: one primitive planes×dim loop per row via
+    * `graft_lsh_bucket` — the HOF form evaluates planes×dim interpreted
+    * lambda calls per row. Same fold order → identical buckets. Callers must
+    * have registered [[graft.plans.HashExpressions]]. */
+  private def lshBucketNative(vec: Column, dim: Int, planes: Int, seed: Long): Column =
+    call_function("graft_lsh_bucket", vec,
+      array(hyperplanes(dim, planes, seed).map(planeLit): _*))
 
   /** Brute-force cosine top-k against a single query vector. Scoring uses
     * the native expression (bit-identical to the HOF fold — pinned in
@@ -49,6 +59,27 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Exact many-query top-k — the brute-force baseline the LSH/IVF paths are
+    * measured against (and the correctness oracle for them: fully
+    * SQL-expressible). The small query side broadcasts; every (query,
+    * corpus) pair is scored with the native cosine, a per-query window keeps
+    * the top k. Quadratic in corpus×queries BY DESIGN — use
+    * [[lshBucketedTopK]]/[[ivfTopK]] when the query side is large. */
+  def topKAll(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", call_function("graft_cosine", col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
+  }
+
   /** Many-query ANN: bucket corpus and queries by LSH signature, exact-rerank
     * within buckets, top-k per query. Both sides shuffle once on the bucket
     * id; no cross join ever materializes. Multi-probe (the standard recall
@@ -59,10 +90,11 @@ object SimilaritySearch {
                       idCol: String, vecCol: String, queryIdCol: String,
                       k: Int, dim: Int, planes: Int = 8,
                       seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
     val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), dim, planes, seed).as("__bucket"))
+      lshBucketNative(col(vecCol), dim, planes, seed).as("__bucket"))
     val qb0 = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), dim, planes, seed).as("__b0"))
+      lshBucketNative(col(vecCol), dim, planes, seed).as("__b0"))
     val qb =
       if (!multiProbe) qb0.withColumnRenamed("__b0", "__bucket")
       else qb0.select(col("query_id"), col("__qv"),
@@ -71,7 +103,6 @@ object SimilaritySearch {
             .as("__bucket"))
     // exact rerank with the NATIVE cosine (one call per candidate, primitive
     // loop) — the interpreted HOF form costs 3 lambda calls × dim per pair
-    graft.plans.HashExpressions.register(corpus.sparkSession)
     val scored = qb.join(cb, "__bucket")
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("score", call_function("graft_cosine", col("__qv"), col("__cv")))
@@ -122,7 +153,7 @@ object SimilaritySearch {
                    planes: Int = 16, seed: Long = 42L): DataFrame = {
     graft.plans.HashExpressions.register(df.sparkSession)
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), dim, planes, seed).as("__bucket"))
+      lshBucketNative(col(vecCol), dim, planes, seed).as("__bucket"))
     val a = sig.select(col("__bucket"), col("__id").as("id_1"), col("__v").as("__v1"))
     val b = sig.select(col("__bucket"), col("__id").as("id_2"), col("__v").as("__v2"))
     a.join(b, Seq("__bucket")).where(col("id_1") < col("id_2"))

@@ -163,6 +163,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_nearest_cells"),
       new ExpressionInfo(classOf[NearestCentroidsExpr].getName, "graft_nearest_cells"),
       exprs => NearestCentroidsExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_lsh_bucket"),
+      exprs => HyperplaneBucketExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -185,5 +188,7 @@ object HashExpressions {
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_cells",
       exprs => NearestCentroidsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => HyperplaneBucketExpr(exprs(0), exprs(1)), "built-in")
   }
 }

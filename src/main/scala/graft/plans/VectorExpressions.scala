@@ -70,6 +70,92 @@ case class CosineSimilarityExpr(a: Expression, b: Expression)
       l: Expression, r: Expression): CosineSimilarityExpr = copy(a = l, b = r)
 }
 
+/** `graft_lsh_bucket(vec, planes)` → BIGINT: random-hyperplane LSH bucket —
+  * bit i of the result is `sign(vec · planes[i]) >= 0`. `planes` must be a
+  * FOLDABLE nested-array literal (driver-built, seeded), evaluated once and
+  * cached; per-row cost is one primitive planes×dim loop. Replaces the HOF
+  * formulation (`aggregate`/`zip_with` dot per plane — planes×dim
+  * interpreted lambda calls per row); the fold is the same left-to-right
+  * double sum, so bucket assignments are bit-identical (pinned in
+  * ExtensionsSpec).
+  */
+case class HyperplaneBucketExpr(vec: Expression, planes: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = planes
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val planesOk = planes.dataType match {
+      case ArrayType(ArrayType(FloatType | DoubleType, _), _) => true
+      case _ => false
+    }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vec must be ARRAY<FLOAT|DOUBLE>, got ${vec.dataType.simpleString}")
+    else if (!planesOk || !planes.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: planes must be a foldable ARRAY<ARRAY<FLOAT|DOUBLE>>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val outerFloat = planes.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    val ad = planes.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements()) { j =>
+        if (outerFloat) inner.getFloat(j).toDouble else inner.getDouble(j)
+      }
+    }
+  }
+
+  // Override eval so the foldable planes literal is never re-built per row.
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (va.isNullAt(i)) return null
+      x(i) = if (vecFloat) va.getFloat(i).toDouble else va.getDouble(i)
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < mat.length) {
+      val plane = mat(p)
+      val lim = math.min(dim, plane.length)
+      var dot = 0.0
+      var j = 0
+      while (j < lim) { dot += x(j) * plane(j); j += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HyperplaneBucketExpr =
+    copy(vec = l, planes = r)
+}
+
 /** `graft_nearest_cells(vec, centroids, n)` → `ARRAY<INT>`: the indices of
   * the `n` centroids nearest to `vec` by L2 distance, ordered nearest-first
   * (ties broken by index). `centroids` and `n` must be FOLDABLE (literal

@@ -102,6 +102,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bad.getMessage.toLowerCase.contains("graft_cosine"))
   }
 
+  test("graft_lsh_bucket: bit-identical buckets to the HOF lshBucket form") {
+    graft.plans.HashExpressions.register(spark)
+    val planes = 8; val seed = 42L
+    // same driver-built hyperplanes feed both forms
+    val hp = SimilaritySearch.hyperplanes(64, planes, seed)
+    val planesLit = array(hp.map(p => array(p.map(lit): _*)): _*)
+    val rows = embs.select(
+        call_function("graft_lsh_bucket", col("embedding"), planesLit).as("native"),
+        SimilaritySearch.lshBucket(col("embedding"), 64, planes, seed).as("hof"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("graft_nearest_cells: same assignment and probe order as the HOF argmin form") {
     graft.plans.HashExpressions.register(spark)
     val cents = embs.orderBy("vec_id").limit(6)
