@@ -424,6 +424,52 @@ object Queries {
       .offset(20).limit(10),
     Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20"))
 
+  private val q40 = DeclaredQuery("q40_bitwise_aggs",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(bit_and(col("l_orderkey")).as("b_and"),
+        bit_or(col("l_orderkey")).as("b_or"),
+        bit_xor(col("l_orderkey")).as("b_xor"))
+      .orderBy("l_returnflag"),
+    Some("SELECT l_returnflag, BIT_AND(l_orderkey) AS b_and, BIT_OR(l_orderkey) AS b_or, BIT_XOR(l_orderkey) AS b_xor FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  private val q41 = DeclaredQuery("q41_bool_aggs",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(count_if(col("l_quantity") > 25).as("n_big"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_hi"))
+      .orderBy("l_linestatus"),
+    Some("SELECT l_linestatus, COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big, BOOL_AND(l_quantity > 0) AS all_pos, BOOL_OR(l_discount > 0.09) AS any_hi FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"))
+
+  private val q42 = DeclaredQuery("q42_regexp_funcs",
+    // digit-run masking + first long-word extraction. Spark replaces ALL
+    // matches by default — DuckDB needs the explicit 'g' flag; no-match
+    // extract is '' in Spark vs NULL in DuckDB → NULLIF canonicalizes both.
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
+        nullif(regexp_extract(col("text"), "[a-zA-Z]{8,}", 0), lit(""))
+          .as("long_word"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS masked, NULLIF(regexp_extract(text, '[a-zA-Z]{8,}'), '') AS long_word FROM documents ORDER BY doc_id"))
+
+  private val q43 = DeclaredQuery("q43_ranking_extras",
+    // ntile/percent_rank/cume_dist — exact rationals in double, identical in
+    // both engines; (o_totalprice, o_orderkey) makes the frame order total
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("pr"),
+          (floor(cume_dist().over(w) * 10000 + 0.5) / 10000).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, o_orderpriority, CAST(NTILE(4) OVER w AS INT) AS quartile, FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5) / 10000 AS pr, FLOOR(CUME_DIST() OVER w * 10000 + 0.5) / 10000 AS cd FROM orders WHERE o_orderkey < 2000 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"))
+
   // ---------------------------------------------------------------- Q29–Q32: JSON / arrays / events
 
   private val q29 = DeclaredQuery("q29_json_extract",
@@ -872,7 +918,8 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
-    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q32b, q32c,
+    q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
+    q42, q43, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x5, x5b, x5c,
     x6, x6b, x6c, x7, x8)
 
