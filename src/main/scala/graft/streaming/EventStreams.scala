@@ -89,6 +89,66 @@ object EventStreams {
       }
   }
 
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+                                 n_events: Long)
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Custom sessionization via `flatMapGroupsWithState`: emits each session
+    * WHEN IT CLOSES — zero-to-many outputs per group invocation, the shape
+    * `mapGroupsWithState` (exactly one output) cannot express. A session
+    * closes when a later event for the user arrives more than `gapMs` after
+    * the last one, or when the EVENT-TIME TIMEOUT fires (the watermark passed
+    * `last + gap` with no new data) — so dangling sessions drain instead of
+    * living in the state store forever. State per user is one (start, last,
+    * n) triple, partitioned by key across executors; the watermark bounds
+    * both state size and output latency at 100 TB-stream scale.
+    *
+    * In-batch events are sorted by time before folding; events that jump
+    * back across micro-batches (later batch, earlier timestamp) extend the
+    * open session if within the gap — the watermark bounds how far back that
+    * can reach. */
+  def closedUserSessions(spark: SparkSession, events: DataFrame,
+                         gapMs: Long = 30L * 60 * 1000,
+                         watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    // the watermarked TS column must survive into the grouped Dataset — a
+    // projection that drops it detaches the watermark from the stateful op
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("tms"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(_._3).toArray.sorted
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            var open = state.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start, s.last, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // the timeout timestamp must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          })
+  }
+
   /** Stream → table sink via foreachBatch: every micro-batch appends through
     * the SAME alignment/write path as the batch E2 operator — exactly-once
     * per batch id is the caller's contract (idempotent target or dedup key).

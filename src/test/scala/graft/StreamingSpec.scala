@@ -89,6 +89,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("stream_sink").count() > 0)
   }
 
+  test("flatMapGroupsWithState emits sessions as they close (gap or timeout)") {
+    val dir = Files.createTempDirectory("fmgws").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ms(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // batch 1: user 7 bursts at 08:00–08:05 — session stays OPEN (no output)
+    write(Seq((1L, "2024-01-01 08:00:00", 7L), (2L, "2024-01-01 08:05:00", 7L)))
+    val q = EventStreams.closedUserSessions(spark,
+        EventStreams.readEvents(spark, dir), gapMs = 30L * 60 * 1000)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("closed_sessions").start()
+    q.processAllAvailable()
+    assert(spark.table("closed_sessions").count() == 0)
+    // batch 2: same user at 12:00 — 3h55m gap closes the first session
+    write(Seq((3L, "2024-01-01 12:00:00", 7L)))
+    q.processAllAvailable()
+    val rows = spark.table("closed_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((7L, ms("2024-01-01 08:00:00"),
+      ms("2024-01-01 08:05:00"), 2L)))
+    // batch 3: another user far in the future — watermark passes 12:00+gap,
+    // the dangling 12:00 session times out and drains
+    write(Seq((4L, "2024-01-02 09:00:00", 8L)))
+    q.processAllAvailable()
+    q.stop()
+    val drained = spark.table("closed_sessions")
+      .where(col("start_ms") === ms("2024-01-01 12:00:00")).collect()
+    assert(drained.length == 1 && drained.head.getLong(3) == 1L,
+      "timed-out session must be emitted exactly once")
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     val dir = Files.createTempDirectory("late").toString
     import spark.implicits._
