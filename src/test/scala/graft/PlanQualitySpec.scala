@@ -116,6 +116,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("ANN bucket joins are equi-joins — never a nested loop or cartesian") {
+    // the LSH and IVF scale paths must join on the bucket/cell key; a
+    // regression to BNLJ/cartesian is the exact O(n·m) blowup they exist
+    // to avoid (x03d topKAll is the DECLARED-exact cross-join baseline and
+    // is deliberately not pinned here)
+    Seq("x03b_ann_lsh_topk", "x03c_ann_ivf_topk").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must equi-join on the bucket key:\n$p")
+    }
+  }
+
+  test("x08 pre-aggregates points by value before the range join") {
+    val p = plan("x08_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the day-level pre-aggregate must sit BELOW the join (leaf-first
+    // listing: a HashAggregate appears before the first join operator)
+    val firstAgg = p.indexOf("HashAggregate")
+    val join = math.max(p.indexOf("BroadcastHashJoin"),
+      math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin")))
+    assert(firstAgg >= 0 && join >= 0 && firstAgg < join,
+      s"expected point pre-aggregation below the join:\n$p")
+  }
+
   test("multimodal frame plan never reads the content column") {
     val media = graft.operators.Multimodal.synthesize(
       graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"), "doc_id")
