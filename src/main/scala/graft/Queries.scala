@@ -629,6 +629,28 @@ SELECT id_1, id_2, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.8 ORD
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
 SELECT id_1, id_2, FLOOR(c*100+0.5)/100 AS cosine FROM pairs WHERE c >= 0.45 ORDER BY id_1, id_2"""))
 
+  private val x2d = DeclaredQuery("x02d_jaccard_pairs_exact",
+    // EXACT Jaccard via the shingle inverted index (NearDup.jaccardPairsExact)
+    // at a threshold below the LSH entry's 0.8 — exactness at low thresholds
+    // is where the index beats MinHash. Oracle: the same brute-force
+    // explode+self-join spelling as x02, at 0.6.
+    (s, d) => graft.operators.NearDup
+      .jaccardPairsExact(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.6)
+      .select(col("id_1"), col("id_2"), round2(col("jaccard")).as("jaccard"))
+      .orderBy("id_1", "id_2"),
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (SELECT id_1, id_2, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
+          FROM isect JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2)
+SELECT id_1, id_2, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.6 ORDER BY id_1, id_2"""))
+
   private val x2b = DeclaredQuery("x02b_simhash_pairs",
     (s, d) => graft.operators.NearDup
       .simhashPairs(t(s, d, "documents"), "doc_id", "text", maxBits = 8)
@@ -920,7 +942,7 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x5, x5b, x5c,
+    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x5, x5b, x5c,
     x6, x6b, x6c, x7, x8)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -155,6 +155,56 @@ object NearDup {
     } finally hs.unpersist(false)
   }
 
+  /** EXACT n-gram Jaccard pairs via a shingle INVERTED INDEX — the
+    * distributed exactness baseline (no estimate, no recall loss):
+    * explode each document's distinct shingle hashes to (hash, id) postings,
+    * self-join on the hash (only pairs sharing ≥1 shingle ever meet — the
+    * join is OUTPUT-bound, not |docs|²-bound), count shared shingles per
+    * pair, and compute Jaccard from the set sizes (|A∩B| / (|A|+|B|−|A∩B|)).
+    *
+    * Scale: cost is Σ over shingle buckets of (posting-list length)², i.e.
+    * governed by shingle document-frequency, not corpus size — k-token
+    * shingles are near-unique in natural text, so posting lists stay short.
+    * A stop-shingle cap (drop hashes with document frequency > dfCap) bounds
+    * the worst case; dropping a shingle shared by >dfCap docs can only
+    * LOWER a pair's computed Jaccard (conservative for a ≥ threshold
+    * filter) and is off by default.
+    *
+    * Versus [[nearDuplicates]] (MinHash+LSH): this is exact at any
+    * threshold but shuffles one posting per (doc, distinct shingle);
+    * MinHash shuffles a fixed numHashes per doc — prefer LSH when
+    * documents are long and thresholds are high. */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double, k: Int = 3,
+                        dfCap: Option[Long] = None): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val hs = df.select(col(idCol).as("__id"),
+      array_distinct(call_function("graft_shingle_hashes", col(textCol), lit(k)))
+        .as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hs.select(col("__id"), size(col("__sh")).as("__n"))
+    val postings0 = hs.select(col("__id"), explode(col("__sh")).as("__h"))
+    val postings = dfCap match {
+      case Some(cap) =>
+        val hot = postings0.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("__h")
+        postings0.join(broadcast(hot), Seq("__h"), "left_anti")
+      case None => postings0
+    }
+    val isect = postings.select(col("__h"), col("__id").as("id_1"))
+      .join(postings.select(col("__h"), col("__id").as("id_2")), Seq("__h"))
+      .where(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("__c"))
+    val out = isect
+      .join(sizes.select(col("__id").as("id_1"), col("__n").as("__n1")), "id_1")
+      .join(sizes.select(col("__id").as("id_2"), col("__n").as("__n2")), "id_2")
+      .withColumn("jaccard", col("__c").cast("double") /
+        (col("__n1") + col("__n2") - col("__c")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_1", "id_2", "jaccard")
+    materializeAndRelease(out, hs)
+  }
+
   /** 64-bit SimHash over whitespace tokens — per-row expression, no shuffle.
     * Bit i of the result = sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
   def simhash(text: Column): Column = {

@@ -149,6 +149,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.forall { case (i, j) => i < j })
   }
 
+  test("jaccardPairsExact: inverted-index pairs equal the cross-join ground truth") {
+    val got = NearDup.jaccardPairsExact(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = docs.select(col("doc_id"),
+      array_distinct(NearDup.shingles(col("text"))).as("sh")).cache()
+    val a = sh.select(col("doc_id").as("id_1"), col("sh").as("s1"))
+    val b = sh.select(col("doc_id").as("id_2"), col("sh").as("s2"))
+    val want = a.crossJoin(b).where(col("id_1") < col("id_2"))
+      .withColumn("j", size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))).cast("double"))
+      .where(col("j") >= 0.5)
+      .select("id_1", "id_2", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist()
+    assert(got.nonEmpty && got == want)
+    // dfCap drops hot shingles conservatively: output is a subset
+    val capped = NearDup.jaccardPairsExact(docs, "doc_id", "text",
+        minJaccard = 0.5, dfCap = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(got.map(t => (t._1, t._2))))
+  }
+
   test("exact jaccard column") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
