@@ -845,6 +845,27 @@ SELECT detected, COUNT(*) AS n FROM (
   FLOOR(((SELECT SUM(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i*8+1 AS INT), 2)) AS INT)) FROM range(8) t(i)) / 32.0) * 100 + 0.5)/100 AS f0
 FROM documents ORDER BY media_id"""))
 
+  private val x5d = DeclaredQuery("x05d_multimodal_resize",
+    // synthesize → resize → decode chain: resize rewrites the header dims
+    // (payload body untouched), decode must report the NEW dims and the SAME
+    // body feature — header/meta consistency proven against an independent
+    // SQL derivation (dims are resize constants, f0 as in x05c).
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val media = graft.operators.Multimodal.synthesize(t(s, d, "documents"), "doc_id")
+      val resized = graft.operators.Multimodal.resize(media, 128, 96)
+      graft.operators.Multimodal.decodeFeatures(resized.toDF()).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          round2(element_at(col("feature"), 1)).as("f0"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+  128 AS width,
+  96 AS height,
+  CAST((doc_id % 16 + 1) AS INT) AS n_frames,
+  FLOOR(((SELECT SUM(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i*8+1 AS INT), 2)) AS INT)) FROM range(8) t(i)) / 32.0) * 100 + 0.5)/100 AS f0
+FROM documents ORDER BY media_id"""))
+
   private val x6 = DeclaredQuery("x06_stratified_sample",
     // deterministic quota sampling (dataset mixing primitive): up to 50 docs
     // per language, chosen by content-keyed pseudorandom order — identical
@@ -942,8 +963,8 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x5, x5b, x5c,
-    x6, x6b, x6c, x7, x8)
+    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d,
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

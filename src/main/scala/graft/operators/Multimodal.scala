@@ -89,6 +89,43 @@ object Multimodal {
     DecodedFeatures(id, be(4), be(8), be(12), feat)
   }
 
+  final case class ResizedMedia(media_id: Long, mime: String,
+                                content: Array[Byte], width: Int, height: Int)
+
+  /** Batch resize — a binary→binary per-partition transform with refreshed
+    * metadata, the second `mapInPandas`-shaped kernel (decode is the first).
+    *
+    * ??? STUB ???: a real resampler would transform the pixel payload; here
+    * the kernel rewrites the fake header's dimensions and keeps the body, so
+    * the transform is deterministic and header/metadata consistency is
+    * verifiable end-to-end (decode of a resize reports the new dims). The
+    * batching, schema, and meta-refresh plumbing are the production shape. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int)
+            (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    media.select("media_id", "mime", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition setup (image library init) would go here
+        batch.map { case (id, mime, bytes) =>
+          require(bytes.length >= 16 &&
+            new String(bytes.slice(0, 4), "US-ASCII") == "GRFT",
+            s"media $id: bad magic")
+          val out = bytes.clone()
+          writeBe(out, 4, targetW)
+          writeBe(out, 8, targetH)
+          ResizedMedia(id, mime, out, targetW, targetH)
+        }
+      }
+  }
+
+  private def writeBe(buf: Array[Byte], off: Int, v: Int): Unit = {
+    buf(off) = ((v >>> 24) & 0xff).toByte
+    buf(off + 1) = ((v >>> 16) & 0xff).toByte
+    buf(off + 2) = ((v >>> 8) & 0xff).toByte
+    buf(off + 3) = (v & 0xff).toByte
+  }
+
   /** Frame sampling plan for video-shaped media: explode frame indices from
     * metadata WITHOUT touching payload bytes (column pruning keeps `content`
     * out of the scan when only frame plans are needed). */

@@ -274,6 +274,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("multimodal resize refreshes header dims; decode features unchanged") {
+    implicit val sp = spark
+    import org.apache.spark.sql.functions.element_at
+    val media = graft.operators.Multimodal.synthesize(docs.limit(20), "doc_id")
+    val before = graft.operators.Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id"), element_at(col("feature"), 1).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.resize(media, 320, 240).toDF())
+      .toDF().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](4).head)).toSeq
+    assert(after.nonEmpty)
+    after.foreach { case (id, w, h, f) =>
+      assert(w == 320 && h == 240, s"media $id dims not rewritten")
+      assert(f == before(id), s"media $id body feature must be unchanged")
+    }
+  }
+
   // ---- X4: text analysis ----
 
   test("token counts and quality metrics") {
