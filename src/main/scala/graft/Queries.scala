@@ -954,6 +954,27 @@ ORDER BY l.event_id"""))
 ON CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE) AND CAST(o.o_orderdate AS DATE) + 7
 WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
 
+  private val x9 = DeclaredQuery("x09_salted_join",
+    // skew-mitigated join under the gate: the salt routing is an execution
+    // detail (hot keys scatter over `salt` sub-keys, the small side
+    // replicates), so the aggregated result must equal the plain join —
+    // which is exactly what the DuckDB oracle computes. FLOOR before the
+    // bigint sum keeps the aggregate integer-exact in both engines.
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), floor(col("l_quantity")).cast("long").as("__q"))
+      val ords = t(s, d, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ords, "l_orderkey", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("__q").as("sq"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000 GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -964,7 +985,7 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8)
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
