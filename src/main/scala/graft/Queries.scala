@@ -975,6 +975,62 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_totalprice > 400000 GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  private val x10 = DeclaredQuery("x10_training_pipeline",
+    // End-to-end corpus-build pipeline composed from the X-operators:
+    // quality-score filter (native text stats) → exact keep-first dedup on
+    // content → per-language stratified quota sample → per-language doc and
+    // token accounting. Every stage is deterministic, so the WHOLE pipeline
+    // hash-matches a composed DuckDB derivation. The filter uses the ROUNDED
+    // quality (the value x04b already hash-matches) so the ≥ threshold cut
+    // is engine-stable by construction.
+    (s, d) => {
+      graft.plans.HashExpressions.register(s)
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          call_function("graft_text_stats", col("text")).as("st"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("st.n_tokens").as("n_tokens"),
+          round2(graft.functions.TextAnalysis.qualityFromStats(col("st"))).as("q"))
+        .where(col("q") >= 0.5)
+      val deduped = graft.operators.Dedup.exactKeepFirst(scored, Seq("text"), "doc_id")
+      val sampled = graft.operators.Sampling
+        .stratifiedQuota(deduped, "lang", "doc_id", quota = 40)
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH base AS (
+  SELECT doc_id, lang, text,
+    list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks,
+    length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents),
+st AS (
+  SELECT doc_id, lang, text,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) AS praw,
+    list_sum(list_transform(toks, t -> length(t))) * 1.0 / NULLIF(len(toks), 0) AS mean_tok,
+    len(list_filter(toks, t -> list_contains(['the','of','and','a','to','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are'], lower(t)))) * 1.0 / NULLIF(len(toks), 0) AS swr
+  FROM base),
+scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+    FLOOR(LEAST(GREATEST(
+        LEAST(n_tokens/20.0, 1.0)*0.3
+      + (1.0 - LEAST(praw*4.0, 1.0))*0.3
+      + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)*0.2
+      + LEAST(swr*5.0, 1.0)*0.2, 0.0), 1.0)*100+0.5)/100 AS q
+  FROM st),
+filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+dedup AS (SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM filtered) t WHERE rn = 1),
+sampled AS (SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS srn
+  FROM dedup) t WHERE srn <= 40)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sampled GROUP BY lang ORDER BY lang"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -985,7 +1041,7 @@ WHERE o.o_totalprice > 400000 GROUP BY o_orderpriority ORDER BY o_orderpriority"
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9)
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Pricing-summary aggregate (SURVEY.md Q4) — scan, filter pushdown,
-    * partial+final hash aggregate, sort. */
+    * The composed training-data pipeline (SURVEY.md §2c): quality filter →
+    * exact dedup → stratified sample → per-language token accounting —
+    * native text-stats expression, window dedup/sample, partial+final
+    * aggregation, all oracle-matched end to end (x10). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.queries("q04_agg")(spark, "/root/testdata/sf0.001")
+    Queries.queries("x10_training_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
