@@ -395,17 +395,18 @@ object Queries {
     Some("SELECT l_returnflag, FLOOR(STDDEV_SAMP(l_quantity) * 100 + 0.5) / 100 AS sd, FLOOR(VAR_SAMP(l_quantity) * 100 + 0.5) / 100 AS vr, FLOOR(CORR(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
   private val q37 = DeclaredQuery("q37_percentiles",
-    // exact interpolated percentiles: Spark `percentile` and DuckDB
-    // `quantile_cont` share the linear-interpolation definition. ONE
-    // percentile(array(..)) aggregate: a single per-group value buffer and
-    // sort instead of one of each per requested quantile.
+    // exact interpolated percentiles via DISTRIBUTED SORT (Percentiles
+    // .exactByGroup): Spark's `percentile` aggregate buffers every group
+    // value in one aggregation buffer — a hot group at 100 TB lands in one
+    // executor's heap; the sort-rank form spills and distributes. Same
+    // h=(n−1)p interpolation as `percentile` and DuckDB `quantile_cont`
+    // (equivalence pinned in ExtensionsSpec).
     (s, d) => {
-      val pcts = t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"))
+      val pcts = graft.operators.Percentiles.exactByGroup(
+        t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        ps = Seq(0.5, 0.9), names = Seq("p50", "p90"))
       pcts.select(col("l_returnflag"),
-          round2(element_at(col("ps"), 1)).as("p50"),
-          round2(element_at(col("ps"), 2)).as("p90"))
+          round2(col("p50")).as("p50"), round2(col("p90")).as("p90"))
         .orderBy("l_returnflag")
     },
     Some("SELECT l_returnflag, FLOOR(QUANTILE_CONT(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50, FLOOR(QUANTILE_CONT(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))

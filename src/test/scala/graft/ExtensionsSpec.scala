@@ -293,6 +293,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Percentiles.exactByGroup equals the percentile() aggregate bit-for-bit") {
+    val li = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
+    val sortBased = graft.operators.Percentiles.exactByGroup(
+        li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.9), Seq("a", "b", "c"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val agg = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.9))).as("ps"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1)(0), r.getSeq[Double](1)(1),
+        r.getSeq[Double](1)(2))).toSeq
+    assert(sortBased == agg)
+  }
+
   // ---- X4: text analysis ----
 
   test("token counts and quality metrics") {
