@@ -976,6 +976,27 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_totalprice > 400000 GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  private val q44 = DeclaredQuery("q44_month_arith",
+    // calendar-month arithmetic with end-of-month clamping (Jan 31 + 1 month
+    // = Feb 28/29) — add_months and DuckDB's month INTERVAL share the clamp
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 1).as("m1"),
+        add_months(col("o_orderdate").cast("date"), -3).as("m_back"),
+        last_day(col("o_orderdate").cast("date")).as("eom"))
+      .orderBy("o_orderkey"),
+    Some("SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS m1, CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH AS DATE) AS m_back, last_day(CAST(o_orderdate AS DATE)) AS eom FROM orders ORDER BY o_orderkey"))
+
+  private val q45 = DeclaredQuery("q45_string_shape",
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, "*").as("padded"),
+        translate(col("c_name"), "#", "-").as("tr"),
+        reverse(col("c_mktsegment")).as("rev"),
+        repeat(lit("ab"), 3).as("rep"))
+      .orderBy("c_custkey"),
+    Some("SELECT c_custkey, lpad(c_mktsegment, 12, '*') AS padded, translate(c_name, '#', '-') AS tr, reverse(c_mktsegment) AS rev, repeat('ab', 3) AS rep FROM customer ORDER BY c_custkey"))
+
   private val x10 = DeclaredQuery("x10_training_pipeline",
     // End-to-end corpus-build pipeline composed from the X-operators:
     // quality-score filter (native text stats) → exact keep-first dedup on
@@ -1040,7 +1061,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q32b, q32c,
+    q42, q43, q44, q45, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9, x10)
 
