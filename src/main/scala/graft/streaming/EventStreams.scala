@@ -89,6 +89,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time form of the X1 batch operator:
+    * keep the first arrival per key across micro-batches. The watermark
+    * bounds the dedup state (keys older than the watermark are evicted), so
+    * a duplicate arriving later than `watermark` after the original is NOT
+    * suppressed — the deliberate state/recall trade every streaming dedup
+    * makes; the batch `Dedup.exactKeepFirst` is the exact backstop. */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toIndexedSeq)
+
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
                                  n_events: Long)
   final case class OpenSession(start: Long, last: Long, n: Long)

@@ -89,6 +89,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("stream_sink").count() > 0)
   }
 
+  test("streaming dedup keeps first arrival per key across micro-batches") {
+    val dir = Files.createTempDirectory("sdedup").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: ids 1,2; batch 2 re-delivers id 1 (within the watermark) + new id 3
+    write(Seq((1L, "2024-01-01 08:00:00", 1L), (2L, "2024-01-01 08:01:00", 1L)))
+    val q = EventStreams.dedupEvents(
+        EventStreams.readEvents(spark, dir), Seq("event_id"))
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdedup").start()
+    q.processAllAvailable()
+    write(Seq((1L, "2024-01-01 08:02:00", 1L), (3L, "2024-01-01 08:03:00", 1L)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"duplicate must be suppressed: $ids")
+  }
+
   test("flatMapGroupsWithState emits sessions as they close (gap or timeout)") {
     val dir = Files.createTempDirectory("fmgws").toString
     import spark.implicits._
