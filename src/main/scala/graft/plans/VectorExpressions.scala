@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * yield NULL.
   */
 case class CosineSimilarityExpr(a: Expression, b: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def left: Expression = a
   override def right: Expression = b
@@ -65,6 +65,44 @@ case class CosineSimilarityExpr(a: Expression, b: Expression)
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
+
+  /** Inlined into whole-stage codegen (the exact pair scans evaluate this on
+    * millions of candidate rows — a CodegenFallback would pay a virtual call
+    * + boxing per row). Same loop, same fold order as nullSafeEval. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (va, vb) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      val denom = ctx.freshName("denom")
+      val getA = if (aFloat) s"(double) $va.getFloat($i)" else s"$va.getDouble($i)"
+      val getB = if (bFloat) s"(double) $vb.getFloat($i)" else s"$vb.getDouble($i)"
+      s"""
+         |final int $n = $va.numElements();
+         |if ($vb.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($va.isNullAt($i) || $vb.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xa = $getA;
+         |    final double $xb = $getB;
+         |    $dot += $xa * $xb;
+         |    $na += $xa * $xa;
+         |    $nb += $xb * $xb;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSimilarityExpr = copy(a = l, b = r)
