@@ -867,6 +867,17 @@ FROM documents ORDER BY media_id"""))
   FLOOR(((SELECT SUM(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i*8+1 AS INT), 2)) AS INT)) FROM range(8) t(i)) / 32.0) * 100 + 0.5)/100 AS f0
 FROM documents ORDER BY media_id"""))
 
+  private val x4e = DeclaredQuery("x04e_winnow_overlaps",
+    // partial-overlap candidate pairs via winnowing (MOSS): docs sharing ≥3
+    // selected rolling-hash fingerprints. Detects SHARED PASSAGES — pairs
+    // whose whole-document hashes (x04d) differ. Rows-only: the wrapping
+    // 64-bit Rabin–Karp + window-min has no tractable DuckDB spelling;
+    // NativeTextSpec pins the winnowing guarantee itself.
+    (s, d) => graft.operators.NearDup
+      .winnowOverlapPairs(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("id_1", "id_2"),
+    None)
+
   private val x6 = DeclaredQuery("x06_stratified_sample",
     // deterministic quota sampling (dataset mixing primitive): up to 50 docs
     // per language, chosen by content-keyed pseudorandom order — identical
@@ -1062,7 +1073,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d,
+    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x4e,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

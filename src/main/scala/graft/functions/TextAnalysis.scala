@@ -103,8 +103,17 @@ object TextAnalysis {
   }
 
   /** 64-bit document fingerprint: xxhash64 of whitespace-normalized,
-    * lowercased text — stable under formatting noise (X4 "rolling hash"
-    * analog; exact content identity after normalization). */
+    * lowercased text — exact content identity after normalization. For
+    * PARTIAL-overlap detection use [[winnowFingerprints]]. */
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling-hash
+    * k-grams, window-min selection — any shared substring of length
+    * ≥ k + w − 1 yields a common fingerprint, so two documents sharing a
+    * passage intersect here even when their full-document hashes differ.
+    * Native expression; callers must have registered
+    * [[graft.plans.HashExpressions]]. */
+  def winnowFingerprints(text: Column, k: Int = 12, w: Int = 8): Column =
+    call_function("graft_winnow", text, lit(k), lit(w))
 }

@@ -205,6 +205,34 @@ object NearDup {
     materializeAndRelease(out, hs)
   }
 
+  /** Partial-overlap candidate pairs via winnowing fingerprints (MOSS):
+    * documents sharing ≥ `minShared` selected rolling-hash k-grams — the
+    * detector for SHARED PASSAGES between documents whose full-document
+    * hashes differ.
+    *
+    * `dfCap` prunes fingerprints whose document frequency exceeds the cap
+    * before the self-join — boilerplate passages repeated across a large
+    * fraction of a corpus would otherwise make the join quadratic in the
+    * cluster size, and they carry no discriminative signal (the same index
+    * pruning MOSS applies). Discriminative (rare) shared passages survive. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 32, minShared: Int = 3,
+                         dfCap: Long = 10): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val fp = df.select(col(idCol).as("__id"),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = fp.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > dfCap).select("__fp")
+    val pruned = fp.join(broadcast(hot), Seq("__fp"), "left_anti")
+    val a = pruned.select(col("__fp"), col("__id").as("id_1"))
+    val b = pruned.select(col("__fp"), col("__id").as("id_2"))
+    val out = a.join(b, Seq("__fp")).where(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    materializeAndRelease(out, fp)
+  }
+
   /** 64-bit SimHash over whitespace tokens — per-row expression, no shuffle.
     * Bit i of the result = sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
   def simhash(text: Column): Column = {

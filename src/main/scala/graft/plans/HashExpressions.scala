@@ -166,6 +166,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_lsh_bucket"),
       exprs => HyperplaneBucketExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprintExpr].getName, "graft_winnow"),
+      exprs => WinnowFingerprintExpr(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -190,5 +193,7 @@ object HashExpressions {
       exprs => NearestCentroidsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       exprs => HyperplaneBucketExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowFingerprintExpr(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

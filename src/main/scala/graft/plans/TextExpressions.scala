@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import java.lang.Character.UnicodeScript
@@ -171,4 +172,96 @@ case class LangIdExpr(text: Expression)
 
   override protected def withNewChildInternal(c: Expression): LangIdExpr =
     copy(text = c)
+}
+
+/** `graft_winnow(text, k, w)` → `ARRAY<BIGINT>`: winnowing fingerprints
+  * (Schleimer, Wilkerson, Aiken — SIGMOD'03, the MOSS algorithm).
+  *
+  * A Rabin–Karp ROLLING hash (base-B polynomial over characters, wrapping
+  * 64-bit arithmetic — O(1) per position) hashes every k-char gram of the
+  * whitespace-normalized, lowercased text; each window of `w` consecutive
+  * gram hashes selects its minimum (rightmost on ties, per the paper), and
+  * the distinct selected hashes in document order are the fingerprint.
+  *
+  * Guarantees: any shared substring of length ≥ k + w − 1 contributes at
+  * least one COMMON fingerprint (the winnowing theorem), and edits only
+  * perturb fingerprints within w grams of the change — which is what makes
+  * this the partial-overlap detector, where [[TextStatsExpr]]-style
+  * whole-document hashing only catches exact duplicates. Map-only, one
+  * primitive pass per row. */
+case class WinnowFingerprintExpr(text: Expression, k: Expression, w: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = text
+  override def second: Expression = k
+  override def third: Expression = w
+  override def prettyName: String = "graft_winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any, kAny: Any, wAny: Any): Any = {
+    val kk = kAny.asInstanceOf[Int]
+    val ww = wAny.asInstanceOf[Int]
+    require(kk > 0 && ww > 0, "graft_winnow: k and w must be positive")
+    // normalize: collapse whitespace runs to single spaces, lowercase —
+    // fingerprints survive formatting noise (same normalization as
+    // TextAnalysis.fingerprint)
+    val raw = t.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0; var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    val s = sb.toString
+    val n = s.length
+    if (n < kk) return new GenericArrayData(Array.empty[Long])
+    // Rabin–Karp rolling hash, base 257, wrapping 64-bit arithmetic
+    val B = 257L
+    var bPow = 1L // B^(k-1)
+    var j = 1
+    while (j < kk) { bPow *= B; j += 1 }
+    val nGrams = n - kk + 1
+    val grams = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < kk) { h = h * B + s.charAt(i).toLong; i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - s.charAt(i - 1).toLong * bPow) * B + s.charAt(i + kk - 1).toLong
+      grams(i) = h
+      i += 1
+    }
+    // winnow: min of each window of ww gram hashes, rightmost on ties;
+    // record only when the selection CHANGES position (paper's algorithm)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](16)
+    val seen = new scala.collection.mutable.HashSet[Long]()
+    var minPos = -1
+    i = 0
+    while (i < nGrams) {
+      val lo = math.max(0, i - ww + 1)
+      if (i < ww - 1) () // first full window not yet formed
+      else if (minPos < lo) {
+        // previous minimum slid out — rescan the window (amortized O(1))
+        minPos = lo
+        var p = lo + 1
+        while (p <= i) { if (grams(p) <= grams(minPos)) minPos = p; p += 1 }
+        if (seen.add(grams(minPos))) out += grams(minPos)
+      } else if (grams(i) <= grams(minPos)) {
+        minPos = i
+        if (seen.add(grams(i))) out += grams(i)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprintExpr =
+    copy(text = f, k = s, w = t)
 }

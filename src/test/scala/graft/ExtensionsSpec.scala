@@ -171,6 +171,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.subsetOf(got.map(t => (t._1, t._2))))
   }
 
+  test("winnowOverlapPairs finds shared-passage pairs, not disjoint docs") {
+    import spark.implicits._
+    val passage = "the shared middle section of these two documents goes on " +
+      "for quite a while so the winnowing guarantee threshold is comfortably met"
+    val df = Seq(
+      (1L, s"first document begins differently $passage and ends its own way"),
+      (2L, s"second document has another opening $passage plus a distinct tail"),
+      (3L, "a third document with entirely unrelated content about something else " +
+        "that shares no passage with the other two documents at all")).toDF("id", "t")
+    val pairs = NearDup.winnowOverlapPairs(df, "id", "t",
+        k = 12, w = 8, minShared = 1, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("exact jaccard column") {
     import spark.implicits._
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
