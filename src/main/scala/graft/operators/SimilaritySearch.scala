@@ -120,18 +120,64 @@ object SimilaritySearch {
     * clustered embeddings. The centroid table is driver-side literals
     * (nlist × dim doubles — a real IVF would k-means refine them; sampling is
     * the standard cheap initialization and keeps this fully deterministic). */
+  /** Lloyd refinement: assign → recompute cell means → repeat. Each
+    * iteration is one distributed pass (native cell assignment + a
+    * (cell, dim) partial-aggregated mean); only nlist×dim doubles return to
+    * the driver. Empty cells keep their previous centroid. Lloyd's step
+    * never increases the quantization objective (mean squared distance to
+    * the assigned centroid) — pinned in ExtensionsSpec. */
+  private[graft] def refineCentroids(corpus: DataFrame, vecCol: String,
+                                     init: Seq[Array[Double]],
+                                     iters: Int): Seq[Array[Double]] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+      val means = corpus.select(
+          element_at(call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
+            .as("__cell"),
+          posexplode(col(vecCol)).as(Seq("__i", "__x")))
+        .groupBy("__cell", "__i").agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+      val next = cents.map(_.clone()).toArray
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.toSeq
+    }
+    cents
+  }
+
+  /** Mean squared L2 distance to each vector's nearest centroid — the
+    * k-means objective (diagnostic; used by the refinement spec). */
+  private[graft] def quantizationError(corpus: DataFrame, vecCol: String,
+                                       cents: Seq[Array[Double]]): Double = {
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val assigned = corpus.select(col(vecCol).as("__v"),
+      element_at(call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
+        .as("__cell"))
+    val withCent = assigned.withColumn("__c",
+      element_at(centLit, col("__cell") + 1))
+    withCent.select(avg(aggregate(zip_with(col("__v"), col("__c"),
+        (x, y) => { val d = x.cast("double") - y; d * d }),
+      lit(0.0), (acc, v) => acc + v)).as("e"))
+      .head().getDouble(0)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 2,
+              refineIters: Int = 2): DataFrame = {
     graft.plans.HashExpressions.register(corpus.sparkSession)
-    // centroid table as ONE foldable nested-array literal: the native
-    // graft_nearest_cells expression materializes it once per task and runs
-    // a primitive nlist×dim loop per row (vs. the interpreted per-centroid
-    // HOF distance scan this replaces — nlist×dim lambda calls per row).
-    val cents: Column = array(corpus
+    // coarse quantizer: deterministic sample init + Lloyd refinement (a real
+    // IVF's k-means, distributed — see refineCentroids). The centroid table
+    // is ONE foldable nested-array literal: the native graft_nearest_cells
+    // expression materializes it once per task and runs a primitive
+    // nlist×dim loop per row.
+    val init = corpus
       .select(col(vecCol)).orderBy(xxhash64(col(idCol))).limit(nlist)
       .collect()
-      .map(r => array(r.getSeq[Float](0).map(x => lit(x.toDouble)): _*)): _*)
+      .map(r => r.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val refined = refineCentroids(corpus, vecCol, init, refineIters)
+    val cents: Column = array(refined
+      .map(c => array(c.map(lit): _*)): _*)
     val corpusCell = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       element_at(call_function("graft_nearest_cells", col(vecCol), cents, lit(1)), 1)
         .as("__cell"))

@@ -263,6 +263,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("IVF Lloyd refinement never increases the quantization objective") {
+    graft.plans.HashExpressions.register(spark)
+    val init = embs.select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val e0 = SimilaritySearch.quantizationError(embs, "embedding", init)
+    val r1 = SimilaritySearch.refineCentroids(embs, "embedding", init, iters = 1)
+    val e1 = SimilaritySearch.quantizationError(embs, "embedding", r1)
+    val r2 = SimilaritySearch.refineCentroids(embs, "embedding", r1, iters = 1)
+    val e2 = SimilaritySearch.quantizationError(embs, "embedding", r2)
+    assert(e1 <= e0 + 1e-9 && e2 <= e1 + 1e-9, s"Lloyd must not regress: $e0 -> $e1 -> $e2")
+    assert(e1 < e0, "first Lloyd step should strictly improve on sample init")
+  }
+
   test("salted join equals plain join on skewed data and splits the hot key") {
     import spark.implicits._
     // hot key: 10k rows of key=1, a handful of others
