@@ -274,6 +274,36 @@ object Queries {
       .orderBy("k"),
     Some("SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k"))
 
+  private val q24c = DeclaredQuery("q24c_union_distinct",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("k"))).distinct()
+      .orderBy("k"),
+    Some("SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier ORDER BY k"))
+
+  private val q46 = DeclaredQuery("q46_like_predicates",
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        col("c_mktsegment").like("%ILD%").as("lk"),
+        col("c_mktsegment").ilike("%build%").as("ilk"),
+        (!col("c_name").like("Customer%")).as("nlk"))
+      .orderBy("c_custkey"),
+    Some("SELECT c_custkey, c_mktsegment LIKE '%ILD%' AS lk, c_mktsegment ILIKE '%build%' AS ilk, c_name NOT LIKE 'Customer%' AS nlk FROM customer ORDER BY c_custkey"))
+
+  private val q47 = DeclaredQuery("q47_value_windows",
+    // first/last/nth value over explicit frames; total order via (price, key)
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          first_value(col("o_orderkey")).over(w).as("cheapest"),
+          last_value(col("o_orderkey")).over(w).as("priciest"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second"))
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, FIRST_VALUE(o_orderkey) OVER w AS cheapest, LAST_VALUE(o_orderkey) OVER w AS priciest, NTH_VALUE(o_orderkey, 2) OVER w AS second FROM orders WHERE o_orderkey < 2000 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey"))
+
   // ---------------------------------------------------------------- Q25–Q28: scalar functions
 
   private val q25 = DeclaredQuery("q25_string_funcs",
@@ -1069,10 +1099,10 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b,
+    q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b, q24c,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q32b, q32c,
+    q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x4e,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9, x10)
 
