@@ -1055,7 +1055,14 @@ WHERE o.o_totalprice > 400000 GROUP BY o_orderpriority ORDER BY o_orderpriority"
           col("st.n_tokens").as("n_tokens"),
           round2(graft.functions.TextAnalysis.qualityFromStats(col("st"))).as("q"))
         .where(col("q") >= 0.5)
-      val deduped = graft.operators.Dedup.exactKeepFirst(scored, Seq("text"), "doc_id")
+      // dedup on the 8-byte content hash, not the document body — the
+      // shuffle moves (hash, id)-sized rows at 100 TB. Observably identical
+      // to text-keyed dedup absent an xxhash64 collision (the oracle
+      // partitions by text itself).
+      val deduped = graft.operators.Dedup
+        .exactKeepFirst(graft.operators.Dedup.withContentHash(scored, "text"),
+          Seq("content_hash"), "doc_id")
+        .drop("content_hash")
       val sampled = graft.operators.Sampling
         .stratifiedQuota(deduped, "lang", "doc_id", quota = 40)
       sampled.groupBy("lang")
