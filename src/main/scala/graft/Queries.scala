@@ -968,6 +968,26 @@ SELECT l.event_id, r.value AS last_purchase
 FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id"""))
 
+  private val x7b = DeclaredQuery("x07b_asof_forward",
+    // forward-looking point-in-time join: each event gets the same user's
+    // EARLIEST purchase value at-or-after its timestamp. Oracle: DuckDB's
+    // native ASOF with the reversed inequality (l.ts <= r.ts).
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.forward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          by = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Map("value" -> "next_purchase"))
+        .select("event_id", "next_purchase")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, r.value AS next_purchase
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+ORDER BY l.event_id"""))
+
   private val x8 = DeclaredQuery("x08_range_join_binned",
     // interval join via equi-binning (RangeJoin): lineitems shipped within 7
     // days of a big order's date. A bare BETWEEN join would plan as a nested
@@ -1111,7 +1131,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x4e,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x8, x9, x10)
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

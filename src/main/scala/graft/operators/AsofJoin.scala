@@ -39,7 +39,22 @@ object AsofJoin {
     *   NULL timestamp get NULL outputs (NULL = NULL is not a match). */
   def backward(left: DataFrame, right: DataFrame, by: String,
                leftTs: String, rightTs: String,
-               valueCols: Map[String, String]): DataFrame = {
+               valueCols: Map[String, String]): DataFrame =
+    asofImpl(left, right, by, leftTs, rightTs, valueCols, forwardDir = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` in the same key group ("next purchase after this
+    * impression"). Same union-and-sweep, descending timestamp order —
+    * identical cost profile to [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame, by: String,
+              leftTs: String, rightTs: String,
+              valueCols: Map[String, String]): DataFrame =
+    asofImpl(left, right, by, leftTs, rightTs, valueCols, forwardDir = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, by: String,
+                       leftTs: String, rightTs: String,
+                       valueCols: Map[String, String],
+                       forwardDir: Boolean): DataFrame = {
     val vals = valueCols.toSeq
     val leftPayload = left.columns.toSeq.filterNot(_ == by)
     val matchType = StructType(vals.map { case (rc, out) =>
@@ -60,8 +75,15 @@ object AsofJoin {
         (col(by) +: col(rightTs).as("__ats") +: lit(0).as("__side") +:
           leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))) :+
           struct(vals.map { case (rc, out) => col(rc).as(out) }: _*).as("__v"): _*)
+    // Backward sweeps ascending; forward sweeps DESCENDING so the running
+    // last is the earliest right row at-or-after. Either way NULL-ts left
+    // rows must sort before every right row (nulls_first) so the sweep sees
+    // no match for them — desc defaults to nulls_last, hence the explicit
+    // ordering.
+    val ord = if (forwardDir) col("__ats").desc_nulls_first
+              else col("__ats").asc_nulls_first
     val w = Window.partitionBy(by)
-      .orderBy(col("__ats"), col("__side"))
+      .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NULL-ts left rows sort before every (non-null-ts) right row in their
     // partition, so the running last sees no match — NULL out, as required.

@@ -62,6 +62,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(row.getAs[String]("payload") == "keep" && row.getAs[Double]("w") == 7.0)
   }
 
+  test("asof forward picks the earliest right row at-or-after; NULL ts/key never match") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 10L), (2L, "u", 25L), (3L, "u", 100L),
+      (4L, "v", 5L), (5L, null.asInstanceOf[String], 10L))
+      .toDF("id", "k", "ts")
+    val r = Seq(("u", 20L, "a"), ("u", 30L, "b"), ("u", 25L, "tie"),
+      ("w", 1L, "other"), (null.asInstanceOf[String], 50L, "nullkey"))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsofJoin.forward(l, r, "k", "ts", "ts",
+        Map("v" -> "nxt"))
+      .collect().map(rr => rr.getLong(rr.fieldIndex("id")) ->
+        Option(rr.getString(rr.fieldIndex("nxt")))).toMap
+    assert(got(1L).contains("a"))      // 10 → earliest ≥ is 20
+    assert(got(2L).contains("tie"))    // inclusive at equal ts
+    assert(got(3L).isEmpty)            // nothing at-or-after 100
+    assert(got(4L).isEmpty)            // key with no right rows
+    assert(got(5L).isEmpty)            // NULL key never matches
+  }
+
   test("binned range join == naive BETWEEN join on testdata (several bin widths)") {
     val li = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
     val or = graft.sources.Tables.table(spark, TestSpark.sf0001, "orders")
