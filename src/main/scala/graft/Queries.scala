@@ -1016,6 +1016,29 @@ ORDER BY l.event_id"""))
 ON CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE) AND CAST(o.o_orderdate AS DATE) + 7
 WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
 
+  private val x8b = DeclaredQuery("x08b_interval_overlap",
+    // interval×interval overlap via equi-binning with bin-OWNERSHIP dedup
+    // (each pair emitted only at its first shared bin — no distinct shuffle):
+    // 30-day windows of the priciest orders overlapping windows of the next
+    // price tier. Oracle: the naive overlap-condition join.
+    (s, d) => {
+      def win(df: DataFrame, key: String) = df
+        .select(col("o_orderkey").as(key),
+          unix_date(col("o_orderdate").cast("date")).as(s"__${key}_lo"))
+        .withColumn(s"__${key}_hi", col(s"__${key}_lo") + 30)
+      val a = win(t(s, d, "orders").where(col("o_totalprice") > 450000), "a_key")
+      val b = win(t(s, d, "orders")
+        .where(col("o_totalprice") > 400000 && col("o_totalprice") <= 450000), "b_key")
+      graft.operators.RangeJoin.intervalOverlap(
+          a, "__a_key_lo", "__a_key_hi", b, "__b_key_lo", "__b_key_hi",
+          binWidth = 32)
+        .select("a_key", "b_key")
+        .orderBy("a_key", "b_key")
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS lo, CAST(o_orderdate AS DATE) + 30 AS hi FROM orders WHERE o_totalprice > 450000),
+b AS (SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS lo, CAST(o_orderdate AS DATE) + 30 AS hi FROM orders WHERE o_totalprice > 400000 AND o_totalprice <= 450000)
+SELECT a_key, b_key FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi ORDER BY a_key, b_key"""))
+
   private val x9 = DeclaredQuery("x09_salted_join",
     // skew-mitigated join under the gate: the salt routing is an execution
     // detail (hot keys scatter over `salt` sub-keys, the small side
@@ -1131,7 +1154,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x4e,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x9, x10)
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

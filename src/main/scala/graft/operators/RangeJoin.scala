@@ -52,4 +52,26 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs of `[aLo, aHi]` × `[bLo, bHi]` intervals
+    * (inclusive ends) that intersect. Both sides explode into their bins and
+    * equi-join on the bin id; a pair spanning several common bins would match
+    * once per bin, so each pair is emitted ONLY at its first shared bin —
+    * `bin == max(floor(aLo/w), floor(bLo/w))` (bin OWNERSHIP, the standard
+    * dedup-free trick: no distinct shuffle over the joined output). Column
+    * names must be disjoint across the two inputs. */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+                      b: DataFrame, bLo: String, bHi: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val a2 = a.withColumn("__bin",
+      explode(sequence(floorDiv(col(aLo), binWidth), floorDiv(col(aHi), binWidth))))
+    val b2 = b.withColumn("__bin",
+      explode(sequence(floorDiv(col(bLo), binWidth), floorDiv(col(bHi), binWidth))))
+    a2.join(b2, "__bin")
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .where(col("__bin") ===
+        greatest(floorDiv(col(aLo), binWidth), floorDiv(col(bLo), binWidth)))
+      .drop("__bin")
+  }
 }

@@ -120,6 +120,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(ngot == Set(-1L, -8L, -9L))
   }
 
+  test("interval overlap == naive overlap join; each pair emitted exactly once") {
+    import spark.implicits._
+    // spans crossing many bins, touching endpoints, disjoint, negative values
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, -40L, -10L), (4L, 200L, 210L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 90L, 150L), (11L, 60L, 61L), (12L, -20L, 0L), (13L, 400L, 500L))
+      .toDF("b_id", "b_lo", "b_hi")
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = a.crossJoin(b)
+        .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted.toSeq == want.sorted.toSeq, s"binWidth=$w")
+      assert(got.length == got.distinct.length, s"binWidth=$w: duplicate emission")
+    }
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val li = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
     val or = graft.sources.Tables.table(spark, TestSpark.sf0001, "orders")
