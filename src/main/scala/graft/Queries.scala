@@ -1032,12 +1032,12 @@ WHERE o.o_totalprice > 400000 GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""))
       graft.operators.RangeJoin.intervalOverlap(
           a, "__a_key_lo", "__a_key_hi", b, "__b_key_lo", "__b_key_hi",
           binWidth = 32)
-        .select("a_key", "b_key")
-        .orderBy("a_key", "b_key")
+        .groupBy("a_key").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("a_key")
     },
     Some("""WITH a AS (SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS lo, CAST(o_orderdate AS DATE) + 30 AS hi FROM orders WHERE o_totalprice > 450000),
 b AS (SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS lo, CAST(o_orderdate AS DATE) + 30 AS hi FROM orders WHERE o_totalprice > 400000 AND o_totalprice <= 450000)
-SELECT a_key, b_key FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi ORDER BY a_key, b_key"""))
+SELECT a_key, COUNT(*) AS n_overlaps FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi GROUP BY a_key ORDER BY a_key"""))
 
   private val x9 = DeclaredQuery("x09_salted_join",
     // skew-mitigated join under the gate: the salt routing is an execution
