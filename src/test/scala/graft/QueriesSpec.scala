@@ -22,6 +22,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
   }
 
+  test("every query is partitioning-invariant (identical output at a different shuffle width)") {
+    // The DuckDB gate silently depends on this: a result that moves when the
+    // shuffle width changes would hash-mismatch nondeterministically.
+    // Excluded: x03c — Lloyd centroid means aggregate doubles, whose
+    // summation order (and so the last ulp, and so occasionally a cell
+    // assignment) legitimately varies with partitioning; its gate entry is
+    // rows-only for the same reason.
+    val excluded = Set("x03c_ann_ivf_topk")
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    val diffs = Queries.all.filterNot(q => excluded(q.name)).flatMap { q =>
+      conf.set("spark.sql.shuffle.partitions", before)
+      val base = q.run(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      conf.set("spark.sql.shuffle.partitions", "5")
+      val alt = q.run(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      conf.set("spark.sql.shuffle.partitions", before)
+      if (base == alt) None else Some(q.name)
+    }
+    assert(diffs.isEmpty, s"partitioning-sensitive queries: $diffs")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
