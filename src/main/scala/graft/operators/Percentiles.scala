@@ -54,8 +54,12 @@ object Percentiles {
         val d = col("__h") - (col("__lo") - 1).cast("double")
         (lit(1.0) - d) * col("__vlo") + d * col("__vhi")
       })
-    // pivot quantiles into columns, preserving the caller's names
+    // pivot quantiles into columns, preserving the caller's names; groups
+    // whose values are ALL NULL re-attach with NULL percentiles (matching
+    // percentile()/QUANTILE_CONT, which ignore NULLs but keep the group)
     val agged = hits.groupBy(groupCol).pivot("__nm", names).agg(first("__val"))
-    agged.select(col(groupCol) +: names.map(col): _*)
+    df.select(col(groupCol)).distinct()
+      .join(agged, Seq(groupCol), "left")
+      .select(col(groupCol) +: names.map(col): _*)
   }
 }

@@ -69,8 +69,13 @@ object Sampling {
     val fracs = df.groupBy(stratumCol)
       .agg(count(lit(1)).as("__n"))
       .select(col(stratumCol), least(lit(1.0), lit(margin) / col("__n")).as("__f"))
+    // NULL keys hash to NULL and sort FIRST in the unguarded window (sha2 of
+    // NULL is NULL, asc_nulls_first) — keep them through the pre-filter so
+    // the guarded output stays row-identical. (With several NULL-key rows in
+    // one stratum their mutual order is tie-broken by nothing in either
+    // form — same caveat as stratifiedQuota itself.)
     val pre = df.join(broadcast(fracs), Seq(stratumCol))
-      .where(hashUnit(col(keyCol)) < col("__f"))
+      .where(col(keyCol).isNull || hashUnit(col(keyCol)) < col("__f"))
       .drop("__f")
     stratifiedQuota(pre, stratumCol, keyCol, quota)
   }

@@ -64,15 +64,21 @@ object SimilaritySearch {
     * SQL-expressible). The small query side broadcasts; every (query,
     * corpus) pair is scored with the native cosine, a per-query window keeps
     * the top k. Quadratic in corpus×queries BY DESIGN — use
-    * [[lshBucketedTopK]]/[[ivfTopK]] when the query side is large. */
+    * [[lshBucketedTopK]]/[[ivfTopK]] when the query side is large.
+    *
+    * @param excludeSelf drop pairs with query_id == corpus_id. ONLY valid
+    *   when `queries` shares `corpus`'s id space (self-search); with
+    *   unrelated id spaces a coincidental id match would silently drop a
+    *   genuine top-k candidate — pass false there. */
   def topKAll(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int): DataFrame = {
+              k: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.HashExpressions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("corpus_id"))
+    val paired = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
+                  else paired)
       .withColumn("score", call_function("graft_cosine", col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("__rn", row_number().over(w))
@@ -132,10 +138,12 @@ object SimilaritySearch {
     var cents = init
     for (_ <- 1 to iters) {
       val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-      val means = corpus.select(
+      val means = corpus.where(col(vecCol).isNotNull)
+        .select(
           element_at(call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
             .as("__cell"),
           posexplode(col(vecCol)).as(Seq("__i", "__x")))
+        .where(col("__cell").isNotNull) // NULL-element vectors assign nowhere
         .groupBy("__cell", "__i").agg(avg(col("__x").cast("double")).as("__m"))
         .collect()
       val next = cents.map(_.clone()).toArray

@@ -52,6 +52,9 @@ object TimeoutGuard {
     try {
       body
     } catch {
+      // a NESTED guard's timeout keeps its own attribution — re-labeling it
+      // as this (outer) guard's timeout would report the wrong deadline
+      case e: GraftTimeoutException => throw e
       case _: Throwable if timedOut.get() =>
         throw new GraftTimeoutException(reportedMinutes)
     } finally {

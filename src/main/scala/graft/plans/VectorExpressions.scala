@@ -179,10 +179,12 @@ case class HyperplaneBucketExpr(vec: Expression, planes: Expression)
     var p = 0
     while (p < mat.length) {
       val plane = mat(p)
-      val lim = math.min(dim, plane.length)
+      // a dim mismatch (caller passed the wrong `dim`) must surface as NULL
+      // (like the HOF zip_with form), not silently truncate the dot product
+      if (plane.length != dim) return null
       var dot = 0.0
       var j = 0
-      while (j < lim) { dot += x(j) * plane(j); j += 1 }
+      while (j < dim) { dot += x(j) * plane(j); j += 1 }
       if (dot >= 0) bucket |= (1L << p)
       p += 1
     }
@@ -277,10 +279,10 @@ case class NearestCentroidsExpr(vec: Expression, centroids: Expression, n: Expre
     var c = 0
     while (c < m) {
       val cent = cents(c)
-      val lim = math.min(dim, cent.length)
+      if (cent.length != dim) return null // dim mismatch → NULL, not truncation
       var s = 0.0
       var j = 0
-      while (j < lim) { val d = x(j) - cent(j); s += d * d; j += 1 }
+      while (j < dim) { val d = x(j) - cent(j); s += d * d; j += 1 }
       d2(c) = s
       c += 1
     }

@@ -84,15 +84,22 @@ object PgCsv {
       case other => "." + other
     }
     val f = new File(path)
-    if (!f.isFile || f.getName.endsWith(ext)) path
-    else {
+    if (f.getName.endsWith(ext)) path
+    else if (f.isFile) {
       val dir = Files.createTempDirectory("graft-codec-")
+      // deleteOnExit runs in REVERSE registration order: register the dir
+      // first so the link is removed before its (then-empty) parent
+      dir.toFile.deleteOnExit()
       val link = dir.resolve(f.getName + ext)
       Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
       link.toFile.deleteOnExit()
-      dir.toFile.deleteOnExit()
       link.toString
-    }
+    } else
+      // a silent fall-through would parse the compressed stream as text and
+      // load garbage — the exact failure the explicit flag exists to prevent
+      throw new graft.operators.GraftException(
+        s"compression='$codec' requires a local file or a '$ext' extension; " +
+          s"got: $path (rename the input or drop the flag)")
   }
 
   /** Distributed CSV write to a directory of part files (the cluster-scale

@@ -141,11 +141,21 @@ object EventStreams {
             var open = state.getOption
             ts.foreach { t =>
               open match {
-                case Some(s) if t - s.last <= gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
-                case Some(s) =>
+                // within gap of the open session's interval [start, last]
+                // (a cross-batch latecomer may extend START backward — the
+                // watermark bounds how far back that can reach)
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  open = Some(OpenSession(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
+                case Some(s) if t > s.last + gapMs =>
                   closed += ClosedSession(uid, s.start, s.last, s.n)
                   open = Some(OpenSession(t, t, 1))
+                case Some(_) =>
+                  // older than start − gap: an isolated out-of-order event
+                  // from a PAST session window — emit as its own closed
+                  // singleton (its true session already closed or never
+                  // existed; the watermark makes further merges impossible)
+                  closed += ClosedSession(uid, t, t, 1)
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

@@ -263,6 +263,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("review fixes: dim mismatch → NULL; NULL vectors don't break refinement; topKAll self-inclusion") {
+    import spark.implicits._
+    graft.plans.HashExpressions.register(spark)
+    // graft_lsh_bucket / graft_nearest_cells: plane/centroid dim mismatch
+    // yields NULL, never a silently truncated dot product
+    val planes2 = array(array(lit(1.0), lit(2.0)))
+    val cents2 = array(array(lit(1.0), lit(2.0)))
+    val v3 = Seq(1).toDF("x").select(array(lit(1.0), lit(2.0), lit(3.0)).as("v"))
+    assert(v3.select(call_function("graft_lsh_bucket", col("v"), planes2)).head().isNullAt(0))
+    assert(v3.select(call_function("graft_nearest_cells", col("v"), cents2, lit(1))).head().isNullAt(0))
+    // refineCentroids tolerates NULL vectors (no NPE, NULLs assign nowhere)
+    val withNull = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("id", "vec")
+    val refined = SimilaritySearch.refineCentroids(withNull, "vec",
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)), iters = 1)
+    assert(refined.size == 2)
+    // topKAll: excludeSelf=false keeps the id-coincident pair
+    val corpus = Seq((42L, Array(1.0f, 0.0f))).toDF("item_id", "vec")
+    val queries = Seq((42L, Array(1.0f, 0.0f))).toDF("user_id", "vec")
+    val withSelf = SimilaritySearch.topKAll(corpus, queries, "item_id", "vec",
+      "user_id", k = 1, excludeSelf = false).count()
+    val without = SimilaritySearch.topKAll(corpus, queries, "item_id", "vec",
+      "user_id", k = 1).count()
+    assert(withSelf == 1 && without == 0)
+  }
+
   test("IVF Lloyd refinement never increases the quantization objective") {
     graft.plans.HashExpressions.register(spark)
     val init = embs.select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
@@ -319,6 +345,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(w == 320 && h == 240, s"media $id dims not rewritten")
       assert(f == before(id), s"media $id body feature must be unchanged")
     }
+  }
+
+  test("Percentiles.exactByGroup keeps all-NULL groups with NULL percentiles") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("z", None), ("z", None)).toDF("g", "v")
+    val out = graft.operators.Percentiles
+      .exactByGroup(df, "g", "v", Seq(0.5), Seq("p50"))
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a" && out(0).getDouble(1) == 2.0)
+    assert(out(1).getString(0) == "z" && out(1).isNullAt(1)) // group kept, NULL value
   }
 
   test("Percentiles.exactByGroup equals the percentile() aggregate bit-for-bit") {

@@ -60,6 +60,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(survivors < 200 && survivors >= q)
   }
 
+  test("stratifiedQuotaGuarded: NULL-key rows survive the guard like the unguarded form") {
+    import spark.implicits._
+    val df = ((1 to 500).map(i => ("hot", s"k$i")) :+ (("hot", null.asInstanceOf[String])))
+      .toDF("stratum", "key")
+    val q = 5
+    val plain = Sampling.stratifiedQuota(df, "stratum", "key", q)
+      .collect().map(_.getString(1)).toSet
+    val guarded = Sampling.stratifiedQuotaGuarded(df, "stratum", "key", q)
+      .collect().map(_.getString(1)).toSet
+    // NULL sha2 sorts first → the NULL-key row is in the quota both ways
+    assert(plain.contains(null) && guarded == plain)
+  }
+
   test("weightedByStratum: per-stratum fractions honored; default applies") {
     val out = Sampling.weightedByStratum(docs, "lang", "doc_id",
       Map("en" -> 1.0), default = 0.0)

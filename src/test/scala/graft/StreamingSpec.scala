@@ -141,15 +141,19 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq((7L, ms("2024-01-01 08:00:00"),
       ms("2024-01-01 08:05:00"), 2L)))
-    // batch 3: another user far in the future — watermark passes 12:00+gap,
-    // the dangling 12:00 session times out and drains
+    // batch 3: a cross-batch latecomer 4 minutes BEFORE the open session's
+    // start (within the gap) must extend the session start backward
+    write(Seq((6L, "2024-01-01 11:56:00", 7L)))
+    q.processAllAvailable()
+    // batch 4: another user far in the future — watermark passes the open
+    // session + gap, it times out and drains with the extended bounds
     write(Seq((4L, "2024-01-02 09:00:00", 8L)))
     q.processAllAvailable()
     q.stop()
     val drained = spark.table("closed_sessions")
-      .where(col("start_ms") === ms("2024-01-01 12:00:00")).collect()
-    assert(drained.length == 1 && drained.head.getLong(3) == 1L,
-      "timed-out session must be emitted exactly once")
+      .where(col("start_ms") === ms("2024-01-01 11:56:00")).collect()
+    assert(drained.length == 1 && drained.head.getLong(3) == 2L,
+      "late event within gap must merge and extend the session start backward")
   }
 
   test("late data beyond the watermark is dropped in append mode") {

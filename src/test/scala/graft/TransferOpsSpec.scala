@@ -235,6 +235,26 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(TimeoutGuard.run(spark, timeoutMinutes = 60) { 1 + 1 } == 2)
   }
 
+  test("compression flag on a non-local/extension-less path fails loudly, never loads garbage") {
+    val dir = Files.createTempDirectory("gzdir").toString
+    intercept[GraftException] {
+      graft.sources.PgCsv.read(spark, dir,
+        CsvDialect(compression = Some("gzip")))
+    }
+  }
+
+  test("TimeoutGuard: nested guard keeps its own timeout attribution") {
+    // outer deadline fires during the body; the body's own (inner) timeout
+    // must surface with ITS minutes, not be re-labeled by the outer guard
+    val e = intercept[GraftTimeoutException] {
+      TimeoutGuard.runMillis(spark, timeoutMs = 50, reportedMinutes = 60) {
+        Thread.sleep(200)
+        throw new GraftTimeoutException(7)
+      }
+    }
+    assert(e.getMessage.contains("7 minutes"), e.getMessage)
+  }
+
   test("TimeoutGuard: body that completes despite the deadline succeeds (statement_timeout parity)") {
     // no Spark jobs → nothing for the cancel to interrupt; the work commits,
     // so reporting a timeout would tell callers to retry an applied load
