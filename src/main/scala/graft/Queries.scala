@@ -740,6 +740,31 @@ SELECT vec_id, FLOOR(raw*100+0.5)/100 AS score FROM topk ORDER BY score DESC, ve
     },
     None)
 
+  /** Trained IVF quantizers, one per dataset dir — the trained-index
+    * artifact a real deployment stores; memoizing it here makes x03c_search
+    * measure SEARCH alone (training is deterministic, so results are
+    * identical either way). */
+  private val ivfCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
+  private val x3cs = DeclaredQuery("x03c_search",
+    // search-only IVF over the pre-trained quantizer: same parameters and
+    // (deterministically) same output as x03c, but the plan contains NO
+    // corpus k-means pass — one cell equi-join + native cosine + top-k.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = ivfCentroids.computeIfAbsent(d, _ =>
+        graft.operators.SimilaritySearch
+          .trainIvf(e, "vec_id", "embedding", nlist = 16, refineIters = 2))
+      graft.operators.SimilaritySearch.ivfSearch(
+          cents, e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id",
+          k = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), round2(col("score")).as("score"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   private val x3d = DeclaredQuery("x03d_multi_query_topk",
     // exact many-query top-k (SimilaritySearch.topKAll) — the brute-force
     // baseline the LSH (x03b) and IVF (x03c) paths approximate, and the one
@@ -1153,7 +1178,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3d, x4, x4b, x4c, x4d, x4e,
+    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3cs, x3d, x4, x4b, x4c, x4d, x4e,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * interpolation.
   *
   * Cost: one shuffle+sort of (group, value) — narrow rows, spill-friendly —
-  * plus a broadcast of the per-group counts; the interpolation join touches
-  * `2·|ps|` rows per group.
+  * plus a join against the per-group quantile targets (`2·|ps|` rows per
+  * group; AQE broadcasts it when small, shuffles when group cardinality is
+  * extreme).
   */
 object Percentiles {
 
@@ -42,7 +43,10 @@ object Percentiles {
       .select(col(groupCol), col("__nm"), col("__h"),
         (floor(col("__h")).cast("long") + 1).as("__lo"),
         (ceil(col("__h")).cast("long") + 1).as("__hi"))
-    val hits = ranked.join(broadcast(wanted), Seq(groupCol))
+    // no forced broadcast: `wanted` is 2·|ps| rows per GROUP, so a
+    // high-cardinality group column could blow past the broadcast limit —
+    // AQE picks broadcast when it fits and a shuffle join when it doesn't
+    val hits = ranked.join(wanted, Seq(groupCol))
       .where(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
       .groupBy(groupCol, "__nm", "__h", "__lo")
       .agg(max(when(col("__rn") === col("__lo"), col("__v"))).as("__vlo"),

@@ -74,9 +74,14 @@ object Sampling {
     // the guarded output stays row-identical. (With several NULL-key rows in
     // one stratum their mutual order is tie-broken by nothing in either
     // form — same caveat as stratifiedQuota itself.)
-    val pre = df.join(broadcast(fracs), Seq(stratumCol))
+    // The join key is NULL-SAFE (<=>): stratifiedQuota treats NULL as its own
+    // window partition, so a plain equi-join would silently drop NULL-stratum
+    // rows here and break the "returns the SAME rows" contract.
+    val pre = df.join(
+        broadcast(fracs.select(col(stratumCol).as("__stratum"), col("__f"))),
+        col(stratumCol) <=> col("__stratum"))
       .where(col(keyCol).isNull || hashUnit(col(keyCol)) < col("__f"))
-      .drop("__f")
+      .drop("__stratum", "__f")
     stratifiedQuota(pre, stratumCol, keyCol, quota)
   }
 

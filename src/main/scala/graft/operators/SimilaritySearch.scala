@@ -154,37 +154,48 @@ object SimilaritySearch {
   }
 
   /** Mean squared L2 distance to each vector's nearest centroid — the
-    * k-means objective (diagnostic; used by the refinement spec). */
+    * k-means objective (diagnostic; used by the refinement spec). One native
+    * primitive loop per row (`graft_nearest_dist`); same selection and fold
+    * order as the interpreted assign-then-zip_with form it replaced, so the
+    * value is bit-identical (pinned in ExtensionsSpec). */
   private[graft] def quantizationError(corpus: DataFrame, vecCol: String,
                                        cents: Seq[Array[Double]]): Double = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val assigned = corpus.select(col(vecCol).as("__v"),
-      element_at(call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
-        .as("__cell"))
-    val withCent = assigned.withColumn("__c",
-      element_at(centLit, col("__cell") + 1))
-    withCent.select(avg(aggregate(zip_with(col("__v"), col("__c"),
-        (x, y) => { val d = x.cast("double") - y; d * d }),
-      lit(0.0), (acc, v) => acc + v)).as("e"))
+    corpus.select(avg(
+        call_function("graft_nearest_dist", col(vecCol), centLit)).as("e"))
       .head().getDouble(0)
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, queryIdCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 2,
-              refineIters: Int = 2): DataFrame = {
+  /** Train the IVF coarse quantizer ONCE: deterministic corpus sample init +
+    * distributed Lloyd refinement (see [[refineCentroids]]). Returns the
+    * centroid table — nlist × dim doubles on the driver, the trained-index
+    * ARTIFACT a deployment stores and reuses. Splitting training from
+    * [[ivfSearch]] is what decouples search latency from corpus size: at
+    * 100 TB the k-means passes run once per index build, not once per query
+    * batch. */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, refineIters: Int = 2): Seq[Array[Double]] = {
     graft.plans.HashExpressions.register(corpus.sparkSession)
-    // coarse quantizer: deterministic sample init + Lloyd refinement (a real
-    // IVF's k-means, distributed — see refineCentroids). The centroid table
-    // is ONE foldable nested-array literal: the native graft_nearest_cells
-    // expression materializes it once per task and runs a primitive
-    // nlist×dim loop per row.
     val init = corpus
       .select(col(vecCol)).orderBy(xxhash64(col(idCol))).limit(nlist)
       .collect()
       .map(r => r.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    val refined = refineCentroids(corpus, vecCol, init, refineIters)
-    val cents: Column = array(refined
+    refineCentroids(corpus, vecCol, init, refineIters)
+  }
+
+  /** Search a pre-trained IVF index ([[trainIvf]]'s centroids): each corpus
+    * vector lives in its nearest centroid's cell, each query probes its
+    * `nprobe` nearest cells, native cosine re-ranks within the probed cells,
+    * a window keeps top-k per query. The centroid table is ONE foldable
+    * nested-array literal: `graft_nearest_cells` materializes it once per
+    * task and runs a primitive nlist×dim loop per row. The plan is a single
+    * equi-join on cell ids — NO corpus-wide training pass. */
+  def ivfSearch(centroids: Seq[Array[Double]], corpus: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String,
+                queryIdCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val cents: Column = array(centroids
       .map(c => array(c.map(lit): _*)): _*)
     val corpusCell = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       element_at(call_function("graft_nearest_cells", col(vecCol), cents, lit(1)), 1)
@@ -200,6 +211,16 @@ object SimilaritySearch {
       .where(col("__rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
   }
+
+  /** Train-then-search composition — the one-shot convenience form (and the
+    * deterministic x03c gate entry). Production callers should [[trainIvf]]
+    * once and [[ivfSearch]] per query batch. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 2,
+              refineIters: Int = 2): DataFrame =
+    ivfSearch(trainIvf(corpus, idCol, vecCol, nlist, refineIters),
+      corpus, queries, idCol, vecCol, queryIdCol, k, nprobe)
 
   /** All same-bucket pairs with exact cosine — the candidate generator for
     * embedding near-dup detection. */

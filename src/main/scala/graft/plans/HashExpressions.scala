@@ -169,6 +169,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprintExpr].getName, "graft_winnow"),
       exprs => WinnowFingerprintExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_nearest_dist"),
+      new ExpressionInfo(classOf[NearestCentroidDistExpr].getName, "graft_nearest_dist"),
+      exprs => NearestCentroidDistExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -195,5 +198,7 @@ object HashExpressions {
       exprs => HyperplaneBucketExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => WinnowFingerprintExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_dist",
+      exprs => NearestCentroidDistExpr(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -141,7 +141,18 @@ case class HyperplaneBucketExpr(vec: Expression, planes: Expression)
     else if (!planesOk || !planes.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: planes must be a foldable ARRAY<ARRAY<FLOAT|DOUBLE>>")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // the bucket is a 64-bit sign pattern: `1L << p` wraps at p = 64, which
+      // would silently fold plane p onto plane p−64 and collide buckets
+      val pv = planes.eval(null)
+      if (pv == null)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: planes must not be NULL")
+      else if (pv.asInstanceOf[ArrayData].numElements() > 64)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: at most 64 planes fit a 64-bit bucket, " +
+            s"got ${pv.asInstanceOf[ArrayData].numElements()}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   @transient private lazy val vecFloat = vec.dataType match {
@@ -236,7 +247,15 @@ case class NearestCentroidsExpr(vec: Expression, centroids: Expression, n: Expre
         s"$prettyName: centroids must be a foldable ARRAY<ARRAY<FLOAT|DOUBLE>>")
     else if (n.dataType != IntegerType || !n.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be a foldable INT")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // a foldable NULL or non-positive n would pass the type check but blow
+      // up at eval (null cast / negative array size) — reject at analysis
+      val nv = n.eval(null)
+      if (nv == null || nv.asInstanceOf[Int] <= 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: n must be a non-null positive INT, got $nv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   @transient private lazy val vecFloat = vec.dataType match {
@@ -308,4 +327,92 @@ case class NearestCentroidsExpr(vec: Expression, centroids: Expression, n: Expre
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NearestCentroidsExpr =
     copy(vec = f, centroids = s, n = t)
+}
+
+/** `graft_nearest_dist(vec, centroids)` → DOUBLE: SQUARED L2 distance from
+  * `vec` to its nearest centroid — the per-row term of the k-means objective
+  * ([[graft.operators.SimilaritySearch.quantizationError]]). Selection and
+  * fold order match [[NearestCentroidsExpr]] exactly (same left-to-right
+  * `d*d` accumulation, ties by index), so the value is bit-identical to
+  * "distance to the cell graft_nearest_cells(v, c, 1) assigns" computed by
+  * the interpreted HOF fold it replaces — pinned in ExtensionsSpec.
+  * `centroids` must be a foldable literal (evaluated once per task). */
+case class NearestCentroidDistExpr(vec: Expression, centroids: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = centroids
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_dist"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = centroids.dataType match {
+      case ArrayType(ArrayType(FloatType | DoubleType, _), _) => true
+      case _ => false
+    }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vec must be ARRAY<FLOAT|DOUBLE>, got ${vec.dataType.simpleString}")
+    else if (!centsOk || !centroids.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: centroids must be a foldable ARRAY<ARRAY<FLOAT|DOUBLE>>")
+    else if (centroids.eval(null) == null ||
+      centroids.eval(null).asInstanceOf[ArrayData].numElements() == 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: centroids must be a non-null non-empty literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val outerFloat = centroids.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    val ad = centroids.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements()) { j =>
+        if (outerFloat) inner.getFloat(j).toDouble else inner.getDouble(j)
+      }
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (va.isNullAt(i)) return null
+      x(i) = if (vecFloat) va.getFloat(i).toDouble else va.getDouble(i)
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != dim) return null // dim mismatch → NULL, not truncation
+      var s = 0.0
+      var j = 0
+      while (j < dim) { val d = x(j) - cent(j); s += d * d; j += 1 }
+      if (s < best) best = s // strict < keeps the lowest-index tie, like argmin
+      c += 1
+    }
+    java.lang.Double.valueOf(best)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroidDistExpr =
+    copy(vec = l, centroids = r)
 }

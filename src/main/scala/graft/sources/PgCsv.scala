@@ -94,12 +94,19 @@ object PgCsv {
       Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
       link.toFile.deleteOnExit()
       link.toString
-    } else
-      // a silent fall-through would parse the compressed stream as text and
-      // load garbage — the exact failure the explicit flag exists to prevent
+    } else if (f.isDirectory || path.exists("*?[{".contains(_)))
+      // standard Spark CSV layouts: a directory (or glob) of part files whose
+      // names carry their own codec extensions — Hadoop's per-file extension
+      // inference decompresses each part; the single-file rename trick
+      // neither applies nor is needed
+      path
+    else
+      // a nonexistent plain file with the flag set: a silent fall-through
+      // would surface as a confusing path-not-found later — fail with the
+      // flag's contract instead
       throw new graft.operators.GraftException(
-        s"compression='$codec' requires a local file or a '$ext' extension; " +
-          s"got: $path (rename the input or drop the flag)")
+        s"compression='$codec' requires a local file, directory, glob, or a " +
+          s"'$ext' extension; got: $path (rename the input or drop the flag)")
   }
 
   /** Distributed CSV write to a directory of part files (the cluster-scale

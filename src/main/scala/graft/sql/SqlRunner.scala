@@ -25,17 +25,33 @@ object SqlRunner {
     (if (t.endsWith(";")) t.dropRight(1) else t).trim
   }
 
-  /** `operators.py:62-67` — `.sql` suffix means "load statement from file". */
-  def resolve(sqlOrPath: String): String =
+  /** `operators.py:62-67` — `.sql` suffix means "load statement from file".
+    *
+    * `searchPaths` mirrors the reference's `template_ext` resolution
+    * (`operators.py:35-39`), where a RELATIVE `.sql` path is looked up
+    * against the DAG folder + `template_searchpath` directories in order.
+    * An absolute path, or a relative path that resolves from the working
+    * directory, behaves exactly as before; search dirs are consulted only
+    * when neither does. */
+  def resolve(sqlOrPath: String, searchPaths: Seq[String] = Nil): String =
     if (sqlOrPath.trim.toLowerCase.endsWith(".sql")) {
-      val src = scala.io.Source.fromFile(sqlOrPath.trim)
+      val p = sqlOrPath.trim
+      val direct = new java.io.File(p)
+      val target =
+        if (direct.isAbsolute || direct.isFile) direct
+        else searchPaths.iterator
+          .map(dir => new java.io.File(dir, p))
+          .find(_.isFile)
+          .getOrElse(direct) // keep the original path in the error message
+      val src = scala.io.Source.fromFile(target)
       try src.mkString finally src.close()
     } else sqlOrPath
 
   /** Execute SQL text (or a `.sql` file path) with optional named parameters. */
   def run(spark: SparkSession, sqlOrPath: String,
-          params: Map[String, Any] = Map.empty): DataFrame = {
-    val sql = normalize(resolve(sqlOrPath))
+          params: Map[String, Any] = Map.empty,
+          searchPaths: Seq[String] = Nil): DataFrame = {
+    val sql = normalize(resolve(sqlOrPath, searchPaths))
     if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
   }
 }

@@ -103,21 +103,27 @@ object EventStreams {
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
                                  n_events: Long)
   final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class OpenSessions(sessions: List[OpenSession])
 
   /** Custom sessionization via `flatMapGroupsWithState`: emits each session
     * WHEN IT CLOSES — zero-to-many outputs per group invocation, the shape
-    * `mapGroupsWithState` (exactly one output) cannot express. A session
-    * closes when a later event for the user arrives more than `gapMs` after
-    * the last one, or when the EVENT-TIME TIMEOUT fires (the watermark passed
-    * `last + gap` with no new data) — so dangling sessions drain instead of
-    * living in the state store forever. State per user is one (start, last,
-    * n) triple, partitioned by key across executors; the watermark bounds
-    * both state size and output latency at 100 TB-stream scale.
+    * `mapGroupsWithState` (exactly one output) cannot express.
     *
-    * In-batch events are sorted by time before folding; events that jump
-    * back across micro-batches (later batch, earlier timestamp) extend the
-    * open session if within the gap — the watermark bounds how far back that
-    * can reach. */
+    * Semantics match batch `session_window` under the watermark contract:
+    * state holds ALL of a user's open sessions (not just the newest), new
+    * events fold in by interval-merge with gap — so out-of-order events
+    * older than the newest session's window start their OWN session and
+    * merge with adjacent latecomers, exactly as batch would group them,
+    * instead of degenerating to singletons. A session closes only when the
+    * WATERMARK passes `last + gap` (no event that could still extend it can
+    * arrive — rows below the watermark are dropped before the stateful op),
+    * either on a data batch or via the event-time timeout, so dangling
+    * sessions drain instead of living in the state store forever.
+    *
+    * State per user is a short list of (start, last, n) triples — more than
+    * one entry only while out-of-order data is in flight inside the
+    * watermark window — partitioned by key across executors; the watermark
+    * bounds state size and output latency at 100 TB-stream scale. */
   def closedUserSessions(spark: SparkSession, events: DataFrame,
                          gapMs: Long = 30L * 60 * 1000,
                          watermark: String = "10 minutes"): Dataset[ClosedSession] = {
@@ -130,44 +136,41 @@ object EventStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid, s.start, s.last, s.n))
-          } else {
-            val ts = rows.map(_._3).toArray.sorted
-            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
-            var open = state.getOption
-            ts.foreach { t =>
-              open match {
-                // within gap of the open session's interval [start, last]
-                // (a cross-batch latecomer may extend START backward — the
-                // watermark bounds how far back that can reach)
-                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
-                  open = Some(OpenSession(math.min(s.start, t),
-                    math.max(s.last, t), s.n + 1))
-                case Some(s) if t > s.last + gapMs =>
-                  closed += ClosedSession(uid, s.start, s.last, s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(_) =>
-                  // older than start − gap: an isolated out-of-order event
-                  // from a PAST session window — emit as its own closed
-                  // singleton (its true session already closed or never
-                  // existed; the watermark makes further merges impossible)
-                  closed += ClosedSession(uid, t, t, 1)
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
+         state: GroupState[OpenSessions]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) existing
+            else {
+              // fold the batch's events in as singleton sessions, then
+              // interval-merge with gap — the same merge batch
+              // session_window performs. Existing sessions are internally
+              // gap-consistent, so one sorted sweep suffices.
+              val pts = rows.map(r => OpenSession(r._3, r._3, 1L)).toList
+              val all = (existing ++ pts).sortBy(s => (s.start, s.last))
+              val out = scala.collection.mutable.ListBuffer.empty[OpenSession]
+              all.foreach { s =>
+                out.lastOption match {
+                  case Some(p) if s.start <= p.last + gapMs =>
+                    out(out.length - 1) = OpenSession(p.start,
+                      math.max(p.last, s.last), p.n + s.n)
+                  case _ => out += s
+                }
               }
+              out.toList
             }
-            open.foreach { s =>
-              state.update(s)
-              // the timeout timestamp must sit above the current watermark
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
-          })
+          // close exactly the sessions the watermark has sealed: no
+          // still-admissible event (ts ≥ wm) can fall within their gap
+          val (done, open) = merged.partition(s => s.last + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // next close point; the timeout timestamp must sit above the wm
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last + gapMs).min, wm + 1))
+          }
+          done.iterator.map(s => ClosedSession(uid, s.start, s.last, s.n))
+        })
   }
 
   /** Stream → table sink via foreachBatch: every micro-batch appends through

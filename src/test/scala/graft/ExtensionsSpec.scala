@@ -302,6 +302,91 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e1 < e0, "first Lloyd step should strictly improve on sample init")
   }
 
+  test("graft_nearest_dist is bit-identical to the interpreted assign-then-fold form") {
+    graft.plans.HashExpressions.register(spark)
+    val cents = embs.select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val both = embs.select(col("vec_id"),
+        call_function("graft_nearest_dist", col("embedding"), centLit).as("native"),
+        aggregate(zip_with(col("embedding"),
+            element_at(centLit,
+              element_at(call_function("graft_nearest_cells", col("embedding"),
+                centLit, lit(1)), 1) + 1),
+            (x, y) => { val d = x.cast("double") - y; d * d }),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
+  }
+
+  test("ivfSearch over pre-trained centroids equals the train+search composition") {
+    val queries = embs.where(col("vec_id") < 10)
+    val cents = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+      nlist = 8, refineIters = 2)
+    val split = SimilaritySearch.ivfSearch(cents, embs, queries,
+        "vec_id", "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fused = SimilaritySearch.ivfTopK(embs, queries,
+        "vec_id", "embedding", "vec_id", k = 5, nlist = 8, nprobe = 3, refineIters = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(split.nonEmpty && split == fused)
+  }
+
+  test("bucket/cell expressions reject invalid foldable args at analysis") {
+    import spark.implicits._
+    graft.plans.HashExpressions.register(spark)
+    val v = Seq(1).toDF("x").select(array(lit(1.0), lit(2.0)).as("v"))
+    // >64 planes would wrap 1L << p and collide buckets — rejected up front
+    val planes65 = array((0 until 65).map(_ => array(lit(1.0), lit(2.0))): _*)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      v.select(call_function("graft_lsh_bucket", col("v"), planes65)).collect()
+    }
+    assert(e1.getMessage.contains("64"))
+    // NULL / non-positive n would NPE or negative-size at eval — rejected
+    val cents = array(array(lit(1.0), lit(2.0)))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      v.select(call_function("graft_nearest_cells", col("v"), cents,
+        lit(null).cast("int"))).collect()
+    }
+    assert(e2.getMessage.contains("non-null"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      v.select(call_function("graft_nearest_cells", col("v"), cents, lit(0))).collect()
+    }
+    assert(e3.getMessage.contains("positive"))
+  }
+
+  test("winnowing guarantee: any shared passage ≥ w+k−1 chars shares a fingerprint (100 random cases)") {
+    import spark.implicits._
+    // Schleimer et al. SIGMOD'03, Thm: a match of length ≥ w+k−1 spans w
+    // consecutive k-grams, so ONE window lies entirely inside it in both
+    // documents; winnowing selects that window's min hash in both → the
+    // fingerprint SETS intersect. Randomized: alphabetic docs with a planted
+    // passage of exactly w+k−1 chars at random positions, one Spark job for
+    // all cases.
+    val k = 8; val w = 4
+    val rnd = new scala.util.Random(20260812L)
+    def word(n: Int): String = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    def doc(passage: String): String = {
+      val pre = Seq.fill(1 + rnd.nextInt(8))(word(1 + rnd.nextInt(10))).mkString(" ")
+      val post = Seq.fill(1 + rnd.nextInt(8))(word(1 + rnd.nextInt(10))).mkString(" ")
+      s"$pre $passage $post"
+    }
+    val cases = (1 to 100).map { i =>
+      val passage = word(k + w - 1) // letters only: normalization-invariant
+      (i, doc(passage), doc(passage))
+    }
+    val df = cases.toDF("case_id", "a", "b")
+    val overlapping = df.select(col("case_id"),
+        arrays_overlap(
+          TextAnalysis.winnowFingerprints(col("a"), k, w),
+          TextAnalysis.winnowFingerprints(col("b"), k, w)).as("shared"))
+      .where(!col("shared")).collect()
+    assert(overlapping.isEmpty,
+      s"winnowing guarantee violated for cases: ${overlapping.map(_.getInt(0)).mkString(",")}")
+  }
+
   test("salted join equals plain join on skewed data and splits the hot key") {
     import spark.implicits._
     // hot key: 10k rows of key=1, a handful of others
