@@ -45,8 +45,8 @@ object PgCsv {
            schema: Option[StructType] = None,
            inferSchema: Boolean = false): DataFrame = {
     val needSentinel = dialect.nullString.isEmpty
-    val effectivePath =
-      dialect.compression.map(withCodecExtension(path, _)).getOrElse(path)
+    val effectivePaths =
+      dialect.compression.map(withCodecExtension(path, _)).getOrElse(Seq(path))
     var r = spark.read
       .option("sep", dialect.delimiter)
       .option("quote", dialect.quote)
@@ -58,7 +58,7 @@ object PgCsv {
       .option("lineSep", "\n")                   // preserve \r inside fields
     schema.foreach(s => r = r.schema(s))
     if (schema.isEmpty && inferSchema) r = r.option("inferSchema", "true")
-    val df = r.csv(effectivePath)
+    val df = r.csv(effectivePaths: _*)
     if (!needSentinel) df
     else {
       val cols = df.schema.fields.map { f =>
@@ -73,40 +73,69 @@ object PgCsv {
   /** Hadoop picks the DEcompression codec from the file extension, but the
     * reference keys import decompression off the explicit `compression` flag
     * regardless of filename (`operators.py:210-212`) — a gzipped file named
-    * `data.csv` must still decompress. When the flag is set and the name
-    * lacks the codec's extension, read through a symlink that adds it
-    * (metadata only — no data copy; the lazily-read DataFrame keeps needing
-    * it, so cleanup is deferred to JVM exit). */
-  private def withCodecExtension(path: String, codec: String): String = {
+    * `data.csv` must still decompress. When the flag is set, every data file
+    * the path resolves to must reach the parser under the codec's extension:
+    * files already carrying it pass through; extension-less files are read
+    * through a symlink that adds it (metadata only — no data copy; the
+    * lazily-read DataFrame keeps needing it, so cleanup is deferred to JVM
+    * exit). Directories and globs are enumerated file-by-file so an
+    * extension-less gzipped part can NEVER be silently parsed as plain text.
+    * An empty or nonexistent input fails loudly with the flag's contract.
+    *
+    * Local-filesystem semantics by design: this mirrors the reference's
+    * local-file COPY surface. Cluster-scale reads land as parquet/bucketed
+    * tables (sources.Tables), not flag-compressed loose CSV. */
+  private def withCodecExtension(path: String, codec: String): Seq[String] = {
     val ext = codec match {
       case "gzip" => ".gz"
       case "bzip2" => ".bz2"
       case other => "." + other
     }
-    val f = new File(path)
-    if (f.getName.endsWith(ext)) path
-    else if (f.isFile) {
-      val dir = Files.createTempDirectory("graft-codec-")
-      // deleteOnExit runs in REVERSE registration order: register the dir
-      // first so the link is removed before its (then-empty) parent
-      dir.toFile.deleteOnExit()
-      val link = dir.resolve(f.getName + ext)
-      Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
-      link.toFile.deleteOnExit()
-      link.toString
-    } else if (f.isDirectory || path.exists("*?[{".contains(_)))
-      // standard Spark CSV layouts: a directory (or glob) of part files whose
-      // names carry their own codec extensions — Hadoop's per-file extension
-      // inference decompresses each part; the single-file rename trick
-      // neither applies nor is needed
-      path
-    else
-      // a nonexistent plain file with the flag set: a silent fall-through
-      // would surface as a confusing path-not-found later — fail with the
-      // flag's contract instead
+    def fail(why: String): Nothing =
       throw new graft.operators.GraftException(
-        s"compression='$codec' requires a local file, directory, glob, or a " +
-          s"'$ext' extension; got: $path (rename the input or drop the flag)")
+        s"compression='$codec': $why; got: $path " +
+          "(rename the input or drop the flag)")
+    // one link dir per read; deleteOnExit runs in REVERSE registration order:
+    // register the dir first so links are removed before their parent
+    lazy val linkDir = {
+      val d = Files.createTempDirectory("graft-codec-")
+      d.toFile.deleteOnExit()
+      d
+    }
+    val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    def linked(f: File): String =
+      if (f.getName.endsWith(ext)) f.getPath
+      else {
+        // prefix with a counter: globs can match same-named parts from
+        // different directories, which would collide in the shared link dir
+        val link = linkDir.resolve(s"${seq.getAndIncrement()}-${f.getName}$ext")
+        Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+        link.toFile.deleteOnExit()
+        link.toString
+      }
+    // Hadoop/Spark data-file convention: names starting with '.' or '_' are
+    // hidden (checksums, _SUCCESS markers) and never parsed
+    def dataFiles(dir: File): Array[File] =
+      dir.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val f = new File(path)
+    if (f.getName.endsWith(ext)) Seq(path)
+    else if (f.isFile) Seq(linked(f))
+    else if (f.isDirectory) {
+      val parts = dataFiles(f)
+      if (parts.isEmpty) fail("directory contains no data files")
+      parts.toIndexedSeq.map(linked)
+    } else if (path.exists("*?[{".contains(_))) {
+      val hadoopPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hadoopPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val matches = Option(fs.globStatus(hadoopPath)).getOrElse(Array.empty)
+      val files = matches.toIndexedSeq.flatMap { st =>
+        val mf = new File(st.getPath.toUri.getPath)
+        if (mf.isDirectory) dataFiles(mf).toIndexedSeq else Seq(mf)
+      }
+      if (files.isEmpty) fail("glob matched no data files")
+      files.map(linked)
+    } else fail(s"requires an existing file, directory, glob, or a '$ext' extension")
   }
 
   /** Distributed CSV write to a directory of part files (the cluster-scale

@@ -156,6 +156,159 @@ class StreamingSpec extends AnyFunSuite {
       "late event within gap must merge and extend the session start backward")
   }
 
+  test("two adjacent latecomers merge into ONE closed session, not two singletons") {
+    val dir = Files.createTempDirectory("fmgws2").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ms(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // gap 5 min, watermark 10 min: latecomers can land INSIDE the watermark
+    // window yet MORE than a gap before the open session
+    write(Seq((1L, "2024-01-01 20:00:00", 7L)))
+    val q = EventStreams.closedUserSessions(spark,
+        EventStreams.readEvents(spark, dir), gapMs = 5L * 60 * 1000)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_pair").start()
+    q.processAllAvailable()
+    // batch 2: two adjacent latecomers at 19:51 + 19:53 — above the watermark
+    // (19:50), within one gap of EACH OTHER, but >gap before the 20:00 open
+    // session: batch session_window would make them one separate session
+    write(Seq((2L, "2024-01-01 19:51:00", 7L), (3L, "2024-01-01 19:53:00", 7L)))
+    q.processAllAvailable()
+    // advance the watermark past every seal point so all sessions drain
+    write(Seq((4L, "2024-01-01 22:00:00", 8L)))
+    q.processAllAvailable()
+    write(Seq((5L, "2024-01-01 22:10:00", 8L)))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("late_pair").where(col("user_id") === 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(u7 == Set(
+      (ms("2024-01-01 19:51:00"), ms("2024-01-01 19:53:00"), 2L),
+      (ms("2024-01-01 20:00:00"), ms("2024-01-01 20:00:00"), 1L)),
+      s"latecomer pair must merge into ONE session: $u7")
+  }
+
+  test("multiple open sessions per user drain in watermark order") {
+    val dir = Files.createTempDirectory("fmgws3").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    def ms(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def closedStarts(): Seq[Long] =
+      spark.table("drain_order").where(col("user_id") === 9L)
+        .collect().map(_.getLong(1)).sorted.toSeq
+    // gap 5 min, watermark 10 min: events 8 min apart are >gap (new session
+    // each) but the watermark trails by 10 min, so the older session's seal
+    // point stays ahead of the watermark for one extra batch — NOTE Spark
+    // runs a no-data batch whenever the watermark advances, so a session
+    // drains EAGERLY (via event-time timeout) the moment wm passes its seal
+    // point, not at the next data batch
+    write(Seq((1L, "2024-01-01 10:00:00", 9L)))
+    val q = EventStreams.closedUserSessions(spark,
+        EventStreams.readEvents(spark, dir), gapMs = 5L * 60 * 1000)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drain_order").start()
+    q.processAllAvailable()
+    write(Seq((2L, "2024-01-01 10:08:00", 9L)))
+    q.processAllAvailable()
+    // watermark 09:58 < 10:05 seal → BOTH sessions still open, none emitted
+    assert(closedStarts() == Seq(), "two open sessions must coexist")
+    write(Seq((3L, "2024-01-01 10:16:00", 9L)))
+    q.processAllAvailable()
+    // wm 10:06 seals only the 10:00 session — oldest drains first
+    assert(closedStarts() == Seq(ms("2024-01-01 10:00:00")))
+    write(Seq((4L, "2024-01-01 10:24:00", 9L)))
+    q.processAllAvailable()
+    // wm 10:14 seals the 10:08 session next
+    assert(closedStarts() == Seq(ms("2024-01-01 10:00:00"),
+      ms("2024-01-01 10:08:00")))
+    // no more data for user 9: remaining sessions drain via event-time
+    // TIMEOUT as another user pushes the watermark past both seal points
+    write(Seq((5L, "2024-01-01 11:24:00", 99L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(closedStarts() == Seq(ms("2024-01-01 10:00:00"),
+      ms("2024-01-01 10:08:00"), ms("2024-01-01 10:16:00"),
+      ms("2024-01-01 10:24:00")), "all open sessions must drain by timeout")
+  }
+
+  test("streaming sessionization equals batch session_window under K micro-batch permutations") {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    val ev = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+    val span = ev.agg(
+      min(unix_millis(col("ts").cast("timestamp"))).as("lo"),
+      max(unix_millis(col("ts").cast("timestamp"))).as("hi")).head()
+    val (loMs, hiMs) = (span.getLong(0), span.getLong(1))
+    // a watermark delay wider than the whole event span: NO event is ever
+    // late regardless of how files shuffle events across micro-batches, so
+    // every permutation must converge to the exact batch answer
+    val delayMin = (hiMs - loMs) / 60000 + 60
+    val flushUser = 999999L
+    val flush1 = hiMs + delayMin * 60000 + gapMs + 3600000
+    val batch = ev
+      .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("s"),
+        (unix_millis(col("w.end")) - gapMs).as("e"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // K=3 different micro-batch compositions of the SAME events
+    val splits = Seq(
+      pmod(hash(col("event_id")), lit(3)),
+      pmod(col("event_id"), lit(3)).cast("int"),
+      pmod(col("user_id"), lit(3)).cast("int"))
+    splits.zipWithIndex.foreach { case (splitExpr, k) =>
+      val dir = Files.createTempDirectory(s"perm$k").toString
+      val tagged = ev.withColumn("b", splitExpr)
+      for (b <- 0 until 3)
+        tagged.where(col("b") === b).drop("b")
+          .coalesce(1).write.mode("append").parquet(dir)
+      val q = EventStreams.closedUserSessions(spark,
+          EventStreams.readEvents(spark, dir), gapMs = gapMs,
+          watermark = s"$delayMin minutes")
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(s"perm_sessions$k").start()
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark past every seal
+      // point, the second fires the event-time timeouts that drain state
+      def flush(tsMs: Long): Unit =
+        Seq((0L, new java.sql.Timestamp(tsMs), flushUser))
+          .toDF("event_id", "ts_t", "user_id")
+          .select(col("event_id"), col("ts_t").cast("timestamp_ntz").as("ts"),
+            col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
+            lit("{}").as("props"))
+          .coalesce(1).write.mode("append").parquet(dir)
+      flush(flush1); q.processAllAvailable()
+      flush(flush1 + 3600000); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(s"perm_sessions$k")
+        .where(col("user_id") =!= flushUser)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch,
+        s"permutation $k diverged from batch session_window: " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    }
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     val dir = Files.createTempDirectory("late").toString
     import spark.implicits._

@@ -235,10 +235,62 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(TimeoutGuard.run(spark, timeoutMinutes = 60) { 1 + 1 } == 2)
   }
 
-  test("compression flag on a non-local/extension-less path fails loudly, never loads garbage") {
+  test("compression flag on an empty directory or missing path fails loudly, never loads garbage") {
     val dir = Files.createTempDirectory("gzdir").toString
     intercept[GraftException] {
       graft.sources.PgCsv.read(spark, dir,
+        CsvDialect(compression = Some("gzip")))
+    }
+    intercept[GraftException] {
+      graft.sources.PgCsv.read(spark, dir + "/nonexistent.csv",
+        CsvDialect(compression = Some("gzip")))
+    }
+  }
+
+  test("compression flag on a directory of .csv.gz parts round-trips (E8 dir contract)") {
+    val dir = Files.createTempDirectory("gzparts").toString
+    for (i <- 0 until 3) {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/part-0000$i.csv.gz"))
+      out.write(s"${i * 2}\n${i * 2 + 1}\n".getBytes("UTF-8")); out.close()
+    }
+    // hidden files must be ignored, not parsed
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_SUCCESS"), "")
+    val df = graft.sources.PgCsv.read(spark, dir,
+      CsvDialect(hasHeader = false, compression = Some("gzip")))
+    assert(df.collect().map(_.getString(0).toInt).sorted.toSeq == (0 until 6))
+  }
+
+  test("compression flag decompresses a directory of EXTENSION-LESS gzipped parts (operators.py:210-212)") {
+    // the reference keys decompression on the flag, not the filename — a
+    // directory of gzipped parts named plain .csv must decompress via the
+    // same symlink mapping as the single-file path, never parse as text
+    val dir = Files.createTempDirectory("gzflagdir").toString
+    for (i <- 0 until 3) {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/part-0000$i.csv"))
+      out.write(s"${i * 2}\n${i * 2 + 1}\n".getBytes("UTF-8")); out.close()
+    }
+    val df = graft.sources.PgCsv.read(spark, dir,
+      CsvDialect(hasHeader = false, compression = Some("gzip")))
+    val got = df.collect().map(_.getString(0))
+    // loud proof no gzip header bytes leaked through as "text rows"
+    assert(got.forall(s => s != null && s.forall(_.isDigit)), got.mkString("|"))
+    assert(got.map(_.toInt).sorted.toSeq == (0 until 6))
+  }
+
+  test("compression flag on a glob of extension-less gzipped parts decompresses each match") {
+    val dir = Files.createTempDirectory("gzglob").toString
+    for (i <- 0 until 2) {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/chunk-$i.csv"))
+      out.write(s"$i\n".getBytes("UTF-8")); out.close()
+    }
+    val df = graft.sources.PgCsv.read(spark, s"$dir/chunk-*.csv",
+      CsvDialect(hasHeader = false, compression = Some("gzip")))
+    assert(df.collect().map(_.getString(0).toInt).sorted.toSeq == Seq(0, 1))
+    intercept[GraftException] {
+      graft.sources.PgCsv.read(spark, s"$dir/nomatch-*.csv",
         CsvDialect(compression = Some("gzip")))
     }
   }
