@@ -682,6 +682,36 @@ pairs AS (SELECT id_1, id_2, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
           FROM isect JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2)
 SELECT id_1, id_2, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.6 ORDER BY id_1, id_2"""))
 
+  private val x2e = DeclaredQuery("x02e_jaccard_pairs_capped",
+    // The stop-shingle cap (dfCap): shingles appearing in more than `cap`
+    // documents are dropped from the POSTING join — the worst-case bound that
+    // keeps the inverted index output-bound on boilerplate-heavy corpora.
+    // Capped shingles leave the intersection counts but NOT the set sizes,
+    // so the computed Jaccard can only UNDERESTIMATE the true value —
+    // conservative for a ≥-threshold filter. The oracle spells exactly that:
+    // brute-force Jaccard with df>cap shingles removed from the intersection
+    // while |A|,|B| stay full. cap=3 at sf0.01 genuinely prunes (21 of 25
+    // uncapped pairs survive at 0.5), so the entry exercises the cap path.
+    (s, d) => graft.operators.NearDup
+      .jaccardPairsExact(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.5, dfCap = Some(3L))
+      .select(col("id_1"), col("id_2"), round2(col("jaccard")).as("jaccard"))
+      .orderBy("id_1", "id_2"),
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 3),
+pex AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM pex a JOIN pex b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (SELECT id_1, id_2, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
+          FROM isect JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2)
+SELECT id_1, id_2, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY id_1, id_2"""))
+
   private val x2b = DeclaredQuery("x02b_simhash_pairs",
     (s, d) => graft.operators.NearDup
       .simhashPairs(t(s, d, "documents"), "doc_id", "text", maxBits = 8)
@@ -1178,7 +1208,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x3, x3b, x3c, x3cs, x3d, x4, x4b, x4c, x4d, x4e,
+    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3d, x4, x4b, x4c, x4d, x4e,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
