@@ -795,6 +795,38 @@ SELECT vec_id, FLOOR(raw*100+0.5)/100 AS score FROM topk ORDER BY score DESC, ve
     },
     None)
 
+  /** Materialized cell-partitioned IVF indexes, one per dataset dir — the
+    * on-disk inverted lists [[x3ci]] searches; built once (like the
+    * centroids above), so the entry measures probed-partition search. */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val x3ci = DeclaredQuery("x03c_search_indexed",
+    // search over the MATERIALIZED IVF index: identical output to x03c_search
+    // (pinned in ExtensionsSpec), but the scan reads only the probed cells'
+    // partitions (PartitionFilters — pinned in PlanQualitySpec). This is the
+    // sublinear-probe deployment shape: at 100 TB the per-batch cost is the
+    // probed fraction of the corpus, not a full-corpus cell assignment.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = ivfCentroids.computeIfAbsent(d, _ =>
+        graft.operators.SimilaritySearch
+          .trainIvf(e, "vec_id", "embedding", nlist = 16, refineIters = 2))
+      val idx = ivfIndexDirs.computeIfAbsent(d, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+        graft.operators.SimilaritySearch.buildIvfIndex(
+          e, "vec_id", "embedding", cents, p)
+        p
+      })
+      graft.operators.SimilaritySearch.ivfSearchIndexed(
+          s, idx, cents, e.where(col("vec_id") < 10), "embedding", "vec_id",
+          k = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), round2(col("score")).as("score"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   private val x3d = DeclaredQuery("x03d_multi_query_topk",
     // exact many-query top-k (SimilaritySearch.topKAll) — the brute-force
     // baseline the LSH (x03b) and IVF (x03c) paths approximate, and the one
@@ -1208,7 +1240,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3d, x4, x4b, x4c, x4d, x4e,
+    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

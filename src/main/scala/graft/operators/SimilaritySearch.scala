@@ -212,6 +212,72 @@ object SimilaritySearch {
       .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
   }
 
+  /** Persist the trained quantizer ([[trainIvf]]'s centroids) as a tiny
+    * parquet table (cell, centroid) — the on-disk half of the trained-index
+    * artifact: an index built once survives the session and ships to the
+    * search cluster as nlist×dim doubles. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] artifact back into the driver-side centroid
+    * table, ordered by cell id — `ivfSearch(loadCentroids(...), ...)` is
+    * identical to searching with the in-memory centroids. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+
+  /** Materialize the IVF INVERTED LISTS: the corpus written cell-partitioned
+    * (`partitionBy(cell)`), one directory per centroid cell. This is the
+    * scale rung above [[ivfSearch]]: search over the materialized index scans
+    * ONLY the probed cells' partitions (static partition pruning at the file
+    * index — visible as `PartitionFilters` in the plan), so probe cost is
+    * proportional to the probed fraction of the corpus, not the corpus —
+    * sublinear search, the property an index exists for. Cell assignment runs
+    * once at build time, not once per search batch. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Array[Double]], path: String): Unit = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val cents: Column = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        element_at(call_function("graft_nearest_cells", col(vecCol), cents, lit(1)), 1)
+          .as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** Search a materialized [[buildIvfIndex]] index: collect the query batch's
+    * probed cell ids (≤ queries×nprobe ints, bounded by nlist — driver-side
+    * by design: a search batch's probe set must be known to prune the scan),
+    * then scan ONLY those cell partitions and re-rank. Deterministically
+    * identical to [[ivfSearch]] with the same centroids. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, centroids: Seq[Array[Double]],
+                       queries: DataFrame, vecCol: String, queryIdCol: String,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    graft.plans.HashExpressions.register(spark)
+    val cents: Column = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val queryCells = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(call_function("graft_nearest_cells", col(vecCol), cents, lit(nprobe)))
+        .as("cell"))
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpusCell = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probed.map(Int.box): _*))
+    val scored = queryCells.join(corpusCell, "cell")
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", call_function("graft_cosine", col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("__rn").as("rank"))
+  }
+
   /** Train-then-search composition — the one-shot convenience form (and the
     * deterministic x03c gate entry). Production callers should [[trainIvf]]
     * once and [[ivfSearch]] per query batch. */

@@ -334,6 +334,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(split.nonEmpty && split == fused)
   }
 
+  test("centroid artifact save/load round-trips; indexed search equals in-memory search") {
+    val queries = embs.where(col("vec_id") < 10)
+    val cents = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+      nlist = 8, refineIters = 2)
+    // 1) the trained-index artifact survives a save/load cycle exactly
+    val centsPath = java.nio.file.Files.createTempDirectory("ivf-cents").toString
+    SimilaritySearch.saveCentroids(spark, cents, centsPath)
+    val loaded = SimilaritySearch.loadCentroids(spark, centsPath)
+    assert(loaded.map(_.toSeq) == cents.map(_.toSeq),
+      "centroids must round-trip bit-exactly through parquet")
+    val fromMemory = SimilaritySearch.ivfSearch(cents, embs, queries,
+        "vec_id", "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fromDisk = SimilaritySearch.ivfSearch(loaded, embs, queries,
+        "vec_id", "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromDisk.nonEmpty && fromDisk == fromMemory)
+    // 2) the materialized cell-partitioned index returns identical results
+    val idxPath = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    SimilaritySearch.buildIvfIndex(embs, "vec_id", "embedding", cents, idxPath)
+    val indexed = SimilaritySearch.ivfSearchIndexed(spark, idxPath, loaded,
+        queries, "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(indexed == fromMemory,
+      "probed-cell index search must equal the full-corpus-assignment search")
+  }
+
+  test("gate entries: x03c_search_indexed equals x03c_search row-for-row") {
+    val direct = Queries.queries("x03c_search")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    val indexed = Queries.queries("x03c_search_indexed")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
   test("bucket/cell expressions reject invalid foldable args at analysis") {
     import spark.implicits._
     graft.plans.HashExpressions.register(spark)

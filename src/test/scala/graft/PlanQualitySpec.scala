@@ -140,6 +140,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected point pre-aggregation below the join:\n$p")
   }
 
+  test("materialized IVF index search scans ONLY the probed cell partitions") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.sources.Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val nlist = 8
+    val cents = graft.operators.SimilaritySearch.trainIvf(
+      embs, "vec_id", "embedding", nlist = nlist, refineIters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-prune").toString
+    graft.operators.SimilaritySearch.buildIvfIndex(
+      embs, "vec_id", "embedding", cents, idx)
+    // all nlist cells are populated, so pruning (not an empty index) is what
+    // keeps the scan narrow
+    val cellDirs = new java.io.File(idx).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs == nlist, s"expected $nlist cell partitions, got $cellDirs")
+    val one = embs.where(col("vec_id") === 0)
+    val search = graft.operators.SimilaritySearch.ivfSearchIndexed(
+      spark, idx, cents, one, "embedding", "vec_id", k = 5, nprobe = 2)
+    val p = search.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"expected a cell partition filter, plan:\n${p.take(800)}")
+    // the scan reads < nlist partitions: every file feeding the join comes
+    // from one of the 2 probed cells (nprobe=2, single query)
+    val files = search.join(spark.read.parquet(idx)
+        .select(col("corpus_id"), input_file_name().as("__f")), "corpus_id")
+      .select("__f").distinct().collect().map(_.getString(0))
+    val cellsRead = files.map(f =>
+      f.split("/").find(_.startsWith("cell=")).getOrElse("?")).distinct
+    assert(cellsRead.length <= 2, s"results must come from ≤ nprobe cells: ${cellsRead.toSeq}")
+  }
+
   test("multimodal frame plan never reads the content column") {
     val media = graft.operators.Multimodal.synthesize(
       graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"), "doc_id")
