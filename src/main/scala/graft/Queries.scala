@@ -1231,6 +1231,66 @@ sampled AS (SELECT * FROM (
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM sampled GROUP BY lang ORDER BY lang"""))
 
+  private val x11 = DeclaredQuery("x11_chunk_documents",
+    // fixed-window token chunking with overlap (Packing.chunkDocuments):
+    // maxTokens=40, overlap=10 → step 30; last chunk short, ≤40-token docs
+    // yield themselves. Map-only + posexplode — no shuffle.
+    (s, d) => graft.operators.Packing
+      .chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+        maxTokens = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+c AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n,
+  CASE WHEN len(toks) <= 40 THEN 1
+       ELSE 1 + CAST(CEIL((len(toks) - 40) * 1.0 / 30) AS INT) END AS nc
+  FROM t),
+e AS (SELECT doc_id, n, toks, CAST(unnest(range(nc)) AS INT) AS chunk_id FROM c)
+SELECT doc_id, chunk_id,
+  array_to_string(toks[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk_text,
+  CAST(LEAST(40, n - chunk_id*30) AS INT) AS n_tokens
+FROM e ORDER BY doc_id, chunk_id"""))
+
+  private val x12 = DeclaredQuery("x12_pack_sequences",
+    // concatenate-and-chunk packing (Packing.packSequences): documents laid
+    // end-to-end in doc_id order, token stream cut at 2048-token boundaries;
+    // start_offset comes from the distributed two-phase prefix sum, which the
+    // single-window oracle spelling must equal exactly.
+    (s, d) => graft.operators.Packing
+      .packSequences(t(s, d, "documents"), "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), capacity = 2048L)
+      .orderBy("doc_id"),
+    Some("""WITH tc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (SELECT doc_id, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM tc)
+SELECT doc_id, n_tokens, start_offset,
+  start_offset // 2048 AS bin_first,
+  (start_offset + GREATEST(n_tokens, 1) - 1) // 2048 AS bin_last
+FROM o ORDER BY doc_id"""))
+
+  private val x12b = DeclaredQuery("x12b_pack_summary",
+    // per-bin manifest over the packing assignment (docs count toward the
+    // bin they start in)
+    (s, d) => graft.operators.Packing.packSummary(
+        graft.operators.Packing.packSequences(t(s, d, "documents"), "doc_id",
+          graft.functions.TextAnalysis.tokenCount(col("text")), capacity = 2048L))
+      .orderBy("bin"),
+    Some("""WITH tc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (SELECT doc_id, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM tc)
+SELECT start_offset // 2048 AS bin, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM o GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -1241,7 +1301,7 @@ FROM sampled GROUP BY lang ORDER BY lang"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10)
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Training-sequence preparation: document chunking and sequence packing —
+  * the two shaping steps between a cleaned corpus and a pretraining data
+  * loader. Both are deterministic (oracled in the gate) and scale as map-only
+  * passes; packing's only coordination is a constant-size prefix-sum.
+  */
+object Packing {
+
+  /** Split each document into fixed-size token windows with overlap — the
+    * standard long-document treatment for a bounded-context trainer. Chunk i
+    * covers tokens [i·(maxTokens−overlap), i·(maxTokens−overlap)+maxTokens);
+    * the last chunk may be shorter; a document with ≤ maxTokens tokens yields
+    * exactly one chunk (itself). Output: (id, chunk_id, chunk_text, n_tokens).
+    *
+    * Scale: per-row transform + posexplode — map-only, no shuffle; output
+    * row count is Σ ceil((n_i − overlap)/step), linear in corpus tokens. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = when(size(toks) <= maxTokens, lit(1))
+      .otherwise(lit(1) +
+        ceil((size(toks) - maxTokens).cast("double") / step).cast("int"))
+    df.select(col(idCol), toks.as("__toks"), size(toks).as("__n"),
+        nChunks.as("__nc"))
+      .select(col(idCol), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * step + 1, lit(maxTokens)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("chunk_id") * step).as("n_tokens"))
+  }
+
+  /** Concatenate-and-chunk sequence packing (the standard pretraining
+    * packing): documents are laid end-to-end in `idCol` order and the token
+    * stream is cut at exact `capacity` boundaries; a document may straddle a
+    * boundary (the trainer's attention mask resets at document starts).
+    * Output per document: its global `start_offset` in the token stream and
+    * the first/last training bins it touches.
+    *
+    * Scale design — a global prefix sum WITHOUT a single-partition window:
+    * range-partition by id, per-partition subtotals (one tiny row per
+    * partition) prefix-scanned on the driver, then a partition-local
+    * cumulative window shifted by the partition's global offset. The only
+    * driver-side data is `partitions` longs; everything else is one range
+    * shuffle + a partition-local sort — the textbook distributed scan. The
+    * result is independent of `partitions` (the offsets compose exactly),
+    * so the partitioning-invariance gate pins it. */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+                    capacity: Long, partitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted so the subtotal pass and the final pass see the SAME
+    // partition assignment (range boundaries come from sampling the input;
+    // pinning the frame removes any recomputation hazard). Narrow rows:
+    // (id, count) only. Released once the result is materialized.
+    val base = df.select(col(idCol), nTokens.cast("long").as("n_tokens"))
+      .repartitionByRange(p, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // constant-size driver collect: one subtotal per partition, prefix-scanned
+    // into each partition's global starting offset
+    val subtotals = base.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + subtotals.getOrElse(i, 0L))
+    val offsetOf = element_at(
+      map(offsets.take(p).zipWithIndex
+        .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
+      col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = base
+      .withColumn("start_offset",
+        offsetOf + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"start_offset div ${capacity}L"))
+      .withColumn("bin_last",
+        expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div ${capacity}L"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        col("bin_first"), col("bin_last"))
+    try out.localCheckpoint(true) finally base.unpersist(false)
+  }
+
+  /** Per-bin packing summary over [[packSequences]]: how many documents START
+    * in each bin and their total tokens — the shape a loader's manifest
+    * needs. Straddling documents count toward the bin they start in. */
+  def packSummary(assignment: DataFrame): DataFrame =
+    assignment.groupBy(col("bin_first").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+}

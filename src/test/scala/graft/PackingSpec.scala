@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("chunkDocuments: short doc yields itself; window/overlap arithmetic exact") {
+    val d = docs(
+      (1L, "a b c"),                                  // 3 ≤ max → one chunk
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, max 4, ov 1
+      (3L, ""))                                       // empty → one empty chunk
+    val out = Packing.chunkDocuments(d, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0, "a b c", 3)))
+    // step 3: starts 0,3,6 — the third window already reaches the last token,
+    // so no trailing sliver chunk is emitted
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 0, "t1 t2 t3 t4", 4), (2L, 1, "t4 t5 t6 t7", 4),
+      (2L, 2, "t7 t8 t9 t10", 4)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+  }
+
+  test("chunkDocuments: chunks cover every token and overlap by exactly `overlap`") {
+    val text = (1 to 57).map(i => s"w$i").mkString(" ")
+    val chunks = Packing.chunkDocuments(docs((9L, text)), "doc_id", "text",
+        maxTokens = 10, overlap = 3)
+      .orderBy("chunk_id").collect().map(_.getString(2).split(" ").toSeq)
+    // coverage: concatenating each chunk minus its leading overlap rebuilds the doc
+    val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(3))
+    assert(rebuilt == text.split(" ").toSeq)
+    chunks.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).takeRight(3) == w(1).take(3),
+          "adjacent chunks must share the overlap")
+    }
+  }
+
+  test("chunkDocuments rejects invalid window parameters") {
+    val d = docs((1L, "x"))
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocuments(d, "doc_id", "text", maxTokens = 0) }
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocuments(d, "doc_id", "text", maxTokens = 5, overlap = 5) }
+  }
+
+  test("packSequences equals the sequential driver-side fold, at any partition count") {
+    val d = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val counts = d.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cap = 512L
+    // ground truth: one sequential scan
+    var off = 0L
+    val expected = counts.map { case (id, n) =>
+      val r = (id, n, off, off / cap, (off + math.max(n, 1) - 1) / cap)
+      off += n; r
+    }.toSeq
+    for (p <- Seq(1, 3, 32)) {
+      val got = Packing.packSequences(d, "doc_id",
+          graft.functions.TextAnalysis.tokenCount(col("text")), cap, partitions = p)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected, s"partition count $p diverged from sequential fold")
+    }
+  }
+
+  test("packSummary: bins partition the documents; totals add up") {
+    val d = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val tc = graft.functions.TextAnalysis.tokenCount(col("text"))
+    val asg = Packing.packSequences(d, "doc_id", tc, capacity = 512L)
+    val sm = Packing.packSummary(asg).orderBy("bin").collect()
+    assert(sm.map(_.getLong(1)).sum == d.count())
+    val totalTokens = d.select(sum(tc.cast("long"))).head().getLong(0)
+    assert(sm.map(_.getLong(2)).sum == totalTokens)
+    // every bin a doc touches is within [0, ceil(total/cap))
+    val maxBin = asg.select(max("bin_last")).head().getLong(0)
+    assert(maxBin == (totalTokens - 1) / 512L)
+  }
+}
