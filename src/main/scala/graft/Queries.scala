@@ -1231,6 +1231,31 @@ sampled AS (SELECT * FROM (
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM sampled GROUP BY lang ORDER BY lang"""))
 
+  private val x4g = DeclaredQuery("x04g_top_bigram",
+    // Gopher-style repetition signal: each document's most frequent word
+    // bigram and the fraction of its characters that bigram accounts for
+    // (Repetition.topBigramStats). Relational explode+groupBy+window — the
+    // map-reduce word-count shape, never quadratic in document length.
+    // 349 of 500 sf0.01 docs have a repeated bigram, so the ranking and
+    // tie-break (count desc, gram asc) are genuinely exercised.
+    (s, d) => graft.operators.Repetition
+      .topBigramStats(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("top_bigram"), col("n_occurrences"),
+        round2(col("top_bigram_char_frac")).as("top_bigram_char_frac"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+  SELECT doc_id, length(text) AS tlen,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+g AS (SELECT doc_id, tlen,
+    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2),
+c AS (SELECT doc_id, tlen, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM c)
+SELECT doc_id, gram AS top_bigram, c AS n_occurrences,
+  FLOOR(c * length(gram) * 1.0 / tlen * 100 + 0.5) / 100 AS top_bigram_char_frac
+FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
   private val x11 = DeclaredQuery("x11_chunk_documents",
     // fixed-window token chunking with overlap (Packing.chunkDocuments):
     // maxTokens=40, overlap=10 → step 30; last chunk short, ≤40-token docs
@@ -1300,7 +1325,7 @@ FROM o GROUP BY 1 ORDER BY 1"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e,
+    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
