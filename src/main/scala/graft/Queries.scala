@@ -1316,6 +1316,65 @@ SELECT start_offset // 2048 AS bin, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM o GROUP BY 1 ORDER BY 1"""))
 
+  private val tfidfTerms = Seq("join", "vector", "scan", "data")
+
+  private val x13 = DeclaredQuery("x13_tfidf_terms",
+    // corpus-statistical weighting (Relevance.tfidfPerTerm): per-(doc, term)
+    // linear TF-IDF — log-free by design so the doubles are bit-identical
+    // across engines (one exact integer product + one division).
+    (s, d) => graft.operators.Relevance
+      .tfidfPerTerm(t(s, d, "documents"), "doc_id", "text", tfidfTerms)
+      .orderBy("doc_id", "term"),
+    Some("""WITH tok AS (
+  SELECT doc_id, unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ('join', 'vector', 'scan', 'data') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term, tf, df_docs, tf * n * 1.0 / df_docs AS tfidf
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+ORDER BY doc_id, term"""))
+
+  private val x13b = DeclaredQuery("x13b_tfidf_doc_scores",
+    // per-doc combined score with FIXED-ORDER addition: each term's
+    // contribution is an exact double (single-row conditional sum), and the
+    // four are added left-to-right in the declared term order — the
+    // deterministic spelling of a cross-term double sum (an agg-order sum
+    // would be fold-order-dependent and unoracleable).
+    (s, d) => {
+      val per = graft.operators.Relevance
+        .tfidfPerTerm(t(s, d, "documents"), "doc_id", "text", tfidfTerms)
+      val agg = per.groupBy("doc_id").agg(
+        coalesce(sum(when(col("term") === "join", col("tfidf"))), lit(0.0)).as("v1"),
+        coalesce(sum(when(col("term") === "vector", col("tfidf"))), lit(0.0)).as("v2"),
+        coalesce(sum(when(col("term") === "scan", col("tfidf"))), lit(0.0)).as("v3"),
+        coalesce(sum(when(col("term") === "data", col("tfidf"))), lit(0.0)).as("v4"))
+      agg.select(col("doc_id"),
+          (((col("v1") + col("v2")) + col("v3")) + col("v4")).as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+  SELECT doc_id, unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ('join', 'vector', 'scan', 'data') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+p AS (SELECT doc_id, term, tf * n * 1.0 / df_docs AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id,
+  COALESCE(SUM(CASE WHEN term = 'join' THEN tfidf END), 0) AS v1,
+  COALESCE(SUM(CASE WHEN term = 'vector' THEN tfidf END), 0) AS v2,
+  COALESCE(SUM(CASE WHEN term = 'scan' THEN tfidf END), 0) AS v3,
+  COALESCE(SUM(CASE WHEN term = 'data' THEN tfidf END), 0) AS v4
+  FROM p GROUP BY doc_id)
+SELECT doc_id, ((v1 + v2) + v3) + v4 AS score FROM r ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -1326,7 +1385,8 @@ FROM o GROUP BY 1 ORDER BY 1"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b)
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b,
+    x13, x13b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

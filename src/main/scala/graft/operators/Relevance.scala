@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Corpus-statistical relevance scoring (TF-IDF / BM25) for a fixed term
+  * set — ranking a 100 TB corpus against query terms, or weighting docs for
+  * mixture sampling.
+  *
+  * Scale shape: tokenize → filter to the (small, literal) term set → ONE
+  * narrow shuffle on (doc, term) for tf; document frequencies are a
+  * |terms|-row aggregate broadcast back; corpus-wide counts (N, avgdl) are a
+  * one-row frame broadcast into the plan — no driver-side count actions, the
+  * whole thing is one lazy plan. Nothing is ever quadratic.
+  *
+  * Determinism note: BM25's log-idf is libm-exact only within one engine, and
+  * cross-TERM double summation is fold-order-dependent — so the DuckDB-oracled
+  * gate entry uses [[tfidfPerTerm]] (log-free, per-term rows, no cross-term
+  * sum) plus a fixed-order conditional-sum spelling, while [[bm25]] is pinned
+  * by a JVM-side spec.
+  */
+object Relevance {
+
+  /** Per-(doc, term) term frequencies for the query terms (lowercased
+    * match). Docs with no term hits are absent. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val termArr = array(terms.map(t => lit(t.toLowerCase)): _*)
+    df.select(col(idCol),
+        explode(filter(transform(TextAnalysis.tokens(col(textCol)),
+          t => lower(t)), t => array_contains(termArr, t))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-(doc, term) linear TF-IDF: `tf × N / df` with N = corpus size and
+    * df = docs containing the term. Log-free by design (integer counts and
+    * one exact double division), so the value is bit-identical across
+    * engines — the oracled spelling of corpus-statistical weighting. */
+  def tfidfPerTerm(df: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol, terms)
+    val n = df.select(count(lit(1)).as("__n"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df_docs"),
+        (col("tf") * col("__n") / col("df_docs")).as("tfidf"))
+  }
+
+  /** Okapi BM25 score per document over the term set:
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Docs with no term hits are
+    * absent (score 0 by convention). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol, terms)
+    val dl = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"))
+    val stats = df.select(count(lit(1)).as("__n"),
+      avg(TextAnalysis.tokenCount(col(textCol))).as("__avgdl"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val termScore = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(docFreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (idf * termScore).as("__s"))
+      .groupBy(col(idCol)).agg(sum("__s").as("score"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Relevance
+
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    (1L, "spark shuffles data across the cluster"),      // 6 tokens
+    (2L, "data data everywhere and not a byte to train"),// 9 tokens, tf(data)=2
+    (3L, "broadcast the small side"),                    // 4 tokens, no hits
+    (4L, "Data quality beats data quantity"))            // 5 tokens, tf(data)=2 (case-folded)
+
+  test("termFrequencies: case-folded exact counts; no-hit docs absent") {
+    val tf = Relevance.termFrequencies(corpus, "doc_id", "text", Seq("data"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(tf.toSeq == Seq((1L, 1L), (2L, 2L), (4L, 2L)))
+  }
+
+  test("tfidfPerTerm: tf·N/df exact") {
+    val out = Relevance.tfidfPerTerm(corpus, "doc_id", "text", Seq("data", "train"))
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // N=4; df(data)=3, df(train)=1
+    assert(out.toSeq == Seq(
+      (1L, "data", 1L, 3L, 1.0 * 4 / 3),
+      (2L, "data", 2L, 3L, 2.0 * 4 / 3),
+      (2L, "train", 1L, 1L, 1.0 * 4 / 1),
+      (4L, "data", 2L, 3L, 2.0 * 4 / 3)))
+  }
+
+  test("bm25 matches the hand-computed Okapi formula") {
+    val k1 = 1.2; val b = 0.75
+    val n = 4.0; val avgdl = (6 + 9 + 4 + 5) / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def ts(tf: Double, dl: Double) =
+      tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    val expected = Map(
+      1L -> idf(3) * ts(1, 6),
+      2L -> (idf(3) * ts(2, 9) + idf(1) * ts(1, 9)),
+      4L -> idf(3) * ts(2, 5))
+    val got = Relevance.bm25(corpus, "doc_id", "text", Seq("data", "train"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) < 1e-12, s"doc $id: ${got(id)} vs $e")
+    }
+    // ranking sanity: doc 2 (two terms, one rare) outranks the single-hit docs
+    assert(got(2L) > got(1L) && got(2L) > got(4L))
+  }
+}
