@@ -170,6 +170,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(cellsRead.length <= 2, s"results must come from ≤ nprobe cells: ${cellsRead.toSeq}")
   }
 
+  test("x11 chunking is map-only: no exchange anywhere in the plan") {
+    val p = plan("x11_chunk_documents")
+    // the orderBy for the gate adds a final sort exchange; everything below
+    // the sort must be shuffle-free — assert by planning the operator itself
+    val raw = graft.operators.Packing.chunkDocuments(
+        graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"),
+        "doc_id", "text", maxTokens = 40, overlap = 10)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!raw.contains("Exchange"), s"chunking must not shuffle:\n$raw")
+    assert(p.contains("Generate"), p) // posexplode runs distributed
+  }
+
+  test("x13 tfidf: term filter reaches the scan side and df/N joins broadcast") {
+    val p = plan("x13_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"df/N must broadcast, not shuffle the tf side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row N frame must broadcast (BNLJ-free plan except trivial 1-row cross)")
+    // partial aggregation before the (doc, term) exchange
+    assert(p.contains("partial_"), p)
+  }
+
+  test("x04g top-bigram: partial-aggregates before the shuffle, no self-join") {
+    val p = plan("x04g_top_bigram")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("multimodal frame plan never reads the content column") {
     val media = graft.operators.Multimodal.synthesize(
       graft.sources.Tables.table(spark, TestSpark.sf0001, "documents"), "doc_id")
