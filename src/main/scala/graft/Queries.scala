@@ -813,10 +813,18 @@ SELECT vec_id, FLOOR(raw*100+0.5)/100 AS score FROM topk ORDER BY score DESC, ve
         graft.operators.SimilaritySearch
           .trainIvf(e, "vec_id", "embedding", nlist = 16, refineIters = 2))
       val idx = ivfIndexDirs.computeIfAbsent(d, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+        val p = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+        // the index holds a full corpus copy — reclaim it at JVM exit
+        // (deleteOnExit can't remove non-empty dirs)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(p.toFile)
+        }))
         graft.operators.SimilaritySearch.buildIvfIndex(
-          e, "vec_id", "embedding", cents, p)
-        p
+          e, "vec_id", "embedding", cents, p.toString)
+        p.toString
       })
       graft.operators.SimilaritySearch.ivfSearchIndexed(
           s, idx, cents, e.where(col("vec_id") < 10), "embedding", "vec_id",

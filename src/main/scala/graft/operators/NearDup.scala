@@ -108,13 +108,11 @@ object NearDup {
     materializeAndRelease(out, sig)
   }
 
-  /** Candidate-pair outputs are a tiny fraction of the corpus, so they are
-    * materialized eagerly (localCheckpoint) and the big signature cache is
-    * released immediately — repeated calls in a long-lived session no longer
-    * accumulate MEMORY_AND_DISK signature blocks the caller can't free. The
-    * returned (small) frame is itself cached; callers may `.unpersist()` it. */
+  /** Candidate-pair outputs are a tiny fraction of the corpus: materialize
+    * them eagerly and release the big signature cache (see
+    * [[CacheOps.materializeAndRelease]] for the lifecycle rationale). */
   private def materializeAndRelease(out: DataFrame, sig: DataFrame): DataFrame =
-    try out.localCheckpoint(true) finally sig.unpersist(false)
+    CacheOps.materializeAndRelease(out, sig)
 
   /** Exact n-gram Jaccard for a pair of text columns (used to re-verify LSH
     * candidates, or directly at small scale). */

@@ -79,7 +79,11 @@ object Packing {
       map(offsets.take(p).zipWithIndex
         .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
       col("__pid"))
-    val w = Window.partitionBy("__pid").orderBy(idCol)
+    // secondary n_tokens tie-break: with duplicate ids the ROWS frame would
+    // otherwise include an arbitrary subset of the tied rows in each prefix —
+    // (id, n_tokens) makes the scan deterministic for every input (exact
+    // duplicate rows are interchangeable, so their order is immaterial)
+    val w = Window.partitionBy("__pid").orderBy(col(idCol), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val out = base
       .withColumn("start_offset",
@@ -89,7 +93,7 @@ object Packing {
         expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div ${capacity}L"))
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         col("bin_first"), col("bin_last"))
-    try out.localCheckpoint(true) finally base.unpersist(false)
+    CacheOps.materializeAndRelease(out, base)
   }
 
   /** Per-bin packing summary over [[packSequences]]: how many documents START

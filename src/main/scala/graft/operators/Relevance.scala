@@ -56,20 +56,31 @@ object Relevance {
     * absent (score 0 by convention). */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(df, idCol, textCol, terms)
-    val dl = df.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"))
-    val stats = df.select(count(lit(1)).as("__n"),
-      avg(TextAnalysis.tokenCount(col(textCol))).as("__avgdl"))
+    require(terms.nonEmpty, "terms must be non-empty")
+    // tokenize the fat text column ONCE into a persisted NARROW frame
+    // (id, doc length, query-term hits) — tf, doc lengths, and the corpus
+    // stats all derive from it without re-scanning the text
+    val termArr = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df.select(col(idCol),
+        size(toks).cast("double").as("__dl"),
+        filter(transform(toks, t => lower(t)),
+          t => array_contains(termArr, t)).as("__hits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = base.select(col(idCol), explode(col("__hits")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).as("__n"), avg("__dl").as("__avgdl"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val idf = log(lit(1.0) +
       (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
     val termScore = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
-    tf.join(broadcast(docFreq), "term")
-      .join(dl, idCol)
+    val out = tf.join(broadcast(docFreq), "term")
+      .join(base.select(col(idCol), col("__dl")), idCol)
       .crossJoin(broadcast(stats))
       .select(col(idCol), (idf * termScore).as("__s"))
       .groupBy(col(idCol)).agg(sum("__s").as("score"))
+    CacheOps.materializeAndRelease(out, base)
   }
 }

@@ -248,7 +248,21 @@ object SimilaritySearch {
         element_at(call_function("graft_nearest_cells", col(vecCol), cents, lit(1)), 1)
           .as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    // the quantizer ships INSIDE the index (underscore prefix → invisible to
+    // the parquet scan), so search can never pair a retrained centroid table
+    // with stale cell assignments
+    saveCentroids(corpus.sparkSession, centroids, s"$path/_centroids")
   }
+
+  /** Search a materialized index with ITS OWN embedded quantizer — the
+    * mismatch-proof form: probe cells always come from the same centroids
+    * the cells were assigned with. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, queries: DataFrame, vecCol: String,
+                       queryIdCol: String, k: Int, nprobe: Int): DataFrame =
+    ivfSearchIndexed(spark, indexPath,
+      loadCentroids(spark, s"$indexPath/_centroids"),
+      queries, vecCol, queryIdCol, k, nprobe)
 
   /** Search a materialized [[buildIvfIndex]] index: collect the query batch's
     * probed cell ids (≤ queries×nprobe ints, bounded by nlist — driver-side

@@ -115,23 +115,37 @@ object PgCsv {
       }
     // Hadoop/Spark data-file convention: names starting with '.' or '_' are
     // hidden (checksums, _SUCCESS markers) and never parsed
-    def dataFiles(dir: File): Array[File] =
-      dir.listFiles().filter(f =>
-        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    def hidden(name: String): Boolean =
+      name.startsWith(".") || name.startsWith("_")
+    // recursive: partitioned layouts (dir/lang=en/part-*.csv.gz) keep working
+    // under the flag — every nested data file is enumerated; hidden files AND
+    // hidden subtrees are skipped. Partition-column inference is not part of
+    // the flag path (the reference's COPY surface is flat files); the read is
+    // the union of the decompressed files.
+    def dataFiles(dir: File): Seq[File] =
+      dir.listFiles().toIndexedSeq.filterNot(f => hidden(f.getName)).flatMap {
+        case d if d.isDirectory => dataFiles(d)
+        case f if f.isFile => Seq(f)
+        case _ => Nil
+      }
     val f = new File(path)
     if (f.getName.endsWith(ext)) Seq(path)
     else if (f.isFile) Seq(linked(f))
     else if (f.isDirectory) {
       val parts = dataFiles(f)
       if (parts.isEmpty) fail("directory contains no data files")
-      parts.toIndexedSeq.map(linked)
+      parts.map(linked)
     } else if (path.exists("*?[{".contains(_))) {
       val hadoopPath = new org.apache.hadoop.fs.Path(path)
       val fs = hadoopPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val matches = Option(fs.globStatus(hadoopPath)).getOrElse(Array.empty)
       val files = matches.toIndexedSeq.flatMap { st =>
         val mf = new File(st.getPath.toUri.getPath)
-        if (mf.isDirectory) dataFiles(mf).toIndexedSeq else Seq(mf)
+        // glob expansion follows the hidden-file convention too (_SUCCESS,
+        // .crc); an exact non-glob path remains the way to target one
+        if (mf.isDirectory) dataFiles(mf)
+        else if (hidden(mf.getName)) Nil
+        else Seq(mf)
       }
       if (files.isEmpty) fail("glob matched no data files")
       files.map(linked)

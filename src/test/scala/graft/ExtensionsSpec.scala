@@ -359,6 +359,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().toSeq
     assert(indexed == fromMemory,
       "probed-cell index search must equal the full-corpus-assignment search")
+    // 3) the mismatch-proof overload: quantizer embedded in the index itself
+    val embedded = SimilaritySearch.ivfSearchIndexed(spark, idxPath,
+        queries, "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(embedded == fromMemory,
+      "embedded-quantizer search must equal the explicit-centroids path")
   }
 
   test("gate entries: x03c_search_indexed equals x03c_search row-for-row") {

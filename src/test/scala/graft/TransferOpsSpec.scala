@@ -279,6 +279,38 @@ class TransferOpsSpec extends AnyFunSuite {
     assert(got.map(_.toInt).sorted.toSeq == (0 until 6))
   }
 
+  test("compression flag recurses into partitioned (nested) directory layouts") {
+    val dir = Files.createTempDirectory("gznest").toString
+    new java.io.File(s"$dir/lang=en").mkdirs()
+    new java.io.File(s"$dir/lang=de").mkdirs()
+    new java.io.File(s"$dir/.hiddendir").mkdirs()
+    def gz(path: String, body: String): Unit = {
+      val o = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(path))
+      o.write(body.getBytes("UTF-8")); o.close()
+    }
+    gz(s"$dir/lang=en/part-0.csv", "1\n")      // extension-less gzipped
+    gz(s"$dir/lang=de/part-0.csv.gz", "2\n")   // extension carried
+    gz(s"$dir/.hiddendir/part-0.csv", "99\n")  // hidden subtree → ignored
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_SUCCESS"), "")
+    val got = graft.sources.PgCsv.read(spark, dir,
+        CsvDialect(hasHeader = false, compression = Some("gzip")))
+      .collect().map(_.getString(0).toInt).sorted.toSeq
+    assert(got == Seq(1, 2), s"nested parts must decompress, hidden ignored: $got")
+  }
+
+  test("compression flag glob expansion skips hidden files (_SUCCESS, .crc)") {
+    val dir = Files.createTempDirectory("gzhidden").toString
+    val o = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-0.csv"))
+    o.write("5\n".getBytes("UTF-8")); o.close()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_SUCCESS"), "")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/.part-0.csv.crc"), "junk")
+    val got = graft.sources.PgCsv.read(spark, s"$dir/*",
+        CsvDialect(hasHeader = false, compression = Some("gzip")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("5"), s"hidden glob matches must not be parsed: $got")
+  }
+
   test("compression flag on a glob of extension-less gzipped parts decompresses each match") {
     val dir = Files.createTempDirectory("gzglob").toString
     for (i <- 0 until 2) {
