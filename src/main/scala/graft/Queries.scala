@@ -1383,6 +1383,59 @@ r AS (SELECT doc_id,
   FROM p GROUP BY doc_id)
 SELECT doc_id, ((v1 + v2) + v3) + v4 AS score FROM r ORDER BY doc_id"""))
 
+  private val x14 = DeclaredQuery("x14_contamination_pairs",
+    // benchmark decontamination (Contamination.overlapPairs): the corpus
+    // (doc_id % 17 ≠ 0) checked for shared 5-grams against a deterministic
+    // "benchmark" slice (doc_id % 17 = 0). The planted near-dup pairs that
+    // straddle the split make the overlap non-trivial (4 pairs, up to 57
+    // shared grams at sf0.01). Oracle counts string shingles; the operator
+    // counts xxhash64 shingle hashes — identical per the x02d injectivity
+    // argument, which the hash match proves again here.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.overlapPairs(
+          docs.where(pmod(col("doc_id"), lit(17)) =!= 0), "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(17)) === 0), "doc_id", "text",
+          k = 5, minShared = 1)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+corp AS (SELECT * FROM ex WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM ex WHERE doc_id % 17 = 0)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+FROM corp c JOIN bench b USING (g)
+GROUP BY 1, 2 ORDER BY corpus_id, bench_id"""))
+
+  private val x14b = DeclaredQuery("x14b_decontaminate",
+    // the applied filter: corpus minus contaminated docs, counted per lang —
+    // proves the anti-join removes exactly the overlap set
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.decontaminate(
+          docs.where(pmod(col("doc_id"), lit(17)) =!= 0), "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(17)) === 0), "doc_id", "text",
+          k = 5, minShared = 1)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+corp AS (SELECT * FROM ex WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM ex WHERE doc_id % 17 = 0),
+bad AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (g))
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY lang ORDER BY lang"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -1394,7 +1447,7 @@ SELECT doc_id, ((v1 + v2) + v3) + v4 AS score FROM r ORDER BY doc_id"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b,
-    x13, x13b)
+    x13, x13b, x14, x14b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Contamination
+
+class ContaminationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "completely unrelated text about spark shuffle exchanges"),
+    (3L, "the quick brown fox jumps somewhere else entirely today"))
+    .toDF("doc_id", "text")
+  private val bench = Seq(
+    (100L, "we ask whether the quick brown fox jumps over obstacles"))
+    .toDF("bench_id", "btext")
+
+  test("overlapPairs: exact shared 5-gram counts against the benchmark") {
+    val out = Contamination.overlapPairs(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5)
+      .orderBy("corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over";
+    // doc 3 shares only the first; doc 2 shares nothing
+    assert(out.toSeq == Seq((1L, 100L, 2L), (3L, 100L, 1L)))
+  }
+
+  test("minShared thresholds the pair set; contaminatedIds agrees on both paths") {
+    val strict = Contamination.overlapPairs(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+    val ids1 = Contamination.contaminatedIds(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5, minShared = 1)
+      .collect().map(_.getLong(0)).toSet
+    val ids2 = Contamination.contaminatedIds(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 3L) && ids2 == Set(1L),
+      "semi-join fast path and pair-count path must agree with their thresholds")
+  }
+
+  test("decontaminate removes exactly the contaminated documents") {
+    val clean = Contamination.decontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+}
