@@ -105,6 +105,39 @@ object CsvToTable {
       obs.get("rows").asInstanceOf[Long]
     }
 
+  /** Continuous COPY: stream a directory of dialect CSV files into an
+    * existing catalog table — each arriving file lands as one micro-batch
+    * through the SAME align/cast path as the batch [[run]], so dialect
+    * semantics (NULL vs quoted-empty, quoting, header skip) are identical.
+    * Positional mapping like `COPY`: the stream schema is all-strings named
+    * by the target's columns. Exactly-once per batch id is the checkpoint's
+    * contract. Returns the started query; callers stop it. */
+  def streamToTable(spark: SparkSession, tableName: String, dir: String,
+                    checkpointDir: String, dialect: CsvDialect = CsvDialect(),
+                    maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (!spark.catalog.tableExists(tableName))
+      throw new GraftException(s"target table does not exist: $tableName")
+    // schema from catalog METADATA, not spark.table(...): planning the
+    // relation here would cache a file listing of the still-empty table in
+    // THIS session, and reads after the stream appends would see stale
+    // (empty) contents
+    val target = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName)).schema
+    val raw = StructType(target.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val stream = PgCsv.readStream(spark, dir, dialect, raw, maxFilesPerTrigger)
+    align(stream, target)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append).insertInto(tableName)
+      }
+      .start()
+  }
+
   /** When no explicit `columns` are given, map CSV fields to the target's
     * columns POSITIONALLY — exactly `COPY table FROM` semantics: a header row
     * is consumed but its names are ignored (`operators.py:180-181`), and a

@@ -70,6 +70,43 @@ object PgCsv {
     }
   }
 
+  /** Streaming form of [[read]]: a file-source stream over a directory of
+    * CSV files in the same COPY dialect — the "continuous COPY" upgrade of
+    * the reference's one-shot batch import (each new file is a micro-batch).
+    * Streams require an explicit schema. The explicit-`compression` flag is
+    * NOT supported here: the symlink mapping is a driver-side enumeration,
+    * incompatible with files that arrive over time — part files must carry
+    * their codec extension (`.gz`), which Hadoop auto-detects per file. */
+  def readStream(spark: SparkSession, dir: String, dialect: CsvDialect,
+                 schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame = {
+    if (dialect.compression.isDefined)
+      throw new graft.operators.GraftException(
+        "streaming CSV ingest relies on per-file codec extensions (.gz); " +
+          "the explicit compression flag applies to batch reads only")
+    val needSentinel = dialect.nullString.isEmpty
+    val df = spark.readStream
+      .option("sep", dialect.delimiter)
+      .option("quote", dialect.quote)
+      .option("escape", dialect.quote)
+      .option("nullValue", dialect.nullString)
+      .option("emptyValue", if (needSentinel) EmptySentinel else "")
+      .option("header", dialect.hasHeader.toString)
+      .option("multiLine", "true")
+      .option("lineSep", "\n")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .csv(dir)
+    if (!needSentinel) df
+    else {
+      val cols = df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          when(col(f.name) === EmptySentinel, lit("")).otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
+
   /** Hadoop picks the DEcompression codec from the file extension, but the
     * reference keys import decompression off the explicit `compression` flag
     * regardless of filename (`operators.py:210-212`) — a gzipped file named

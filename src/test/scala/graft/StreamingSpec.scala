@@ -309,6 +309,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CSV ingest: continuous COPY preserves dialect semantics per micro-batch") {
+    import graft.sources.CsvDialect
+    spark.sql("DROP TABLE IF EXISTS stream_copy")
+    spark.sql("CREATE TABLE stream_copy (id INT, name STRING) USING parquet")
+    val dir = Files.createTempDirectory("csvstream").toString
+    val ckpt = Files.createTempDirectory("csvstream-ckpt").toString
+    // file 1 BEFORE start; unquoted empty = NULL, quoted "" = empty string
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f1.csv"),
+      "id,name\n1,alpha\n2,\n3,\"\"\n")
+    val q = graft.operators.CsvToTable.streamToTable(
+      spark, "stream_copy", dir, ckpt)
+    try {
+      q.processAllAvailable()
+      // file 2 arrives later → its own micro-batch through the same path
+      Files.writeString(java.nio.file.Paths.get(s"$dir/f2.csv"),
+        "id,name\n4,delta\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_copy").orderBy("id")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.toSeq == Seq((1, "alpha"), (2, null), (3, ""), (4, "delta")),
+      s"dialect NULL-vs-empty distinction must survive streaming ingest: ${rows.toSeq}")
+    // the explicit compression flag is a batch-only contract
+    intercept[graft.operators.GraftException] {
+      graft.sources.PgCsv.readStream(spark, dir,
+        CsvDialect(compression = Some("gzip")), spark.table("stream_copy").schema)
+    }
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     val dir = Files.createTempDirectory("late").toString
     import spark.implicits._
