@@ -1436,6 +1436,30 @@ SELECT lang, COUNT(*) AS n_docs FROM documents
 WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
 GROUP BY lang ORDER BY lang"""))
 
+  private val x15 = DeclaredQuery("x15_profile_table",
+    // ANALYZE-style per-column profile (Profiling.profile): one aggregation
+    // pass (multi-countDistinct Expand) + stack unpivot. String-cast min/max
+    // keeps the column types that render identically across engines
+    // (integers, dates, ASCII strings — doubles would format-drift).
+    (s, d) => graft.operators.Profiling
+      .profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+      .orderBy("column_name"),
+    Some("""SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct,
+  CAST(MIN(o_custkey) AS VARCHAR) AS min_value, CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey), COUNT(DISTINCT o_orderkey),
+  CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+  CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+ORDER BY column_name"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -1447,7 +1471,7 @@ GROUP BY lang ORDER BY lang"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b,
-    x13, x13b, x14, x14b)
+    x13, x13b, x14, x14b, x15)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

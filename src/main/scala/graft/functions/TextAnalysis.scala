@@ -106,7 +106,14 @@ object TextAnalysis {
     * lowercased text — exact content identity after normalization. For
     * PARTIAL-overlap detection use [[winnowFingerprints]]. */
   def fingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    xxhash64(normalize(text))
+
+  /** Canonical text form for dedup/fingerprinting: trimmed, whitespace runs
+    * collapsed to single spaces, case-folded. (The same normalization
+    * [[fingerprint]] hashes — exposed so dedup can key on the STRING when
+    * the collapsed groups themselves are wanted.) */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling-hash
     * k-grams, window-min selection — any shared substring of length
