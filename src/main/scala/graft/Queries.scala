@@ -1460,6 +1460,26 @@ SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINC
   CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
 ORDER BY column_name"""))
 
+  private val x6d = DeclaredQuery("x06d_split_assign",
+    // deterministic train/val/test assignment (Sampling.splitAssign): labels
+    // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
+    // train/test boundary. Weights 0.75/0.125/0.125 — cumulative boundaries
+    // 0.75 and 0.875 are EXACT binary doubles, so the oracle's literals are
+    // the same values Scala's scanLeft computes (0.8+0.1 would differ in the
+    // last ulp between the spelled 0.9 and the computed sum).
+    (s, d) => graft.operators.Sampling
+      .splitAssign(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split")
+      .orderBy("doc_id"),
+    Some("""WITH u AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS h
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN h < 0.75 THEN 'train' WHEN h < 0.875 THEN 'val' ELSE 'test' END AS split
+FROM u ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -1471,7 +1491,7 @@ ORDER BY column_name"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b,
-    x13, x13b, x14, x14b, x15)
+    x13, x13b, x14, x14b, x15, x6d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

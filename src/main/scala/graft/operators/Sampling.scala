@@ -95,4 +95,25 @@ object Sampling {
     }
     df.where(hashUnit(col(keyCol)) < frac)
   }
+
+  /** Deterministic train/val/test split assignment: each row gets the first
+    * label whose cumulative weight exceeds its [[hashUnit]] draw. Keyed on
+    * row identity, so the split is stable across runs, partitionings, and
+    * engines — a document never migrates between train and test when the
+    * corpus is rebuilt (the leakage property that matters). Map-only; weights
+    * must sum to 1 (the last label absorbs any floating remainder). */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashUnit(col(keyCol))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
 }

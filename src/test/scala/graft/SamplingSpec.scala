@@ -80,4 +80,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(langs == Set("en")) // default 0.0 drops every other stratum
     assert(out.count() == docs.where(col("lang") === "en").count()) // 1.0 keeps all
   }
+
+  test("splitAssign: total, disjoint, partitioning-invariant, near-target proportions") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val a = graft.operators.Sampling.splitAssign(docs, "doc_id", splits)
+      .select("doc_id", "split")
+    // every row labeled exactly once
+    assert(a.count() == docs.count())
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // proportions within 5σ of the Bernoulli expectation
+    val n = docs.count().toDouble
+    splits.foreach { case (name, w) =>
+      val got = counts.getOrElse(name, 0L).toDouble
+      val sigma = math.sqrt(n * w * (1 - w))
+      assert(math.abs(got - n * w) < 5 * sigma,
+        s"$name: $got vs expected ${n * w} ±${5 * sigma}")
+    }
+    // stability: identical labels after a repartition (the leakage property)
+    val b = graft.operators.Sampling.splitAssign(
+        docs.repartition(7), "doc_id", splits)
+      .select("doc_id", "split")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // invalid weights rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.splitAssign(docs, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
