@@ -72,6 +72,52 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences property: random corpora with duplicate ids and empty docs equal the sequential fold") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 60).map { _ =>
+        // duplicate-heavy id space + zero-token docs: the adversarial cases
+        (rnd.nextInt(20).toLong, rnd.nextInt(40).toLong)
+      }
+      val cap = 1L + rnd.nextInt(64)
+      val df = rows.toDF("doc_id", "n")
+      // ground truth mirrors the operator's total order: (id, n_tokens)
+      var off = 0L
+      val expected = rows.sorted.map { case (id, n) =>
+        val r = (id, n, off, off / cap, (off + math.max(n, 1) - 1) / cap)
+        off += n; r
+      }
+      val got = Packing.packSequences(df, "doc_id", col("n"), cap, partitions = 4)
+        .orderBy("doc_id", "n_tokens", "start_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected, s"trial $trial (cap $cap) diverged")
+    }
+  }
+
+  test("chunkDocuments property: random windows always cover every token exactly") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 5) {
+      val maxTokens = 2 + rnd.nextInt(12)
+      val overlap = rnd.nextInt(maxTokens)
+      val texts = (1 to 20).map(i =>
+        (i.toLong, (0 until rnd.nextInt(50)).map(j => s"t$j").mkString(" ")))
+      val out = Packing.chunkDocuments(texts.toDF("doc_id", "text"),
+          "doc_id", "text", maxTokens, overlap)
+        .orderBy("doc_id", "chunk_id")
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+      texts.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val chunks = out.filter(_._1 == id).map(_._2.split(" ").filter(_.nonEmpty).toSeq)
+        val rebuilt =
+          if (chunks.isEmpty) Seq.empty
+          else chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+        assert(rebuilt == toks,
+          s"trial $trial doc $id (max $maxTokens ov $overlap): coverage broken")
+      }
+    }
+  }
+
   test("packSummary: bins partition the documents; totals add up") {
     val d = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
     val tc = graft.functions.TextAnalysis.tokenCount(col("text"))
