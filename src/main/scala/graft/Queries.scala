@@ -1239,6 +1239,87 @@ sampled AS (SELECT * FROM (
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM sampled GROUP BY lang ORDER BY lang"""))
 
+  private val x10b = DeclaredQuery("x10b_pretraining_pipeline",
+    // Composed flagship v2 over the round-5 operators — ONE lazy plan:
+    // benchmark decontamination (x14, guarded-broadcast semi-join) → token
+    // chunking (x11, map-only) → sequence packing (x12, distributed prefix
+    // sum on the unique chunk key) → TF-IDF-weighted bin accounting (x13b's
+    // fixed-order exact-double score). Output: per training bin, how many
+    // chunks start there, their tokens, and how many come from
+    // high-relevance documents. Every stage is deterministic and the whole
+    // composition hash-matches one composed DuckDB derivation. The 9.0
+    // threshold compares bit-identical doubles (exact tf·N/df products,
+    // fixed-order sum), so the cut is engine-stable; it lands near the
+    // sf0.01 median score, so both sides are populated.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+      val bench = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+      val clean = graft.operators.Contamination.decontaminate(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        k = 5, minShared = 1)
+      val chunks = graft.operators.Packing
+        .chunkDocuments(clean, "doc_id", "text", maxTokens = 40, overlap = 10)
+        .withColumn("chunk_key", col("doc_id") * 1000 + col("chunk_id"))
+      val packed = graft.operators.Packing
+        .packSequences(chunks, "chunk_key", col("n_tokens"), capacity = 2048L)
+        .withColumn("doc_id", expr("chunk_key div 1000"))
+      val per = graft.operators.Relevance
+        .tfidfPerTerm(clean, "doc_id", "text", tfidfTerms)
+      val scores = per.groupBy("doc_id").agg(
+          coalesce(sum(when(col("term") === "join", col("tfidf"))), lit(0.0)).as("v1"),
+          coalesce(sum(when(col("term") === "vector", col("tfidf"))), lit(0.0)).as("v2"),
+          coalesce(sum(when(col("term") === "scan", col("tfidf"))), lit(0.0)).as("v3"),
+          coalesce(sum(when(col("term") === "data", col("tfidf"))), lit(0.0)).as("v4"))
+        .select(col("doc_id"),
+          (((col("v1") + col("v2")) + col("v3")) + col("v4")).as("score"))
+      packed.join(scores, Seq("doc_id"), "left")
+        .groupBy(col("bin_first").as("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("total_tokens"),
+          count(when(coalesce(col("score"), lit(0.0)) >= 9.0, 1)).as("n_relevant_chunks"))
+        .orderBy("bin")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+corp AS (SELECT * FROM ex WHERE doc_id % 17 <> 0),
+bench AS (SELECT * FROM ex WHERE doc_id % 17 = 0),
+bad AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (g)),
+clean AS (SELECT * FROM documents WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks FROM clean),
+c AS (SELECT doc_id, CAST(len(toks) AS INT) AS n,
+  CASE WHEN len(toks) <= 40 THEN 1 ELSE 1 + CAST(CEIL((len(toks) - 40) * 1.0 / 30) AS INT) END AS nc
+  FROM tok),
+e AS (SELECT doc_id, n, CAST(unnest(range(nc)) AS INT) AS chunk_id FROM c),
+ch AS (SELECT doc_id, doc_id * 1000 + chunk_id AS chunk_key,
+  CAST(LEAST(40, n - chunk_id * 30) AS BIGINT) AS n_tokens FROM e),
+o AS (SELECT doc_id, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY chunk_key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
+  FROM ch),
+tk AS (SELECT doc_id, unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term FROM clean),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+       WHERE term IN ('join', 'vector', 'scan', 'data') GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM clean),
+pp AS (SELECT doc_id, term, tf * n * 1.0 / df_docs AS tfidf
+       FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+r AS (SELECT doc_id,
+  COALESCE(SUM(CASE WHEN term = 'join' THEN tfidf END), 0) AS v1,
+  COALESCE(SUM(CASE WHEN term = 'vector' THEN tfidf END), 0) AS v2,
+  COALESCE(SUM(CASE WHEN term = 'scan' THEN tfidf END), 0) AS v3,
+  COALESCE(SUM(CASE WHEN term = 'data' THEN tfidf END), 0) AS v4
+  FROM pp GROUP BY doc_id),
+sc AS (SELECT doc_id, ((v1 + v2) + v3) + v4 AS score FROM r)
+SELECT bin, COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  COUNT(CASE WHEN COALESCE(score, 0) >= 9.0 THEN 1 END) AS n_relevant_chunks
+FROM o LEFT JOIN sc USING (doc_id)
+GROUP BY bin ORDER BY bin"""))
+
   private val x4g = DeclaredQuery("x04g_top_bigram",
     // Gopher-style repetition signal: each document's most frequent word
     // bigram and the fraction of its characters that bigram accounts for
@@ -1438,8 +1519,10 @@ GROUP BY lang ORDER BY lang"""))
 
   private val x15 = DeclaredQuery("x15_profile_table",
     // ANALYZE-style per-column profile (Profiling.profile): one aggregation
-    // pass (multi-countDistinct Expand) + stack unpivot. String-cast min/max
-    // keeps the column types that render identically across engines
+    // branch PER COLUMN, unioned — each branch a plain two-phase distinct
+    // aggregate over a single pruned column (a fused multi-countDistinct
+    // would plan as an Expand replicating every row N+1 times). String-cast
+    // min/max keeps the column types that render identically across engines
     // (integers, dates, ASCII strings — doubles would format-drift).
     (s, d) => graft.operators.Profiling
       .profile(t(s, d, "orders"),
@@ -1490,7 +1573,7 @@ FROM u ORDER BY doc_id"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x11, x12, x12b,
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -65,7 +65,11 @@ object Packing {
     // partition assignment (range boundaries come from sampling the input;
     // pinning the frame removes any recomputation hazard). Narrow rows:
     // (id, count) only. Released once the result is materialized.
-    val base = df.select(col(idCol), nTokens.cast("long").as("n_tokens"))
+    // null-count documents (e.g. null text → null tokenCount) pack as zero
+    // tokens: a null here would shift every later offset to null and NPE the
+    // subtotal collect below
+    val base = df.select(col(idCol),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(p, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -22,17 +22,45 @@ import graft.functions.TextAnalysis
   */
 object Relevance {
 
+  /** Locale-independent driver-side fold for term literals: document tokens
+    * are folded with Spark's locale-independent `lower()`, so the term side
+    * must use Locale.ROOT — a Turkish default locale would fold "I" to "ı"
+    * and silently match nothing. */
+  private def foldTerm(t: String): String =
+    t.toLowerCase(java.util.Locale.ROOT)
+
   /** Per-(doc, term) term frequencies for the query terms (lowercased
     * match). Docs with no term hits are absent. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String,
                       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val termArr = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val termArr = array(terms.map(t => lit(foldTerm(t))): _*)
     df.select(col(idCol),
         explode(filter(transform(TextAnalysis.tokens(col(textCol)),
           t => lower(t)), t => array_contains(termArr, t))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Vocabulary-scale term frequencies: the term set arrives as a DataFrame
+    * instead of a literal array. The literal-array form filters each row's
+    * tokens with an interpreted `array_contains` HOF — O(tokens × |terms|)
+    * per document, fine for a handful of query terms but an anti-pattern for
+    * a vocabulary. This form explodes tokens once (map-only) and equi-joins
+    * the (deduplicated, lowercased) term set — the join side broadcasts when
+    * it fits `autoBroadcastJoinThreshold` and degrades to a shuffle hash join
+    * beyond it, so term-set size never changes per-row cost. Row-identical
+    * to the literal path (pinned in RelevanceSpec). */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String,
+                      terms: DataFrame, termCol: String): DataFrame = {
+    val termSet = terms.select(lower(col(termCol)).as("term")).distinct()
+    df.select(col(idCol),
+        explode(transform(TextAnalysis.tokens(col(textCol)), t => lower(t)))
+          .as("term"))
+      .join(termSet, "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("term"), col("tf"))
   }
 
   /** Per-(doc, term) linear TF-IDF: `tf × N / df` with N = corpus size and
@@ -60,7 +88,7 @@ object Relevance {
     // tokenize the fat text column ONCE into a persisted NARROW frame
     // (id, doc length, query-term hits) — tf, doc lengths, and the corpus
     // stats all derive from it without re-scanning the text
-    val termArr = array(terms.map(t => lit(t.toLowerCase)): _*)
+    val termArr = array(terms.map(t => lit(foldTerm(t))): _*)
     val toks = TextAnalysis.tokens(col(textCol))
     val base = df.select(col(idCol),
         size(toks).cast("double").as("__dl"),

@@ -159,8 +159,12 @@ object PgCsv {
     // hidden subtrees are skipped. Partition-column inference is not part of
     // the flag path (the reference's COPY surface is flat files); the read is
     // the union of the decompressed files.
+    // listFiles returns null (not empty) on an unreadable directory or I/O
+    // error — fold that into the flag's loud-failure contract
     def dataFiles(dir: File): Seq[File] =
-      dir.listFiles().toIndexedSeq.filterNot(f => hidden(f.getName)).flatMap {
+      Option(dir.listFiles())
+        .getOrElse(fail(s"cannot list directory $dir"))
+        .toIndexedSeq.filterNot(f => hidden(f.getName)).flatMap {
         case d if d.isDirectory => dataFiles(d)
         case f if f.isFile => Seq(f)
         case _ => Nil

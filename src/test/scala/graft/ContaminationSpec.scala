@@ -41,6 +41,28 @@ class ContaminationSpec extends AnyFunSuite {
       "semi-join fast path and pair-count path must agree with their thresholds")
   }
 
+  test("broadcast guard: forced, disabled, and auto-fallback paths agree") {
+    def pairs(force: Option[Boolean]) =
+      Contamination.overlapPairs(corpus, "doc_id", "text",
+          bench, "bench_id", "btext", k = 5, benchBroadcast = force)
+        .orderBy("corpus_id").collect().map(_.toString).toSeq
+    val on = pairs(Some(true))
+    assert(on == pairs(Some(false)),
+      "shuffle-join path must equal the broadcast path")
+    val conf = spark.conf
+    val before = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // 1-byte threshold: the size estimate can never fit → the auto path
+      // MUST take the shuffle-join fallback
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      assert(pairs(None) == on, "auto fallback must match the broadcast result")
+      val clean = Contamination.decontaminate(corpus, "doc_id", "text",
+          bench, "bench_id", "btext", k = 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(clean == Set(2L), "decontaminate via the fallback path")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("decontaminate removes exactly the contaminated documents") {
     val clean = Contamination.decontaminate(corpus, "doc_id", "text",
         bench, "bench_id", "btext", k = 5)

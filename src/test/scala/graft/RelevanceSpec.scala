@@ -35,6 +35,35 @@ class RelevanceSpec extends AnyFunSuite {
       (4L, "data", 2L, 3L, 2.0 * 4 / 3)))
   }
 
+  test("DataFrame term set is row-identical to the literal path (x13 terms)") {
+    val real = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val terms = Seq("join", "vector", "scan", "data")
+    val viaLit = Relevance.termFrequencies(real, "doc_id", "text", terms)
+      .orderBy("doc_id", "term").collect().map(_.toString).toSeq
+    val viaDf = Relevance.termFrequencies(real, "doc_id", "text",
+        terms.toDF("term"), "term")
+      .orderBy("doc_id", "term").collect().map(_.toString).toSeq
+    assert(viaLit.nonEmpty && viaLit == viaDf)
+  }
+
+  test("vocabulary-scale term set: 5k-term join path completes and counts exactly") {
+    val real = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    // a REAL vocabulary: the corpus's own distinct folded tokens (≤5000) —
+    // with full coverage, termFrequencies must equal the plain word count
+    val vocab = real.select(explode(graft.functions.TextAnalysis
+        .tokens(col("text"))).as("t"))
+      .select(lower(col("t")).as("term")).distinct().limit(5000)
+    val t0 = System.nanoTime()
+    val viaJoin = Relevance.termFrequencies(real, "doc_id", "text", vocab, "term")
+      .agg(sum("tf")).head().getLong(0)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val totalTokens = real.select(sum(graft.functions.TextAnalysis
+        .tokenCount(col("text")))).head().getLong(0)
+    assert(viaJoin == totalTokens,
+      "full-coverage vocabulary tf must sum to the corpus token count")
+    assert(elapsed < 60.0, f"vocabulary join path took $elapsed%.1f s")
+  }
+
   test("bm25 matches the hand-computed Okapi formula") {
     val k1 = 1.2; val b = 0.75
     val n = 4.0; val avgdl = (6 + 9 + 4 + 5) / 4.0
