@@ -110,8 +110,18 @@ object CsvToTable {
     * through the SAME align/cast path as the batch [[run]], so dialect
     * semantics (NULL vs quoted-empty, quoting, header skip) are identical.
     * Positional mapping like `COPY`: the stream schema is all-strings named
-    * by the target's columns. Exactly-once per batch id is the checkpoint's
-    * contract. Returns the started query; callers stop it. */
+    * by the target's columns. Returns the started query; callers stop it.
+    *
+    * Recovery semantics: `foreachBatch` alone is AT-LEAST-ONCE — Spark
+    * replays a batch whose checkpoint commit record didn't land, and a bare
+    * `insertInto` would append it twice. The write here is made idempotent
+    * per batch id with a commit marker (`<checkpoint>/graft-committed/<id>`,
+    * written right after the append): a replayed batch whose marker exists
+    * is skipped, closing the restart-replay window (pinned by the
+    * checkpoint-recovery spec). The residual gap is a crash in the
+    * milliseconds BETWEEN the append's job commit and the marker write —
+    * unavoidable for a non-transactional sink; a table format with
+    * transactional batch-id tracking is the 100 TB answer. */
   def streamToTable(spark: SparkSession, tableName: String, dir: String,
                     checkpointDir: String, dialect: CsvDialect = CsvDialect(),
                     maxFilesPerTrigger: Int = 1)
@@ -132,8 +142,17 @@ object CsvToTable {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(SaveMode.Append).insertInto(tableName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val markerDir = new org.apache.hadoop.fs.Path(
+          checkpointDir, "graft-committed")
+        val fs = markerDir.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(markerDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          batch.write.mode(SaveMode.Append).insertInto(tableName)
+          fs.mkdirs(markerDir)
+          fs.create(marker, true).close()
+        }
       }
       .start()
   }

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata, processed with per-partition batch
   * transforms — the Scala/Dataset analog of `mapInPandas` batch UDFs.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are deterministic STUBS (clearly marked below) that parse a
-  * fake 16-byte header. Everything around them — schema, encoders, batch
-  * shape, partitioning, null handling — is real Spark plumbing and is what a
-  * production decoder would drop into.
+  * The kernels dispatch on the payload's magic bytes:
+  *  - PNG (and any other `javax.imageio` format — BMP, GIF; the JDK ships
+  *    these, no external deps): REAL decode and REAL resample;
+  *  - the `GRFT` synthetic header: a deterministic fake payload, kept for
+  *    the byte-exact DuckDB-oracled gate entries (x05c/x05d) and as the
+  *    stand-in for codecs the JDK lacks (JPEG2000, video — those remain the
+  *    documented swap-point, clearly marked below).
+  * Everything around the kernels — schema, encoders, batch shape,
+  * partitioning, null handling — is identical for both paths.
   */
 object Multimodal {
 
@@ -60,13 +64,14 @@ object Multimodal {
       feature: Array[Double])
 
   /** Per-partition batch decode — the `mapInPandas` analog: one iterator in,
-    * one iterator out, so a real decoder can amortize codec/model setup per
-    * partition (exactly where a JNI/ONNX session would be opened once).
+    * one iterator out, so the decoder amortizes codec setup per partition
+    * (exactly where a JNI/ONNX session would be opened once).
     *
-    * ??? STUB ???: `decodeOne` parses the fake header and emits a 4-dim
-    * feature from the payload bytes. A real implementation swaps ONLY the
-    * body of `decodeOne` for an actual codec call — signature, batching,
-    * schema and partitioning stay identical. */
+    * `decodeOne` dispatches on magic: real images decode through the JDK's
+    * ImageIO (4-dim feature = per-channel means + luminance); `GRFT`
+    * payloads parse the synthetic header. Adding a non-JDK codec swaps ONLY
+    * the kernel body — signature, batching, schema and partitioning stay
+    * identical. */
   def decodeFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]
@@ -76,17 +81,47 @@ object Multimodal {
       }
   }
 
-  /** STUB decode kernel — deterministic fake in lieu of a real codec. */
-  private def decodeOne(id: Long, bytes: Array[Byte]): DecodedFeatures = {
-    require(bytes.length >= 16 && new String(bytes.slice(0, 4), "US-ASCII") == "GRFT",
-      s"media $id: bad magic")
-    def be(off: Int): Int =
-      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
-        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-    val body = bytes.drop(16)
-    val feat = Array.tabulate(4)(i =>
-      body.iterator.drop(i).grouped(4).map(_.head & 0xff).sum.toDouble / body.length)
-    DecodedFeatures(id, be(4), be(8), be(12), feat)
+  private def isGrft(bytes: Array[Byte]): Boolean =
+    bytes.length >= 16 && bytes(0) == 'G' && bytes(1) == 'R' &&
+      bytes(2) == 'F' && bytes(3) == 'T'
+
+  /** Decode kernel: ImageIO for real image bytes, header parse for `GRFT`. */
+  private def decodeOne(id: Long, bytes: Array[Byte]): DecodedFeatures =
+    if (isGrft(bytes)) {
+      def be(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      val body = bytes.drop(16)
+      val feat = Array.tabulate(4)(i =>
+        body.iterator.drop(i).grouped(4).map(_.head & 0xff).sum.toDouble / body.length)
+      DecodedFeatures(id, be(4), be(8), be(12), feat)
+    } else {
+      // REAL codec path: javax.imageio ships in the JDK (PNG/BMP/GIF need
+      // no external deps). Feature = mean R, G, B plus BT.601 luminance,
+      // all normalized to [0,1] — deterministic for a given payload.
+      val img = readImage(id, bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = 255.0 * w * h
+      DecodedFeatures(id, w, h, 1,
+        Array(r / n, g / n, b / n, (0.299 * r + 0.587 * g + 0.114 * b) / n))
+    }
+
+  private def readImage(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"media $id: payload is neither a GRFT header nor a JDK-decodable image")
+    img
   }
 
   final case class ResizedMedia(media_id: Long, mime: String,
@@ -95,11 +130,11 @@ object Multimodal {
   /** Batch resize — a binary→binary per-partition transform with refreshed
     * metadata, the second `mapInPandas`-shaped kernel (decode is the first).
     *
-    * ??? STUB ???: a real resampler would transform the pixel payload; here
-    * the kernel rewrites the fake header's dimensions and keeps the body, so
-    * the transform is deterministic and header/metadata consistency is
-    * verifiable end-to-end (decode of a resize reports the new dims). The
-    * batching, schema, and meta-refresh plumbing are the production shape. */
+    * Real images resample through Graphics2D (bilinear) and re-encode as
+    * PNG; `GRFT` payloads rewrite the synthetic header's dimensions and keep
+    * the body (deterministic, byte-exact — the x05d oracle's path). Either
+    * way decode-of-a-resize reports the new dims, so header/metadata
+    * consistency is verifiable end-to-end. */
   def resize(media: DataFrame, targetW: Int, targetH: Int)
             (implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -108,13 +143,26 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition setup (image library init) would go here
         batch.map { case (id, mime, bytes) =>
-          require(bytes.length >= 16 &&
-            new String(bytes.slice(0, 4), "US-ASCII") == "GRFT",
-            s"media $id: bad magic")
-          val out = bytes.clone()
-          writeBe(out, 4, targetW)
-          writeBe(out, 8, targetH)
-          ResizedMedia(id, mime, out, targetW, targetH)
+          if (isGrft(bytes)) {
+            val out = bytes.clone()
+            writeBe(out, 4, targetW)
+            writeBe(out, 8, targetH)
+            ResizedMedia(id, mime, out, targetW, targetH)
+          } else {
+            val src = readImage(id, bytes)
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = dst.createGraphics()
+            try {
+              gfx.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              gfx.drawImage(src, 0, 0, targetW, targetH, null)
+            } finally gfx.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedMedia(id, mime, bos.toByteArray, targetW, targetH)
+          }
         }
       }
   }

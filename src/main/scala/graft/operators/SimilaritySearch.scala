@@ -254,6 +254,27 @@ object SimilaritySearch {
     saveCentroids(corpus.sparkSession, centroids, s"$path/_centroids")
   }
 
+  /** Delta-append new vectors to a materialized [[buildIvfIndex]] index —
+    * never a retrain: assignments use the index's EMBEDDED quantizer, so
+    * base and delta rows are always cell-consistent by construction (the
+    * invariant a retrain-on-append would break). New rows land as
+    * additional part files inside their cell partitions, so
+    * [[ivfSearchIndexed]]'s static partition pruning keeps holding: probed
+    * cells are scanned base+delta, unprobed cells stay unread. This is the
+    * standard IVF ingestion path at 100 TB — append daily deltas, rebuild
+    * (retrain) only when the quantizer drifts from the data. */
+  def appendToIvfIndex(newRows: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String): Unit = {
+    val spark = newRows.sparkSession
+    graft.plans.HashExpressions.register(spark)
+    val centroids = loadCentroids(spark, s"$indexPath/_centroids")
+    val cents: Column = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    newRows.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        element_at(call_function("graft_nearest_cells", col(vecCol), cents, lit(1)), 1)
+          .as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(indexPath)
+  }
+
   /** Search a materialized index with ITS OWN embedded quantizer — the
     * mismatch-proof form: probe cells always come from the same centroids
     * the cells were assigned with. */

@@ -367,6 +367,42 @@ class ExtensionsSpec extends AnyFunSuite {
       "embedded-quantizer search must equal the explicit-centroids path")
   }
 
+  test("IVF delta-append: search over base+delta equals a rebuilt index on the union") {
+    import org.apache.spark.sql.functions.input_file_name
+    val queries = embs.where(col("vec_id") < 10)
+    val base = embs.where(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = embs.where(pmod(col("vec_id"), lit(3)) === 0)
+    // quantizer trained on the BASE only — the append must reuse it
+    // (embedded in the index), never retrain on the delta
+    val cents = SimilaritySearch.trainIvf(base, "vec_id", "embedding",
+      nlist = 8, refineIters = 1)
+    val idxPath = java.nio.file.Files.createTempDirectory("ivf-delta").toString
+    SimilaritySearch.buildIvfIndex(base, "vec_id", "embedding", cents, idxPath)
+    SimilaritySearch.appendToIvfIndex(delta, "vec_id", "embedding", idxPath)
+    val appended = SimilaritySearch.ivfSearchIndexed(spark, idxPath,
+        queries, "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    // rebuilt from scratch on the union, SAME quantizer
+    val rebuiltPath = java.nio.file.Files.createTempDirectory("ivf-rebuilt").toString
+    SimilaritySearch.buildIvfIndex(base.unionAll(delta), "vec_id", "embedding",
+      cents, rebuiltPath)
+    val rebuilt = SimilaritySearch.ivfSearchIndexed(spark, rebuiltPath,
+        queries, "embedding", "vec_id", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(appended.nonEmpty && appended == rebuilt,
+      "delta-append must be indistinguishable from a rebuild on the union")
+    // partition pruning still holds with delta part files present
+    val one = embs.where(col("vec_id") === 0)
+    val search = SimilaritySearch.ivfSearchIndexed(spark, idxPath,
+      one, "embedding", "vec_id", k = 5, nprobe = 2)
+    val cellsRead = search.join(spark.read.parquet(idxPath)
+        .select(col("corpus_id"), input_file_name().as("__f")), "corpus_id")
+      .select("__f").distinct().collect().map(_.getString(0))
+      .map(f => f.split("/").find(_.startsWith("cell=")).getOrElse("?")).distinct
+    assert(cellsRead.length <= 2,
+      s"append must not defeat cell pruning: ${cellsRead.toSeq}")
+  }
+
   test("gate entries: x03c_search_indexed equals x03c_search row-for-row") {
     val direct = Queries.queries("x03c_search")(spark, TestSpark.sf0001)
       .collect().toSeq
@@ -471,6 +507,43 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(w == 320 && h == 240, s"media $id dims not rewritten")
       assert(f == before(id), s"media $id body feature must be unchanged")
     }
+  }
+
+  test("multimodal: real PNG bytes decode and resample through the JDK codec") {
+    implicit val sp = spark
+    import spark.implicits._
+    // a REAL PNG, encoded in-test: 8×4 solid red + 6×6 solid blue
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image/png", png(8, 4, 0xff0000)),
+      (2L, "image/png", png(6, 6, 0x0000ff)))
+      .toDF("media_id", "mime", "content")
+    val dec = graft.operators.Multimodal.decodeFeatures(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(dec(1L).width == 8 && dec(1L).height == 4 && dec(1L).n_frames == 1)
+    assert(dec(2L).width == 6 && dec(2L).height == 6)
+    // solid red: mean R=1, G=B=0, luminance=0.299; solid blue: B=1, lum=0.114
+    assert(dec(1L).feature.zip(Array(1.0, 0.0, 0.0, 0.299))
+      .forall { case (a, e) => math.abs(a - e) < 1e-9 })
+    assert(dec(2L).feature.zip(Array(0.0, 0.0, 1.0, 0.114))
+      .forall { case (a, e) => math.abs(a - e) < 1e-9 })
+    // real resample: output is a valid PNG at the target dims; a solid
+    // color stays solid through bilinear resampling
+    val resized = graft.operators.Multimodal.resize(media, 4, 2).toDF()
+    val redec = graft.operators.Multimodal.decodeFeatures(
+        resized.withColumnRenamed("content", "content")).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(redec(1L).width == 4 && redec(1L).height == 2)
+    assert(redec(1L).feature.zip(Array(1.0, 0.0, 0.0, 0.299))
+      .forall { case (a, e) => math.abs(a - e) < 1e-9 },
+      "solid color must survive the real resample")
   }
 
   test("Percentiles.exactByGroup keeps all-NULL groups with NULL percentiles") {

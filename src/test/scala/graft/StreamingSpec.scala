@@ -338,6 +338,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous COPY checkpoint recovery: replayed batch lands exactly once") {
+    spark.sql("DROP TABLE IF EXISTS stream_copy_rec")
+    spark.sql("CREATE TABLE stream_copy_rec (id INT, name STRING) USING parquet")
+    val dir = Files.createTempDirectory("csvrec").toString
+    val ckpt = Files.createTempDirectory("csvrec-ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f1.csv"),
+      "id,name\n1,a\n2,b\n")
+    val q1 = graft.operators.CsvToTable.streamToTable(
+      spark, "stream_copy_rec", dir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("stream_copy_rec").count() == 2)
+    // simulate the at-least-once crash window: the sink append committed but
+    // the checkpoint's batch-0 commit record did not — on restart Spark
+    // REPLAYS batch 0 into foreachBatch, and only the idempotence marker
+    // stands between the table and duplicated rows
+    val c0 = new java.io.File(s"$ckpt/commits", "0")
+    assert(c0.isFile, "expected the batch-0 checkpoint commit record")
+    assert(c0.delete())
+    // the local FS keeps a checksum sidecar; a stale one fails the commit
+    // log's atomic rename on the rerun
+    new java.io.File(s"$ckpt/commits", ".0.crc").delete()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f2.csv"),
+      "id,name\n3,c\n")
+    val q2 = graft.operators.CsvToTable.streamToTable(
+      spark, "stream_copy_rec", dir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    // the pre-restart count() cached this session's file listing for the
+    // table; drop it so the read sees the restarted stream's appends
+    spark.sql("REFRESH TABLE stream_copy_rec")
+    val rows = spark.table("stream_copy_rec").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, "b"), (3, "c")),
+      s"no duplicates from the replayed batch, no lost rows: ${rows.toSeq}")
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     val dir = Files.createTempDirectory("late").toString
     import spark.implicits._
