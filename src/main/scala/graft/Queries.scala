@@ -1543,6 +1543,177 @@ SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINC
   CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
 ORDER BY column_name"""))
 
+  // Shared DuckDB CTE block: exact 3-token-shingle Jaccard pairs at the given
+  // threshold (the x02d spelling) → symmetric edge list → transitive closure
+  // via recursive CTE → per-node min reachable id. The Spark side computes the
+  // same closure with the distributed large-star/small-star algorithm — the
+  // oracle pins that an O(log n)-round shared-nothing iteration equals the
+  // textbook sequential semantics.
+  private def ccOracle(tail: String) =
+    s"""WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (SELECT id_1, id_2 FROM isect
+          JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2
+          WHERE c * 1.0 / NULLIF(sa.n + sb.n - c, 0) >= 0.6),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs UNION SELECT id_2, id_1 FROM pairs),
+reach(n, m) AS (SELECT a, b FROM edges
+  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n)
+$tail"""
+
+  private val x16 = DeclaredQuery("x16_neardup_components",
+    // Fuzzy-dedup final stage, part 1: near-duplicate PAIRS (x02d's exact
+    // Jaccard at 0.6) collapsed into CLUSTERS by distributed connected
+    // components (alternating large-star/small-star — O(log²) rounds of
+    // narrow (long,long) shuffles, lineage truncated per round). A dup group
+    // is the transitive closure of its pairs: A~B, B~C must merge even when
+    // A~C was never emitted.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.NearDup
+        .jaccardPairsExact(docs, "doc_id", "text", minJaccard = 0.6)
+      graft.operators.ConnectedComponents
+        .componentsOf(docs, "doc_id", pairs, "id_1", "id_2")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(ccOracle(
+      """SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id""")))
+
+  private val x16b = DeclaredQuery("x16b_neardup_cluster_dedup",
+    // Part 2: keep ONE representative per cluster — the minimum doc_id, so
+    // the kept set is deterministic and partitioning-invariant. Uniques
+    // survive as singletons. Output: per-language kept counts.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.NearDup
+        .jaccardPairsExact(docs, "doc_id", "text", minJaccard = 0.6)
+      graft.operators.Dedup
+        .keepClusterRepresentatives(docs, "doc_id", pairs)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some(ccOracle(
+      """SELECT d.lang, COUNT(*) AS n_kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+GROUP BY d.lang ORDER BY d.lang""")))
+
+  private val x16c = DeclaredQuery("x16c_semantic_components",
+    // SemDeDup-flavored semantic dedup: the cluster graph is embedding-cosine
+    // pairs (x02c's exact spelling at 0.45) instead of lexical shingles; the
+    // same distributed closure applies. At 100 TB the pair generator swaps to
+    // the LSH/IVF candidate path — the closure stage is unchanged.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val pairs = graft.operators.NearDup
+        .cosinePairsExact(e, "vec_id", "embedding", minCosine = 0.45)
+      graft.operators.ConnectedComponents
+        .componentsOf(e, "vec_id", pairs, "id_1", "id_2")
+        .select(col("node").as("vec_id"), col("component"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE p0 AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    AND list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+    / NULLIF(SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) >= 0.45),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM p0 UNION SELECT id_2, id_1 FROM p0),
+reach(n, m) AS (SELECT a, b FROM edges
+  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n)
+SELECT v.vec_id, COALESCE(c.component, v.vec_id) AS component
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+ORDER BY v.vec_id"""))
+
+  private val x17 = DeclaredQuery("x17_pii_redact",
+    // PII scrubbing (Scrub.redactPii): URL → email → IPv4 → phone, fixed
+    // order, all-builtin regexp_replace — a map-only codegen'd pass. The
+    // synthetic corpus carries no PII, so the entry PLANTS one of each kind
+    // deterministically from doc_id and pins that both engines redact the
+    // augmented text identically (DuckDB needs the 'g' flag — its
+    // regexp_replace is first-match by default, Spark's is global).
+    (s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com at 10.2.0."),
+        pmod(col("doc_id"), lit(200)), lit(" or +1 800 555 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" via https://ex.com/"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.Scrub.redactPii(planted).as("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.2.0.'
+      || CAST(doc_id % 200 AS VARCHAR) || ' or +1 800 555 '
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' via https://ex.com/' || CAST(doc_id AS VARCHAR) AS s
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+    'https?://[^\s]+', '<URL>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS clean
+FROM p ORDER BY doc_id"""))
+
+  private val x17b = DeclaredQuery("x17b_c4_filter",
+    // C4-style boilerplate filtering (Scrub.c4Keep / line signals). The
+    // corpus has no newlines, so the entry derives a line structure both
+    // engines can rebuild exactly (every ' table ' becomes '.\n' — plain
+    // string replace, no regex) and aggregates per language: docs kept by
+    // the C4 rule, plus corpus-level line counts. Fractions are ONE division
+    // of exact integer sums — bit-stable cross-engine.
+    (s, d) => {
+      val lined = replace(col("text"), lit(" table "), lit(".\n"))
+      val ls = graft.functions.Scrub.lines(lined)
+      val nTerm = size(filter(ls, l => trim(l).endsWith(".")))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          graft.functions.Scrub.c4Keep(lined).as("keep"),
+          size(ls).as("n_lines"), nTerm.as("n_term"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_lines").cast("long")).as("total_lines"),
+          (sum(col("n_term").cast("long")).cast("double") /
+            sum(col("n_lines").cast("long")).cast("double")).as("frac_terminal"))
+        .orderBy("lang")
+    },
+    Some("""WITH p AS (
+  SELECT lang, doc_id, replace(text, ' table ', '.' || chr(10)) AS s FROM documents),
+l AS (
+  SELECT lang, doc_id, s,
+    list_filter(regexp_split_to_array(s, '\n'), x -> length(trim(x)) > 0) AS ls
+  FROM p),
+sig AS (
+  SELECT lang, doc_id,
+    len(ls) AS n_lines,
+    len(list_filter(ls, x -> ends_with(trim(x), '.'))) AS n_term,
+    (len(list_filter(ls, x ->
+        (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+        AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> length(w) > 0)) >= 3)) >= 3
+      AND NOT contains(s, '{') AND NOT contains(s, '}')
+      AND NOT contains(lower(s), 'lorem ipsum')) AS keep
+  FROM l)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+  CAST(SUM(n_term) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE) AS frac_terminal
+FROM sig GROUP BY lang ORDER BY lang"""))
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -1574,7 +1745,7 @@ FROM u ORDER BY doc_id"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
-    x13, x13b, x14, x14b, x15, x6d)
+    x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

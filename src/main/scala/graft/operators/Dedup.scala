@@ -27,4 +27,27 @@ object Dedup {
     * instead of the raw text: the shuffle key shrinks from ~KBs to 8 bytes. */
   def withContentHash(df: DataFrame, textCol: String, hashCol: String = "content_hash"): DataFrame =
     df.withColumn(hashCol, xxhash64(col(textCol)))
+
+  /** Fuzzy dedup, final stage: collapse a near-duplicate PAIR list (any of
+    * [[NearDup]]'s generators) into clusters via distributed connected
+    * components, and keep exactly one representative per cluster — the
+    * minimum id, so the choice is deterministic and partitioning-invariant.
+    *
+    * Returns `df` rows whose id is its cluster's minimum (uniques survive as
+    * their own singleton cluster). The pair graph's transitive closure is the
+    * right cluster semantics: A~B and B~C must collapse to ONE kept doc even
+    * when A~C was never emitted as a pair.
+    *
+    * Cost beyond the pair pass: O(log) rounds of narrow (long, long)
+    * shuffles ([[ConnectedComponents]]) plus one semi-join of `df` against
+    * the kept-id set — document bodies never enter the iteration. */
+  def keepClusterRepresentatives(df: DataFrame, idCol: String,
+                                 pairs: DataFrame,
+                                 pairCol1: String = "id_1",
+                                 pairCol2: String = "id_2"): DataFrame = {
+    val comp = ConnectedComponents.components(pairs, pairCol1, pairCol2)
+    val drop = comp.where(col("node") =!= col("component"))
+      .select(col("node").as("__graft_drop_id"))
+    df.join(drop, col(idCol).cast("long") === col("__graft_drop_id"), "left_anti")
+  }
 }
