@@ -1714,6 +1714,109 @@ SELECT lang, COUNT(*) AS n_docs,
   CAST(SUM(n_term) AS DOUBLE) / CAST(SUM(n_lines) AS DOUBLE) AS frac_terminal
 FROM sig GROUP BY lang ORDER BY lang"""))
 
+  private val x10c = DeclaredQuery("x10c_curation_pipeline",
+    // Composed flagship v3 over the round-6 operators: C4 boilerplate filter
+    // (x17b's derived line structure) → cluster-level fuzzy dedup (exact
+    // Jaccard pairs at 0.6 → distributed connected components → min-id
+    // representative, x16b) → corpus token-rarity accounting (x19) — the
+    // full "curate a pretraining corpus" path as one composition, oracled
+    // end-to-end against a single DuckDB derivation (keep rule + recursive-
+    // CTE closure + rarity join). Per-language output: surviving docs,
+    // their token mass, and the min/max per-doc rarity (exact selections of
+    // bit-stable doubles — no FP accumulation crosses engines).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val lined = replace(col("text"), lit(" table "), lit(".\n"))
+      val kept = docs.where(graft.functions.Scrub.c4Keep(lined))
+      val pairs = graft.operators.NearDup
+        .jaccardPairsExact(kept, "doc_id", "text", minJaccard = 0.6)
+      val reps = graft.operators.Dedup
+        .keepClusterRepresentatives(kept, "doc_id", pairs)
+      val rarity = graft.operators.Relevance
+        .tokenRarity(reps, "doc_id", "text")
+      reps.join(rarity, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_tokens"), lit(0L))).as("total_tokens"),
+          min("mean_token_freq").as("min_rarity"),
+          max("mean_token_freq").as("max_rarity"))
+        .orderBy("lang")
+    },
+    Some("""WITH RECURSIVE p AS (
+  SELECT doc_id, lang, text, replace(text, ' table ', '.' || chr(10)) AS s FROM documents),
+keptd AS (
+  SELECT doc_id, lang, text FROM p
+  WHERE (len(list_filter(list_filter(regexp_split_to_array(s, '\n'), x -> length(trim(x)) > 0), x ->
+        (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+        AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> length(w) > 0)) >= 3)) >= 3
+    AND NOT contains(s, '{') AND NOT contains(s, '}')
+    AND NOT contains(lower(s), 'lorem ipsum'))),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sg
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM keptd)),
+ex AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(sg) AS n FROM sh),
+prs AS (SELECT id_1, id_2 FROM isect
+        JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2
+        WHERE c * 1.0 / NULLIF(sa.n + sb.n - c, 0) >= 0.6),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM prs UNION SELECT id_2, id_1 FROM prs),
+reach(n, m) AS (SELECT a, b FROM edges
+  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n),
+reps AS (SELECT d.doc_id, d.lang, d.text FROM keptd d
+         LEFT JOIN comp c ON c.node = d.doc_id
+         WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS token
+       FROM reps),
+tc AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY token),
+rar AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mtf
+        FROM tk JOIN tc USING (token) GROUP BY doc_id)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS total_tokens,
+  MIN(mtf) AS min_rarity, MAX(mtf) AS max_rarity
+FROM reps LEFT JOIN rar USING (doc_id)
+GROUP BY lang ORDER BY lang"""))
+
+  private val x18 = DeclaredQuery("x18_zorder_values",
+    // Z-order (Morton) clustering value (Layout.zOrder2): two coordinates
+    // interleaved bit-by-bit with builtin shift/xor/mask expressions — the
+    // data-layout primitive behind multi-column file skipping. The oracle
+    // spells the identical magic-number spread chain in DuckDB's 64-bit
+    // integer semantics; LayoutSpec pins the locality property that makes it
+    // worth writing (per-slice bounding boxes shrink in BOTH dimensions).
+    (s, d) => {
+      val dayN = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          graft.operators.Layout.zOrder2(col("o_custkey"), dayN).as("zval"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey,
+  ${graft.operators.Layout.zOrder2Sql("o_custkey",
+      "datediff('day', DATE '1992-01-01', o_orderdate)")} AS zval
+FROM orders ORDER BY o_orderkey"""))
+
+  private val x19 = DeclaredQuery("x19_token_rarity",
+    // Corpus token-rarity scoring (Relevance.tokenRarity): mean corpus
+    // frequency of each doc's token instances — a log-free surprisal proxy
+    // for mixture stratification. Score is ONE division of exact integer
+    // sums → bit-identical cross-engine.
+    (s, d) => graft.operators.Relevance
+      .tokenRarity(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS token
+  FROM documents),
+tc AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY token)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq
+FROM tk JOIN tc USING (token) GROUP BY doc_id ORDER BY doc_id"""))
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -1745,7 +1848,7 @@ FROM u ORDER BY doc_id"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
-    x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b)
+    x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -111,4 +111,27 @@ object Relevance {
       .groupBy(col(idCol)).agg(sum("__s").as("score"))
     CacheOps.materializeAndRelease(out, base)
   }
+
+  /** Corpus-statistical token rarity per document: the mean corpus frequency
+    * of a document's tokens (token instances weighted, so a doc full of rare
+    * tokens scores low, boilerplate scores high). A cheap language-model-free
+    * proxy for "surprisal" used to stratify pretraining mixtures.
+    *
+    * Shape: explode tokens → corpus token counts (one narrow shuffle on the
+    * token string) → join the exploded tokens back on token → one (doc)
+    * aggregate. The final score is ONE division of two exact integer sums,
+    * so it is bit-identical across engines (no logs, no FP accumulation).
+    * At 100 TB both shuffles partial-aggregate map-side; the token-count
+    * frame is Zipf-headed but the join key is the token itself, so AQE's
+    * skew split applies. */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("__tc"))
+    toks.join(counts, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (sum("__tc").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_token_freq"))
+  }
 }

@@ -205,4 +205,41 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("sha2"), s"payload synthesis must be pruned away:\n$p")
   }
+
+  test("x17 scrub and x18 zorder are map-only: no exchange, single codegen pipeline") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val scrub = docs.select(col("doc_id"),
+        graft.functions.Scrub.redactPii(col("text")),
+        graft.functions.Scrub.c4Keep(col("text")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!scrub.contains("Exchange"), s"scrubbing must not shuffle:\n$scrub")
+    val orders = graft.sources.Tables.table(spark, TestSpark.sf0001, "orders")
+    val z = orders.select(graft.operators.Layout.zOrder2(col("o_custkey"), col("o_orderkey")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!z.contains("Exchange"), s"zOrder2 must not shuffle:\n$z")
+    // the pure-bitwise zOrder2 projection stays inside whole-stage codegen
+    // (the c4 HOF lambdas are eval'd but still map-only — asserted above)
+    assert(z.contains("codegen id"), z)
+  }
+
+  test("x16 component iteration shuffles only narrow long pairs, never doc bodies") {
+    import org.apache.spark.sql.functions._
+    // The CC loop materializes per-round frames; assert the pair-graph entry
+    // plan (pair gen + node universe) reads only doc_id/text and the closure
+    // works over (long, long) — i.e. the text column never crosses an
+    // exchange inside the iteration frames.
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val pairs = graft.operators.NearDup
+      .jaccardPairsExact(docs, "doc_id", "text", minJaccard = 0.6)
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "id_1", "id_2")
+    // result frame is (node, component) longs only
+    assert(comp.schema.fields.map(f => f.dataType.typeName).toSet == Set("long"))
+    // and the representative filter is an anti-join, not a row-multiplying join
+    val kept = graft.operators.Dedup
+      .keepClusterRepresentatives(docs, "doc_id", pairs)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(kept.contains("LeftAnti"), s"representative filter must anti-join:\n$kept")
+  }
 }

@@ -83,4 +83,13 @@ class RelevanceSpec extends AnyFunSuite {
     // ranking sanity: doc 2 (two terms, one rare) outranks the single-hit docs
     assert(got(2L) > got(1L) && got(2L) > got(4L))
   }
+
+  test("tokenRarity: exact mean corpus frequency; empty docs omitted") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val got = Relevance.tokenRarity(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // counts: a=2, b=2, c=1 → doc1 mean (2+2+2)/3 = 2; doc2 (2+1)/2 = 1.5
+    assert(got == Set((1L, 3L, 2.0), (2L, 2L, 1.5)))
+  }
 }
