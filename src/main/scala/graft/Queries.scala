@@ -1817,6 +1817,126 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
   CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq
 FROM tk JOIN tc USING (token) GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val x20 = DeclaredQuery("x20_dedup_against",
+    // Incremental snapshot dedup (Dedup.dedupeAgainst): the new half of the
+    // corpus (doc_id >= 250) deduped against the kept half (< 250) on an
+    // 80-char leading-prefix key — CCNet-style prefix dedup across crawls.
+    // Both sides reduce to distinct 8-byte xxhash64 keys before the
+    // anti-join; document bodies never shuffle. 12 of 250 new docs share a
+    // kept prefix at sf0.01, so the entry exercises real removal.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.dedupeAgainst(
+          docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+          df => substring(df("text"), 1, 80))
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents n WHERE doc_id >= 250 AND NOT EXISTS (
+  SELECT 1 FROM documents s WHERE s.doc_id < 250 AND substr(s.text, 1, 80) = substr(n.text, 1, 80))
+ORDER BY doc_id"""))
+
+  private val x20b = DeclaredQuery("x20b_neardup_against",
+    // Incremental FUZZY dedup pairs (NearDup.nearDuplicatesAgainst): LSH
+    // band keys joined new×seen instead of self-joined, exact-Jaccard
+    // verified. Oracle is the brute-force cross-corpus Jaccard (same
+    // spelling as x02's, restricted to seen<250 ≤ new) — matching it pins
+    // cross-corpus LSH recall at 1.0 for j ≥ 0.8, same S-curve argument.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.NearDup.nearDuplicatesAgainst(
+          docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+          "doc_id", "text", minJaccard = 0.8)
+        .select(col("new_id"), col("seen_id"), round2(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "seen_id")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 250),
+exs AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 250),
+isect AS (SELECT n.doc_id AS new_id, a.doc_id AS seen_id, COUNT(*) AS c
+          FROM exn n JOIN exs a USING (g) GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (SELECT new_id, seen_id, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
+          FROM isect JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = seen_id)
+SELECT new_id, seen_id, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY new_id, seen_id"""))
+
+  private val x20c = DeclaredQuery("x20c_dedupe_against_fuzzy",
+    // The composed incremental clean (Dedup.dedupeAgainstFuzzy): new docs
+    // surviving fuzzy dedup against the kept corpus — x20b's pair list
+    // collapsed to one anti-join on new ids.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.dedupeAgainstFuzzy(
+          docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+          "doc_id", "text", minJaccard = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 250),
+exs AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 250),
+isect AS (SELECT n.doc_id AS new_id, a.doc_id AS seen_id, COUNT(*) AS c
+          FROM exn n JOIN exs a USING (g) GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+hits AS (SELECT DISTINCT new_id
+         FROM isect JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = seen_id
+         WHERE c * 1.0 / NULLIF(sa.n + sb.n - c, 0) >= 0.8)
+SELECT doc_id FROM documents n WHERE doc_id >= 250
+  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.new_id = n.doc_id)
+ORDER BY doc_id"""))
+
+  private val x21 = DeclaredQuery("x21_quality_classifier",
+    // Linear-model inference (Scoring.applyLinearModel): a fasttext-style
+    // quality classifier applied as ONE codegen'd per-row expression — no
+    // UDF, no shuffle, fuses with the scan. Features stay as inspectable
+    // columns; margin is a FIXED left-to-right fold, so the IEEE op sequence
+    // matches the oracle's left-assoc spelling bit-for-bit (keep is decided
+    // on the UNROUNDED margin in both engines). 271/500 kept at sf0.01 —
+    // the threshold genuinely splits the corpus.
+    (s, d) => {
+      import graft.functions.TextAnalysis
+      val feats = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("n_tokens_f"),
+        (size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double")).as("distinct_ratio"))
+      graft.functions.Scoring.applyLinearModel(feats,
+          Seq("n_tokens_f" -> 0.08, "distinct_ratio" -> 4.0), bias = -6.0)
+        .select(col("doc_id"), round2(col("margin")).as("margin"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS DOUBLE) AS nt,
+  CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0))) AS DOUBLE) AS nd
+FROM documents)
+SELECT doc_id,
+  FLOOR((-6.0 + nt * 0.08 + (nd / nt) * 4.0) * 100 + 0.5) / 100 AS margin,
+  (-6.0 + nt * 0.08 + (nd / nt) * 4.0) > 0.0 AS keep
+FROM f ORDER BY doc_id"""))
+
+  private val x22 = DeclaredQuery("x22_bigram_assoc",
+    // Corpus bigram-association scoring (Relevance.bigramAssociation): a
+    // language-model-ish fluency proxy — Σ C(bigram) / Σ C(prefix) over each
+    // doc's adjacent token pairs. Log-free: one division of exact integer
+    // sums, bit-identical cross-engine. Word-count shape twice; nothing
+    // quadratic, nothing collected.
+    (s, d) => graft.operators.Relevance
+      .bigramAssociation(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents),
+bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true) FROM tk),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS bigram_assoc
+FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_id"""))
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -1848,7 +1968,8 @@ FROM u ORDER BY doc_id"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
-    x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c)
+    x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
+    x20, x20b, x20c, x21, x22)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -28,6 +28,40 @@ object Dedup {
   def withContentHash(df: DataFrame, textCol: String, hashCol: String = "content_hash"): DataFrame =
     df.withColumn(hashCol, xxhash64(col(textCol)))
 
+  /** Incremental (snapshot-over-snapshot) exact dedup: drop rows of `newDf`
+    * whose dedup key already appears in `seen` — the every-crawl operation of
+    * a continuously-ingesting corpus (dedupe the new dump against everything
+    * already kept, without re-shuffling the kept corpus' bodies).
+    *
+    * `key` is any deterministic expression over the new/seen rows (raw text,
+    * a normalized form, a leading-prefix `substring` for CCNet-style prefix
+    * dedup). Both sides reduce to DISTINCT xxhash64(key) — the anti-join
+    * shuffles 8-byte hashes, never document bodies, and the seen side
+    * collapses to its distinct key set before moving. A 64-bit collision
+    * (≈2⁻³² at a billion distinct keys) drops one extra row — the standard
+    * trade accepted by hash-keyed dedup at corpus scale ([[withContentHash]]).
+    *
+    * At 100 TB the distinct seen-hash set is usually small enough for AQE to
+    * pick a broadcast; otherwise it is one narrow hash-keyed shuffle. */
+  def dedupeAgainst(newDf: DataFrame, seen: DataFrame,
+                    key: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+    val seenKeys = seen.select(xxhash64(key(seen)).as("__graft_seen_h")).distinct()
+    newDf.join(seenKeys, xxhash64(key(newDf)) === col("__graft_seen_h"), "left_anti")
+  }
+
+  /** Incremental FUZZY dedup: drop `newDf` rows with any near-duplicate
+    * (n-gram Jaccard ≥ `minJaccard`) in the kept corpus — composes
+    * [[NearDup.nearDuplicatesAgainst]] with one anti-join on the new ids.
+    * Within-batch duplicates are NOT collapsed here (compose with
+    * [[keepClusterRepresentatives]] over the batch for that). */
+  def dedupeAgainstFuzzy(newDf: DataFrame, seen: DataFrame,
+                         idCol: String, textCol: String,
+                         minJaccard: Double = 0.8): DataFrame = {
+    val hit = NearDup.nearDuplicatesAgainst(newDf, seen, idCol, textCol, minJaccard)
+      .select(col("new_id")).distinct()
+    newDf.join(hit, newDf(idCol).cast("long") === col("new_id"), "left_anti")
+  }
+
   /** Fuzzy dedup, final stage: collapse a near-duplicate PAIR list (any of
     * [[NearDup]]'s generators) into clusters via distributed connected
     * components, and keep exactly one representative per cluster — the

@@ -69,6 +69,20 @@ object NearDup {
       call_function("graft_shingle_hashes", col(textCol), lit(k)).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Persisted (id, signature) frame — see the cache rationale inline below. */
+  private def sigFrame(hs: DataFrame, numHashes: Int): DataFrame =
+    hs.select(col("__id"),
+      call_function("graft_minhash_sig", col("__hs"), lit(numHashes)).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (band, bandHash, id) keys: unrolled codegen'd xxhash64 per band. */
+  private def bandKeys(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("__id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(((b * r) until ((b + 1) * r))
+          .map(i => element_at(col("__sig"), i + 1)) :+ lit(b): _*)
+      }: _*)).as(Seq("__band", "__bh")))
+
   private def minhashCandidatesFromHashes(hs: DataFrame, numHashes: Int,
                                           bands: Int,
                                           minEstJaccard: Double): DataFrame = {
@@ -151,6 +165,58 @@ object NearDup {
         .select("id_1", "id_2", "jaccard")
       out.localCheckpoint(true) // materialize before releasing the hash cache
     } finally hs.unpersist(false)
+  }
+
+  /** Incremental near-dup: (new_id, seen_id, jaccard) pairs between a NEW
+    * batch and the already-kept corpus — the fuzzy counterpart of
+    * [[Dedup.dedupeAgainst]] for snapshot-over-snapshot ingestion. Same
+    * machinery as [[nearDuplicates]] (minhash signatures, banded LSH keys,
+    * exact-Jaccard verification on distinct shingle-hash sets) except the
+    * band-key join is new×seen instead of a self-join, so candidate cost is
+    * governed by cross-corpus collisions only: the kept corpus is never
+    * self-paired, and neither side's text ever enters a shuffle — band keys
+    * are 20 bytes/row, verification joins attach shingle sets to surviving
+    * candidates only. Recall follows the same banded S-curve as the
+    * self-join path (≈1−1e-7 at j=0.8 with 128/32). */
+  def nearDuplicatesAgainst(newDf: DataFrame, seen: DataFrame,
+                            idCol: String, textCol: String,
+                            minJaccard: Double = 0.8, numHashes: Int = 128,
+                            bands: Int = 32, k: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.HashExpressions.register(newDf.sparkSession)
+    val r = numHashes / bands
+    val hsNew = shingleHashFrame(newDf, idCol, textCol, k)
+    val hsSeen = shingleHashFrame(seen, idCol, textCol, k)
+    val sigNew = sigFrame(hsNew, numHashes)
+    val sigSeen = sigFrame(hsSeen, numHashes)
+    try {
+      val a = bandKeys(sigNew, bands, r)
+        .select(col("__band"), col("__bh"), col("__id").as("new_id"))
+      val b = bandKeys(sigSeen, bands, r)
+        .select(col("__band"), col("__bh"), col("__id").as("seen_id"))
+      val cand = a.join(b, Seq("__band", "__bh"))
+        .select("new_id", "seen_id").dropDuplicates("new_id", "seen_id")
+      // Loose signature-estimate pre-filter (as in the self-join path), then
+      // exact verification — precision is exact, the estimate only prunes.
+      val est = cand
+        .join(sigNew.select(col("__id").as("new_id"), col("__sig").as("__g1")), "new_id")
+        .join(sigSeen.select(col("__id").as("seen_id"), col("__sig").as("__g2")), "seen_id")
+        .where(size(filter(zip_with(col("__g1"), col("__g2"),
+          (x, y) => x === y), eq => eq)).cast("double") / numHashes >= minJaccard * 0.7)
+        .select("new_id", "seen_id")
+      val shNew = hsNew.select(col("__id").as("new_id"), array_distinct(col("__hs")).as("__s1"))
+      val shSeen = hsSeen.select(col("__id").as("seen_id"), array_distinct(col("__hs")).as("__s2"))
+      val out = est.join(shNew, "new_id").join(shSeen, "seen_id")
+        .withColumn("jaccard",
+          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
+            nullif(size(array_union(col("__s1"), col("__s2"))), lit(0)).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select("new_id", "seen_id", "jaccard")
+      out.localCheckpoint(true)
+    } finally {
+      sigNew.unpersist(false); sigSeen.unpersist(false)
+      hsNew.unpersist(false); hsSeen.unpersist(false)
+    }
   }
 
   /** EXACT n-gram Jaccard pairs via a shingle INVERTED INDEX — the

@@ -134,4 +134,38 @@ object Relevance {
         (sum("__tc").cast("double") / count(lit(1)).cast("double"))
           .as("mean_token_freq"))
   }
+
+  /** Corpus bigram-association score per document — a language-model-ish
+    * fluency proxy without a trained LM: over the doc's adjacent token pairs
+    * (w₁,w₂), score = Σ C(w₁,w₂) / Σ C(w₁→·), where C(w₁,w₂) is the corpus
+    * count of that bigram and C(w₁→·) the corpus count of w₁ as a bigram
+    * prefix. High = the doc's transitions are the corpus' common transitions;
+    * low = unusual/garbled sequencing. Log-free on purpose: the score is ONE
+    * division of two exact integer sums, so it is bit-identical cross-engine
+    * (a mean-log-probability would drag libm `log` and fold order into the
+    * result — same rationale as [[tfidfPerTerm]] and [[tokenRarity]]).
+    *
+    * Scale: word-count shape twice — bigram instances explode map-side
+    * (`zip_with` over two slices, no quadratic step), corpus counts are two
+    * partial-aggregated shuffles on narrow string keys, the join-back hits
+    * only surviving bigram keys, and the final per-doc aggregate is one
+    * shuffle on the id. Documents with < 2 tokens have no bigrams and are
+    * absent from the output (same contract as [[tokenRarity]]). */
+  def bigramAssociation(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bi = df.select(col(idCol),
+        explode(zip_with(
+          // greatest(…, 0): slice throws on negative length for empty docs
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bi"))
+      .select(col(idCol), col("__bi.w1").as("w1"), col("__bi.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (sum("__c2").cast("double") / sum("__c1").cast("double"))
+          .as("bigram_assoc"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, NearDup}
+
+/** Incremental (snapshot-over-snapshot) dedup: [[Dedup.dedupeAgainst]],
+  * [[NearDup.nearDuplicatesAgainst]], [[Dedup.dedupeAgainstFuzzy]]. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Kept corpus: docs 1-3. New batch: 10 is an exact copy of 1; 11 a near-dup
+  // of 2 (token 3 changed inside the first 60 chars → Jaccard 25/31 ≈ 0.81,
+  // prefix differs); 12 shares exactly the first 60 chars with 3 but the long
+  // divergent tails push Jaccard to 11/29 ≈ 0.38 (< 0.5); 13 is novel.
+  private val seen = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree twentyfour twentyfive twentysix twentyseven twentyeight twentynine thirty"),
+    (3L, "this exact sixty character prefix is shared with the new doc and then the kept tail diverges into many additional words entirely"))
+    .toDF("doc_id", "text")
+  private val fresh = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (11L, "one two REPLACED four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree twentyfour twentyfive twentysix twentyseven twentyeight twentynine thirty"),
+    (12L, "this exact sixty character prefix is shared with the new doc and then something completely different happens afterwards with extra padding words"),
+    (13L, "totally novel content that matches nothing in the kept corpus at all"))
+    .toDF("doc_id", "text")
+
+  test("dedupeAgainst on full text drops only the exact copy") {
+    val out = Dedup.dedupeAgainst(fresh, seen, df => df("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 12L, 13L))
+  }
+
+  test("dedupeAgainst on a prefix key drops prefix-sharers too") {
+    val out = Dedup.dedupeAgainst(fresh, seen, df => substring(df("text"), 1, 60))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L), "10 (exact) and 12 (shared prefix) must go")
+  }
+
+  test("nearDuplicatesAgainst finds cross-corpus pairs with exact Jaccard, never self-pairs") {
+    val pairs = NearDup.nearDuplicatesAgainst(fresh, seen, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((10L, 1L)), "exact copy must pair with its original")
+    assert(keys.contains((11L, 2L)), "one-word edit at j>=0.5 must be found")
+    assert(pairs.forall(p => p._1 >= 10L && p._2 < 10L),
+      "pairs must be strictly new x seen — the kept corpus is never self-paired")
+    val exact = pairs.find(p => p._1 == 10L && p._2 == 1L).get._3
+    assert(exact == 1.0, "identical text must verify at jaccard exactly 1.0")
+  }
+
+  test("nearDuplicatesAgainst matches brute-force cross Jaccard at the gate threshold") {
+    // Brute force over the same shingle definition (NearDup.jaccard).
+    val brute = fresh.as("n").crossJoin(seen.as("s"))
+      .select(col("n.doc_id").as("new_id"), col("s.doc_id").as("seen_id"),
+        NearDup.jaccard(col("n.text"), col("s.text")).as("j"))
+      .where(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.nearDuplicatesAgainst(fresh, seen, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+
+  test("dedupeAgainstFuzzy keeps exactly the novel docs") {
+    val out = Dedup.dedupeAgainstFuzzy(fresh, seen, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(12L, 13L),
+      "10 (exact, j=1.0) and 11 (j≈0.81) go; 12 (j≈0.38) only shares a prefix")
+  }
+
+  test("dedupeAgainst is partitioning-invariant") {
+    val a = Dedup.dedupeAgainst(fresh.repartition(7), seen.repartition(3),
+        df => df("text")).select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Dedup.dedupeAgainst(fresh.coalesce(1), seen.coalesce(1),
+        df => df("text")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}

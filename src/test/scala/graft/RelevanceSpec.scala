@@ -92,4 +92,26 @@ class RelevanceSpec extends AnyFunSuite {
     // counts: a=2, b=2, c=1 → doc1 mean (2+2+2)/3 = 2; doc2 (2+1)/2 = 1.5
     assert(got == Set((1L, 3L, 2.0), (2L, 2L, 1.5)))
   }
+
+  test("bigramAssociation: exact hand-computed score; short/empty docs omitted") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, "")).toDF("doc_id", "text")
+    // bigram instances: doc1 (a,b)(b,a)(a,b), doc2 (a,b)(b,c)
+    // C2: (a,b)=3, (b,a)=1, (b,c)=1; C1 prefixes: a=3, b=2
+    // doc1: ΣC2 = 3+1+3 = 7, ΣC1 = 3+2+3 = 8 → 0.875
+    // doc2: ΣC2 = 3+1 = 4,   ΣC1 = 3+2 = 5   → 0.8
+    val got = Relevance.bigramAssociation(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 3L, 0.875), (2L, 2L, 0.8)),
+      "1-token and empty docs have no bigrams and must be absent")
+  }
+
+  test("bigramAssociation is partitioning-invariant") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "b a b a a")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relevance.bigramAssociation(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(run(d.repartition(5)) == run(d.coalesce(1)))
+  }
 }
