@@ -1937,6 +1937,48 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
   CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS bigram_assoc
 FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val x23 = DeclaredQuery("x23_pq_topk",
+    // Product-quantized ANN (ProductQuantization): 64-float vectors → 8
+    // byte-codes (32× compression), query scoring = 8 table lookups per
+    // candidate via the native ADC expression. No SQL oracle exists for
+    // argmin-over-trained-codebooks (rows-only by declaration, like
+    // x03b/x03c); ground truth is PqSpec's JVM brute-force recall + exact
+    // reconstruction-error pins.
+    (s, d) => {
+      import graft.operators.ProductQuantization
+      val emb = t(s, d, "embeddings")
+      val cb = ProductQuantization.trainPq(emb, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, iters = 1)
+      val codes = ProductQuantization.encode(emb, "embedding", cb)
+      ProductQuantization.pqTopKAll(codes, emb.where(col("vec_id") < 5),
+          "vec_id", "pq_code", "vec_id", "embedding", cb, k = 10, excludeSelf = true)
+        .select("query_id", "corpus_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  private val x23b = DeclaredQuery("x23b_ivfpq_topk",
+    // IVF-PQ (the IVFADC layout): coarse cells prune candidates (narrow
+    // equi-join on the cell id — nprobe/nlist of the corpus ever scored),
+    // PQ codes score survivors. Build pass assigns cell + codes once;
+    // search never touches raw vectors. nprobe=nlist reduces to x23's flat
+    // search exactly (pinned in PqSpec).
+    (s, d) => {
+      import graft.operators.{ProductQuantization, SimilaritySearch}
+      val emb = t(s, d, "embeddings")
+      val cb = ProductQuantization.trainPq(emb, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, iters = 1)
+      val cents = SimilaritySearch.trainIvf(emb, "vec_id", "embedding",
+        nlist = 16, refineIters = 1)
+      val indexed = ProductQuantization.ivfPqAssign(emb, "vec_id", "embedding", cents, cb)
+      ProductQuantization.ivfPqTopKAll(indexed, emb.where(col("vec_id") < 5),
+          "vec_id", "cell", "pq_code", "vec_id", "embedding", cents, cb,
+          nprobe = 4, k = 10, excludeSelf = true)
+        .select("query_id", "corpus_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -1969,7 +2011,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x21, x22)
+    x20, x20b, x20c, x21, x22, x23, x23b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

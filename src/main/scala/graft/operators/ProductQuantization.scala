@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization [Jégou et al., TPAMI 2011] — the memory-compression
+  * rung of the ANN ladder (SURVEY.md §2c X3), below brute force and beside
+  * IVF: split each D-dim vector into `m` subvectors, vector-quantize each
+  * subspace against its own `ksub`-entry codebook, and keep only the `m`
+  * small code integers per vector. At D=64 floats → m=8 codes that is 32×
+  * compression: a 100 TB embedding corpus' searchable representation fits in
+  * cluster memory, and query scoring (asymmetric distance, ADC) is `m` table
+  * lookups per candidate — no per-dimension float math, no raw-vector I/O.
+  *
+  * The reference has no vector search at all (its surface is CSV↔Postgres
+  * transfer: `/root/reference/src/airflow_postgres_csv/operators.py`); this
+  * module extends the engine's similarity-search family the same way
+  * [[SimilaritySearch]]'s IVF does, and composes with it (PQ-encode the
+  * vectors inside a cell-partitioned IVF index for the classic IVF-PQ
+  * layout: prune cells first, lookup-score survivors second).
+  *
+  * All hot paths are native expressions (`graft_pq_encode` / `graft_pq_lut`
+  * / `graft_pq_adc`, `plans/VectorExpressions.scala`) — zero UDFs. The model
+  * (m × ksub × dsub doubles) is a driver-side artifact like the IVF centroid
+  * table: thousands of doubles, broadcast into plans as a foldable literal so
+  * expressions materialize it once per task.
+  */
+object ProductQuantization {
+
+  /** m × ksub × dsub codebooks as a foldable nested-array literal. */
+  def codebooksLit(cb: Seq[Seq[Array[Double]]]): Column =
+    array(cb.map(book =>
+      array(book.map(cent => array(cent.map(lit): _*)): _*)): _*)
+
+  /** Train per-subspace codebooks: deterministic sample init (first `ksub`
+    * corpus vectors by id hash, sliced per subspace — same discipline as
+    * [[SimilaritySearch.trainIvf]]) + joint Lloyd refinement: each iteration
+    * is ONE distributed pass covering ALL m subspaces (explode to
+    * (subspace, subvector) rows, assign against that subspace's current book
+    * via an m-branch CASE of native nearest-cell calls, partial-aggregated
+    * (subspace, cell, dim) means; only m·ksub·dsub doubles return to the
+    * driver). Empty cells keep their previous centroid. At 100 TB, train on
+    * a `.sample()` of the corpus — PQ codebooks need thousands of vectors,
+    * not the corpus (standard practice; the API takes whatever frame you
+    * pass). `dim` must be divisible by `m`. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 8, ksub: Int = 16, iters: Int = 2): Seq[Seq[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub > 0 && iters >= 0, "ksub must be positive, iters non-negative")
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val dsub = dim / m
+    val init: Seq[Seq[Array[Double]]] = {
+      val sample = corpus
+        .select(col(vecCol)).where(col(vecCol).isNotNull)
+        .orderBy(xxhash64(col(idCol))).limit(ksub)
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (0 until m).map(mi => sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub)).toSeq)
+    }
+    var books = init
+    for (_ <- 1 to iters) {
+      // one pass, all subspaces: (subspace, cell, dim index) → mean
+      val subRows = corpus.where(col(vecCol).isNotNull)
+        .select(explode(array((0 until m).map { mi =>
+          struct(lit(mi).as("m"),
+            slice(col(vecCol), mi * dsub + 1, dsub).as("sv"))
+        }: _*)).as("__s"))
+        .select(col("__s.m").as("__m"), col("__s.sv").as("__sv"))
+      val bookLits = books.map(b => array(b.map(c => array(c.map(lit): _*)): _*))
+      val assigned = subRows.withColumn("__cell",
+        (1 until m).foldLeft(
+          when(col("__m") === 0,
+            element_at(call_function("graft_nearest_cells", col("__sv"), bookLits(0), lit(1)), 1))) {
+          (acc, mi) => acc.when(col("__m") === mi,
+            element_at(call_function("graft_nearest_cells", col("__sv"), bookLits(mi), lit(1)), 1))
+        })
+      val means = assigned.where(col("__cell").isNotNull)
+        .select(col("__m"), col("__cell"), posexplode(col("__sv")).as(Seq("__i", "__x")))
+        .groupBy("__m", "__cell", "__i").agg(avg(col("__x").cast("double")).as("__mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()).toArray).toArray
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      books = next.map(_.toSeq).toSeq
+    }
+    books
+  }
+
+  /** Attach the `m` PQ codes (one native call per row, map-only — fuses with
+    * the scan; this is the index-build pass). */
+  def encode(df: DataFrame, vecCol: String,
+             cb: Seq[Seq[Array[Double]]], codeCol: String = "pq_code"): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.withColumn(codeCol,
+      call_function("graft_pq_encode", col(vecCol), codebooksLit(cb)))
+  }
+
+  /** Mean squared reconstruction error — the PQ training objective:
+    * adc(encode(v), lut(v)) is EXACTLY Σ per-subspace squared distance from
+    * v to its chosen sub-centroids. Diagnostic; the Lloyd monotonicity spec
+    * pins it non-increasing over [[trainPq]] iterations. */
+  def reconstructionError(corpus: DataFrame, vecCol: String,
+                          cb: Seq[Seq[Array[Double]]]): Double = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val cbl = codebooksLit(cb)
+    corpus.where(col(vecCol).isNotNull)
+      .select(avg(call_function("graft_pq_adc",
+        call_function("graft_pq_encode", col(vecCol), cbl),
+        call_function("graft_pq_lut", col(vecCol), cbl))).as("e"))
+      .head().getDouble(0)
+  }
+
+  /** Many-query ANN over PQ codes: each query computes its m·ksub lookup
+    * table ONCE (`graft_pq_lut`, map-side on the small query frame), the
+    * corpus side is only (id, m codes) — the raw vectors are never read at
+    * search time. Scoring is `graft_pq_adc`: m lookups per (query, candidate)
+    * pair; per-query top-k by ASCENDING asymmetric L2 distance. The query
+    * side broadcasts (same shape as [[SimilaritySearch.topKAll]]); corpus
+    * stays partition-parallel with zero shuffle before the top-k window.
+    * For sublinear search, run over the probed cells of an IVF index
+    * (IVF-PQ) instead of the full code table. */
+  def pqTopKAll(corpusCodes: DataFrame, queries: DataFrame,
+                idCol: String, codeCol: String,
+                queryIdCol: String, vecCol: String,
+                cb: Seq[Seq[Array[Double]]], k: Int,
+                excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.HashExpressions.register(corpusCodes.sparkSession)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      call_function("graft_pq_lut", col(vecCol), codebooksLit(cb)).as("__lut"))
+    val c = corpusCodes.select(col(idCol).as("corpus_id"), col(codeCol).as("__code"))
+    val paired = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
+                  else paired)
+      .withColumn("adc_dist", call_function("graft_pq_adc", col("__code"), col("__lut")))
+      .where(col("adc_dist").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+  }
+
+  /** Index-build pass for IVF-PQ: coarse cell assignment + PQ codes in one
+    * map-only projection over the raw vectors — after this, search never
+    * touches the vectors again. `cents` is the IVF coarse quantizer
+    * ([[SimilaritySearch.trainIvf]]), `cb` the PQ codebooks ([[trainPq]]). */
+  def ivfPqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
+                  cellCol: String = "cell", codeCol: String = "pq_code"): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    corpus.select(col(idCol),
+      element_at(call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
+        .as(cellCol),
+      call_function("graft_pq_encode", col(vecCol), codebooksLit(cb)).as(codeCol))
+  }
+
+  /** IVF-PQ search [Jégou et al. 2011, the IVFADC system]: each query probes
+    * its `nprobe` nearest coarse cells, candidates are the probed cells'
+    * rows only (a narrow equi-join on the cell id — the corpus never
+    * cross-joins), and survivors are scored with the m-lookup ADC. This is
+    * the 100 TB shape: candidate count scales with nprobe/nlist of the
+    * corpus, candidate width is m bytes of codes, and the only shuffle keys
+    * are (cell, id, codes). With `nprobe = nlist` (probe everything) the
+    * result is EXACTLY [[pqTopKAll]] — pinned in PqSpec. Over a materialized
+    * cell-partitioned index ([[SimilaritySearch.buildIvfIndex]] on the
+    * [[ivfPqAssign]] output) the probed-cell filter becomes static partition
+    * pruning, same as `ivfSearchIndexed`. */
+  def ivfPqTopKAll(corpusIndexed: DataFrame, queries: DataFrame,
+                   idCol: String, cellCol: String, codeCol: String,
+                   queryIdCol: String, vecCol: String,
+                   cents: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
+                   nprobe: Int, k: Int, excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.HashExpressions.register(corpusIndexed.sparkSession)
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        call_function("graft_pq_lut", col(vecCol), codebooksLit(cb)).as("__lut"),
+        explode(call_function("graft_nearest_cells", col(vecCol), centLit, lit(nprobe)))
+          .as("__qcell"))
+    val c = corpusIndexed.select(col(idCol).as("corpus_id"),
+      col(cellCol).as("__qcell"), col(codeCol).as("__code"))
+    val paired = c.join(broadcast(q), Seq("__qcell"))
+    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
+                  else paired)
+      .withColumn("adc_dist", call_function("graft_pq_adc", col("__code"), col("__lut")))
+      .where(col("adc_dist").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+  }
+
+  /** Materialize the IVF-PQ index: [[ivfPqAssign]] output written
+    * cell-partitioned (one directory per coarse cell — rows are just
+    * (corpus_id, m codes): the raw vectors are NOT in the index, that is the
+    * point), with BOTH quantizer artifacts embedded under the index root
+    * (`_centroids`, `_pqmodel` — underscore prefix keeps them invisible to
+    * the parquet scan). Search can therefore never pair retrained
+    * centroids/codebooks with stale assignments — the same
+    * mismatch-impossible-by-construction contract as
+    * [[SimilaritySearch.buildIvfIndex]]. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
+                      path: String): Unit = {
+    val spark = corpus.sparkSession
+    ivfPqAssign(corpus, idCol, vecCol, cents, cb)
+      .withColumnRenamed(idCol, "corpus_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    SimilaritySearch.saveCentroids(spark, cents, s"$path/_centroids")
+    savePqModel(spark, cb, s"$path/_pqmodel")
+  }
+
+  /** Search a materialized [[buildIvfPqIndex]] index with its own embedded
+    * quantizers: collect the batch's probed cell ids (≤ queries×nprobe ints,
+    * bounded by nlist — driver-side by design, the probe set must be known
+    * to prune the scan), scan ONLY those cell partitions (static partition
+    * pruning over m-byte code rows), ADC-score, top-k per query.
+    * Deterministically identical to [[ivfPqTopKAll]] over the same
+    * assignment (pinned in PqSpec). This is the full 100 TB ANN stack:
+    * sublinear candidate count (IVF pruning) × constant-size candidate
+    * representation (PQ codes) × m-lookup scoring (ADC). */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, queries: DataFrame,
+                         vecCol: String, queryIdCol: String,
+                         k: Int, nprobe: Int = 2,
+                         excludeSelf: Boolean = false): DataFrame = {
+    graft.plans.HashExpressions.register(spark)
+    val cents = SimilaritySearch.loadCentroids(spark, s"$indexPath/_centroids")
+    val cb = loadPqModel(spark, s"$indexPath/_pqmodel")
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      call_function("graft_pq_lut", col(vecCol), codebooksLit(cb)).as("__lut"),
+      explode(call_function("graft_nearest_cells", col(vecCol), centLit, lit(nprobe)))
+        .as("cell"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpusCell = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probed.map(Int.box): _*))
+    val paired = corpusCell.join(broadcast(q), Seq("cell"))
+    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
+                  else paired)
+      .withColumn("adc_dist", call_function("graft_pq_adc", col("pq_code"), col("__lut")))
+      .where(col("adc_dist").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+  }
+
+  /** Persist the codebook artifact (one row per (subspace, cell)) — the PQ
+    * analog of [[SimilaritySearch.saveCentroids]]. */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession,
+                  cb: Seq[Seq[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (cent, c) => (mi, c, cent.toSeq) }
+    }.toDF("subspace", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePqModel]] artifact; searching with it is identical to
+    * searching with the in-memory codebooks. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[Seq[Array[Double]]] = {
+    val rows = spark.read.parquet(path).orderBy("subspace", "cell").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toSeq
+    }
+  }
+}

@@ -172,6 +172,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_nearest_dist"),
       new ExpressionInfo(classOf[NearestCentroidDistExpr].getName, "graft_nearest_dist"),
       exprs => NearestCentroidDistExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      exprs => PqEncodeExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLutExpr].getName, "graft_pq_lut"),
+      exprs => PqLutExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+      exprs => PqAdcExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -200,5 +209,11 @@ object HashExpressions {
       exprs => WinnowFingerprintExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_dist",
       exprs => NearestCentroidDistExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      exprs => PqEncodeExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_lut",
+      exprs => PqLutExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      exprs => PqAdcExpr(exprs(0), exprs(1)), "built-in")
   }
 }

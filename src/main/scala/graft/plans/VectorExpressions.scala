@@ -416,3 +416,252 @@ case class NearestCentroidDistExpr(vec: Expression, centroids: Expression)
       l: Expression, r: Expression): NearestCentroidDistExpr =
     copy(vec = l, centroids = r)
 }
+
+/** Product quantization [Jégou et al., TPAMI 2011] — the memory-compression
+  * rung of the ANN ladder: a D-dim float vector (D·4 bytes) becomes m byte
+  * codes (m bytes, 32× smaller at D=64, m=8), so a 100 TB embedding corpus'
+  * index fits a cluster's memory and candidate scoring never touches the
+  * raw vectors. Three native expressions (same zero-UDF discipline as the
+  * rest of `plans/`): encode at index-build, LUT once per query, ADC per
+  * (query, code) pair — the hot loop is m array lookups, no float math.
+  *
+  * `graft_pq_encode(vec, codebooks)` → ARRAY<INT> (length m): per subspace,
+  * the index of the nearest sub-centroid (squared L2, lowest-index ties —
+  * the same selection discipline as `graft_nearest_cells`). `codebooks` is a
+  * foldable m × ksub × dsub literal; m·dsub must equal the vector dim, else
+  * NULL (not truncation). */
+case class PqEncodeExpr(vec: Expression, codebooks: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = codebooks
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = codebooks.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType | DoubleType, _), _), _) => true
+      case _ => false
+    }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vec must be ARRAY<FLOAT|DOUBLE>, got ${vec.dataType.simpleString}")
+    else if (!cbOk || !codebooks.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebooks must be a foldable ARRAY<ARRAY<ARRAY<FLOAT|DOUBLE>>>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // (m)(ksub)(dsub), evaluated once per task — foldable literal.
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    PqExprUtil.materializeCodebooks(codebooks)
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (va.isNullAt(i)) return null
+      x(i) = if (vecFloat) va.getFloat(i).toDouble else va.getDouble(i)
+      i += 1
+    }
+    val m = cb.length
+    if (m == 0 || cb(0).length == 0) return null
+    val dsub = cb(0)(0).length
+    if (m * dsub != dim) return null // dim mismatch → NULL, not truncation
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val book = cb(mi)
+      val off = mi * dsub
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { val d = x(off + j) - cent(j); s += d * d; j += 1 }
+        if (best == -1 || s < bestD) { best = c; bestD = s } // lowest-index tie
+        c += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqEncodeExpr =
+    copy(vec = l, codebooks = r)
+}
+
+/** `graft_pq_lut(vec, codebooks)` → ARRAY<DOUBLE> (length m·ksub): the
+  * query-side asymmetric-distance lookup table — entry mi·ksub + c is the
+  * squared L2 distance from the query's mi-th subvector to sub-centroid c.
+  * Computed ONCE per query row; after that every candidate's distance is m
+  * lookups ([[PqAdcExpr]]). Same NULL/dim rules as [[PqEncodeExpr]]. */
+case class PqLutExpr(vec: Expression, codebooks: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = codebooks
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = codebooks.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType | DoubleType, _), _), _) => true
+      case _ => false
+    }
+    if (!vecOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: vec must be ARRAY<FLOAT|DOUBLE>, got ${vec.dataType.simpleString}")
+    else if (!cbOk || !codebooks.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebooks must be a foldable ARRAY<ARRAY<ARRAY<FLOAT|DOUBLE>>>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    PqExprUtil.materializeCodebooks(codebooks)
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val dim = va.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (va.isNullAt(i)) return null
+      x(i) = if (vecFloat) va.getFloat(i).toDouble else va.getDouble(i)
+      i += 1
+    }
+    val m = cb.length
+    if (m == 0 || cb(0).length == 0) return null
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    if (m * dsub != dim) return null
+    val lut = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      val book = cb(mi)
+      val off = mi * dsub
+      var c = 0
+      while (c < ksub) {
+        val cent = book(c)
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { val d = x(off + j) - cent(j); s += d * d; j += 1 }
+        lut(mi * ksub + c) = s
+        c += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqLutExpr =
+    copy(vec = l, codebooks = r)
+}
+
+/** `graft_pq_adc(codes, lut)` → DOUBLE: asymmetric distance — Σ over
+  * subspaces of lut[mi·ksub + codes[mi]] (ksub inferred as lut.len/codes.len).
+  * This is the candidate-scoring hot loop: m integer lookups and adds per
+  * row, no per-dimension float math, no vector deserialization. */
+case class PqAdcExpr(codes: Expression, lut: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = codes.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val lutOk = lut.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!codesOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codes must be ARRAY<INT>, got ${codes.dataType.simpleString}")
+    else if (!lutOk)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: lut must be ARRAY<DOUBLE>, got ${lut.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(c: Any, l: Any): Any = {
+    val ca = c.asInstanceOf[ArrayData]
+    val la = l.asInstanceOf[ArrayData]
+    val m = ca.numElements()
+    val n = la.numElements()
+    if (m == 0 || n % m != 0) return null // lut/codes shape mismatch
+    val ksub = n / m
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      if (ca.isNullAt(mi)) return null
+      val code = ca.getInt(mi)
+      if (code < 0 || code >= ksub) return null
+      if (la.isNullAt(mi * ksub + code)) return null
+      s += la.getDouble(mi * ksub + code)
+      mi += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcExpr =
+    copy(codes = l, lut = r)
+}
+
+private[plans] object PqExprUtil {
+  /** Materialize a foldable m × ksub × dsub codebook literal to JVM arrays
+    * (called once per task from the expressions' lazy vals). */
+  def materializeCodebooks(codebooks: Expression): Array[Array[Array[Double]]] = {
+    val innerFloat = codebooks.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case _ => false
+    }
+    val outer = codebooks.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { mi =>
+      val book = outer.getArray(mi)
+      Array.tabulate(book.numElements()) { c =>
+        val cent = book.getArray(c)
+        Array.tabulate(cent.numElements()) { j =>
+          if (innerFloat) cent.getFloat(j).toDouble else cent.getDouble(j)
+        }
+      }
+    }
+  }
+}

@@ -242,4 +242,32 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(kept.contains("LeftAnti"), s"representative filter must anti-join:\n$kept")
   }
+
+  test("x20 incremental dedup: anti-join on 8-byte hashes, seen side distinct before the join") {
+    val p = plan("x20_dedup_against")
+    assert(p.contains("LeftAnti"), s"must plan as an anti-join:\n$p")
+    assert(p.contains("xxhash64"), s"join keys must be hashes, not bodies:\n$p")
+    // the seen side must collapse to its distinct key set BEFORE meeting the
+    // new side — a HashAggregate on the build/right side of the anti-join
+    assert(p.contains("HashAggregate"), s"seen keys must dedup pre-join:\n$p")
+  }
+
+  test("x21 classifier inference is one scan-fused stage: no exchange before the sort") {
+    val p = plan("x21_quality_classifier")
+    // the only exchange allowed is the final presentation ORDER BY
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"scoring must fuse with the scan (only the order-by may shuffle):\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan must read only doc_id/text: $read")
+  }
+
+  test("x22 bigram association: corpus counts partial-aggregate before their shuffles") {
+    val p = plan("x22_bigram_assoc")
+    // two count shuffles (bigram, prefix) + doc aggregate + join-backs: every
+    // HashAggregate pair must be partial→final (map-side combine applies)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nothing quadratic in the fluency scorer:\n$p")
+  }
 }

@@ -113,6 +113,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"duplicate must be suppressed: $ids")
   }
 
+  test("Dedup.dedupeAgainst runs stream-static: arriving docs deduped against the kept corpus") {
+    // The batch incremental-dedup operator works unchanged on a streaming new
+    // side: the anti-join is stream-static (static seen keys, re-read per
+    // micro-batch), so continuous ingest composes with cross-snapshot dedup
+    // without a second implementation.
+    val dir = Files.createTempDirectory("sdagainst").toString
+    import spark.implicits._
+    val seen = Seq((1L, "kept text one"), (2L, "kept text two")).toDF("doc_id", "text")
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((10L, "kept text one"), (11L, "novel text a")))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir)
+    val q = graft.operators.Dedup.dedupeAgainst(stream, seen, df => df("text"))
+      .select("doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdagainst").start()
+    q.processAllAvailable()
+    write(Seq((12L, "kept text two"), (13L, "novel text b")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdagainst").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(11L, 13L),
+      s"docs matching the kept corpus must be dropped in every micro-batch: $ids")
+  }
+
   test("flatMapGroupsWithState emits sessions as they close (gap or timeout)") {
     val dir = Files.createTempDirectory("fmgws").toString
     import spark.implicits._
