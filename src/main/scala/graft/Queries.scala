@@ -1958,22 +1958,27 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     None)
 
   private val x23b = DeclaredQuery("x23b_ivfpq_topk",
-    // IVF-PQ (the IVFADC layout): coarse cells prune candidates (narrow
-    // equi-join on the cell id — nprobe/nlist of the corpus ever scored),
-    // PQ codes score survivors. Build pass assigns cell + codes once;
-    // search never touches raw vectors. nprobe=nlist reduces to x23's flat
-    // search exactly (pinned in PqSpec).
+    // IVF-PQ, residual form (the true IVFADC): coarse cells prune candidates
+    // (narrow equi-join on the cell id — nprobe/nlist of the corpus ever
+    // scored), PQ codes quantize v − centroid(cell) — codebooks trained on
+    // the residual distribution — and score survivors via per-(query, cell)
+    // ADC tables. Build pass assigns cell + codes once; search never touches
+    // raw vectors. Raw-encoded nprobe=nlist reduces to x23's flat search
+    // exactly; residual cuts reconstruction error >2× on clustered data
+    // (both pinned in PqSpec).
     (s, d) => {
       import graft.operators.{ProductQuantization, SimilaritySearch}
       val emb = t(s, d, "embeddings")
-      val cb = ProductQuantization.trainPq(emb, "vec_id", "embedding", dim = 64,
-        m = 8, ksub = 16, iters = 1)
       val cents = SimilaritySearch.trainIvf(emb, "vec_id", "embedding",
         nlist = 16, refineIters = 1)
-      val indexed = ProductQuantization.ivfPqAssign(emb, "vec_id", "embedding", cents, cb)
+      val residuals = ProductQuantization.residualsOf(emb, "vec_id", "embedding", cents)
+      val cb = ProductQuantization.trainPq(residuals, "vec_id", "residual", dim = 64,
+        m = 8, ksub = 16, iters = 1)
+      val indexed = ProductQuantization.ivfPqAssign(emb, "vec_id", "embedding", cents, cb,
+        residual = true)
       ProductQuantization.ivfPqTopKAll(indexed, emb.where(col("vec_id") < 5),
           "vec_id", "cell", "pq_code", "vec_id", "embedding", cents, cb,
-          nprobe = 4, k = 10, excludeSelf = true)
+          nprobe = 4, k = 10, excludeSelf = true, residual = true)
         .select("query_id", "corpus_id", "rank")
         .orderBy("query_id", "rank")
     },

@@ -51,10 +51,11 @@ object ProductQuantization {
     graft.plans.HashExpressions.register(corpus.sparkSession)
     val dsub = dim / m
     val init: Seq[Seq[Array[Double]]] = {
+      // Number covers FLOAT embeddings and DOUBLE residual frames alike
       val sample = corpus
         .select(col(vecCol)).where(col(vecCol).isNotNull)
         .orderBy(xxhash64(col(idCol))).limit(ksub)
-        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .collect().map(_.getSeq[Number](0).map(_.doubleValue).toArray)
       (0 until m).map(mi => sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub)).toSeq)
     }
     var books = init
@@ -138,19 +139,45 @@ object ProductQuantization {
       .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
   }
 
+  /** v − centroid(cell), as builtin expressions (cell is 0-based,
+    * element_at 1-based). The residual is what true IVFADC quantizes:
+    * within-cell offsets are smaller and more isotropic than raw vectors,
+    * so the same code budget spends on finer structure. */
+  private def residualCol(vec: Column, cell: Column, centLit: Column): Column =
+    zip_with(vec, element_at(centLit, cell + 1),
+      (a, b) => a.cast("double") - b)
+
+  /** Residual frame for codebook training: (id, cell, residual) — train the
+    * PQ codebooks on THIS frame's `residual` column when building a
+    * residual-encoded index ([[ivfPqAssign]] with `residual = true`), so
+    * codebooks and codes quantize the same distribution. */
+  def residualsOf(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[Array[Double]]): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val cell = element_at(
+      call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
+    corpus.select(col(idCol), cell.as("cell"),
+      residualCol(col(vecCol), cell, centLit).as("residual"))
+  }
+
   /** Index-build pass for IVF-PQ: coarse cell assignment + PQ codes in one
     * map-only projection over the raw vectors — after this, search never
     * touches the vectors again. `cents` is the IVF coarse quantizer
-    * ([[SimilaritySearch.trainIvf]]), `cb` the PQ codebooks ([[trainPq]]). */
+    * ([[SimilaritySearch.trainIvf]]), `cb` the PQ codebooks ([[trainPq]]).
+    * With `residual = true` (true IVFADC [Jégou '11 §IV]) the codes quantize
+    * v − centroid(cell) instead of v — train `cb` on [[residualsOf]] then. */
   def ivfPqAssign(corpus: DataFrame, idCol: String, vecCol: String,
                   cents: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
-                  cellCol: String = "cell", codeCol: String = "pq_code"): DataFrame = {
+                  cellCol: String = "cell", codeCol: String = "pq_code",
+                  residual: Boolean = false): DataFrame = {
     graft.plans.HashExpressions.register(corpus.sparkSession)
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    corpus.select(col(idCol),
-      element_at(call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
-        .as(cellCol),
-      call_function("graft_pq_encode", col(vecCol), codebooksLit(cb)).as(codeCol))
+    val cell = element_at(
+      call_function("graft_nearest_cells", col(vecCol), centLit, lit(1)), 1)
+    val encoded = if (residual) residualCol(col(vecCol), cell, centLit) else col(vecCol)
+    corpus.select(col(idCol), cell.as(cellCol),
+      call_function("graft_pq_encode", encoded, codebooksLit(cb)).as(codeCol))
   }
 
   /** IVF-PQ search [Jégou et al. 2011, the IVFADC system]: each query probes
@@ -168,13 +195,20 @@ object ProductQuantization {
                    idCol: String, cellCol: String, codeCol: String,
                    queryIdCol: String, vecCol: String,
                    cents: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
-                   nprobe: Int, k: Int, excludeSelf: Boolean = false): DataFrame = {
+                   nprobe: Int, k: Int, excludeSelf: Boolean = false,
+                   residual: Boolean = false): DataFrame = {
     graft.plans.HashExpressions.register(corpusIndexed.sparkSession)
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val q = queries.select(col(queryIdCol).as("query_id"),
-        call_function("graft_pq_lut", col(vecCol), codebooksLit(cb)).as("__lut"),
-        explode(call_function("graft_nearest_cells", col(vecCol), centLit, lit(nprobe)))
-          .as("__qcell"))
+    // residual form: one LUT per (query, probed cell) — the table is built
+    // from (qv − that cell's centroid), matching the residual the cell's
+    // codes quantize. nprobe small tables per query, still query-side only.
+    val q0 = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(call_function("graft_nearest_cells", col(vecCol), centLit, lit(nprobe)))
+        .as("__qcell"))
+    val lutOf = if (residual) residualCol(col("__qv"), col("__qcell"), centLit)
+                else col("__qv")
+    val q = q0.select(col("query_id"), col("__qcell"),
+      call_function("graft_pq_lut", lutOf, codebooksLit(cb)).as("__lut"))
     val c = corpusIndexed.select(col(idCol).as("corpus_id"),
       col(cellCol).as("__qcell"), col(codeCol).as("__code"))
     val paired = c.join(broadcast(q), Seq("__qcell"))
@@ -199,13 +233,18 @@ object ProductQuantization {
     * [[SimilaritySearch.buildIvfIndex]]. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       cents: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
-                      path: String): Unit = {
+                      path: String, residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    ivfPqAssign(corpus, idCol, vecCol, cents, cb)
+    ivfPqAssign(corpus, idCol, vecCol, cents, cb, residual = residual)
       .withColumnRenamed(idCol, "corpus_id")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     SimilaritySearch.saveCentroids(spark, cents, s"$path/_centroids")
     savePqModel(spark, cb, s"$path/_pqmodel")
+    // the encoding form is part of the index's identity — persist it so
+    // search can never score residual codes with raw-vector LUTs
+    import spark.implicits._
+    Seq(residual).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_encoding")
   }
 
   /** Search a materialized [[buildIvfPqIndex]] index with its own embedded
@@ -225,11 +264,19 @@ object ProductQuantization {
     graft.plans.HashExpressions.register(spark)
     val cents = SimilaritySearch.loadCentroids(spark, s"$indexPath/_centroids")
     val cb = loadPqModel(spark, s"$indexPath/_pqmodel")
+    // encoding form travels WITH the index (older indexes without the marker
+    // are raw-encoded by construction)
+    val residual = scala.util.Try(
+      spark.read.parquet(s"$indexPath/_encoding").head().getBoolean(0))
+      .getOrElse(false)
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      call_function("graft_pq_lut", col(vecCol), codebooksLit(cb)).as("__lut"),
+    val q0 = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
       explode(call_function("graft_nearest_cells", col(vecCol), centLit, lit(nprobe)))
         .as("cell"))
+    val lutOf = if (residual) residualCol(col("__qv"), col("cell"), centLit)
+                else col("__qv")
+    val q = q0.select(col("query_id"), col("cell"),
+      call_function("graft_pq_lut", lutOf, codebooksLit(cb)).as("__lut"))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val corpusCell = spark.read.parquet(indexPath)
       .where(col("cell").isin(probed.map(Int.box): _*))

@@ -190,6 +190,43 @@ class PqSpec extends AnyFunSuite {
       s"the index scan must read codes only, never raw vectors: $read")
   }
 
+  test("residual IVFADC: quantizing v - centroid(cell) cuts reconstruction error") {
+    val nlist = 3
+    val cents = SimilaritySearch.trainIvf(corpus, "vec_id", "embedding", nlist, refineIters = 2)
+    val residuals = ProductQuantization.residualsOf(corpus, "vec_id", "embedding", cents)
+    val cbRaw = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m, ksub = 4, iters = 2)
+    val cbRes = ProductQuantization.trainPq(residuals, "vec_id", "residual", dim, m, ksub = 4, iters = 2)
+    val eRaw = ProductQuantization.reconstructionError(corpus, "embedding", cbRaw)
+    val eRes = ProductQuantization.reconstructionError(residuals, "residual", cbRes)
+    // the corpus has 3 well-separated cluster centers: after the coarse
+    // quantizer absorbs them, the same ksub=4 budget quantizes only the
+    // within-cell jitter — error must drop hard, not marginally
+    assert(eRes < eRaw * 0.5, s"residual encoding must cut error: raw=$eRaw residual=$eRes")
+  }
+
+  test("residual index: marker round-trips, indexed search equals lazy residual composition") {
+    val nlist = 3
+    val cents = SimilaritySearch.trainIvf(corpus, "vec_id", "embedding", nlist, refineIters = 1)
+    val residuals = ProductQuantization.residualsOf(corpus, "vec_id", "embedding", cents)
+    val cbRes = ProductQuantization.trainPq(residuals, "vec_id", "residual", dim, m, ksub = 4, iters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-res").toString + "/index"
+    ProductQuantization.buildIvfPqIndex(corpus, "vec_id", "embedding", cents, cbRes,
+      idx, residual = true)
+    val queries = corpus.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val viaIndex = rows(ProductQuantization.ivfPqSearchIndexed(spark, idx, queries,
+      "embedding", "vec_id", k = 5, nprobe = 2, excludeSelf = true))
+    val lazyForm = rows(ProductQuantization.ivfPqTopKAll(
+      ProductQuantization.ivfPqAssign(corpus, "vec_id", "embedding", cents, cbRes,
+        residual = true),
+      queries, "vec_id", "cell", "pq_code", "vec_id", "embedding", cents, cbRes,
+      nprobe = 2, k = 5, excludeSelf = true, residual = true))
+    assert(viaIndex == lazyForm,
+      "the _encoding marker must make indexed search score residual codes with residual LUTs")
+  }
+
   test("NULL and shape edge cases return NULL, never wrong values") {
     graft.plans.HashExpressions.register(spark)
     val cbl = ProductQuantization.codebooksLit(fixedCb)
