@@ -1984,6 +1984,21 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     },
     None)
 
+  private val x24 = DeclaredQuery("x24_jsonl_roundtrip",
+    // JSONL source/sink (sources/JsonL): documents → single gzipped .jsonl
+    // file (distributed parts, serial byte concat — same design as the CSV
+    // exact-path export) → schema'd read back. The oracle is the identity:
+    // a lossless round-trip must hash-match the raw table, nulls, unicode
+    // and all.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x24")
+        .toString + "/docs.jsonl.gz"
+      graft.sources.JsonL.writeSingleFile(docs, tmp, gzip = true)
+      graft.sources.JsonL.read(s, tmp, docs.schema).orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -2016,7 +2031,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x21, x22, x23, x23b)
+    x20, x20b, x20c, x21, x22, x23, x23b, x24)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -6,9 +6,10 @@ package graft.operators
 class GraftException(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
 
-/** Missing input file (reference `operators.py:153-154`). */
+/** Missing input file (reference `operators.py:153-154`; raised by the CSV
+  * and JSONL import paths alike). */
 class MissingInputException(path: String)
-  extends GraftException(s"CSV file not found: $path")
+  extends GraftException(s"input file not found: $path")
 
 /** Query exceeded its timeout (reference `statement_timeout`,
   * `operators.py:76,174`). */
