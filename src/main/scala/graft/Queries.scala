@@ -1999,6 +1999,33 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
 
+  private val x25 = DeclaredQuery("x25_deterministic_shuffle",
+    // Reproducible training order (Sampling.deterministicShuffle): total
+    // ORDER BY sha256(doc_id:salt) — identical across runs, partitionings
+    // and engines; the driver's hash compares rows IN RESULT ORDER, so the
+    // oracle pins the permutation itself, not just the row set.
+    (s, d) => graft.operators.Sampling
+      .deterministicShuffle(t(s, d, "documents"), "doc_id", "ep1")
+      .select("doc_id"),
+    Some("SELECT doc_id FROM documents ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':ep1'), doc_id"))
+
+  private val x26 = DeclaredQuery("x26_pca_project",
+    // Distributed PCA (Pca.fit/project): covariance via a D² pair explode
+    // whose two-phase aggregation shuffles D² keys regardless of corpus
+    // size; driver-side Jacobi eigen-decomposition (the model, like IVF/PQ
+    // codebooks); map-only projection. Rows-only by declaration —
+    // eigenvectors of a data covariance have no SQL oracle; ground truth is
+    // PcaSpec (eigen equation, orthonormality, planted-direction recovery,
+    // JVM projection parity).
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding", dim = 64, k = 8)
+      graft.operators.Pca.project(emb, "embedding", model)
+        .select("vec_id", "pca")
+        .orderBy("vec_id")
+    },
+    None)
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -2031,7 +2058,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x21, x22, x23, x23b, x24)
+    x20, x20b, x20c, x21, x22, x23, x23b, x24, x25, x26)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

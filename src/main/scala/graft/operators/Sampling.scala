@@ -116,4 +116,20 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Deterministic corpus shuffle — reproducible training order: a total
+    * ORDER BY sha256(key:salt). Content-keyed like [[splitAssign]], so the
+    * order is identical across runs, partitionings, and engines; changing
+    * `salt` gives an independent permutation (new epoch order without
+    * touching the data). The id tiebreak makes the order total even under a
+    * (cryptographically impossible) hash collision.
+    *
+    * Scale: a global sort is ONE range-exchange (sample → range-partition →
+    * local sort) — the standard reproducible-shuffle pass before writing
+    * training shards; downstream sharding comes free from the sorted write's
+    * file order. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, salt: String): DataFrame =
+    df.orderBy(
+      sha2(concat_ws(":", col(keyCol).cast("string"), lit(salt)), 256),
+      col(keyCol))
 }

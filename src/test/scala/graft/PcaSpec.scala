@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Pca
+
+class PcaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("jacobiEigen: A·v = λ·v and V orthonormal on a known symmetric matrix") {
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.2, 0.1),
+      Array(0.5, 0.2, 2.0, 0.3),
+      Array(0.0, 0.1, 0.3, 1.0))
+    val (vals, vecs) = Pca.jacobiEigen(a)
+    val n = a.length
+    // eigen equation per column
+    (0 until n).foreach { c =>
+      val v = (0 until n).map(i => vecs(i)(c))
+      val av = (0 until n).map(i => (0 until n).map(j => a(i)(j) * v(j)).sum)
+      (0 until n).foreach(i =>
+        assert(math.abs(av(i) - vals(c) * v(i)) < 1e-9,
+          s"A·v != λ·v at col $c row $i"))
+    }
+    // orthonormality
+    (0 until n).foreach { c1 =>
+      (0 until n).foreach { c2 =>
+        val dot = (0 until n).map(i => vecs(i)(c1) * vecs(i)(c2)).sum
+        val want = if (c1 == c2) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"V not orthonormal at ($c1,$c2): $dot")
+      }
+    }
+    // trace preserved
+    assert(math.abs(vals.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-9)
+  }
+
+  // Synthetic corpus: dominant variance along a planted direction u, small
+  // isotropic jitter elsewhere. dim=6 for readable assertions.
+  private val dim = 6
+  private val u = {
+    val raw = Array(1.0, 2.0, -1.0, 0.5, 0.0, 1.5)
+    val nrm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / nrm)
+  }
+  private val planted = (0 until 200).map { i =>
+    val rnd = new scala.util.Random(i)
+    val t = (i % 21) - 10.0 // strong spread along u
+    val x = Array.tabulate(dim)(d => (t * u(d) + 0.05 * (rnd.nextDouble() - 0.5)).toFloat)
+    (i.toLong, x.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("fit recovers the planted dominant direction, eigenvalues descending") {
+    val model = Pca.fit(planted, "embedding", dim, k = 3)
+    val c0 = model.components(0)
+    val cos = math.abs(c0.zip(u).map { case (a, b) => a * b }.sum) /
+      math.sqrt(c0.map(x => x * x).sum)
+    assert(cos > 0.999, s"top component must align with the planted direction: $cos")
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      s"eigenvalues must be descending: ${model.eigenvalues.toSeq}")
+    assert(model.eigenvalues(0) > 10 * model.eigenvalues(1),
+      "the planted direction must dominate")
+  }
+
+  test("project matches the JVM computation; map-only plan") {
+    val model = Pca.fit(planted, "embedding", dim, k = 2)
+    val out = Pca.project(planted, "embedding", model)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    val got = out.select("vec_id", "pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val rows = planted.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { case (id, x) =>
+      val want = model.components.map(w =>
+        // same fold as zip_with+aggregate: left-to-right over dims
+        x.indices.foldLeft(0.0)((acc, i) => acc + (x(i).toDouble - model.mean(i)) * w(i)))
+      val g = got(id)
+      want.indices.foreach(c =>
+        assert(math.abs(g(c) - want(c)) < 1e-12, s"projection mismatch vec $id comp $c"))
+    }
+  }
+
+  test("projection preserves pairwise distances of the dominant structure") {
+    // k=1 keeps the planted axis: ordering along u must be preserved exactly
+    val model = Pca.fit(planted, "embedding", dim, k = 1)
+    val proj = Pca.project(planted, "embedding", model)
+      .select("vec_id", "pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    // vectors were planted at t = (i % 21) - 10: same t → near-equal
+    // projection, |t1 - t2| large → projections far apart (sign may flip)
+    val sign = math.signum(proj(11L) - proj(0L)) // t: 0 -> -10, 11 -> +1
+    (0 until 200).foreach { i =>
+      val t = (i % 21) - 10.0
+      val p = proj(i.toLong) * sign
+      val t0 = proj(10L) * sign // t = -10 + 10 = 0 reference
+      assert(math.abs((p - t0) - t) < 0.1,
+        s"1-D projection must recover the planted coordinate: vec $i t=$t got ${p - t0}")
+    }
+  }
+
+  test("fit ignores null vectors; guards on k and corpus size") {
+    val withNulls = planted.union(
+      Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val a = Pca.fit(withNulls, "embedding", dim, k = 2)
+    val b = Pca.fit(planted, "embedding", dim, k = 2)
+    assert(a.mean.toSeq == b.mean.toSeq, "null vectors must not perturb the fit")
+    intercept[IllegalArgumentException] { Pca.fit(planted, "embedding", dim, k = 0) }
+    intercept[IllegalArgumentException] { Pca.fit(planted, "embedding", dim, k = dim + 1) }
+  }
+}

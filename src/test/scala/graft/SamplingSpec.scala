@@ -110,4 +110,21 @@ class SamplingSpec extends AnyFunSuite {
         Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("deterministicShuffle: stable total order, partitioning-invariant, salt-independent") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    def order(df: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      graft.operators.Sampling.deterministicShuffle(df, "doc_id", salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val a = order(docs, "ep1")
+    assert(a == order(docs.repartition(7), "ep1"),
+      "the permutation must not depend on physical partitioning")
+    assert(a == order(docs, "ep1"), "and must be stable across runs")
+    val b = order(docs, "ep2")
+    assert(a != b, "a different salt must give a different permutation")
+    assert(a.sorted == b.sorted, "every row survives any salt")
+    // it is a real shuffle, not near-identity: the permutation displaces rows
+    val displaced = a.zip(a.sorted).count { case (x, y) => x != y }
+    assert(displaced > a.length / 2)
+  }
 }
