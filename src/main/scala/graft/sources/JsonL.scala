@@ -28,8 +28,9 @@ object JsonL {
     * failing — the auditable form of tolerance. */
   def read(spark: SparkSession, path: String, schema: StructType,
            failFast: Boolean = true): DataFrame = {
-    val f = new java.io.File(path)
-    if (!f.exists)
+    // loud missing-input check for local paths (the reference's contract);
+    // scheme'd URIs (hdfs://, s3a://) defer to the datasource's own check
+    if (!path.contains("://") && !new java.io.File(path).exists)
       throw new graft.operators.MissingInputException(path)
     val base = spark.read
       .schema(if (failFast) schema
