@@ -2026,6 +2026,56 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     },
     None)
 
+  private val x10d = DeclaredQuery("x10d_ingest_pipeline",
+    // Composed flagship v4 over the round-6 operators, ONE lazy plan:
+    // incremental prefix dedup of the new half against the kept corpus
+    // (x20) → linear-classifier quality gate (x21) → bigram-fluency filter
+    // with corpus stats computed over the SURVIVORS (x22) → deterministic
+    // epoch shuffle for reproducible output order (x25). Full composed
+    // DuckDB oracle, including the permutation (the driver hashes rows in
+    // result order). 131 docs pass the classifier, the fluency threshold
+    // then genuinely splits them.
+    (s, d) => {
+      import graft.functions.{TextAnalysis, Scoring}
+      val docs = t(s, d, "documents")
+      val deduped = graft.operators.Dedup.dedupeAgainst(
+        docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+        df => substring(df("text"), 1, 80))
+      val feats = deduped.select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("n_tokens_f"),
+        (size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double")).as("distinct_ratio"))
+      val kept = Scoring.applyLinearModel(feats,
+          Seq("n_tokens_f" -> 0.08, "distinct_ratio" -> 4.0), bias = -6.0)
+        .where(col("keep"))
+      val fluency = graft.operators.Relevance.bigramAssociation(kept, "doc_id", "text")
+      val out = kept.join(fluency, "doc_id")
+        .where(col("bigram_assoc") >= 0.035)
+        .select(col("doc_id"), round2(col("margin")).as("margin"),
+          col("n_bigrams"), col("bigram_assoc"))
+      graft.operators.Sampling.deterministicShuffle(out, "doc_id", "ep1")
+    },
+    Some("""WITH dedup AS (
+  SELECT * FROM documents n WHERE doc_id >= 250 AND NOT EXISTS (
+    SELECT 1 FROM documents s WHERE s.doc_id < 250 AND substr(s.text, 1, 80) = substr(n.text, 1, 80))),
+f AS (SELECT doc_id, text,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)) AS DOUBLE) AS nt,
+  CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0))) AS DOUBLE) AS nd
+FROM dedup),
+kept AS (SELECT doc_id, text, -6.0 + nt * 0.08 + (nd / nt) * 4.0 AS margin FROM f
+         WHERE -6.0 + nt * 0.08 + (nd / nt) * 4.0 > 0.0),
+tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM kept),
+bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true) FROM tk),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+fl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS bigram_assoc
+FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id)
+SELECT k.doc_id, FLOOR(k.margin * 100 + 0.5) / 100 AS margin, fl.n_bigrams, fl.bigram_assoc
+FROM kept k JOIN fl USING (doc_id)
+WHERE fl.bigram_assoc >= 0.035
+ORDER BY sha256(CAST(k.doc_id AS VARCHAR) || ':ep1'), k.doc_id"""))
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -2058,7 +2108,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x21, x22, x23, x23b, x24, x25, x26)
+    x20, x20b, x20c, x21, x22, x23, x23b, x24, x25, x26, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
