@@ -2076,6 +2076,33 @@ FROM kept k JOIN fl USING (doc_id)
 WHERE fl.bigram_assoc >= 0.035
 ORDER BY sha256(CAST(k.doc_id AS VARCHAR) || ':ep1'), k.doc_id"""))
 
+  private val x22b = DeclaredQuery("x22b_bigram_assoc_against",
+    // Persisted-LM filtering shape (Relevance.bigramAssociationAgainst):
+    // the new half scored against the KEPT half's bigram statistics —
+    // unseen bigrams count 0 in the numerator, unseen prefixes 0 in the
+    // denominator, all-unseen docs score NULL. Log-free like x22;
+    // bit-identical cross-engine.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Relevance.bigramAssociationAgainst(
+          docs.where(col("doc_id") >= 250), "doc_id", "text",
+          docs.where(col("doc_id") < 250), "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tkN AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks
+  FROM documents WHERE doc_id >= 250),
+biN AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true) FROM tkN),
+tkR AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks
+  FROM documents WHERE doc_id < 250),
+biR AS (SELECT unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true) FROM tkR),
+r2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM biR GROUP BY 1, 2),
+r1 AS (SELECT w1, COUNT(*) AS cnt1 FROM biR GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(COALESCE(cnt2, 0)) AS DOUBLE) / CAST(NULLIF(SUM(COALESCE(cnt1, 0)), 0) AS DOUBLE) AS ref_assoc
+FROM biN LEFT JOIN r2 USING (w1, w2) LEFT JOIN r1 USING (w1)
+GROUP BY doc_id ORDER BY doc_id"""))
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -2108,7 +2135,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x21, x22, x23, x23b, x24, x25, x26, x10d)
+    x20, x20b, x20c, x21, x22, x22b, x23, x23b, x24, x25, x26, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -168,4 +168,42 @@ object Relevance {
         (sum("__c2").cast("double") / sum("__c1").cast("double"))
           .as("bigram_assoc"))
   }
+
+  /** Score documents against a REFERENCE corpus' bigram statistics — the
+    * persisted-LM filtering pattern (train transition counts on a trusted
+    * corpus once, score every new crawl against them; cf. CCNet's LM
+    * filter, log-free here for cross-engine exactness like
+    * [[bigramAssociation]]). Bigrams absent from the reference contribute 0
+    * to the numerator; prefixes absent contribute 0 to the denominator
+    * (LEFT joins); a doc whose prefixes NEVER occur in the reference has
+    * denominator 0 → NULL score (unknowable, deliberately not 0 — an
+    * all-unseen doc and a low-fluency doc are different signals).
+    *
+    * Scale: reference counts are two word-count aggregates computed once
+    * (persist the frames to reuse across crawls); scoring is the same
+    * narrow join-back shape as [[bigramAssociation]]. */
+  def bigramAssociationAgainst(df: DataFrame, idCol: String, textCol: String,
+                               reference: DataFrame, refTextCol: String): DataFrame = {
+    def instances(frame: DataFrame, id: Option[Column], text: String): DataFrame = {
+      val toks = TextAnalysis.tokens(col(text))
+      val cols = id.toSeq :+ explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bi")
+      frame.select(cols: _*)
+        .withColumn("w1", col("__bi.w1")).withColumn("w2", col("__bi.w2"))
+        .drop("__bi")
+    }
+    val ref = instances(reference, None, refTextCol)
+    val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    instances(df, Some(col(idCol)), textCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (sum(coalesce(col("__c2"), lit(0L))).cast("double") /
+          nullif(sum(coalesce(col("__c1"), lit(0L))), lit(0)).cast("double"))
+          .as("ref_assoc"))
+  }
 }

@@ -106,6 +106,23 @@ class RelevanceSpec extends AnyFunSuite {
       "1-token and empty docs have no bigrams and must be absent")
   }
 
+  test("bigramAssociationAgainst: reference stats only; unseen prefixes -> NULL") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c")).toDF("rid", "text") // C2: (a,b)=1,(b,c)=1; C1: a=1,b=1
+    val fresh = Seq(
+      (1L, "a b x"),  // (a,b):1/1 + (b,x):0/1 → 1/2
+      (2L, "a b c"),  // (1+1)/(1+1) = 1.0
+      (3L, "z z"),    // prefixes unseen → denominator 0 → NULL
+      (4L, "q"))      // no bigrams → absent
+      .toDF("doc_id", "text")
+    val got = Relevance.bigramAssociationAgainst(fresh, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0.5)), 2L -> ((2L, 1.0)), 3L -> ((1L, null))))
+    assert(!got.contains(4L), "bigram-less docs are absent")
+  }
+
   test("bigramAssociation is partitioning-invariant") {
     import spark.implicits._
     val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "b a b a a")).toDF("doc_id", "text")
