@@ -1835,6 +1835,23 @@ FROM tk JOIN tc USING (token) GROUP BY doc_id ORDER BY doc_id"""))
   SELECT 1 FROM documents s WHERE s.doc_id < 250 AND substr(s.text, 1, 80) = substr(n.text, 1, 80))
 ORDER BY doc_id"""))
 
+  private val x20d = DeclaredQuery("x20d_dedup_against_bloom",
+    // The bloom-prefiltered form of x20 (Dedup.dedupeAgainstBloom): Spark's
+    // BloomFilterAggregate over the seen keys, definite-unseen rows skip the
+    // anti-join shuffle, maybes are exactly re-verified. SAME oracle as x20:
+    // the bloom is an optimization with zero semantic surface — false
+    // positives cost shuffle bytes, never rows.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.dedupeAgainstBloom(
+          docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+          df => substring(df("text"), 1, 80), expectedDistinct = 1000L)
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents n WHERE doc_id >= 250 AND NOT EXISTS (
+  SELECT 1 FROM documents s WHERE s.doc_id < 250 AND substr(s.text, 1, 80) = substr(n.text, 1, 80))
+ORDER BY doc_id"""))
+
   private val x20b = DeclaredQuery("x20b_neardup_against",
     // Incremental FUZZY dedup pairs (NearDup.nearDuplicatesAgainst): LSH
     // band keys joined new×seen instead of self-joined, exact-Jaccard
@@ -2135,7 +2152,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x21, x22, x22b, x23, x23b, x24, x25, x26, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x24, x25, x26, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -49,6 +49,35 @@ object Dedup {
     newDf.join(seenKeys, xxhash64(key(newDf)) === col("__graft_seen_h"), "left_anti")
   }
 
+  /** Bloom-prefiltered incremental dedup — the large-seen-corpus form of
+    * [[dedupeAgainst]]. A Bloom filter of the seen key hashes is built in
+    * one distributed aggregate (Spark's own `BloomFilterAggregate`, the
+    * machinery behind runtime join filters) and ships to the new side as a
+    * literal; rows whose key the bloom rejects are DEFINITELY unseen (bloom
+    * negatives are exact) and skip the anti-join shuffle entirely — only the
+    * "maybe" fraction (true dups + false positives) shuffles, and the exact
+    * anti-join re-verifies it, so a false positive costs shuffle bytes,
+    * never a wrongly dropped row. Output is row-identical to
+    * [[dedupeAgainst]] (pinned in IncrementalDedupSpec).
+    *
+    * `expectedDistinct` sizes the filter (~1.2 MB per million keys at the
+    * default FPP): right when the new batch is mostly novel and the seen
+    * corpus is large. Beyond ~10⁸ seen keys the filter itself outgrows a
+    * sensible broadcast — fall back to the plain [[dedupeAgainst]] there. */
+  def dedupeAgainstBloom(newDf: DataFrame, seen: DataFrame,
+                         key: DataFrame => org.apache.spark.sql.Column,
+                         expectedDistinct: Long): DataFrame = {
+    require(expectedDistinct > 0, "expectedDistinct must be positive")
+    graft.plans.HashExpressions.register(newDf.sparkSession)
+    val bloom: Array[Byte] = seen
+      .select(call_function("graft_bloom_agg",
+        xxhash64(key(seen)), lit(expectedDistinct)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloom == null) return newDf // empty seen corpus: nothing to drop
+    val maybe = call_function("graft_bloom_contains", lit(bloom), xxhash64(key(newDf)))
+    newDf.where(!maybe).unionAll(dedupeAgainst(newDf.where(maybe), seen, key))
+  }
+
   /** Incremental FUZZY dedup: drop `newDf` rows with any near-duplicate
     * (n-gram Jaccard ≥ `minJaccard`) in the kept corpus — composes
     * [[NearDup.nearDuplicatesAgainst]] with one anti-join on the new ids.

@@ -181,6 +181,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       exprs => PqAdcExpr(exprs(0), exprs(1))))
+    // Spark's own bloom-filter pair (used internally by runtime join
+    // filters) exposed as callable functions: the analyzer wraps the
+    // AggregateFunction in an AggregateExpression on resolution.
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      exprs => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }
 
@@ -215,5 +227,10 @@ object HashExpressions {
       exprs => PqLutExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
       exprs => PqAdcExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

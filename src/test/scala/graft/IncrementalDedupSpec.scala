@@ -72,6 +72,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "10 (exact, j=1.0) and 11 (j≈0.81) go; 12 (j≈0.38) only shares a prefix")
   }
 
+  test("dedupeAgainstBloom is row-identical to dedupeAgainst at any filter size") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val newHalf = docs.where(col("doc_id") >= 250)
+    val seenHalf = docs.where(col("doc_id") < 250)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val exact = ids(Dedup.dedupeAgainst(newHalf, seenHalf,
+      df => substring(df("text"), 1, 80)))
+    // well-sized filter AND a deliberately undersized one (high FPP): false
+    // positives may only add rows to the verify join, never change output
+    Seq(100000L, 4L).foreach { est =>
+      val got = ids(Dedup.dedupeAgainstBloom(newHalf, seenHalf,
+        df => substring(df("text"), 1, 80), expectedDistinct = est))
+      assert(got == exact, s"bloom path must be exact at expectedDistinct=$est")
+    }
+  }
+
+  test("dedupeAgainstBloom: empty seen corpus keeps everything") {
+    val out = Dedup.dedupeAgainstBloom(fresh, seen.where(col("doc_id") < 0),
+      df => df("text"), expectedDistinct = 10)
+    assert(out.count() == fresh.count())
+  }
+
   test("dedupeAgainst is partitioning-invariant") {
     val a = Dedup.dedupeAgainst(fresh.repartition(7), seen.repartition(3),
         df => df("text")).select("doc_id").as[Long].collect().sorted.toSeq
