@@ -100,6 +100,33 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("PCA -> PQ composition: quantize the decorrelated projection end to end") {
+    // the OPQ-lite pipeline: project to the top-k axes, PQ-encode the
+    // projection — smaller dim, decorrelated subspaces. End-to-end over
+    // the planted corpus: ADC top-1 on projected codes must still surface
+    // same-t neighbors (the structure lives on the planted axis).
+    val model = Pca.fit(planted, "embedding", dim, k = 4)
+    val projected = Pca.project(planted, "embedding", model, outCol = "proj")
+    val cb = graft.operators.ProductQuantization.trainPq(
+      projected, "vec_id", "proj", dim = 4, m = 2, ksub = 8, iters = 1)
+    val codes = graft.operators.ProductQuantization.encode(projected, "proj", cb)
+    val queries = projected.where(col("vec_id") < 3)
+    val top = graft.operators.ProductQuantization.pqTopKAll(codes, queries,
+        "vec_id", "pq_code", "vec_id", "proj", cb, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 3L).foreach { q =>
+      val tOf = (i: Long) => (i % 21) - 10.0
+      val deltas = top(q).toSeq.map(t => math.abs(tOf(t) - tOf(q)))
+      // ksub=8 codes over a 21-wide t-range are ~3 t-units wide: most
+      // neighbors must be near, and none may come from the far side
+      assert(deltas.count(_ <= 3.0) >= 3,
+        s"query $q (t=${tOf(q)}): too few near neighbors, deltas=$deltas")
+      assert(deltas.forall(_ <= 8.0),
+        s"query $q (t=${tOf(q)}): far-side neighbor leaked through, deltas=$deltas")
+    }
+  }
+
   test("fit ignores null vectors; guards on k and corpus size") {
     val withNulls = planted.union(
       Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))

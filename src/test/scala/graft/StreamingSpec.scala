@@ -139,6 +139,40 @@ class StreamingSpec extends AnyFunSuite {
       s"docs matching the kept corpus must be dropped in every micro-batch: $ids")
   }
 
+  test("foreachBatch composes the batch fuzzy incremental dedup into streaming ingest") {
+    // The LSH machinery (persist + localCheckpoint) is a batch shape;
+    // foreachBatch is the supported bridge: each arriving micro-batch is
+    // fuzzy-deduped against the static kept corpus with the SAME operator
+    // the batch path uses — no second implementation, no semantic fork.
+    val dir = Files.createTempDirectory("sfuzzy").toString
+    import spark.implicits._
+    val seen = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    write(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "completely different content with no overlap whatsoever here now")))
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.dedupeAgainstFuzzy(batch, seen, "doc_id", "text",
+            minJaccard = 0.8)
+          .write.mode("append").saveAsTable("sfuzzy_out")
+      }
+      .start()
+    q.processAllAvailable()
+    write(Seq((12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sfuzzy_out").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // 10 is an exact copy (j=1.0), 12 a one-token edit (j≈0.82) — both go
+    assert(kept == Seq(11L), s"fuzzy dedup must apply per micro-batch: $kept")
+    spark.sql("DROP TABLE IF EXISTS sfuzzy_out")
+  }
+
   test("flatMapGroupsWithState emits sessions as they close (gap or timeout)") {
     val dir = Files.createTempDirectory("fmgws").toString
     import spark.implicits._
