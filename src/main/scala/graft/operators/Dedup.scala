@@ -63,7 +63,13 @@ object Dedup {
     * `expectedDistinct` sizes the filter (~1.2 MB per million keys at the
     * default FPP): right when the new batch is mostly novel and the seen
     * corpus is large. Beyond ~10⁸ seen keys the filter itself outgrows a
-    * sensible broadcast — fall back to the plain [[dedupeAgainst]] there. */
+    * sensible broadcast — fall back to the plain [[dedupeAgainst]] there.
+    *
+    * `newDf` is SCANNED TWICE (once per union branch). For a parquet source
+    * that is two cheap columnar scans — the shuffle saved dwarfs them — but
+    * if `newDf` is the tail of an expensive or NONDETERMINISTIC pipeline,
+    * persist it first: two inconsistent scans of a nondeterministic frame
+    * could drop or duplicate rows across the branches. */
   def dedupeAgainstBloom(newDf: DataFrame, seen: DataFrame,
                          key: DataFrame => org.apache.spark.sql.Column,
                          expectedDistinct: Long): DataFrame = {

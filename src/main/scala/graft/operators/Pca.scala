@@ -30,48 +30,61 @@ object Pca {
                             eigenvalues: Array[Double])
 
   /** Fit on (a sample of) the corpus. `dim` is the embedding width; `k` the
-    * output width. Null vectors are ignored. */
+    * output width. Null AND wrong-length vectors are ignored — a ragged
+    * vector contributing to some dimension aggregates but not others would
+    * skew the covariance silently, the worst failure mode. The filtered
+    * frame is persisted across the fit's three aggregates (count, mean,
+    * second moments) so expensive upstream lineage runs once. */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
-    val vecs = df.where(col(vecCol).isNotNull)
-    val n = vecs.count().toDouble
-    require(n > 1, "PCA needs at least 2 vectors")
-    val mean = vecs
-      .select(posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .groupBy("i").agg(avg(col("xi").cast("double")).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val mu = Array.tabulate(dim)(mean)
-    // raw second moments S_ij = Σ x_i·x_j  (i ≤ j — the matrix is symmetric,
-    // so only the upper triangle is aggregated: D(D+1)/2 keys)
-    val s = vecs
-      .select(col(vecCol).as("__v"), posexplode(col(vecCol)).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
-      .where(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(sum(col("xi").cast("double") * col("xj").cast("double")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    val cov = Array.tabulate(dim, dim) { (i, j) =>
-      val key = if (i <= j) (i, j) else (j, i)
-      s(key) / n - mu(i) * mu(j)
-    }
-    val (values, vectors) = jacobiEigen(cov)
-    val order = values.zipWithIndex.sortBy(-_._1).take(k)
-    PcaModel(mu,
-      order.map { case (_, idx) => vectors.map(_(idx)) },
-      order.map(_._1))
+    val vecs = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = vecs.count().toDouble
+      require(n > 1, s"PCA needs at least 2 vectors of length $dim")
+      val mean = vecs
+        .select(posexplode(col(vecCol)).as(Seq("i", "xi")))
+        .groupBy("i").agg(avg(col("xi").cast("double")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mu = Array.tabulate(dim)(mean)
+      // raw second moments S_ij = Σ x_i·x_j  (i ≤ j — the matrix is symmetric,
+      // so only the upper triangle is aggregated: D(D+1)/2 keys)
+      val s = vecs
+        .select(col(vecCol).as("__v"), posexplode(col(vecCol)).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+        .where(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(sum(col("xi").cast("double") * col("xj").cast("double")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val cov = Array.tabulate(dim, dim) { (i, j) =>
+        val key = if (i <= j) (i, j) else (j, i)
+        s(key) / n - mu(i) * mu(j)
+      }
+      val (values, vectors) = jacobiEigen(cov)
+      val order = values.zipWithIndex.sortBy(-_._1).take(k)
+      PcaModel(mu,
+        order.map { case (_, idx) => vectors.map(_(idx)) },
+        order.map(_._1))
+    } finally vecs.unpersist(false)
   }
 
   /** Append the k-dim projection y = W·(x − μ) as `outCol` — map-only,
-    * fuses with the scan; model ships as foldable literals. */
+    * fuses with the scan; model ships as foldable literals. A null or
+    * wrong-length input yields a NULL column (not an array of nulls — a
+    * non-null array of null elements would slip past downstream
+    * `isNotNull` guards, e.g. [[ProductQuantization.trainPq]]'s filter). */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
               outCol: String = "pca"): DataFrame = {
+    val dim = model.mean.length
     val muLit = array(model.mean.map(lit): _*)
     val wLit = array(model.components.map(c => array(c.map(lit): _*)): _*)
     val centered = zip_with(col(vecCol), muLit, (a, b) => a.cast("double") - b)
     df.withColumn(outCol,
-      transform(wLit, w =>
-        aggregate(zip_with(centered, w, (x, wi) => x * wi),
-          lit(0.0), (acc, v) => acc + v)))
+      when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+        transform(wLit, w =>
+          aggregate(zip_with(centered, w, (x, wi) => x * wi),
+            lit(0.0), (acc, v) => acc + v))))
   }
 
   /** Fraction of total variance captured by the model's k components. */

@@ -110,6 +110,22 @@ object ProductQuantization {
       .head().getDouble(0)
   }
 
+  /** Shared ADC scoring tail: exclude-self filter, m-lookup distance over
+    * the joined (codes, lut) pair, per-query top-k by ascending distance
+    * with the id tiebreak. One definition so ranking/tie-breaking can never
+    * drift between the flat, lazy-IVF, and indexed search paths. */
+  private def adcTopK(paired: DataFrame, codeCol: String,
+                      k: Int, excludeSelf: Boolean): DataFrame = {
+    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
+                  else paired)
+      .withColumn("adc_dist", call_function("graft_pq_adc", col(codeCol), col("__lut")))
+      .where(col("adc_dist").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+  }
+
   /** Many-query ANN over PQ codes: each query computes its m·ksub lookup
     * table ONCE (`graft_pq_lut`, map-side on the small query frame), the
     * corpus side is only (id, m codes) — the raw vectors are never read at
@@ -129,14 +145,7 @@ object ProductQuantization {
       call_function("graft_pq_lut", col(vecCol), codebooksLit(cb)).as("__lut"))
     val c = corpusCodes.select(col(idCol).as("corpus_id"), col(codeCol).as("__code"))
     val paired = c.crossJoin(broadcast(q))
-    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
-                  else paired)
-      .withColumn("adc_dist", call_function("graft_pq_adc", col("__code"), col("__lut")))
-      .where(col("adc_dist").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+    adcTopK(paired, "__code", k, excludeSelf)
   }
 
   /** v − centroid(cell), as builtin expressions (cell is 0-based,
@@ -212,14 +221,7 @@ object ProductQuantization {
     val c = corpusIndexed.select(col(idCol).as("corpus_id"),
       col(cellCol).as("__qcell"), col(codeCol).as("__code"))
     val paired = c.join(broadcast(q), Seq("__qcell"))
-    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
-                  else paired)
-      .withColumn("adc_dist", call_function("graft_pq_adc", col("__code"), col("__lut")))
-      .where(col("adc_dist").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+    adcTopK(paired, "__code", k, excludeSelf)
   }
 
   /** Materialize the IVF-PQ index: [[ivfPqAssign]] output written
@@ -264,11 +266,15 @@ object ProductQuantization {
     graft.plans.HashExpressions.register(spark)
     val cents = SimilaritySearch.loadCentroids(spark, s"$indexPath/_centroids")
     val cb = loadPqModel(spark, s"$indexPath/_pqmodel")
-    // encoding form travels WITH the index (older indexes without the marker
-    // are raw-encoded by construction)
-    val residual = scala.util.Try(
-      spark.read.parquet(s"$indexPath/_encoding").head().getBoolean(0))
-      .getOrElse(false)
+    // encoding form travels WITH the index. ONLY absence of the marker may
+    // fall back to raw (older indexes are raw by construction) — a marker
+    // that exists but cannot be read must FAIL, not silently score residual
+    // codes with raw-vector LUTs (every distance would be wrong, no error).
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexPath/_encoding")
+    val markerFs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val residual =
+      if (!markerFs.exists(markerPath)) false
+      else spark.read.parquet(s"$indexPath/_encoding").head().getBoolean(0)
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
     val q0 = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
       explode(call_function("graft_nearest_cells", col(vecCol), centLit, lit(nprobe)))
@@ -281,14 +287,7 @@ object ProductQuantization {
     val corpusCell = spark.read.parquet(indexPath)
       .where(col("cell").isin(probed.map(Int.box): _*))
     val paired = corpusCell.join(broadcast(q), Seq("cell"))
-    val scored = (if (excludeSelf) paired.where(col("query_id") =!= col("corpus_id"))
-                  else paired)
-      .withColumn("adc_dist", call_function("graft_pq_adc", col("pq_code"), col("__lut")))
-      .where(col("adc_dist").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("corpus_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("__rn").as("rank"))
+    adcTopK(paired, "pq_code", k, excludeSelf)
   }
 
   /** Persist the codebook artifact (one row per (subspace, cell)) — the PQ

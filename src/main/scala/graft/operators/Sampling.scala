@@ -122,7 +122,10 @@ object Sampling {
     * order is identical across runs, partitionings, and engines; changing
     * `salt` gives an independent permutation (new epoch order without
     * touching the data). The id tiebreak makes the order total even under a
-    * (cryptographically impossible) hash collision.
+    * (cryptographically impossible) hash collision — PROVIDED `keyCol` is
+    * unique and non-null: rows sharing a key (or all-NULL keys, which
+    * `concat_ws` folds to the bare salt) sort together with engine-dependent
+    * relative order, so use a unique document id as the key.
     *
     * Scale: a global sort is ONE range-exchange (sample → range-partition →
     * local sort) — the standard reproducible-shuffle pass before writing

@@ -1,9 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
-import java.nio.file.{Files, Paths}
-
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -28,9 +25,12 @@ object JsonL {
     * failing — the auditable form of tolerance. */
   def read(spark: SparkSession, path: String, schema: StructType,
            failFast: Boolean = true): DataFrame = {
-    // loud missing-input check for local paths (the reference's contract);
-    // scheme'd URIs (hdfs://, s3a://) defer to the datasource's own check
-    if (!path.contains("://") && !new java.io.File(path).exists)
+    // loud missing-input check for plain local paths (the reference's
+    // contract); scheme'd URIs (hdfs://, s3a://) and glob patterns defer to
+    // the datasource's own resolution — File("/x/*.jsonl").exists is always
+    // false, it would reject valid globs
+    val isGlob = path.exists("*?[{".contains(_))
+    if (!path.contains("://") && !isGlob && !new java.io.File(path).exists)
       throw new graft.operators.MissingInputException(path)
     val base = spark.read
       .schema(if (failFast) schema
@@ -54,25 +54,9 @@ object JsonL {
     * serial (gzip members concatenate legally; plain parts are newline-
     * terminated lines). Row count via `Observation` on the same pass. */
   def writeSingleFile(df: DataFrame, targetPath: String,
-                      gzip: Boolean = false): Long = {
-    val obs = Observation()
-    val counted = df.observe(obs, count(lit(1)).as("rows"))
-    val tmpDir = Files.createTempDirectory(
-      Paths.get(targetPath).toAbsolutePath.getParent, ".graft-jsonl-")
-    try {
-      writeDir(counted, tmpDir.toString, gzip)
-      val parts = tmpDir.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-        .sortBy(_.getName)
-      val out = new BufferedOutputStream(new FileOutputStream(targetPath))
-      try parts.foreach(p => Files.copy(p.toPath, out))
-      finally out.close()
-      obs.get("rows").asInstanceOf[Long]
-    } finally {
-      tmpDir.toFile.listFiles().foreach(_.delete())
-      Files.deleteIfExists(tmpDir)
-    }
-  }
+                      gzip: Boolean = false): Long =
+    SingleFile.write(df, targetPath, header = None,
+      (counted, tmp) => writeDir(counted, tmp, gzip))
 
   /** Streaming JSONL ingest (continuous corpus drops): each arriving file
     * lands as a micro-batch with the SAME schema/corrupt-line contract as

@@ -3,9 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.Observation
-import java.io.{BufferedOutputStream, ByteArrayOutputStream, File, FileOutputStream}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.io.{ByteArrayOutputStream, File}
+import java.nio.file.Files
 import java.util.zip.GZIPOutputStream
 
 /** Postgres-COPY-compatible CSV dialect — E7/E8/E10 plus the §1.2 type
@@ -225,26 +224,11 @@ object PgCsv {
     */
   def writeSingleFile(df: DataFrame, targetPath: String,
                       dialect: CsvDialect): Long = {
-    val obs = Observation()
-    val counted = df.observe(obs, count(lit(1)).as("rows"))
-    val tmpDir = Files.createTempDirectory(
-      Paths.get(targetPath).toAbsolutePath.getParent, ".graft-csv-")
-    try {
-      writeDir(counted, tmpDir.toString, dialect.copy(hasHeader = false))
-      val gz = dialect.compression.contains("gzip")
-      val parts = tmpDir.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-        .sortBy(_.getName)
-      val out = new BufferedOutputStream(new FileOutputStream(targetPath))
-      try {
-        if (dialect.hasHeader) out.write(headerBytes(df.columns, dialect, gz))
-        parts.foreach(p => Files.copy(p.toPath, out))
-      } finally out.close()
-      obs.get("rows").asInstanceOf[Long]
-    } finally {
-      tmpDir.toFile.listFiles().foreach(_.delete())
-      Files.deleteIfExists(tmpDir)
-    }
+    val gz = dialect.compression.contains("gzip")
+    val header = if (dialect.hasHeader)
+      Some(headerBytes(df.columns, dialect, gz)) else None
+    SingleFile.write(df, targetPath, header,
+      (counted, tmp) => writeDir(counted, tmp, dialect.copy(hasHeader = false)))
   }
 
   /** Header line with PG-style field quoting; its own gzip member when the

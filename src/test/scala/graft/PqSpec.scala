@@ -227,6 +227,25 @@ class PqSpec extends AnyFunSuite {
       "the _encoding marker must make indexed search score residual codes with residual LUTs")
   }
 
+  test("a corrupt _encoding marker fails loudly — never a silent raw-LUT fallback") {
+    val nlist = 3
+    val cb = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m, ksub = 4, iters = 0)
+    val cents = SimilaritySearch.trainIvf(corpus, "vec_id", "embedding", nlist, refineIters = 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-bad").toString + "/index"
+    ProductQuantization.buildIvfPqIndex(corpus, "vec_id", "embedding", cents, cb,
+      idx, residual = true)
+    // corrupt the marker: present but unreadable must THROW (scoring residual
+    // codes with raw-vector LUTs would be silently wrong everywhere)
+    val marker = new java.io.File(s"$idx/_encoding")
+    marker.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$idx/_encoding/garbage.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] {
+      ProductQuantization.ivfPqSearchIndexed(spark, idx,
+        corpus.where(col("vec_id") === 0), "embedding", "vec_id", k = 3).collect()
+    }
+  }
+
   test("NULL and shape edge cases return NULL, never wrong values") {
     graft.plans.HashExpressions.register(spark)
     val cbl = ProductQuantization.codebooksLit(fixedCb)
