@@ -2120,6 +2120,39 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM biN LEFT JOIN r2 USING (w1, w2) LEFT JOIN r1 USING (w1)
 GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val x27 = DeclaredQuery("x27_nfc_normalize",
+    // Unicode NFC canonical composition (graft_nfc, JDK Normalizer) — the
+    // standard first cleaning step: decomposed and precomposed forms must
+    // dedup/shingle as one document. Oracled against DuckDB's
+    // nfc_normalize: the two engines' normalizers must agree byte-for-byte
+    // (the synthetic corpus is ASCII-already-NFC — identity is part of the
+    // contract; non-ASCII forms are pinned in NativeTextSpec).
+    (s, d) => {
+      graft.plans.HashExpressions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+          call_function("graft_nfc", col("text")).as("text_nfc"),
+          (col("text") === call_function("graft_nfc", col("text"))).as("already_nfc"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, nfc_normalize(text) AS text_nfc,
+  text = nfc_normalize(text) AS already_nfc
+FROM documents ORDER BY doc_id"""))
+
+  private val x27b = DeclaredQuery("x27b_compression_ratio",
+    // Gopher/RefinedWeb-style compression-ratio quality signal
+    // (graft_deflate_len): repetitive boilerplate deflates far better than
+    // natural prose. No SQL oracle (DuckDB exposes no per-row compressor) —
+    // rows-only; NativeTextSpec pins byte-exactness against java.util.zip.
+    (s, d) => {
+      graft.plans.HashExpressions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+          call_function("graft_deflate_len", col("text"), lit(6)).as("deflate_len"),
+          round2(call_function("graft_deflate_len", col("text"), lit(6)).cast("double") /
+            nullif(octet_length(col("text")), lit(0)).cast("double")).as("ratio"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -2152,7 +2185,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x24, x25, x26, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x24, x25, x26, x27, x27b, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

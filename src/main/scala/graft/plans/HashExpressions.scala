@@ -193,6 +193,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
       exprs => BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      exprs => NfcNormalizeExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
+      exprs => DeflateLenExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -232,5 +238,9 @@ object HashExpressions {
         exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalizeExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_deflate_len",
+      exprs => DeflateLenExpr(exprs(0), exprs(1)), "built-in")
   }
 }

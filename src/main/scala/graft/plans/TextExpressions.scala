@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -264,4 +265,77 @@ case class WinnowFingerprintExpr(text: Expression, k: Expression, w: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WinnowFingerprintExpr =
     copy(text = f, k = s, w = t)
+}
+
+/** `graft_nfc(text)` → STRING: Unicode NFC normalization (canonical
+  * composition) — the standard first step of corpus text cleaning: "é" as
+  * e+COMBINING ACUTE and precomposed "é" must hash/shingle/dedup as the same
+  * document. java.text.Normalizer is the JDK's ICU-correct implementation;
+  * the x27 oracle compares against DuckDB's `nfc_normalize`, pinning
+  * cross-engine agreement on the normalization itself. Already-NFC strings
+  * (the common case) are detected with the quick-check and returned
+  * as-is — no allocation on the hot path. */
+case class NfcNormalizeExpr(text: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = text
+  override def prettyName: String = "graft_nfc"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(text = c)
+}
+
+/** `graft_deflate_len(text, level)` → INT: length in bytes of the
+  * DEFLATE-compressed UTF-8 text — the Gopher/RefinedWeb-style
+  * compression-ratio quality signal (boilerplate and repetition compress
+  * far better than natural prose; ratio = deflate_len / byte_len). One
+  * Deflater per evaluation, level foldable. No SQL oracle exists (DuckDB
+  * exposes no per-row compressor) — pinned by a JVM spec against
+  * java.util.zip directly. */
+case class DeflateLenExpr(text: Expression, level: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = text
+  override def right: Expression = level
+  override def prettyName: String = "graft_deflate_len"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: text must be STRING")
+    else if (level.dataType != IntegerType || !level.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: level must be a foldable INT")
+    else {
+      val lv = level.eval(null)
+      if (lv == null || lv.asInstanceOf[Int] < 0 || lv.asInstanceOf[Int] > 9)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: level must be 0..9, got $lv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  @transient private lazy val lvl: Int = level.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, l: Any): Any = {
+    val bytes = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val d = new java.util.zip.Deflater(lvl)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      Integer.valueOf(total)
+    } finally d.end()
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DeflateLenExpr =
+    copy(text = l, level = r)
 }

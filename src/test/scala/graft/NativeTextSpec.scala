@@ -121,4 +121,47 @@ class NativeTextSpec extends AnyFunSuite {
     assert(rows(1L) == rows(2L), "formatting noise must not move fingerprints")
     assert(rows(3L).isEmpty, "text shorter than k has no k-grams")
   }
+
+  test("graft_nfc: composes decomposed forms, identity on NFC text, matches JDK") {
+    import spark.implicits._
+    graft.plans.HashExpressions.register(spark)
+    val decomposed = "école française" // e+COMBINING ACUTE, c+CEDILLA
+    val composed = "école française"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(col("id"), call_function("graft_nfc", col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) == composed, "decomposed must compose")
+    assert(rows(2L) == composed && rows(3L) == "plain ascii", "NFC input is identity")
+    assert(rows(4L) == null, "null passes through")
+    assert(rows(1L) == java.text.Normalizer.normalize(decomposed,
+      java.text.Normalizer.Form.NFC), "must equal the JDK normalizer")
+  }
+
+  test("graft_deflate_len: byte-exact vs java.util.zip; repetition compresses harder") {
+    import spark.implicits._
+    graft.plans.HashExpressions.register(spark)
+    def jvmDeflateLen(s: String, level: Int): Int = {
+      val d = new java.util.zip.Deflater(level)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var n = 0
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    val rep = "the same phrase again and again. " * 40
+    val varied = (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val got = Seq((1L, rep), (2L, varied)).toDF("id", "t")
+      .select(col("id"),
+        call_function("graft_deflate_len", col("t"), lit(6)).as("n"),
+        octet_length(col("t")).as("len"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L)._1 == jvmDeflateLen(rep, 6) && got(2L)._1 == jvmDeflateLen(varied, 6),
+      "expression must be byte-exact vs java.util.zip")
+    val ratioRep = got(1L)._1.toDouble / got(1L)._2
+    val ratioVar = got(2L)._1.toDouble / got(2L)._2
+    assert(ratioRep < 0.1 && ratioVar > 0.3,
+      s"repetition must compress far harder: rep=$ratioRep varied=$ratioVar")
+  }
 }
