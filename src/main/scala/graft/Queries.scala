@@ -2153,6 +2153,23 @@ FROM documents ORDER BY doc_id"""))
     },
     None)
 
+  private val x28 = DeclaredQuery("x28_bpe_tokens",
+    // Real BPE tokenizer (Bpe.train/tokenCount): word-frequency counting is
+    // one distributed word-count; merge learning runs on the word-TYPE
+    // histogram (driver, like every model artifact); application is the
+    // native graft_bpe_tokens with the merge table as a foldable literal.
+    // Rows-only — greedy merge application has no SQL oracle; ground truth
+    // is BpeSpec (canonical-fixture merges, native ≡ driver reference,
+    // partition-invariant training).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 200)
+      graft.operators.Bpe.tokenCount(docs, "text", model)
+        .select("doc_id", "n_bpe_tokens")
+        .orderBy("doc_id")
+    },
+    None)
+
   private val x6d = DeclaredQuery("x06d_split_assign",
     // deterministic train/val/test assignment (Sampling.splitAssign): labels
     // keyed on sha256(doc_id) so a rebuild never migrates a doc across the
@@ -2185,7 +2202,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x24, x25, x26, x27, x27b, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x24, x25, x26, x27, x27b, x28, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -27,6 +27,20 @@ object TextAnalysis {
       // pieces would otherwise count as tokens
       t => t.rlike("\\S")))
 
+  /** Unicode NFC canonical composition (native `graft_nfc`): run before
+    * hashing/shingling so decomposed and precomposed forms dedup as one
+    * document. Caller must have registered the graft functions. */
+  def nfcNormalize(text: Column): Column =
+    call_function("graft_nfc", text)
+
+  /** DEFLATE compression ratio (compressed bytes / raw bytes, native
+    * `graft_deflate_len`): the Gopher/RefinedWeb quality signal —
+    * boilerplate and repetition compress far harder than natural prose.
+    * NULL for empty text. Caller must have registered the graft functions. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    call_function("graft_deflate_len", text, lit(level)).cast("double") /
+      nullif(octet_length(text), lit(0)).cast("double")
+
   /** Ratio of non-alphanumeric-non-space chars to total chars. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("double") /

@@ -199,6 +199,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
       exprs => DeflateLenExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokensExpr].getName, "graft_bpe_tokens"),
+      exprs => BpeTokensExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -242,5 +245,7 @@ object HashExpressions {
       exprs => NfcNormalizeExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate_len",
       exprs => DeflateLenExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_tokens",
+      exprs => BpeTokensExpr(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -339,3 +339,97 @@ case class DeflateLenExpr(text: Expression, level: Expression)
       l: Expression, r: Expression): DeflateLenExpr =
     copy(text = l, level = r)
 }
+
+/** `graft_bpe_tokens(text, merges)` → ARRAY<STRING>: apply learned BPE
+  * merges ([[graft.operators.Bpe]]) — lowercase, whitespace pre-tokenize,
+  * then per word greedily merge the LOWEST-RANK adjacent pair until none
+  * applies (the standard BPE inference loop). `merges` is a foldable
+  * ARRAY<ARRAY<STRING>> of [a, b] pairs in rank order, materialized to a
+  * hash map once per task. Word-end symbols carry the training-time `</w>`
+  * marker internally; the marker is stripped from the output tokens. */
+case class BpeTokensExpr(text: Expression, merges: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = text
+  override def right: Expression = merges
+  override def prettyName: String = "graft_bpe_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: text must be STRING")
+    else merges.dataType match {
+      case ArrayType(ArrayType(StringType, _), _) if merges.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: merges must be a foldable ARRAY<ARRAY<STRING>>")
+    }
+
+  @transient private lazy val rank: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer]()
+    val arr = merges.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      val pair = arr.getArray(i)
+      val key = (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+      if (!m.containsKey(key)) m.put(key, i) // first (lowest) rank wins
+      i += 1
+    }
+    m
+  }
+
+  private def applyWord(word: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    var syms = word.map(_.toString).toArray
+    if (syms.isEmpty) return
+    syms(syms.length - 1) += "</w>"
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = rank.get((syms(j), syms(j + 1)))
+        if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        // merge EVERY occurrence of the chosen pair in one sweep (matches
+        // the training-side replacement and the driver reference in BpeSpec)
+        val a = syms(bestAt); val b = syms(bestAt + 1)
+        val merged = a + b
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+            next += merged; k += 2
+          } else { next += syms(k); k += 1 }
+        }
+        syms = next.toArray
+      }
+    }
+    syms.foreach { s =>
+      val cleaned = if (s.endsWith("</w>")) s.dropRight(4) else s
+      if (cleaned.nonEmpty) out += UTF8String.fromString(cleaned)
+    }
+  }
+
+  override def nullSafeEval(t: Any, m: Any): Any = {
+    val s = t.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) applyWord(s.substring(start, i), out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[AnyRef])
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BpeTokensExpr =
+    copy(text = l, merges = r)
+}
