@@ -88,7 +88,14 @@ object Dedup {
     * (n-gram Jaccard ≥ `minJaccard`) in the kept corpus — composes
     * [[NearDup.nearDuplicatesAgainst]] with one anti-join on the new ids.
     * Within-batch duplicates are NOT collapsed here (compose with
-    * [[keepClusterRepresentatives]] over the batch for that). */
+    * [[keepClusterRepresentatives]] over the batch for that).
+    *
+    * Streaming note: usable per micro-batch inside `foreachBatch`, but a
+    * micro-batch executes in a session CLONE whose function registry is
+    * snapshotted at query start — the graft native functions must already
+    * be registered on the driving session when the query STARTS (building
+    * the session with `GraftExtensions` does this; the lazy per-operator
+    * registration alone is too late for the clone). */
   def dedupeAgainstFuzzy(newDf: DataFrame, seen: DataFrame,
                          idCol: String, textCol: String,
                          minJaccard: Double = 0.8): DataFrame = {

@@ -39,6 +39,33 @@ object EventStreams {
       // cast from the on-disk NTZ values is value-preserving
       .withColumn("ts", col("ts").cast("timestamp"))
 
+  /** Stream-stream interval join — correlate two live event streams (e.g.
+    * impressions with their conversions) within a time bound. BOTH sides
+    * carry watermarks and the join condition carries the interval, so Spark
+    * can bound buffered state on each side: a left row is held only until
+    * the right watermark passes `ts + maxDelay`, then dropped — without the
+    * interval, stream-stream state would grow forever. Inner join: a pair
+    * emits once both sides arrive (within watermark bounds).
+    *
+    * Output: one row per (left, right) pair within `[0, maxDelay]` of each
+    * other on the same `keyCol`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   maxDelay: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_k"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("event_type").as("r_type"))
+    l.join(r,
+      col("k") === col("r_k") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("k").as(keyCol), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Tumbling event-time window counts — the streaming form of Q32.
     * The watermark bounds both late-data acceptance and state retention. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",

@@ -154,6 +154,11 @@ class StreamingSpec extends AnyFunSuite {
     write(Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
       (11L, "completely different content with no overlap whatsoever here now")))
+    // the micro-batch runs in a session CLONE whose function registry is
+    // snapshotted at query start — the graft functions must be registered on
+    // the driving session BEFORE start() (production sessions get this from
+    // GraftExtensions at build time; see Dedup.dedupeAgainstFuzzy's note)
+    graft.plans.HashExpressions.register(spark)
     val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -171,6 +176,38 @@ class StreamingSpec extends AnyFunSuite {
     // 10 is an exact copy (j=1.0), 12 a one-token edit (j≈0.82) — both go
     assert(kept == Seq(11L), s"fuzzy dedup must apply per micro-batch: $kept")
     spark.sql("DROP TABLE IF EXISTS sfuzzy_out")
+  }
+
+  test("stream-stream interval join pairs events within the bound, across micro-batches") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("ssj-l").toString
+    val rdir = Files.createTempDirectory("ssj-r").toString
+    def write(dir: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // left: impressions at 08:00 (user 1) and 08:00 (user 2)
+    write(ldir, Seq((1L, "2024-01-01 08:00:00", 1L), (2L, "2024-01-01 08:00:00", 2L)))
+    // right batch 1: conversion for user 1 within 10 min
+    write(rdir, Seq((101L, "2024-01-01 08:05:00", 1L)))
+    val joined = EventStreams.intervalJoin(
+      EventStreams.readEvents(spark, ldir), EventStreams.readEvents(spark, rdir),
+      "user_id", maxDelay = "10 minutes")
+    val q = joined.select("user_id", "l_id", "r_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj").start()
+    q.processAllAvailable()
+    // right batch 2, later micro-batch: user 2 converts too late (25 min),
+    // user 1 converts again inside the bound
+    write(rdir, Seq((102L, "2024-01-01 08:25:00", 2L), (103L, "2024-01-01 08:08:00", 1L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 101L), (1L, 1L, 103L)),
+      s"in-bound pairs join across micro-batches, the 25-min conversion must not: $got")
   }
 
   test("flatMapGroupsWithState emits sessions as they close (gap or timeout)") {
