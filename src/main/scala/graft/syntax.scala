@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.operators._
+
+/** Fluent entry point: `import graft.syntax._` and the whole operator
+  * library hangs off any DataFrame —
+  *
+  * {{{
+  * import graft.syntax._
+  * corpus.graft
+  *   .c4Filter("text")
+  *   .dedupeExact(Seq("text"), tieBreaker = "doc_id")
+  *   .dedupeAgainst(keptCorpus, _("text"))
+  *   .stratifiedSample("source", 0.1)
+  * }}}
+  *
+  * Pure sugar: every method delegates 1:1 to the documented operator object
+  * (where the semantics, oracle entries, and scale notes live) and returns a
+  * plain DataFrame so graft steps interleave freely with native Spark ones.
+  * Only the high-traffic pipeline verbs are surfaced; specialized calls
+  * (IVF index builds, BPE training, PCA fits) stay on their objects, since
+  * they produce model ARTIFACTS, not frames. */
+object syntax {
+
+  implicit class GraftDataFrame(private val df: DataFrame) extends AnyVal {
+    def graft: GraftOps = new GraftOps(df)
+  }
+
+  final class GraftOps(private val df: DataFrame) extends AnyVal {
+
+    // -- dedup ------------------------------------------------------------
+    def dedupeExact(keyCols: Seq[String], tieBreaker: String): DataFrame =
+      Dedup.exactKeepFirst(df, keyCols, tieBreaker)
+
+    def dedupeAgainst(seen: DataFrame, key: DataFrame => Column): DataFrame =
+      Dedup.dedupeAgainst(df, seen, key)
+
+    def dedupeAgainstFuzzy(seen: DataFrame, idCol: String, textCol: String,
+                           minJaccard: Double = 0.8): DataFrame =
+      Dedup.dedupeAgainstFuzzy(df, seen, idCol, textCol, minJaccard)
+
+    def fuzzyClusterDedup(idCol: String, textCol: String,
+                          minJaccard: Double = 0.8): DataFrame =
+      Dedup.keepClusterRepresentatives(df, idCol,
+        NearDup.nearDuplicates(df, idCol, textCol, minJaccard))
+
+    // -- cleaning / scoring ----------------------------------------------
+    def c4Filter(textCol: String, minLineWords: Int = 3,
+                 minLines: Int = 3): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      df.withColumn(textCol,
+          graft.functions.Scrub.c4CleanText(col(textCol), minLineWords))
+        .where(graft.functions.Scrub.c4Keep(col(textCol), minLineWords, minLines))
+    }
+
+    def redactPii(textCol: String): DataFrame =
+      df.withColumn(textCol, graft.functions.Scrub.redactPii(
+        org.apache.spark.sql.functions.col(textCol)))
+
+    def scoreLinear(weights: Seq[(String, Double)], bias: Double,
+                    threshold: Double = 0.0): DataFrame =
+      graft.functions.Scoring.applyLinearModel(df, weights, bias, threshold)
+
+    def tokenRarity(idCol: String, textCol: String): DataFrame =
+      Relevance.tokenRarity(df, idCol, textCol)
+
+    def bigramFluency(idCol: String, textCol: String): DataFrame =
+      Relevance.bigramAssociation(df, idCol, textCol)
+
+    // -- sampling / splits / order ---------------------------------------
+    def bernoulliSample(keyCol: String, fraction: Double): DataFrame =
+      Sampling.bernoulliByKey(df, keyCol, fraction)
+
+    def stratifiedSample(stratumCol: String, keyCol: String,
+                         perStratum: Int): DataFrame =
+      Sampling.stratifiedQuota(df, stratumCol, keyCol, perStratum)
+
+    def splitAssign(keyCol: String, splits: Seq[(String, Double)]): DataFrame =
+      Sampling.splitAssign(df, keyCol, splits)
+
+    def epochShuffle(keyCol: String, salt: String): DataFrame =
+      Sampling.deterministicShuffle(df, keyCol, salt)
+
+    // -- packing ----------------------------------------------------------
+    def chunkDocuments(idCol: String, textCol: String,
+                       maxTokens: Int, overlap: Int = 0): DataFrame =
+      Packing.chunkDocuments(df, idCol, textCol, maxTokens, overlap)
+
+    def packSequences(idCol: String, textCol: String, capacity: Long): DataFrame =
+      Packing.packSequences(df, idCol,
+        graft.functions.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col(textCol)), capacity)
+  }
+}

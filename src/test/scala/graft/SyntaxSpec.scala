@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.syntax._
+
+/** The fluent facade is pure sugar: every verb must be ROW-IDENTICAL to the
+  * operator call it delegates to, and verbs must chain. */
+class SyntaxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("facade verbs are row-identical to their operator calls") {
+    assert(rows(docs.graft.dedupeExact(Seq("text"), "doc_id")) ==
+      rows(graft.operators.Dedup.exactKeepFirst(docs, Seq("text"), "doc_id")))
+    val seen = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    assert(rows(fresh.graft.dedupeAgainst(seen, _("text"))) ==
+      rows(graft.operators.Dedup.dedupeAgainst(fresh, seen, _("text"))))
+    assert(rows(docs.graft.epochShuffle("doc_id", "e1").select("doc_id")) ==
+      rows(graft.operators.Sampling.deterministicShuffle(docs, "doc_id", "e1")
+        .select("doc_id")))
+    assert(rows(docs.graft.tokenRarity("doc_id", "text")) ==
+      rows(graft.operators.Relevance.tokenRarity(docs, "doc_id", "text")))
+    assert(rows(docs.graft.chunkDocuments("doc_id", "text", 32)) ==
+      rows(graft.operators.Packing.chunkDocuments(docs, "doc_id", "text", 32)))
+  }
+
+  test("verbs chain into a pipeline and stay lazy") {
+    // (not c4Filter here: the synthetic corpus has no terminal punctuation,
+    // so C4's line rule correctly drops every doc — pinned in ScrubSpec)
+    val out = docs.graft
+      .redactPii("text")
+      .graft.dedupeExact(Seq("text"), "doc_id")
+      .graft.splitAssign("doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .graft.epochShuffle("doc_id", "ep0")
+    assert(out.columns.contains("split"))
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+  }
+}
