@@ -270,4 +270,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"nothing quadratic in the fluency scorer:\n$p")
   }
+
+  test("x25 deterministic shuffle is exactly one range exchange (global sort)") {
+    val p = Queries.queries("x25_deterministic_shuffle")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val ranges = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning"))
+    assert(ranges == 1, s"reproducible order must cost ONE range exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no other shuffle belongs in a pure reorder:\n$p")
+  }
+
+  test("x10d composed ingest pipeline is one lazy plan with no quadratic joins") {
+    val p = plan("x10d_ingest_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the composed pipeline must stay relational end to end:\n$p")
+    assert(p.contains("LeftAnti"), s"the dedup stage must plan as an anti-join:\n$p")
+  }
+
+  test("every graft_* function is registered through BOTH wiring paths") {
+    // names must exist in the session registry (HashExpressions.register)
+    graft.plans.HashExpressions.register(spark)
+    val expected = Seq("graft_minhash_sig", "graft_simhash", "graft_shingle_hashes",
+      "graft_text_stats", "graft_lang_id", "graft_cosine", "graft_nearest_cells",
+      "graft_lsh_bucket", "graft_winnow", "graft_nearest_dist",
+      "graft_pq_encode", "graft_pq_lut", "graft_pq_adc",
+      "graft_bloom_agg", "graft_bloom_contains",
+      "graft_nfc", "graft_deflate_len", "graft_bpe_tokens")
+    val reg = spark.sessionState.functionRegistry
+    val missing = expected.filterNot(n =>
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"not in the session registry: $missing")
+    // and the extensions injector must accept all of them without throwing
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(e)
+  }
 }
