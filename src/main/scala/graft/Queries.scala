@@ -2033,13 +2033,20 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     // codebooks); map-only projection. Rows-only by declaration —
     // eigenvectors of a data covariance have no SQL oracle; ground truth is
     // PcaSpec (eigen equation, orthonormality, planted-direction recovery,
-    // JVM projection parity).
+    // JVM projection parity). Declared output is SCALAR-ONLY — the driver's
+    // checker sorts/hashes column values, and an array column is unhashable
+    // to it, so the projection is exploded to (vec_id, component, value)
+    // rows with the value squared (sign-free: Jacobi eigenvectors are
+    // determined only up to ±, so ±component flips must hash identically)
+    // and rounded to 2 decimals, under a total ORDER BY.
     (s, d) => {
       val emb = t(s, d, "embeddings")
       val model = graft.operators.Pca.fit(emb, "embedding", dim = 64, k = 8)
       graft.operators.Pca.project(emb, "embedding", model)
-        .select("vec_id", "pca")
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("pca")).as(Seq("component", "v")))
+        .select(col("vec_id"), col("component"),
+          (floor(col("v") * col("v") * 100 + 0.5) / 100).as("sq2"))
+        .orderBy("vec_id", "component")
     },
     None)
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Benchmark decontamination: find (and remove) training documents that
   * share k-token n-grams with an evaluation/benchmark set — the standard
@@ -18,16 +17,20 @@ import org.apache.spark.storage.StorageLevel
   *
   * The broadcast is GUARDED, not unconditional: a misuse-scale "benchmark"
   * (say another corpus) would blow past the driver/executor broadcast limit,
-  * so by default the postings are counted (one action over the small side
-  * only) and the plan degrades to a shuffle join when the estimate exceeds
-  * `spark.sql.autoBroadcastJoinThreshold`. Both paths produce identical
-  * results (pinned in ContaminationSpec).
+  * so by default the bench side's Catalyst size estimate (file-size-derived
+  * for a source scan — ZERO extra actions) is compared against
+  * `spark.sql.autoBroadcastJoinThreshold`, scaled by the postings-per-byte
+  * expansion of shingling, and the plan degrades to a shuffle join above
+  * the threshold. Both paths produce identical results (pinned in
+  * ContaminationSpec).
   */
 object Contamination {
 
-  /** Estimated in-memory bytes per broadcast posting row: 8-byte hash +
-    * doc id + row object overhead. Deliberately conservative (high). */
-  private val BytesPerPosting = 32L
+  /** Broadcast-side bytes per SOURCE byte of the bench frame: shingling
+    * emits ~one (id, 8-byte hash) posting per text character, so in-memory
+    * postings outweigh the scanned bytes by roughly id+hash+row overhead
+    * per character. Deliberately conservative (high). */
+  private val PostingBytesPerSourceByte = 32L
 
   private def postings(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
@@ -38,25 +41,29 @@ object Contamination {
           .as("__h"))
   }
 
-  /** Apply the broadcast guard to the benchmark postings. Returns the
-    * (possibly hinted) frame plus a finalizer that releases the persisted
-    * postings once the caller's (small) result is materialized.
+  /** Apply the broadcast guard to the benchmark postings.
     *
     * `force = Some(true)` always broadcasts (caller knows the eval set is
-    * small — zero extra actions), `Some(false)` never does; `None` (default)
-    * persists + counts the postings and broadcasts only under the session
-    * threshold. */
+    * small), `Some(false)` never does; `None` (default) reads the optimizer's
+    * size estimate for the postings plan — for a parquet/CSV bench set that
+    * is derived from actual file sizes, so a corpus-scale frame misused as
+    * the "benchmark" is reliably huge — and broadcasts only when the
+    * estimate times the shingle expansion factor stays under
+    * `spark.sql.autoBroadcastJoinThreshold`. No job runs either way (the
+    * round-6 count-based guard cost an eager pass over the bench side per
+    * call); an over-estimate merely falls back to the still-correct shuffle
+    * join. */
   private def guardedPostings(b: DataFrame, force: Option[Boolean])
       : (DataFrame, DataFrame => DataFrame) = force match {
     case Some(true)  => (broadcast(b), identity)
     case Some(false) => (b, identity)
     case None =>
-      val persisted = b.persist(StorageLevel.MEMORY_AND_DISK)
       val threshold =
         b.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val fits = threshold > 0 && persisted.count() * BytesPerPosting <= threshold
-      val hinted = if (fits) broadcast(persisted) else persisted
-      (hinted, out => CacheOps.materializeAndRelease(out, persisted))
+      val est = b.queryExecution.optimizedPlan.stats.sizeInBytes
+      val fits = threshold > 0 &&
+        est * PostingBytesPerSourceByte <= BigInt(threshold)
+      (if (fits) broadcast(b) else b, identity)
   }
 
   /** All (corpus doc, benchmark doc) pairs sharing at least `minShared`

@@ -101,7 +101,10 @@ object Dedup {
                          minJaccard: Double = 0.8): DataFrame = {
     val hit = NearDup.nearDuplicatesAgainst(newDf, seen, idCol, textCol, minJaccard)
       .select(col("new_id")).distinct()
-    newDf.join(hit, newDf(idCol).cast("long") === col("new_id"), "left_anti")
+    // Join on the UNTOUCHED id — `new_id` carries idCol's own type through
+    // nearDuplicatesAgainst. (A cast("long") here used to null out string
+    // doc ids, turning the anti-join into a silent keep-everything no-op.)
+    newDf.join(hit, newDf(idCol) === col("new_id"), "left_anti")
   }
 
   /** Fuzzy dedup, final stage: collapse a near-duplicate PAIR list (any of
@@ -121,9 +124,25 @@ object Dedup {
                                  pairs: DataFrame,
                                  pairCol1: String = "id_1",
                                  pairCol2: String = "id_2"): DataFrame = {
-    val comp = ConnectedComponents.components(pairs, pairCol1, pairCol2)
-    val drop = comp.where(col("node") =!= col("component"))
-      .select(col("node").as("__graft_drop_id"))
-    df.join(drop, col(idCol).cast("long") === col("__graft_drop_id"), "left_anti")
+    // Graph nodes are xxhash64(id), not cast("long"): the iteration needs
+    // primitive long keys for its narrow shuffles, and hashing admits ANY id
+    // type (the former cast nulled string ids, emptying the graph into a
+    // silent keep-everything no-op). 64-bit injectivity is the same trade
+    // every hash-keyed dedup op here makes ([[withContentHash]]). The kept
+    // representative is still the minimum ORIGINAL id per cluster (natural
+    // order of idCol's type), so the choice stays deterministic and
+    // partitioning-invariant.
+    val comp = ConnectedComponents.components(
+      pairs.select(xxhash64(col(pairCol1)).as("__u"), xxhash64(col(pairCol2)).as("__v")),
+      "__u", "__v")
+    val members = df.select(col(idCol).as("__graft_id"),
+        xxhash64(col(idCol)).as("node"))
+      .join(comp, "node") // ids untouched by any pair are absent → kept
+    val reps = members.groupBy("component")
+      .agg(min("__graft_id").as("__graft_keep"))
+    val drop = members.join(reps, "component")
+      .where(col("__graft_id") =!= col("__graft_keep"))
+      .select(col("__graft_id").as("__graft_drop_id"))
+    df.join(drop, col(idCol) === col("__graft_drop_id"), "left_anti")
   }
 }

@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * byte improves when the axes are decorrelated — the observation behind
   * OPQ), or for 2-3D corpus visualization.
   *
-  * Scale shape: fitting needs exactly THREE driver-bounded aggregates —
-  * n (one long), the mean (D doubles), and the raw second-moment matrix
-  * (D² doubles, via a (i, j) pair explode whose two-phase aggregation
-  * collapses map-side to ≤ D² rows per partition: the shuffle moves D² keys
-  * regardless of corpus size; D=64 → 4096 rows). The eigen-decomposition
-  * runs on the driver on the D×D covariance (cyclic Jacobi — symmetric,
-  * tiny), exactly like the IVF/PQ codebooks: the MODEL is driver-side, the
-  * DATA never leaves the cluster. Projection is one map-only pass.
+  * Scale shape: fitting is ONE job — a single scan through a native
+  * one-pass aggregate ([[graft.plans.GramianAggregate]]) that accumulates
+  * n, the per-dimension sums, and the upper triangle of Σ x·xᵀ in a
+  * primitive-array buffer; each partition emits ONE D²-bounded buffer
+  * (16 KB at D=64, 4 MB at D=1024) regardless of corpus size, with no
+  * per-row blow-up (the round-6 pair-explode formulation materialized
+  * D(D+1)/2 intermediate rows per vector map-side — it survives as
+  * [[momentsByExplode]], the differential cross-check PcaSpec pins against
+  * the aggregate). The eigen-decomposition runs on the driver on the D×D
+  * covariance (cyclic Jacobi — symmetric, tiny), exactly like the IVF/PQ
+  * codebooks: the MODEL is driver-side, the DATA never leaves the cluster.
+  * Projection is one map-only pass.
   *
   * No UDFs; the per-row projection is builtin `transform`/`aggregate` over a
   * foldable component literal — k·D multiply-adds per row. */
@@ -32,17 +36,58 @@ object Pca {
   /** Fit on (a sample of) the corpus. `dim` is the embedding width; `k` the
     * output width. Null AND wrong-length vectors are ignored — a ragged
     * vector contributing to some dimension aggregates but not others would
-    * skew the covariance silently, the worst failure mode. The filtered
-    * frame is persisted across the fit's three aggregates (count, mean,
-    * second moments) so expensive upstream lineage runs once. */
+    * skew the covariance silently, the worst failure mode. One scan, one
+    * job: count, mean and second moments come from a single
+    * [[graft.plans.GramianAggregate]] pass, so expensive upstream lineage
+    * runs exactly once with no persist. */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
+    val (n, mu, cov) = momentsByGramian(df, vecCol, dim)
+    require(n > 1, s"PCA needs at least 2 vectors of length $dim")
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.zipWithIndex.sortBy(-_._1).take(k)
+    PcaModel(mu,
+      order.map { case (_, idx) => vectors.map(_(idx)) },
+      order.map(_._1))
+  }
+
+  /** (n, mean, covariance) via the one-pass native aggregate — THE fit
+    * path. */
+  private[graft] def momentsByGramian(df: DataFrame, vecCol: String, dim: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val r = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(call_function("graft_gramian", col(vecCol), lit(dim)).as("g"))
+      .head().getStruct(0)
+    val n = r.getLong(0)
+    val nn = n.toDouble
+    val sums = r.getSeq[Double](1)
+    val tri = r.getSeq[Double](2)
+    val mu = sums.map(_ / nn).toArray
+    // upper-triangle row-major index of (i ≤ j): i·D − i·(i−1)/2 + (j − i)
+    def triAt(i: Int, j: Int): Double = tri(i * dim - i * (i - 1) / 2 + (j - i))
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      triAt(a, b) / nn - mu(i) * mu(j)
+    }
+    (n, mu, cov)
+  }
+
+  /** (n, mean, covariance) via the round-6 pair-explode formulation —
+    * retained as the differential cross-check for the aggregate (PcaSpec
+    * pins `momentsByGramian ≈ momentsByExplode` on the same frame). Do not
+    * use for fitting at large D: the map side materializes D(D+1)/2
+    * intermediate rows PER VECTOR (~524k at D=1024) before the two-phase
+    * aggregation collapses them, where the aggregate buffers accumulate
+    * in place with zero row blow-up. */
+  private[graft] def momentsByExplode(df: DataFrame, vecCol: String, dim: Int)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     val vecs = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = vecs.count().toDouble
-      require(n > 1, s"PCA needs at least 2 vectors of length $dim")
+      val n = vecs.count()
+      val nn = n.toDouble
       val mean = vecs
         .select(posexplode(col(vecCol)).as(Seq("i", "xi")))
         .groupBy("i").agg(avg(col("xi").cast("double")).as("m"))
@@ -59,13 +104,9 @@ object Pca {
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       val cov = Array.tabulate(dim, dim) { (i, j) =>
         val key = if (i <= j) (i, j) else (j, i)
-        s(key) / n - mu(i) * mu(j)
+        s(key) / nn - mu(i) * mu(j)
       }
-      val (values, vectors) = jacobiEigen(cov)
-      val order = values.zipWithIndex.sortBy(-_._1).take(k)
-      PcaModel(mu,
-        order.map { case (_, idx) => vectors.map(_(idx)) },
-        order.map(_._1))
+      (n, mu, cov)
     } finally vecs.unpersist(false)
   }
 

@@ -50,10 +50,15 @@ object ProductQuantization {
     require(ksub > 0 && iters >= 0, "ksub must be positive, iters non-negative")
     graft.plans.HashExpressions.register(corpus.sparkSession)
     val dsub = dim / m
+    // Null AND wrong-length vectors are ignored throughout (same guard as
+    // Pca.fit): a ragged vector in the init sample would seed short/empty
+    // sub-centroids, after which every native call sees m·dsub ≠ dim and
+    // the whole corpus encodes to NULL — silently.
+    val wellFormed = col(vecCol).isNotNull && size(col(vecCol)) === dim
     val init: Seq[Seq[Array[Double]]] = {
       // Number covers FLOAT embeddings and DOUBLE residual frames alike
       val sample = corpus
-        .select(col(vecCol)).where(col(vecCol).isNotNull)
+        .select(col(vecCol)).where(wellFormed)
         .orderBy(xxhash64(col(idCol))).limit(ksub)
         .collect().map(_.getSeq[Number](0).map(_.doubleValue).toArray)
       (0 until m).map(mi => sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub)).toSeq)
@@ -61,7 +66,7 @@ object ProductQuantization {
     var books = init
     for (_ <- 1 to iters) {
       // one pass, all subspaces: (subspace, cell, dim index) → mean
-      val subRows = corpus.where(col(vecCol).isNotNull)
+      val subRows = corpus.where(wellFormed)
         .select(explode(array((0 until m).map { mi =>
           struct(lit(mi).as("m"),
             slice(col(vecCol), mi * dsub + 1, dsub).as("sv"))

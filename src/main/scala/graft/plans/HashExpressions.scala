@@ -202,6 +202,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokensExpr].getName, "graft_bpe_tokens"),
       exprs => BpeTokensExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_gramian"),
+      new ExpressionInfo(classOf[GramianAggregate].getName, "graft_gramian"),
+      exprs => GramianAggregate(exprs(0), exprs(1))))
   }
 }
 
@@ -247,5 +250,7 @@ object HashExpressions {
       exprs => DeflateLenExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_tokens",
       exprs => BpeTokensExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_gramian",
+      exprs => GramianAggregate(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -12,7 +12,7 @@ import graft.operators._
   *   .c4Filter("text")
   *   .dedupeExact(Seq("text"), tieBreaker = "doc_id")
   *   .dedupeAgainst(keptCorpus, _("text"))
-  *   .stratifiedSample("source", 0.1)
+  *   .stratifiedSample("source", "doc_id", perStratum = 50)
   * }}}
   *
   * Pure sugar: every method delegates 1:1 to the documented operator object

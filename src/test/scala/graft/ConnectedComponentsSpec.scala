@@ -70,4 +70,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L))
   }
+
+  test("keepClusterRepresentatives works with STRING doc ids (no silent no-op)") {
+    // Round-6 regression: ids went through cast("long"), which nulls string
+    // ids and silently kept every row. The graph now runs on xxhash64(id);
+    // the representative is the minimum original id (lexicographic here).
+    val docs = Seq(("cc-2024-abc", "a"), ("cc-2024-def", "a'"),
+      ("cc-2024-zzz", "b"), ("cc-2023-aaa", "a''"))
+      .toDF("doc_id", "text")
+    val pairs = Seq(("cc-2024-abc", "cc-2024-def"),
+      ("cc-2024-def", "cc-2023-aaa")).toDF("id_1", "id_2")
+    val kept = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("cc-2023-aaa", "cc-2024-zzz"),
+      "cluster {abc,def,2023-aaa} must collapse to its lexicographic min")
+  }
 }

@@ -72,6 +72,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "10 (exact, j=1.0) and 11 (j≈0.81) go; 12 (j≈0.38) only shares a prefix")
   }
 
+  test("dedupeAgainstFuzzy works with STRING doc ids (no silent no-op)") {
+    // Round-6 regression: the anti-join cast ids to long, nulling string ids
+    // so the join never matched and every duplicate was silently KEPT.
+    val seenS = seen.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val freshS = fresh.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val out = Dedup.dedupeAgainstFuzzy(freshS, seenS, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("doc_id").as[String].collect().sorted
+    assert(out.toSeq == Seq("doc-12", "doc-13"),
+      "string-id fuzzy dedup must drop the same near-dups as the long-id path")
+  }
+
   test("dedupeAgainstBloom is row-identical to dedupeAgainst at any filter size") {
     val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
     val newHalf = docs.where(col("doc_id") >= 250)

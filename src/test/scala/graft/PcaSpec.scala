@@ -136,4 +136,33 @@ class PcaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Pca.fit(planted, "embedding", dim, k = 0) }
     intercept[IllegalArgumentException] { Pca.fit(planted, "embedding", dim, k = dim + 1) }
   }
+
+  test("one-pass Gramian moments ≡ pair-explode moments on the same frame") {
+    // Differential pin of the fit path: the native single-scan aggregate
+    // must reproduce the round-6 explode formulation's (n, μ, Σ) up to
+    // double-fold reassociation. Ragged + null vectors included to pin the
+    // shared input contract.
+    val ragged = planted
+      .union(Seq((997L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+      .union(Seq((998L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+      .repartition(7)
+    val (n1, mu1, cov1) = Pca.momentsByGramian(ragged, "embedding", dim)
+    val (n2, mu2, cov2) = Pca.momentsByExplode(ragged, "embedding", dim)
+    assert(n1 == n2 && n1 == 200L, s"row counts differ: $n1 vs $n2")
+    (0 until dim).foreach(i =>
+      assert(math.abs(mu1(i) - mu2(i)) < 1e-12, s"mean differs at $i"))
+    (0 until dim).foreach(i => (0 until dim).foreach(j =>
+      assert(math.abs(cov1(i)(j) - cov2(i)(j)) < 1e-9,
+        s"covariance differs at ($i,$j): ${cov1(i)(j)} vs ${cov2(i)(j)}")))
+  }
+
+  test("Gramian aggregate: one job, one buffer row per partition, no explode") {
+    graft.plans.HashExpressions.register(spark)
+    val plan = planted.repartition(7)
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(call_function("graft_gramian", col("embedding"), lit(dim)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"fit path must not explode rows:\n$plan")
+    assert(plan.contains("graft_gramian"), plan)
+  }
 }
