@@ -106,5 +106,15 @@ object Bench {
 
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","first_pass_total":${fmt(warmTotal)},"passes":${steadyPasses + 1},"stat":"median_of_$steadyPasses","medians":$meds}""")
     spark.stop()
+    // The medians again as the FINAL stdout line, minimal keys, AND as a
+    // file: log harnesses that keep only a tail window truncate the big
+    // line above front-first, so the per-entry medians must sit at the very
+    // end of stdout and survive independently on disk.
+    val compact = s"""{"medians":$meds,"total":${fmt(total)},"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of("/tmp/bench_medians.json"), compact + "\n")
+    } catch { case _: Exception => () }
+    println(compact)
   }
 }

@@ -2001,6 +2001,28 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     },
     None)
 
+  private val x23c = DeclaredQuery("x23c_opq_topk",
+    // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
+    // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
+    // preserved), then PQ trains/encodes/searches in the rotated space —
+    // the same code budget spent on less redundant structure. Rows-only by
+    // declaration like x23/x23b; ground truth is PqSpec's recall(OPQ) ≥
+    // recall(PQ) pin on an anisotropic fixture plus the rotation's own
+    // PcaSpec orthonormality pins.
+    (s, d) => {
+      import graft.operators.ProductQuantization
+      val emb = t(s, d, "embeddings")
+      val model = ProductQuantization.trainOpq(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 1)
+      val codes = ProductQuantization.encodeOpq(emb, "embedding", model)
+      ProductQuantization.opqTopKAll(codes, emb.where(col("vec_id") < 5),
+          "vec_id", "pq_code", "vec_id", "embedding", model, k = 10,
+          excludeSelf = true)
+        .select("query_id", "corpus_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   private val x24 = DeclaredQuery("x24_jsonl_roundtrip",
     // JSONL source/sink (sources/JsonL): documents → single gzipped .jsonl
     // file (distributed parts, serial byte concat — same design as the CSV
@@ -2209,7 +2231,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x24, x25, x26, x27, x27b, x28, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

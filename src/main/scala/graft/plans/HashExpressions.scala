@@ -205,6 +205,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_gramian"),
       new ExpressionInfo(classOf[GramianAggregate].getName, "graft_gramian"),
       exprs => GramianAggregate(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_bpe_words"),
+      new ExpressionInfo(classOf[BpeWordsExpr].getName, "graft_bpe_words"),
+      exprs => BpeWordsExpr(exprs(0))))
   }
 }
 
@@ -252,5 +255,7 @@ object HashExpressions {
       exprs => BpeTokensExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_gramian",
       exprs => GramianAggregate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_words",
+      exprs => BpeWordsExpr(exprs(0)), "built-in")
   }
 }

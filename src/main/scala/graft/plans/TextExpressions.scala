@@ -415,21 +415,58 @@ case class BpeTokensExpr(text: Expression, merges: Expression)
   }
 
   override def nullSafeEval(t: Any, m: Any): Any = {
-    val s = t.toString.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    var start = 0
-    var i = 0
-    while (i <= s.length) {
-      if (i == s.length || Character.isWhitespace(s.charAt(i))) {
-        if (i > start) applyWord(s.substring(start, i), out)
-        start = i + 1
-      }
-      i += 1
-    }
+    BpePreTokenize.foreachWord(t.toString)(w => applyWord(w, out))
     new GenericArrayData(out.toArray[AnyRef])
   }
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BpeTokensExpr =
     copy(text = l, merges = r)
+}
+
+/** THE BPE pre-tokenization — one code path shared by training
+  * ([[BpeWordsExpr]]) and application ([[BpeTokensExpr]]): Locale.ROOT case
+  * fold, split on `Character.isWhitespace`. Keeping it in one place makes
+  * train/apply skew on exotic whitespace (U+2028, U+3000) or
+  * locale-sensitive case (Turkish dotted İ under a tr_TR JVM) impossible by
+  * construction — round 6 trained through Java `\s+` + Spark `lower` while
+  * applying through this split, two subtly different alphabets. */
+private[plans] object BpePreTokenize {
+  def foreachWord(raw: String)(f: String => Unit): Unit = {
+    val s = raw.toLowerCase(java.util.Locale.ROOT)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) f(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+  }
+}
+
+/** `graft_bpe_words`: the BPE pre-tokenization exposed as its own map-only
+  * expression, so [[graft.operators.Bpe.train]]'s distributed word count
+  * sees EXACTLY the words the tokenizer will later apply merges to. */
+case class BpeWordsExpr(text: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = text
+  override def prettyName: String = "graft_bpe_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: text must be STRING")
+
+  override def nullSafeEval(t: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    BpePreTokenize.foreachWord(t.toString)(w => out += UTF8String.fromString(w))
+    new GenericArrayData(out.toArray[AnyRef])
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeWordsExpr =
+    copy(text = c)
 }

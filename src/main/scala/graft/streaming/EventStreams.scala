@@ -44,14 +44,26 @@ object EventStreams {
     * carry watermarks and the join condition carries the interval, so Spark
     * can bound buffered state on each side: a left row is held only until
     * the right watermark passes `ts + maxDelay`, then dropped — without the
-    * interval, stream-stream state would grow forever. Inner join: a pair
-    * emits once both sides arrive (within watermark bounds).
+    * interval, stream-stream state would grow forever (state eviction under
+    * the bound is pinned via state-store metrics in StreamingSpec).
+    *
+    * `joinType` "inner" (default): a pair emits once both sides arrive
+    * (within watermark bounds). "left_outer": additionally, a left row whose
+    * interval the watermark seals WITHOUT a match emits exactly once with
+    * null right columns — for correlations where absence is the signal
+    * (impressions that never converted). The emission is watermark-driven:
+    * it appears only once the watermark passes `l_ts + maxDelay`, the
+    * earliest moment absence is decidable on an unbounded stream.
     *
     * Output: one row per (left, right) pair within `[0, maxDelay]` of each
-    * other on the same `keyCol`. */
+    * other on the same `keyCol` (plus the null-padded unmatched-left rows
+    * under "left_outer"). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    maxDelay: String = "10 minutes",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("k"), col("ts").as("l_ts"),
         col("event_id").as("l_id"), col("event_type").as("l_type"))
@@ -61,7 +73,8 @@ object EventStreams {
     l.join(r,
       col("k") === col("r_k") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      joinType)
       .select(col("k").as(keyCol), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"))
   }

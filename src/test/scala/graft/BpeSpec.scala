@@ -92,4 +92,51 @@ class BpeSpec extends AnyFunSuite {
     // 'ab</w>' has pairs (a,b),(b,</w>) -> at most 2 merges exist
     assert(model.merges.length <= 2, s"got ${model.merges}")
   }
+
+  test("incremental pair maintenance ≡ full recount (fixture + randomized corpora)") {
+    val fixture = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    assert(Bpe.learnMerges(fixture, 10) == Bpe.learnMergesRecount(fixture, 10))
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { round =>
+      // small alphabet → dense pair collisions, ties, and self-overlapping
+      // runs ("aaa") — the cases where incremental deltas go wrong
+      val freqs = (1 to 150).map { _ =>
+        (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.groupBy(identity).map { case (w, g) =>
+        (w, (g.size + rnd.nextInt(5)).toLong)
+      }.toArray
+      val inc = Bpe.learnMerges(freqs, 40)
+      val rec = Bpe.learnMergesRecount(freqs, 40)
+      assert(inc == rec, s"round $round: incremental diverged from recount")
+    }
+  }
+
+  test("1k merges over a vocabulary-scale histogram train fast (incremental loop)") {
+    val rnd = new scala.util.Random(7)
+    val freqs = (1 to 20000).map { _ =>
+      (1 to (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toArray
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMerges(freqs, 1000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 1000, s"merge space must not exhaust: ${merges.length}")
+    // the recount loop needs 1000 full passes over ~170k symbols here; the
+    // incremental loop touches only affected types — generous CI bound
+    assert(sec < 20.0, s"1k merges took ${sec}s — incremental maintenance regressed")
+  }
+
+  test("train and apply share one tokenization: U+3000/U+2028 whitespace") {
+    // Round-6 skew: training split on Java \s+ (ASCII), apply on
+    // Character.isWhitespace — a corpus word-separated by ideographic space
+    // trained as ONE long word but applied as two. Now both paths run
+    // through graft_bpe_words/graft_bpe_tokens' shared pre-tokenizer.
+    val uni = Seq((1L, "newest　newest newest low")).toDF("doc_id", "text")
+    val ascii = Seq((1L, "newest newest newest low")).toDF("doc_id", "text")
+    val a = Bpe.train(uni, "text", numMerges = 6)
+    val b = Bpe.train(ascii, "text", numMerges = 6)
+    assert(a.merges == b.merges, "exotic whitespace must tokenize like ASCII space")
+    val gotU = Bpe.tokens(uni, "text", a, "tk").select("tk").as[Seq[String]].head()
+    val gotA = Bpe.tokens(ascii, "text", a, "tk").select("tk").as[Seq[String]].head()
+    assert(gotU == gotA, s"apply must split U+3000 identically: $gotU vs $gotA")
+  }
 }

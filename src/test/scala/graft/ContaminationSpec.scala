@@ -69,4 +69,29 @@ class ContaminationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(clean == Set(2L))
   }
+
+  test("auto guard decides from plan statistics: ZERO jobs before the result action") {
+    // The round-6 guard ran an eager count() over the bench postings per
+    // call — the only bench regression that round. The stats-based guard
+    // must plan (and decide broadcast vs shuffle) without launching any job.
+    val sc = spark.sparkContext
+    val stat = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(stat)
+    try {
+      val planned = Contamination.overlapPairs(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5) // benchBroadcast = None (auto)
+      val plan = planned.queryExecution.executedPlan.toString
+      Thread.sleep(300) // let any stray job-start events reach the listener
+      assert(stat.jobs.get() == 0,
+        s"guard decision must not run jobs, saw ${stat.jobs.get()}")
+      // tiny in-memory bench → the estimate fits → broadcast join planned
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small bench must still plan as a broadcast join:\n$plan")
+    } finally sc.removeSparkListener(stat)
+  }
 }

@@ -109,6 +109,64 @@ class PqSpec extends AnyFunSuite {
       s"ADC top-10 recall must be >= 0.7 per query on clustered data: $recalls")
   }
 
+  test("OPQ rotation beats plain PQ recall on an anisotropic corpus") {
+    // Worst case for axis-aligned subspaces: correlated coordinate pairs
+    // STRADDLE the subspace boundaries — pairs (1,2), (3,4), (5,6), (7,0)
+    // each carry one shared latent factor, so every subspace {2i, 2i+1}
+    // sees two INDEPENDENT factors (a genuine 2-D spread its ksub=4 codes
+    // must tile), while the data is really 4-D. The PCA rotation collapses
+    // each pair to one axis and the eigenvalue allocation hands each
+    // subspace one signal axis + one noise axis — 1-D structure per
+    // quantizer, which the same code budget quantizes much finer.
+    val d2 = 8; val m2 = 4
+    def avec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(1000 + seed)
+      val t = Array.fill(4)(rnd.nextDouble() * 10.0)
+      val x = new Array[Double](d2)
+      (0 until 4).foreach { g =>
+        x((2 * g + 1) % d2) += t(g); x((2 * g + 2) % d2) += t(g)
+      }
+      x.map(v => (v + 0.05 * rnd.nextGaussian()).toFloat)
+    }
+    val aniso = (0 until 80).map(i => (i.toLong, avec(i).toSeq)).toDF("vec_id", "embedding")
+    val queries = aniso.where(col("vec_id") < 8)
+    val k = 10
+    val all = (0 until 80).map(i => i.toLong -> avec(i)).toMap
+    val exact = (0L until 8L).map { q =>
+      val qv = all(q)
+      q -> all.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) =>
+          (v.zip(qv).map { case (a, b) => (a.toDouble - b) * (a - b) }.sum, id) }
+        .take(k).map(_._1).toSet
+    }.toMap
+    def meanRecall(got: Map[Long, Set[Long]]): Double =
+      (0L until 8L).map(q => got(q).intersect(exact(q)).size.toDouble / k).sum / 8
+    val cb = ProductQuantization.trainPq(aniso, "vec_id", "embedding", d2, m2, ksub = 4, iters = 2)
+    val plain = ProductQuantization.pqTopKAll(
+        ProductQuantization.encode(aniso, "embedding", cb), queries,
+        "vec_id", "pq_code", "vec_id", "embedding", cb, k, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val opq = ProductQuantization.trainOpq(aniso, "vec_id", "embedding", d2, m2, ksub = 4, iters = 2)
+    val rotated = ProductQuantization.opqTopKAll(
+        ProductQuantization.encodeOpq(aniso, "embedding", opq), queries,
+        "vec_id", "pq_code", "vec_id", "embedding", opq, k, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (rPq, rOpq) = (meanRecall(plain), meanRecall(rotated))
+    info(f"mean recall: plain PQ $rPq%.3f, OPQ $rOpq%.3f")
+    assert(rOpq >= rPq,
+      f"OPQ must not lose recall to plain PQ on anisotropic data: $rOpq%.3f < $rPq%.3f")
+    assert(rOpq >= 0.6, f"OPQ recall floor: $rOpq%.3f")
+    // the allocated rotation stays orthonormal — distances are preserved
+    val w = opq.rotation.components
+    (0 until d2).foreach { i => (0 until d2).foreach { j =>
+      val dot = (0 until d2).map(c => w(i)(c) * w(j)(c)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"rotation not orthonormal at ($i,$j)")
+    }}
+  }
+
   test("encode is partitioning-invariant; model round-trips through parquet") {
     val cb = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m, ksub = 4, iters = 1)
     def codesOf(df: org.apache.spark.sql.DataFrame) =

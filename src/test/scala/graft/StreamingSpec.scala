@@ -210,6 +210,90 @@ class StreamingSpec extends AnyFunSuite {
       s"in-bound pairs join across micro-batches, the 25-min conversion must not: $got")
   }
 
+  test("left-outer interval join: never-matched left row null-pads exactly once at watermark expiry") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("ssjlo-l").toString
+    val rdir = Files.createTempDirectory("ssjlo-r").toString
+    def write(dir: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // user 1 converts in-bound; user 2 NEVER converts — absence is the signal
+    write(ldir, Seq((1L, "2024-01-01 08:00:00", 1L), (2L, "2024-01-01 08:00:00", 2L)))
+    write(rdir, Seq((101L, "2024-01-01 08:05:00", 1L)))
+    val joined = EventStreams.intervalJoin(
+      EventStreams.readEvents(spark, ldir), EventStreams.readEvents(spark, rdir),
+      "user_id", maxDelay = "10 minutes", joinType = "left_outer")
+    val q = joined.select("user_id", "l_id", "r_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_lo").start()
+    try {
+      q.processAllAvailable()
+      // user 2's row must NOT have emitted yet: absence is only decidable
+      // once the watermark passes l_ts + maxDelay
+      val early = spark.table("ssj_lo").where(col("l_id") === 2L).count()
+      assert(early == 0L, s"outer row emitted before the watermark sealed it: $early")
+      // advance BOTH watermarks (the join watermark is their min) far past
+      // 08:00 + 10 min delay + 10 min watermark; two advancing batches so
+      // the sealed state actually drains
+      write(ldir, Seq((3L, "2024-01-01 10:00:00", 9L)))
+      write(rdir, Seq((103L, "2024-01-01 10:00:00", 9L)))
+      q.processAllAvailable()
+      write(ldir, Seq((4L, "2024-01-01 12:00:00", 9L)))
+      write(rdir, Seq((104L, "2024-01-01 12:00:00", 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u2 = spark.table("ssj_lo").where(col("user_id") === 2L)
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(u2.toSeq == Seq((2L, -1L)),
+      s"the unmatched left row must appear exactly once, null-padded: ${u2.toSeq}")
+    val u1 = spark.table("ssj_lo").where(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(u1.toSeq == Seq((1L, 101L)), s"matched pair must stay a plain pair: ${u1.toSeq}")
+  }
+
+  test("interval-join state is evicted as the watermark advances (long replay plateaus)") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("ssjst-l").toString
+    val rdir = Files.createTempDirectory("ssjst-r").toString
+    def write(dir: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val joined = EventStreams.intervalJoin(
+      EventStreams.readEvents(spark, ldir), EventStreams.readEvents(spark, rdir),
+      "user_id", maxDelay = "10 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_state").start()
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      // 12 pairs of batches marching 30 min apart: every row leaves the
+      // watermark+interval horizon long before the replay ends, so state
+      // must PLATEAU — rows-in-state growing with rows-ingested is the
+      // unbounded-state bug the interval exists to prevent
+      (0 until 12).foreach { i =>
+        val t = f"2024-01-01 ${8 + i / 2}%02d:${(i % 2) * 30}%02d:00"
+        write(ldir, Seq((i.toLong, t, i.toLong)))
+        write(rdir, Seq((100L + i, t, i.toLong)))
+        q.processAllAvailable()
+        Option(q.lastProgress).foreach { p =>
+          if (p.stateOperators.nonEmpty)
+            totals += p.stateOperators.map(_.numRowsTotal).sum
+        }
+      }
+    } finally q.stop()
+    assert(totals.nonEmpty, "expected state-operator metrics in query progress")
+    // 24 rows ingested; the watermark trails ~40-70 min so only the last few
+    // batches' rows are retainable. Any linear growth would blow past this.
+    assert(totals.max <= 10,
+      s"state must stay bounded by watermark+interval, got rows-in-state=$totals")
+    assert(totals.last < 24, s"state rows must be evicted, not accumulated: $totals")
+  }
+
   test("flatMapGroupsWithState emits sessions as they close (gap or timeout)") {
     val dir = Files.createTempDirectory("fmgws").toString
     import spark.implicits._
