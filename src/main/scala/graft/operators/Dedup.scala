@@ -124,25 +124,38 @@ object Dedup {
                                  pairs: DataFrame,
                                  pairCol1: String = "id_1",
                                  pairCol2: String = "id_2"): DataFrame = {
-    // Graph nodes are xxhash64(id), not cast("long"): the iteration needs
-    // primitive long keys for its narrow shuffles, and hashing admits ANY id
-    // type (the former cast nulled string ids, emptying the graph into a
-    // silent keep-everything no-op). 64-bit injectivity is the same trade
-    // every hash-keyed dedup op here makes ([[withContentHash]]). The kept
-    // representative is still the minimum ORIGINAL id per cluster (natural
-    // order of idCol's type), so the choice stays deterministic and
-    // partitioning-invariant.
-    val comp = ConnectedComponents.components(
-      pairs.select(xxhash64(col(pairCol1)).as("__u"), xxhash64(col(pairCol2)).as("__v")),
-      "__u", "__v")
-    val members = df.select(col(idCol).as("__graft_id"),
-        xxhash64(col(idCol)).as("node"))
-      .join(comp, "node") // ids untouched by any pair are absent → kept
-    val reps = members.groupBy("component")
-      .agg(min("__graft_id").as("__graft_keep"))
-    val drop = members.join(reps, "component")
-      .where(col("__graft_id") =!= col("__graft_keep"))
-      .select(col("__graft_id").as("__graft_drop_id"))
-    df.join(drop, col(idCol) === col("__graft_drop_id"), "left_anti")
+    // The iteration needs primitive long graph keys. Integral ids use the
+    // direct path: nodes are the ids themselves, the fixed point's component
+    // root IS the minimum id, and the drop set falls out of one filter. Any
+    // other id type (the former unconditional cast("long") nulled string
+    // ids, emptying the graph into a silent keep-everything no-op) runs the
+    // graph on xxhash64(id) — 64-bit injectivity, the same trade every
+    // hash-keyed dedup op here makes ([[withContentHash]]) — and recovers
+    // the minimum ORIGINAL id per cluster with one extra narrow
+    // (id, component) aggregation. Both paths: deterministic,
+    // partitioning-invariant, min-id-kept semantics.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Seq(df.schema(idCol).dataType,
+        pairs.schema(pairCol1).dataType, pairs.schema(pairCol2).dataType)
+      .forall(Seq(ByteType, ShortType, IntegerType, LongType).contains)
+    if (integral) {
+      val comp = ConnectedComponents.components(pairs, pairCol1, pairCol2)
+      val drop = comp.where(col("node") =!= col("component"))
+        .select(col("node").as("__graft_drop_id"))
+      df.join(drop, col(idCol).cast("long") === col("__graft_drop_id"), "left_anti")
+    } else {
+      val comp = ConnectedComponents.components(
+        pairs.select(xxhash64(col(pairCol1)).as("__u"), xxhash64(col(pairCol2)).as("__v")),
+        "__u", "__v")
+      val members = df.select(col(idCol).as("__graft_id"),
+          xxhash64(col(idCol)).as("node"))
+        .join(comp, "node") // ids untouched by any pair are absent → kept
+      val reps = members.groupBy("component")
+        .agg(min("__graft_id").as("__graft_keep"))
+      val drop = members.join(reps, "component")
+        .where(col("__graft_id") =!= col("__graft_keep"))
+        .select(col("__graft_id").as("__graft_drop_id"))
+      df.join(drop, col(idCol) === col("__graft_drop_id"), "left_anti")
+    }
   }
 }

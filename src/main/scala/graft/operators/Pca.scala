@@ -111,12 +111,29 @@ object Pca {
   }
 
   /** Append the k-dim projection y = W·(x − μ) as `outCol` — map-only,
-    * fuses with the scan; model ships as foldable literals. A null or
-    * wrong-length input yields a NULL column (not an array of nulls — a
-    * non-null array of null elements would slip past downstream
-    * `isNotNull` guards, e.g. [[ProductQuantization.trainPq]]'s filter). */
+    * fuses with the scan; model ships as foldable literals into the native
+    * `graft_pca_project` expression (k·D multiply-adds in one primitive
+    * loop — the HOF formulation, retained as [[projectHof]] for the parity
+    * pin, pays ~k·D interpreted lambda calls PER ROW, which multiplies up
+    * when OPQ re-evaluates the rotation through training, encoding and
+    * query paths). A null or wrong-length input, or a null element, yields
+    * a NULL column (not an array of nulls — a non-null array of null
+    * elements would slip past downstream `isNotNull` guards, e.g.
+    * [[ProductQuantization.trainPq]]'s filter). */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
               outCol: String = "pca"): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val muLit = array(model.mean.map(lit): _*)
+    val wLit = array(model.components.map(c => array(c.map(lit): _*)): _*)
+    df.withColumn(outCol,
+      call_function("graft_pca_project", col(vecCol), muLit, wLit))
+  }
+
+  /** The builtin `transform`/`aggregate` projection — retained as the
+    * differential reference for the native expression (PcaSpec pins
+    * bit-identical output on well-formed vectors). */
+  private[graft] def projectHof(df: DataFrame, vecCol: String, model: PcaModel,
+                                outCol: String = "pca"): DataFrame = {
     val dim = model.mean.length
     val muLit = array(model.mean.map(lit): _*)
     val wLit = array(model.components.map(c => array(c.map(lit): _*)): _*)

@@ -208,6 +208,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_bpe_words"),
       new ExpressionInfo(classOf[BpeWordsExpr].getName, "graft_bpe_words"),
       exprs => BpeWordsExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_pca_project"),
+      new ExpressionInfo(classOf[PcaProjectExpr].getName, "graft_pca_project"),
+      exprs => PcaProjectExpr(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -257,5 +260,7 @@ object HashExpressions {
       exprs => GramianAggregate(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_words",
       exprs => BpeWordsExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pca_project",
+      exprs => PcaProjectExpr(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

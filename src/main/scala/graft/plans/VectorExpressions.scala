@@ -645,6 +645,91 @@ case class PqAdcExpr(codes: Expression, lut: Expression)
     copy(codes = l, lut = r)
 }
 
+/** Native PCA/OPQ projection y = W·(x − μ) ([[graft.operators.Pca.project]]):
+  * k·D multiply-adds in one primitive loop per row. The HOF formulation
+  * (`transform`/`aggregate` over foldable literals) evaluates its lambdas
+  * INTERPRETED per element — 4096 lambda calls per row at D=64, which
+  * multiplies up wherever the projection is re-evaluated (OPQ training,
+  * encode, query rotation). Fold order is j-ascending `acc + (x_j − μ_j)·w_kj`
+  * in double precision — bit-identical to the HOF form (pinned in PcaSpec).
+  * NULL vector or length ≠ D yields NULL, same contract as the HOF wrapper. */
+case class PcaProjectExpr(vec: Expression, mean: Expression, comps: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = mean
+  override def third: Expression = comps
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pca_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val meanOk = mean.dataType match {
+      case ArrayType(DoubleType, _) => mean.foldable
+      case _ => false
+    }
+    val compsOk = comps.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => comps.foldable
+      case _ => false
+    }
+    if (!vecOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: vec must be ARRAY<FLOAT|DOUBLE>, got ${vec.dataType.simpleString}")
+    else if (!meanOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: mean must be a foldable ARRAY<DOUBLE>")
+    else if (!compsOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: components must be a foldable ARRAY<ARRAY<DOUBLE>>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val mu: Array[Double] = {
+    val ad = mean.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(ad.getDouble)
+  }
+  @transient private lazy val w: Array[Array[Double]] = {
+    val ad = comps.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { k =>
+      val row = ad.getArray(k)
+      Array.tabulate(row.numElements())(row.getDouble)
+    }
+  }
+
+  override def nullSafeEval(v: Any, m: Any, c: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = mu.length
+    if (x.numElements() != dim) return null
+    val centered = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (x.isNullAt(j)) return null
+      centered(j) = (if (vecFloat) x.getFloat(j).toDouble else x.getDouble(j)) - mu(j)
+      j += 1
+    }
+    val out = new Array[Double](w.length)
+    var k = 0
+    while (k < w.length) {
+      val wk = w(k)
+      var acc = 0.0
+      j = 0
+      while (j < dim) { acc += centered(j) * wk(j); j += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PcaProjectExpr =
+    copy(vec = f, mean = s, comps = t)
+}
+
 private[plans] object PqExprUtil {
   /** Materialize a foldable m × ksub × dsub codebook literal to JVM arrays
     * (called once per task from the expressions' lazy vals). */

@@ -82,6 +82,23 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_pca_project ≡ HOF projection bit-identically; null contracts hold") {
+    val model = Pca.fit(planted, "embedding", dim, k = 3)
+    val native = Pca.project(planted, "embedding", model)
+      .select("vec_id", "pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val hof = Pca.projectHof(planted, "embedding", model)
+      .select("vec_id", "pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native == hof, "native expression must reproduce the HOF fold bit-identically")
+    // null + ragged vectors yield NULL through the native path too
+    val bad = planted.limit(0)
+      .union(Seq((1L, null.asInstanceOf[Seq[Float]]), (2L, Seq(1.0f)))
+        .toDF("vec_id", "embedding"))
+    val nulls = Pca.project(bad, "embedding", model).select("pca").collect()
+    assert(nulls.forall(_.isNullAt(0)), "null/ragged inputs must project to NULL")
+  }
+
   test("projection preserves pairwise distances of the dominant structure") {
     // k=1 keeps the planted axis: ordering along u must be preserved exactly
     val model = Pca.fit(planted, "embedding", dim, k = 1)
