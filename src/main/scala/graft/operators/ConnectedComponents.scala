@@ -35,12 +35,18 @@ object ConnectedComponents {
     * smallest node id reachable from `node` (so a component is named by its
     * minimum member). Self-loops and duplicate/reversed edges are tolerated.
     *
-    * @param edges  DataFrame with two long-castable id columns
+    * @param edges  DataFrame with two INTEGRAL id columns — the iteration
+    *               shuffles primitive longs by design. Non-integral ids are
+    *               rejected at plan time (a silent cast would null them out
+    *               and return an empty forest that looks like "no
+    *               clusters"); hash such ids to longs first, as
+    *               [[Dedup.keepClusterRepresentatives]] does.
     * @param maxIter hard cap on large+small-star rounds (a convergence
     *                backstop; the checksum loop normally exits far earlier)
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 50): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol)
     val raw = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
@@ -82,11 +88,26 @@ object ConnectedComponents {
   def componentsOf(nodes: DataFrame, idCol: String,
                    edges: DataFrame, srcCol: String, dstCol: String,
                    maxIter: Int = 50): DataFrame = {
+    requireIntegralIds(nodes, idCol)
     val comp = components(edges, srcCol, dstCol, maxIter)
     nodes.select(col(idCol).cast("long").as("node")).distinct()
       .join(comp, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Fail-loud input guard: the silent alternative (cast → NULL → row
+    * dropped) returns an empty/partial forest indistinguishable from "no
+    * clusters found". */
+  private def requireIntegralIds(df: DataFrame, cols: String*): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"connected components needs an integral id column; '$c' is " +
+          s"${t.simpleString} — xxhash64 non-integral ids to longs first " +
+          "(see Dedup.keepClusterRepresentatives)")
+    }
   }
 
   /** Large-star: for each node u, link every *larger* neighbor to the

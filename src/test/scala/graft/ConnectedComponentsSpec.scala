@@ -71,6 +71,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("components rejects non-integral id columns loudly") {
+    val bad = Seq(("a", "b")).toDF("id_1", "id_2")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.components(bad, "id_1", "id_2")
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+  }
+
   test("keepClusterRepresentatives works with STRING doc ids (no silent no-op)") {
     // Round-6 regression: ids went through cast("long"), which nulls string
     // ids and silently kept every row. The graph now runs on xxhash64(id);
