@@ -32,6 +32,15 @@ object Contamination {
     * per character. Deliberately conservative (high). */
   private val PostingBytesPerSourceByte = 32L
 
+  /** Estimated in-memory bytes per broadcast posting row (exact-count
+    * path): 8-byte hash + doc id + row overhead. Conservative (high). */
+  private val BytesPerPosting = 32L
+
+  /** Exact postings counts memoized per logical plan (semantic hash) for
+    * the JVM's lifetime — a repeated pipeline pays the counting job once. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
   private def postings(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
     graft.plans.HashExpressions.register(df.sparkSession)
@@ -44,15 +53,20 @@ object Contamination {
   /** Apply the broadcast guard to the benchmark postings.
     *
     * `force = Some(true)` always broadcasts (caller knows the eval set is
-    * small), `Some(false)` never does; `None` (default) reads the optimizer's
-    * size estimate for the postings plan — for a parquet/CSV bench set that
-    * is derived from actual file sizes, so a corpus-scale frame misused as
-    * the "benchmark" is reliably huge — and broadcasts only when the
-    * estimate times the shingle expansion factor stays under
-    * `spark.sql.autoBroadcastJoinThreshold`. No job runs either way (the
-    * round-6 count-based guard cost an eager pass over the bench side per
-    * call); an over-estimate merely falls back to the still-correct shuffle
-    * join. */
+    * small), `Some(false)` never does; `None` (default) decides in two
+    * rungs. First the optimizer's size estimate for the postings plan —
+    * file-size-derived for a source scan, ZERO extra actions: if even that
+    * (times the shingle expansion factor) fits under
+    * `spark.sql.autoBroadcastJoinThreshold`, broadcast immediately. Basic
+    * stats over-estimate FILTERED scans though (a Filter passes its child's
+    * sizeInBytes through), so a moderate bench slice of a big corpus looks
+    * corpus-sized; rather than degrade such benches to a shuffle join, the
+    * second rung runs ONE exact count of the postings, memoized per logical
+    * plan for the JVM's lifetime — a repeated pipeline (or repeated
+    * benchmark pass) pays the counting job once, and a genuinely
+    * misuse-scale "benchmark" still lands in the shuffle fallback (the
+    * round-6 guard counted eagerly on EVERY call; the round-5 one always
+    * broadcast). */
   private def guardedPostings(b: DataFrame, force: Option[Boolean])
       : (DataFrame, DataFrame => DataFrame) = force match {
     case Some(true)  => (broadcast(b), identity)
@@ -60,9 +74,19 @@ object Contamination {
     case None =>
       val threshold =
         b.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val est = b.queryExecution.optimizedPlan.stats.sizeInBytes
-      val fits = threshold > 0 &&
-        est * PostingBytesPerSourceByte <= BigInt(threshold)
+      val fits = threshold > 0 && {
+        val est = b.queryExecution.optimizedPlan.stats.sizeInBytes
+        est * PostingBytesPerSourceByte <= BigInt(threshold) || {
+          val key = b.queryExecution.analyzed.semanticHash()
+          val n = Option(countCache.get(key)).map(_.longValue).getOrElse {
+            val c = b.count()
+            if (countCache.size > 64) countCache.clear()
+            countCache.put(key, c)
+            c
+          }
+          n * BytesPerPosting <= threshold
+        }
+      }
       (if (fits) broadcast(b) else b, identity)
   }
 
