@@ -173,6 +173,20 @@ class PcaSpec extends AnyFunSuite {
         s"covariance differs at ($i,$j): ${cov1(i)(j)} vs ${cov2(i)(j)}")))
   }
 
+  test("fit accepts DOUBLE element arrays (residual-frame shape), same model as float") {
+    // Pca.fit must work on array<double> inputs (e.g. residual frames) —
+    // the Gramian aggregate's element reader branches on the element type.
+    val asDouble = planted.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val a = Pca.fit(asDouble, "embedding", dim, k = 2)
+    val b = Pca.fit(planted, "embedding", dim, k = 2)
+    a.mean.indices.foreach(i =>
+      assert(math.abs(a.mean(i) - b.mean(i)) < 1e-12, s"mean differs at $i"))
+    a.eigenvalues.indices.foreach(i =>
+      assert(math.abs(a.eigenvalues(i) - b.eigenvalues(i)) < 1e-9,
+        s"eigenvalue differs at $i"))
+  }
+
   test("Gramian aggregate: one job, one buffer row per partition, no explode") {
     graft.plans.HashExpressions.register(spark)
     val plan = planted.repartition(7)
