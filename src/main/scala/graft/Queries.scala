@@ -2001,6 +2001,31 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
     },
     None)
 
+  private val x29 = DeclaredQuery("x29_correlation_matrix",
+    // One-scan Pearson correlation matrix (Profiling.correlationMatrix):
+    // the D numeric columns pack into one array through the native Gramian
+    // aggregate — a single column-pruned pass and one D²-bounded buffer per
+    // partition, vs D(D-1)/2 separate corr() aggregates each re-scanning
+    // the table. Oracled vs DuckDB corr(): the population/sample
+    // normalizations cancel in the ratio, so values agree to float
+    // rounding; round4 both sides. lineitem's numeric columns have no
+    // NULLs, so listwise and pairwise deletion coincide exactly.
+    (s, d) => {
+      graft.operators.Profiling.correlationMatrix(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_1"), col("col_2"),
+          (floor(col("corr") * 10000 + 0.5) / 10000).as("corr4"))
+        .orderBy("col_1", "col_2")
+    },
+    Some("""WITH p AS (
+  SELECT 'l_quantity' AS col_1, 'l_extendedprice' AS col_2, corr(l_quantity, l_extendedprice) AS c FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem)
+SELECT col_1, col_2, FLOOR(c*10000 + 0.5)/10000 AS corr4 FROM p ORDER BY col_1, col_2"""))
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2231,7 +2256,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

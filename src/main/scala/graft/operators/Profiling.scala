@@ -42,4 +42,52 @@ object Profiling {
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Pearson correlation matrix over numeric columns in ONE scan — the
+    * multivariate rung of profiling (which column pairs move together in a
+    * new data drop). The D columns pack into one array and run through the
+    * same native one-pass moments aggregate PCA fitting uses
+    * ([[graft.plans.GramianAggregate]]): each partition contributes a
+    * single D²-bounded buffer, so the whole matrix costs one column-pruned
+    * scan regardless of row count — vs D·(D−1)/2 separate `corr()`
+    * aggregates each re-scanning the table. Correlations derive from the
+    * raw moments on the driver (population/sample normalizations cancel in
+    * the ratio, so values match SQL `corr()` exactly up to float
+    * rounding — DuckDB-oracled in the gate).
+    *
+    * Rows with a NULL in ANY profiled column are excluded (listwise
+    * deletion — one consistent row universe for the whole matrix; SQL
+    * `corr()` deletes pairwise per pair, which agrees exactly when the
+    * columns have no nulls and diverges by design when they do). Output:
+    * one row per unordered pair (i < j, column-name order) — the diagonal
+    * is identically 1 and carries no information. A zero-variance column
+    * yields NULL correlations (0/0), matching SQL. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val d = cols.size
+    val packed = array(cols.map(c => col(c).cast("double")): _*)
+    val r = df
+      .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(call_function("graft_gramian", packed, lit(d)).as("g"))
+      .head().getStruct(0)
+    val n = r.getLong(0).toDouble
+    require(n > 1, "correlationMatrix needs at least 2 complete rows")
+    val sums = r.getSeq[Double](1)
+    val tri = r.getSeq[Double](2)
+    val mu = sums.map(_ / n)
+    def triAt(i: Int, j: Int): Double = tri(i * d - i * (i - 1) / 2 + (j - i))
+    def cov(i: Int, j: Int): Double = triAt(i, j) / n - mu(i) * mu(j)
+    val out = for {
+      i <- 0 until d
+      j <- (i + 1) until d
+    } yield {
+      val denom = math.sqrt(cov(i, i)) * math.sqrt(cov(j, j))
+      (cols(i), cols(j),
+        if (denom == 0.0) None else Some(cov(i, j) / denom))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("col_1", "col_2", "corr")
+  }
 }

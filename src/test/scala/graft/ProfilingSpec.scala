@@ -42,4 +42,52 @@ class ProfilingSpec extends AnyFunSuite {
       Profiling.profile(Seq((1, 2)).toDF("a", "b"), Nil)
     }
   }
+
+  test("correlationMatrix: one-scan Gramian path matches the JVM Pearson formula") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextDouble() * 10
+      val y = 2.0 * x + rnd.nextGaussian() // strong positive
+      val z = -x + 3.0 * rnd.nextGaussian() // weak negative
+      (x, y, z)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val got = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toMap2
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (u, v) => (u - ma) * (v - mb) }.sum / n
+      val (sa, sb) = (math.sqrt(a.map(u => (u - ma) * (u - ma)).sum / n),
+        math.sqrt(b.map(v => (v - mb) * (v - mb)).sum / n))
+      cov / (sa * sb)
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    assert(math.abs(got(("x", "y")) - pearson(xs, ys)) < 1e-9)
+    assert(math.abs(got(("x", "z")) - pearson(xs, zs)) < 1e-9)
+    assert(math.abs(got(("y", "z")) - pearson(ys, zs)) < 1e-9)
+    assert(got(("x", "y")) > 0.9 && got(("x", "z")) < -0.5,
+      s"planted correlations must surface: $got")
+  }
+
+  test("correlationMatrix: rows with any NULL are excluded; zero variance yields NULL") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(5.0)),
+      (None, Some(9.9), Some(9.9))) // excluded listwise
+      .toDF("a", "b", "c")
+    val out = Profiling.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out(("a", "b")).get - 1.0) < 1e-12,
+      "perfectly linear pair must read exactly 1 after listwise deletion")
+    assert(out(("a", "c")).isEmpty && out(("b", "c")).isEmpty,
+      "constant column (within complete rows) must yield NULL, not NaN")
+  }
+
+  private implicit class MapOps(rows: Array[(String, String, Double)]) {
+    def toMap2: Map[(String, String), Double] =
+      rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
 }
