@@ -2026,6 +2026,26 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
   UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem)
 SELECT col_1, col_2, FLOOR(c*10000 + 0.5)/10000 AS corr4 FROM p ORDER BY col_1, col_2"""))
 
+  private val x29b = DeclaredQuery("x29b_standardize",
+    // Z-score feature scaling (Profiling.standardize): μ/σ from the same
+    // one-scan Gramian pass as x29, applied map-only. Oracled vs DuckDB
+    // window AVG/STDDEV_POP — the driver-derived moments must agree with
+    // the engine-computed ones to float rounding (round4 both sides).
+    // (l_orderkey, l_linenumber) is NOT unique → total ORDER BY over all
+    // output columns.
+    (s, d) => {
+      graft.operators.Profiling.standardize(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (floor(col("l_quantity_z") * 10000 + 0.5) / 10000).as("qz"),
+          (floor(col("l_extendedprice_z") * 10000 + 0.5) / 10000).as("pz"))
+        .orderBy("l_orderkey", "l_linenumber", "qz", "pz")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+  FLOOR(((l_quantity - AVG(l_quantity) OVER ()) / STDDEV_POP(l_quantity) OVER ())*10000 + 0.5)/10000 AS qz,
+  FLOOR(((l_extendedprice - AVG(l_extendedprice) OVER ()) / STDDEV_POP(l_extendedprice) OVER ())*10000 + 0.5)/10000 AS pz
+FROM lineitem ORDER BY l_orderkey, l_linenumber, qz, pz"""))
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2256,7 +2276,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -64,6 +64,49 @@ object Profiling {
     * yields NULL correlations (0/0), matching SQL. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
+    val (_, _, cov) = numericMoments(df, cols)
+    val d = cols.size
+    val out = for {
+      i <- 0 until d
+      j <- (i + 1) until d
+    } yield {
+      val denom = math.sqrt(cov(i)(i)) * math.sqrt(cov(j)(j))
+      (cols(i), cols(j),
+        if (denom == 0.0) None else Some(cov(i)(j) / denom))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("col_1", "col_2", "corr")
+  }
+
+  /** Z-score standardization — the feature-scaling pass before distance- or
+    * gradient-based consumers (ANN over raw numeric features, linear
+    * scoring): appends `<col><suffix>` = (x − μ)/σ per requested column.
+    * μ/σ (population σ, like SQL `STDDEV_POP`) come from the SAME single
+    * Gramian scan as [[correlationMatrix]] — one pass to fit, one map-only
+    * pass to apply, the fit/apply artifact split every scaler here uses.
+    * Moments are computed over COMPLETE rows (listwise, the matrix's row
+    * universe); a NULL input value yields a NULL z-score, and a
+    * zero-variance column maps to NULL everywhere (0/0 — never ±Infinity
+    * leaking into downstream math). */
+  def standardize(df: DataFrame, cols: Seq[String],
+                  suffix: String = "_z"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val (_, mu, cov) = numericMoments(df, cols)
+    val sd = cols.indices.map(i => math.sqrt(cov(i)(i)))
+    cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(c + suffix,
+        if (sd(i) == 0.0) lit(null).cast("double")
+        else (col(c).cast("double") - lit(mu(i))) / lit(sd(i)))
+    }
+  }
+
+  /** (n complete rows, means, covariance matrix) for numeric columns in one
+    * scan: pack into an array, run the native [[graft.plans.GramianAggregate]]
+    * (one D²-bounded buffer per partition), derive μ/Σ driver-side — the
+    * tabular sibling of [[Pca.momentsByGramian]]. */
+  private def numericMoments(df: DataFrame, cols: Seq[String])
+      : (Long, Array[Double], Array[Array[Double]]) = {
     graft.plans.HashExpressions.register(df.sparkSession)
     val d = cols.size
     val packed = array(cols.map(c => col(c).cast("double")): _*)
@@ -71,23 +114,17 @@ object Profiling {
       .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(call_function("graft_gramian", packed, lit(d)).as("g"))
       .head().getStruct(0)
-    val n = r.getLong(0).toDouble
-    require(n > 1, "correlationMatrix needs at least 2 complete rows")
+    val n = r.getLong(0)
+    val nn = n.toDouble
+    require(n > 1, s"need at least 2 complete rows over $cols")
     val sums = r.getSeq[Double](1)
     val tri = r.getSeq[Double](2)
-    val mu = sums.map(_ / n)
+    val mu = sums.map(_ / nn).toArray
     def triAt(i: Int, j: Int): Double = tri(i * d - i * (i - 1) / 2 + (j - i))
-    def cov(i: Int, j: Int): Double = triAt(i, j) / n - mu(i) * mu(j)
-    val out = for {
-      i <- 0 until d
-      j <- (i + 1) until d
-    } yield {
-      val denom = math.sqrt(cov(i, i)) * math.sqrt(cov(j, j))
-      (cols(i), cols(j),
-        if (denom == 0.0) None else Some(cov(i, j) / denom))
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      triAt(a, b) / nn - mu(i) * mu(j)
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    out.toDF("col_1", "col_2", "corr")
+    (n, mu, cov)
   }
 }

@@ -86,6 +86,26 @@ class ProfilingSpec extends AnyFunSuite {
       "constant column (within complete rows) must yield NULL, not NaN")
   }
 
+  test("standardize: z-scores match JVM moments; null and zero-variance contracts") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(2.0), 7.0), (2L, Some(4.0), 7.0),
+      (3L, Some(6.0), 7.0), (4L, None, 7.0))
+      .toDF("id", "a", "c")
+    val out = Profiling.standardize(df, Seq("a", "c"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // complete rows: a = 2,4,6 → μ=4, σ_pop=sqrt(8/3)
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(math.abs(out(0)._2.get - (2.0 - 4.0) / sd) < 1e-12)
+    assert(math.abs(out(1)._2.get - 0.0) < 1e-12)
+    assert(math.abs(out(2)._2.get - (6.0 - 4.0) / sd) < 1e-12)
+    assert(out(3)._2.isEmpty, "NULL input must yield a NULL z-score")
+    assert(out.forall(_._3.isEmpty), "zero-variance column must map to NULL, not ±Inf")
+  }
+
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap
