@@ -1517,6 +1517,30 @@ SELECT lang, COUNT(*) AS n_docs FROM documents
 WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
 GROUP BY lang ORDER BY lang"""))
 
+  private val x14c = DeclaredQuery("x14c_semantic_decontaminate",
+    // Embedding-space decontamination (Contamination.semanticDecontaminate):
+    // the paraphrase channel — corpus vectors within cosine ≥ 0.40 of any
+    // bench vector go (threshold per x02c's note: the synthetic embeddings
+    // top out near 0.51 pairwise). Bench broadcasts; corpus streams
+    // map-only through the native cosine; oracle spells the same cosine in
+    // DuckDB list ops (the fold is bit-identical — pinned by x02c).
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Contamination.semanticDecontaminate(
+          emb.where(pmod(col("vec_id"), lit(13)) =!= 0), "vec_id", "embedding",
+          emb.where(pmod(col("vec_id"), lit(13)) === 0), "embedding",
+          minCosine = 0.40)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 13 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 0),
+hit AS (SELECT DISTINCT c.vec_id FROM c, b WHERE
+  list_sum(list_transform(list_zip(c.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+  / NULLIF(SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) >= 0.40)
+SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM hit) ORDER BY vec_id"""))
+
   private val x15 = DeclaredQuery("x15_profile_table",
     // ANALYZE-style per-column profile (Profiling.profile): one aggregation
     // branch PER COLUMN, unioned — each branch a plain two-phase distinct
@@ -2275,7 +2299,7 @@ FROM u ORDER BY doc_id"""))
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
-    x13, x13b, x14, x14b, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
+    x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

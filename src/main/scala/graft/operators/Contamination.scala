@@ -127,6 +127,39 @@ object Contamination {
         k, minShared, benchBroadcast)
         .select(col("corpus_id").as(corpusId)).distinct()
 
+  /** Embedding-space contamination — the paraphrase leakage n-gram overlap
+    * misses: corpus ids whose embedding reaches cosine ≥ `minCosine`
+    * against ANY benchmark embedding. The bench side is eval-set-sized and
+    * BROADCASTS (same smallness argument as the postings); the corpus
+    * streams map-only through the native cosine expression — no corpus
+    * shuffle before the final distinct on ids. Exact by construction: every
+    * (corpus, bench) pair is scored, candidate count = |corpus|·|bench|
+    * map-side work with the bench in memory — right up to thousands of
+    * bench vectors; for a corpus-scale "bench", LSH-bucket both sides
+    * ([[SimilaritySearch]]) instead. */
+  def semanticContaminatedIds(corpus: DataFrame, corpusId: String,
+                              corpusVec: String, bench: DataFrame,
+                              benchVec: String,
+                              minCosine: Double): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    corpus.select(col(corpusId), col(corpusVec).as("__cv"))
+      .crossJoin(broadcast(bench.select(col(benchVec).as("__bv"))))
+      .where(call_function("graft_cosine", col("__cv"), col("__bv")) >= minCosine)
+      .select(col(corpusId)).distinct()
+  }
+
+  /** The corpus minus embedding-space contamination ([[semanticContaminatedIds]]
+    * anti-joined back, broadcast — the id set is bounded by the bench's
+    * reach). Compose with [[decontaminate]] for both leakage channels. */
+  def semanticDecontaminate(corpus: DataFrame, corpusId: String,
+                            corpusVec: String, bench: DataFrame,
+                            benchVec: String,
+                            minCosine: Double): DataFrame =
+    corpus.join(
+      broadcast(semanticContaminatedIds(corpus, corpusId, corpusVec,
+        bench, benchVec, minCosine)),
+      Seq(corpusId), "left_anti")
+
   /** The corpus with contaminated documents removed (anti-join on id). The
     * contaminated-id set is bounded by the benchmark's reach, so ITS
     * broadcast is unconditional — the guard applies to the postings join

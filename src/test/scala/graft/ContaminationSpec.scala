@@ -70,6 +70,25 @@ class ContaminationSpec extends AnyFunSuite {
     assert(clean == Set(2L))
   }
 
+  test("semantic decontamination drops exactly the cosine-close corpus vectors") {
+    // bench vector ~ (1,0,0); corpus: 10 aligned (contaminated), 20 nearly
+    // orthogonal with slight positive leak, 30 anti-aligned
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f)),
+      (20L, Seq(0.1f, 1.0f, 0.0f)),
+      (30L, Seq(-1.0f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val benchV = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("bench_id", "embedding")
+    val ids = Contamination.semanticContaminatedIds(
+        corpus, "vec_id", "embedding", benchV, "embedding", minCosine = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L), s"only the aligned vector is contaminated: $ids")
+    val kept = Contamination.semanticDecontaminate(
+        corpus, "vec_id", "embedding", benchV, "embedding", minCosine = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 30L))
+  }
+
   test("auto guard decides from plan statistics: ZERO jobs before the result action") {
     // The round-6 guard ran an eager count() over the bench postings per
     // call — the only bench regression that round. The stats-based guard
