@@ -68,6 +68,22 @@ object syntax {
     def bigramFluency(idCol: String, textCol: String): DataFrame =
       Relevance.bigramAssociation(df, idCol, textCol)
 
+    def standardize(cols: Seq[String], suffix: String = "_z"): DataFrame =
+      Profiling.standardize(df, cols, suffix)
+
+    // -- decontamination --------------------------------------------------
+    def decontaminate(idCol: String, textCol: String, bench: DataFrame,
+                      benchId: String, benchText: String,
+                      k: Int = 8, minShared: Int = 1): DataFrame =
+      Contamination.decontaminate(df, idCol, textCol,
+        bench, benchId, benchText, k, minShared)
+
+    def semanticDecontaminate(idCol: String, vecCol: String,
+                              bench: DataFrame, benchVec: String,
+                              minCosine: Double): DataFrame =
+      Contamination.semanticDecontaminate(df, idCol, vecCol,
+        bench, benchVec, minCosine)
+
     // -- sampling / splits / order ---------------------------------------
     def bernoulliSample(keyCol: String, fraction: Double): DataFrame =
       Sampling.bernoulliByKey(df, keyCol, fraction)

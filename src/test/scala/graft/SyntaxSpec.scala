@@ -30,6 +30,22 @@ class SyntaxSpec extends AnyFunSuite {
       rows(graft.operators.Relevance.tokenRarity(docs, "doc_id", "text")))
     assert(rows(docs.graft.chunkDocuments("doc_id", "text", 32)) ==
       rows(graft.operators.Packing.chunkDocuments(docs, "doc_id", "text", 32)))
+    val bench = docs.where(col("doc_id") % 17 === 0)
+    val corp = docs.where(col("doc_id") % 17 =!= 0)
+    assert(rows(corp.graft.decontaminate("doc_id", "text", bench, "doc_id", "text", k = 5)) ==
+      rows(graft.operators.Contamination.decontaminate(
+        corp, "doc_id", "text", bench, "doc_id", "text", k = 5)))
+    val emb = graft.sources.Tables.table(spark, TestSpark.sf0001, "embeddings")
+    val benchV = emb.where(col("vec_id") % 13 === 0)
+    val corpV = emb.where(col("vec_id") % 13 =!= 0)
+    assert(rows(corpV.graft.semanticDecontaminate("vec_id", "embedding", benchV, "embedding", 0.4)
+        .select("vec_id")) ==
+      rows(graft.operators.Contamination.semanticDecontaminate(
+        corpV, "vec_id", "embedding", benchV, "embedding", 0.4).select("vec_id")))
+    val li = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
+    assert(rows(li.graft.standardize(Seq("l_quantity")).select("l_orderkey", "l_quantity_z")) ==
+      rows(graft.operators.Profiling.standardize(li, Seq("l_quantity"))
+        .select("l_orderkey", "l_quantity_z")))
   }
 
   test("verbs chain into a pipeline and stay lazy") {
