@@ -114,7 +114,9 @@ object Bench {
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Path.of("/tmp/bench_medians.json"), compact + "\n")
-    } catch { case _: Exception => () }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] medians file write failed: ${e.getMessage}")
+    }
     println(compact)
   }
 }

@@ -102,7 +102,9 @@ object ConnectedComponents {
   private def requireIntegralIds(df: DataFrame, cols: String*): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     cols.foreach { c =>
-      val t = df.schema(c).dataType
+      // resolve through the analyzer (case-insensitive, matching how the
+      // selects below resolve), not a case-sensitive schema field lookup
+      val t = df.select(col(c)).schema.head.dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
         s"connected components needs an integral id column; '$c' is " +
           s"${t.simpleString} — xxhash64 non-integral ids to longs first " +

@@ -36,10 +36,15 @@ object Contamination {
     * path): 8-byte hash + doc id + row overhead. Conservative (high). */
   private val BytesPerPosting = 32L
 
-  /** Exact postings counts memoized per logical plan (semantic hash) for
-    * the JVM's lifetime — a repeated pipeline pays the counting job once. */
+  /** Exact postings counts memoized per (logical plan, current size
+    * estimate) — a repeated pipeline pays the counting job once, while a
+    * bench whose underlying files GROW re-keys (the estimate is
+    * file-size-derived) and re-counts instead of reusing a stale small
+    * count to justify a now-dangerous broadcast. The estimate in the key
+    * also de-fangs 32-bit semanticHash collisions between different
+    * plans. */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def postings(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
@@ -74,20 +79,32 @@ object Contamination {
     case None =>
       val threshold =
         b.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val fits = threshold > 0 && {
+      if (threshold <= 0) (b, identity)
+      else {
         val est = b.queryExecution.optimizedPlan.stats.sizeInBytes
-        est * PostingBytesPerSourceByte <= BigInt(threshold) || {
-          val key = b.queryExecution.analyzed.semanticHash()
-          val n = Option(countCache.get(key)).map(_.longValue).getOrElse {
-            val c = b.count()
+        if (est * PostingBytesPerSourceByte <= BigInt(threshold))
+          (broadcast(b), identity)
+        else {
+          val key = s"${b.queryExecution.analyzed.semanticHash()}:$est"
+          val cached = countCache.get(key)
+          if (cached != null) {
+            val fits = cached.longValue * BytesPerPosting <= threshold
+            (if (fits) broadcast(b) else b, identity)
+          } else {
+            // cold counting rung: persist so the count job and the actual
+            // join share ONE computation of the bench postings, released
+            // once the caller's (small) result is materialized
+            val persisted =
+              b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val c = persisted.count()
             if (countCache.size > 64) countCache.clear()
             countCache.put(key, c)
-            c
+            val fits = c * BytesPerPosting <= threshold
+            (if (fits) broadcast(persisted) else persisted,
+              out => CacheOps.materializeAndRelease(out, persisted))
           }
-          n * BytesPerPosting <= threshold
         }
       }
-      (if (fits) broadcast(b) else b, identity)
   }
 
   /** All (corpus doc, benchmark doc) pairs sharing at least `minShared`

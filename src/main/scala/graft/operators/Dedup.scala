@@ -135,20 +135,28 @@ object Dedup {
     // (id, component) aggregation. Both paths: deterministic,
     // partitioning-invariant, min-id-kept semantics.
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = Seq(df.schema(idCol).dataType,
-        pairs.schema(pairCol1).dataType, pairs.schema(pairCol2).dataType)
-      .forall(Seq(ByteType, ShortType, IntegerType, LongType).contains)
+    // resolve through the analyzer (case-insensitive, like every join
+    // below), not schema() (case-sensitive field lookup)
+    val integral =
+      (df.select(col(idCol)).schema.map(_.dataType) ++
+        pairs.select(col(pairCol1), col(pairCol2)).schema.map(_.dataType))
+      .forall(t => Seq(ByteType, ShortType, IntegerType, LongType).contains(t))
     if (integral) {
       val comp = ConnectedComponents.components(pairs, pairCol1, pairCol2)
       val drop = comp.where(col("node") =!= col("component"))
         .select(col("node").as("__graft_drop_id"))
       df.join(drop, col(idCol).cast("long") === col("__graft_drop_id"), "left_anti")
     } else {
+      // Hash the STRING form on both sides: a mixed corpus (string doc ids
+      // in `df`, the same ids materialized as longs in `pairs`, or vice
+      // versa) must land on the same graph node — xxhash64("5") and
+      // xxhash64(5L) do not, which would silently empty the join again.
       val comp = ConnectedComponents.components(
-        pairs.select(xxhash64(col(pairCol1)).as("__u"), xxhash64(col(pairCol2)).as("__v")),
+        pairs.select(xxhash64(col(pairCol1).cast("string")).as("__u"),
+          xxhash64(col(pairCol2).cast("string")).as("__v")),
         "__u", "__v")
       val members = df.select(col(idCol).as("__graft_id"),
-          xxhash64(col(idCol)).as("node"))
+          xxhash64(col(idCol).cast("string")).as("node"))
         .join(comp, "node") // ids untouched by any pair are absent → kept
       val reps = members.groupBy("component")
         .agg(min("__graft_id").as("__graft_keep"))

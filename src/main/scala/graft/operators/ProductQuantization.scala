@@ -258,22 +258,40 @@ object ProductQuantization {
                m: Int = 8, ksub: Int = 16, iters: Int = 2): OpqModel = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val pca = Pca.fit(corpus, vecCol, dim, k = dim)
-    val dsub = dim / m
-    val fill = Array.fill(m)(0)
-    val logProd = Array.fill(m)(0.0)
-    val buckets = Array.fill(m)(List.newBuilder[Int])
-    (0 until dim).foreach { ax => // components are already descending-λ
-      val b = (0 until m).filter(fill(_) < dsub).minBy(b => (logProd(b), b))
-      buckets(b) += ax
-      fill(b) += 1
-      logProd(b) += math.log(math.max(pca.eigenvalues(ax), 1e-300))
-    }
-    val perm = buckets.flatMap(_.result()).toSeq
+    val perm = eigenAllocation(pca.eigenvalues, m)
     val rot = Pca.PcaModel(pca.mean,
       perm.map(pca.components).toArray,
       perm.map(pca.eigenvalues).toArray)
     val rotated = Pca.project(corpus, vecCol, rot, "__graft_rot")
     OpqModel(rot, trainPq(rotated, idCol, "__graft_rot", dim, m, ksub, iters))
+  }
+
+  /** Greedy eigenvalue allocation: axes in descending-λ order, each to the
+    * unfilled bucket with the smallest running log-product. Logs are
+    * CENTERED on their mean first — allocation must be scale-invariant
+    * (balance is about ratios, not absolute magnitudes): with raw logs, a
+    * unit-normalized corpus (every λ < 1, logs all negative) makes the
+    * first bucket's product drop below the empty buckets' 0 and absorb ALL
+    * the leading axes — exactly the signal-dumping the allocation exists to
+    * prevent. Centering makes the mean axis log 0, so big axes (positive
+    * centered log) naturally round-robin across empty buckets at any data
+    * scale (pinned in PqSpec). */
+  private[graft] def eigenAllocation(eigenvalues: Array[Double], m: Int): Seq[Int] = {
+    val dim = eigenvalues.length
+    val dsub = dim / m
+    val logs = eigenvalues.map(v => math.log(math.max(v, 1e-300)))
+    val mean = logs.sum / dim
+    val centered = logs.map(_ - mean)
+    val fill = Array.fill(m)(0)
+    val logProd = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    (0 until dim).foreach { ax => // eigenvalues are already descending
+      val b = (0 until m).filter(fill(_) < dsub).minBy(b => (logProd(b), b))
+      buckets(b) += ax
+      fill(b) += 1
+      logProd(b) += centered(ax)
+    }
+    buckets.flatMap(_.result()).toSeq
   }
 
   /** Attach PQ codes in the rotated space — map-only, rotation and encoding

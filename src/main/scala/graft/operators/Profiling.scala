@@ -125,6 +125,18 @@ object Profiling {
       val (a, b) = if (i <= j) (i, j) else (j, i)
       triAt(a, b) / nn - mu(i) * mu(j)
     }
+    // The one-pass E[x²] − μ² cancellation is not exact: a constant column
+    // at a non-representable value (0.1 over 10⁶ rows) leaves a ±1e-18
+    // residue — slightly negative gives NaN σ, slightly positive gives a
+    // ~1e-9 σ that turns z-scores/correlations into amplified rounding
+    // noise. Clamp diagonal entries below a RELATIVE epsilon (vs the
+    // second-moment scale) to exactly 0 so the zero-variance → NULL
+    // contract actually fires.
+    (0 until d).foreach { i =>
+      val scale = math.abs(triAt(i, i)) / nn
+      if (cov(i)(i) <= 1e-12 * math.max(scale, java.lang.Double.MIN_VALUE))
+        cov(i)(i) = 0.0
+    }
     (n, mu, cov)
   }
 }

@@ -93,4 +93,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept == Set("cc-2023-aaa", "cc-2024-zzz"),
       "cluster {abc,def,2023-aaa} must collapse to its lexicographic min")
   }
+
+  test("keepClusterRepresentatives bridges MIXED id types (string df, long pairs)") {
+    // numeric-string doc ids with the pair list materialized as longs
+    // (e.g. reloaded from parquet): both sides hash their STRING form, so
+    // "2" and 2L land on the same graph node instead of silently missing
+    val docs = Seq(("1", "a"), ("2", "a'"), ("3", "b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_1", "id_2")
+    val kept = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("1", "3"),
+      s"long pair (1,2) must collapse string docs 1~2 to the min: $kept")
+  }
 }

@@ -167,6 +167,68 @@ class PqSpec extends AnyFunSuite {
     }}
   }
 
+  test("eigenvalue allocation is scale-invariant: big axes spread across buckets") {
+    // 4 dominant + 4 noise axes, m=4: each bucket must get exactly one
+    // dominant axis (indices 0-3) — at ANY absolute scale. The unscaled raw
+    // log-product greedy degenerates when every eigenvalue < 1 (logs all
+    // negative → the first bucket absorbs all the signal).
+    Seq(1.0, 1e-4, 1e6).foreach { scale =>
+      val eig = Array(8.0, 7.0, 6.0, 5.0, 0.01, 0.008, 0.006, 0.004).map(_ * scale)
+      val perm = ProductQuantization.eigenAllocation(eig, m = 4)
+      val buckets = perm.grouped(2).toSeq
+      buckets.zipWithIndex.foreach { case (b, i) =>
+        assert(b.count(_ < 4) == 1,
+          s"scale=$scale bucket $i must hold exactly one dominant axis: $perm")
+      }
+    }
+  }
+
+  test("OPQ keeps its recall edge on a unit-scale (all eigenvalues < 1) corpus") {
+    // Same anisotropic structure as the main OPQ test, shrunk 100×: every
+    // covariance eigenvalue is ≪ 1, the regime where an uncentered
+    // allocation silently degenerates. Recall sets are scale-free, so OPQ
+    // must still not lose to plain PQ.
+    val d2 = 8; val m2 = 4
+    def svec(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(1000 + seed)
+      val t = Array.fill(4)(rnd.nextDouble() * 10.0)
+      val x = new Array[Double](d2)
+      (0 until 4).foreach { g =>
+        x((2 * g + 1) % d2) += t(g); x((2 * g + 2) % d2) += t(g)
+      }
+      x.map(v => ((v + 0.05 * rnd.nextGaussian()) / 100.0).toFloat)
+    }
+    val aniso = (0 until 80).map(i => (i.toLong, svec(i).toSeq)).toDF("vec_id", "embedding")
+    val queries = aniso.where(col("vec_id") < 8)
+    val k = 10
+    val all = (0 until 80).map(i => i.toLong -> svec(i)).toMap
+    val exact = (0L until 8L).map { q =>
+      val qv = all(q)
+      q -> all.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) =>
+          (v.zip(qv).map { case (a, b) => (a.toDouble - b) * (a - b) }.sum, id) }
+        .take(k).map(_._1).toSet
+    }.toMap
+    def meanRecall(got: Map[Long, Set[Long]]): Double =
+      (0L until 8L).map(q => got(q).intersect(exact(q)).size.toDouble / k).sum / 8
+    val cb = ProductQuantization.trainPq(aniso, "vec_id", "embedding", d2, m2, ksub = 4, iters = 2)
+    val plain = ProductQuantization.pqTopKAll(
+        ProductQuantization.encode(aniso, "embedding", cb), queries,
+        "vec_id", "pq_code", "vec_id", "embedding", cb, k, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val opq = ProductQuantization.trainOpq(aniso, "vec_id", "embedding", d2, m2, ksub = 4, iters = 2)
+    val rotated = ProductQuantization.opqTopKAll(
+        ProductQuantization.encodeOpq(aniso, "embedding", opq), queries,
+        "vec_id", "pq_code", "vec_id", "embedding", opq, k, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (rPq, rOpq) = (meanRecall(plain), meanRecall(rotated))
+    info(f"unit-scale mean recall: plain PQ $rPq%.3f, OPQ $rOpq%.3f")
+    assert(rOpq >= rPq,
+      f"OPQ must not lose recall on a unit-scale corpus: $rOpq%.3f < $rPq%.3f")
+  }
+
   test("encode is partitioning-invariant; model round-trips through parquet") {
     val cb = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m, ksub = 4, iters = 1)
     def codesOf(df: org.apache.spark.sql.DataFrame) =

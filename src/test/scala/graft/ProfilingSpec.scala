@@ -106,6 +106,23 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out.forall(_._3.isEmpty), "zero-variance column must map to NULL, not ±Inf")
   }
 
+  test("standardize: constant at a NON-representable value still reads zero variance") {
+    // 0.1 is not exact in binary: E[x²] − μ² leaves a ±1e-18 residue that
+    // would otherwise produce NaN (sqrt of negative) or a ~1e-9 σ turning
+    // z-scores into amplified rounding noise. The relative-epsilon clamp
+    // must classify it as zero variance → NULL.
+    import org.apache.spark.sql.functions.lit
+    val df = (1 to 100000).toDF("id")
+      .withColumn("c", lit(0.1))
+      .withColumn("v", org.apache.spark.sql.functions.col("id").cast("double"))
+    val out = Profiling.standardize(df, Seq("c", "v"))
+      .select("c_z", "v_z").collect()
+    assert(out.forall(_.isNullAt(0)),
+      "constant-at-0.1 column must standardize to NULL everywhere")
+    assert(out.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN),
+      "the genuinely varying column must keep real z-scores")
+  }
+
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap
