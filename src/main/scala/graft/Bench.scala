@@ -118,5 +118,19 @@ object Bench {
       System.err.println(s"[bench] medians file write failed: ${e.getMessage}")
     }
     println(compact)
+    // sbt replaces System.out with a logger that prefixes every line with
+    // "[info] ", which defeats downstream line-oriented JSON parsers. The
+    // original process file descriptors are NOT touched by that capture, so
+    // writing straight to FileDescriptor.out/err lands the bare line in the
+    // real stdout/stderr of the sbt process. Never close these streams —
+    // closing a FileOutputStream(FileDescriptor.out) closes fd 1 JVM-wide.
+    def rawLine(fd: java.io.FileDescriptor, s: String): Unit =
+      try {
+        val os = new java.io.FileOutputStream(fd)
+        os.write(("\n" + s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        os.flush()
+      } catch { case _: Exception => () }
+    rawLine(java.io.FileDescriptor.out, compact)
+    rawLine(java.io.FileDescriptor.err, compact)
   }
 }
