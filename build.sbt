@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Two sbt behaviors defeat that by
+// default: (a) the forked child's stdout is piped through sbt's logger,
+// which prefixes every line with "[info] " (stderr with "[error] ", onto
+// sbt's stdout!); (b) sbt appends a "[success] Total time: ..." epilogue
+// as the final line. StdoutOutput passes the child's stdout/stderr through
+// to sbt's own stdout/stderr verbatim, and showSuccess drops the epilogue,
+// so Bench's bare medians JSON line is the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

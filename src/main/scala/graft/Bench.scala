@@ -104,12 +104,34 @@ object Bench {
       }
     System.err.println(s"TIMING_DELTA $delta")
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","first_pass_total":${fmt(warmTotal)},"passes":${steadyPasses + 1},"stat":"median_of_$steadyPasses","medians":$meds}""")
     spark.stop()
+
+    // ALL structured output goes straight to the process file descriptors,
+    // never through System.out: under an in-process sbt `runMain`,
+    // System.out is replaced by sbt's logger, which (a) prefixes every line
+    // with "[info] " and (b) flushes asynchronously AFTER the main returns —
+    // both defeat a downstream parser that reads the LAST stdout line as
+    // JSON. The original fds are untouched by that capture, so writing to
+    // FileDescriptor.out lands bare lines in the real stdout in program
+    // order. Standalone (plain java / spark-submit) these fds ARE
+    // System.out/err, and because we never ALSO println the same payload,
+    // each line is emitted exactly once in either environment. The streams
+    // are held in vals and never closed — closing a
+    // FileOutputStream(FileDescriptor.out) closes fd 1 JVM-wide.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    val rawErr = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.err), true, "UTF-8")
+
+    rawOut.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","first_pass_total":${fmt(warmTotal)},"passes":${steadyPasses + 1},"stat":"median_of_$steadyPasses","medians":$meds}""")
     // The medians again as the FINAL stdout line, minimal keys, AND as a
     // file: log harnesses that keep only a tail window truncate the big
     // line above front-first, so the per-entry medians must sit at the very
-    // end of stdout and survive independently on disk.
+    // end of stdout and survive independently on disk. The stderr copy goes
+    // FIRST so that a harness merging stderr into stdout still ends its
+    // capture with the stdout copy. build.sbt sets
+    // `Global / showSuccess := false` so sbt appends no "[success] Total
+    // time" epilogue after this line.
     val compact = s"""{"medians":$meds,"total":${fmt(total)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.writeString(
@@ -117,20 +139,7 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] medians file write failed: ${e.getMessage}")
     }
-    println(compact)
-    // sbt replaces System.out with a logger that prefixes every line with
-    // "[info] ", which defeats downstream line-oriented JSON parsers. The
-    // original process file descriptors are NOT touched by that capture, so
-    // writing straight to FileDescriptor.out/err lands the bare line in the
-    // real stdout/stderr of the sbt process. Never close these streams —
-    // closing a FileOutputStream(FileDescriptor.out) closes fd 1 JVM-wide.
-    def rawLine(fd: java.io.FileDescriptor, s: String): Unit =
-      try {
-        val os = new java.io.FileOutputStream(fd)
-        os.write(("\n" + s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        os.flush()
-      } catch { case _: Exception => () }
-    rawLine(java.io.FileDescriptor.out, compact)
-    rawLine(java.io.FileDescriptor.err, compact)
+    rawErr.println(compact)
+    rawOut.println(compact)
   }
 }
