@@ -1,0 +1,159 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10×-scale smoke: the empirical check behind the "designed for 100 TB"
+  * claims. Builds a corpus `copies`× the size of a base scale-factor dir by
+  * self-unioning documents/embeddings with re-keyed ids, then runs the
+  * flagship pipelines end-to-end at both scales and asserts the wall-time
+  * ratio stays within `1.5 × copies` (sub-linear-to-moderately-superlinear;
+  * a shuffle- or collect-bound stage that degrades quadratically blows this
+  * bound immediately, which is the point).
+  *
+  * The copies are DECORRELATED, because 10 verbatim copies would give every
+  * document 9 exact near-duplicates and inflate the LSH/Jaccard pair count
+  * ~45× — a different workload, not a bigger one:
+  *  - text: every 3rd whitespace token in copy i>0 gets an `_c{i}` suffix.
+  *    Every bigram shingle then contains a mutated token with probability
+  *    ≥ 2/3, pushing cross-copy Jaccard ≈ 0.2 — far below the 0.6 pair
+  *    threshold — while within-copy near-dup structure is preserved
+  *    (aligned texts mutate at the same positions).
+  *  - embeddings: copy i cyclically rotates the dimensions by i % dim and
+  *    then sign-flips a per-copy pseudo-random subset of dimensions. Both
+  *    are orthogonal transforms, so within-copy geometry (all dot products,
+  *    norms, k-means structure) is EXACTLY preserved while cross-copy
+  *    cosines are pseudo-random. The sign-flip matters beyond copies ≥ dim,
+  *    where rotation alone would repeat and create exact cross-copy
+  *    duplicates (a different workload again).
+  * Copy 0 is byte-identical to the base data.
+  *
+  * Run via `sbt "runMain graft.tools.ScaleSmoke"` — the forked JVM carries
+  * the same -Xmx8g as every other run, so finishing at 10× is also the
+  * no-driver-OOM check. ScaleSmokeSpec pins the decorrelation invariants of
+  * `buildScaledDir` (the timing harness itself is only exercised by the
+  * main, where ambient noise is acceptable); committed runs are recorded in
+  * SCALE_SMOKE.md.
+  */
+object ScaleSmoke {
+  /** Far above any base id (doc_id max ~5e4, vec_id max ~2e4 at sf1). */
+  val IdOffset = 100000000L
+
+  val DefaultEntries: Seq[String] = Seq(
+    "x12_pack_sequences", "x16_neardup_components",
+    "x23b_ivfpq_topk", "x10c_curation_pipeline")
+
+  final case class EntryTiming(name: String, baseSec: Double, scaledSec: Double,
+      bound: Double) {
+    def ratio: Double = scaledSec / baseSec
+    def ok: Boolean = ratio <= bound
+  }
+
+  /** Materialize the decorrelated `copies`× documents/embeddings under
+    * `outDir` (idempotent: keyed by a marker file) and symlink the remaining
+    * base tables so every `SparkEntry.queries` entry runs against `outDir`
+    * unchanged. */
+  def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    import java.nio.file.{Files, Path}
+    val marker = Path.of(outDir, s".complete_v2_${copies}x")
+    if (Files.exists(marker)) return
+    val out = Path.of(outDir)
+    if (Files.exists(out)) { // stale params — rebuild from scratch
+      import scala.jdk.CollectionConverters._
+      Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    Files.createDirectories(out)
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val scaledDocs = (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * IdOffset)).as("doc_id"),
+        expr(s"""array_join(transform(split(text, '\\\\s+'),
+            (w, p) -> CASE WHEN p % 3 = 0 AND length(w) > 0
+                      THEN concat(w, '_c$i') ELSE w END), ' ')""").as("text"),
+        col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+    scaledDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val scaledEmb = (0 until copies).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i * IdOffset)).as("vec_id"),
+        // rotate by i, then flip signs by a fixed per-(copy, dim) hash —
+        // a signed permutation matrix: orthogonal, so within-copy geometry
+        // is bit-preserved up to sign while cross-copy cosines decorrelate
+        expr(s"""transform(embedding, (x, j) ->
+            element_at(embedding, ((j + $i) % $dim) + 1)
+            * CASE WHEN pmod(hash(j, $i), 2) = 0 THEN 1.0F ELSE -1.0F END)""")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    scaledEmb.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    graft.sources.Tables.names
+      .filterNot(n => n == "documents" || n == "embeddings")
+      .foreach { n =>
+        val link = Path.of(outDir, s"$n.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Path.of(baseDir, s"$n.parquet"))
+      }
+    Files.writeString(marker, s"base=$baseDir copies=$copies\n")
+  }
+
+  /** Time one full materialization of a declared entry (noop sink, same as
+    * Bench, so the whole plan executes). */
+  private def timeEntry(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    t
+  }
+
+  /** One warmup at base (JIT + codegen), then `timedRuns` at each scale with
+    * the per-entry min — min, not median, because the question is "does the
+    * WORK scale", and the min is the run least polluted by ambient noise. */
+  def run(spark: SparkSession, baseDir: String, outDir: String, copies: Int,
+      entries: Seq[String], timedRuns: Int = 2): Seq[EntryTiming] = {
+    buildScaledDir(spark, baseDir, outDir, copies)
+    val bound = 1.5 * copies
+    entries.map { name =>
+      timeEntry(spark, name, baseDir) // warmup
+      val base = Seq.fill(timedRuns)(timeEntry(spark, name, baseDir)).min
+      val scaled = Seq.fill(timedRuns)(timeEntry(spark, name, outDir)).min
+      val r = EntryTiming(name, base, scaled, bound)
+      System.err.println(f"SCALE ${r.name} base=${r.baseSec}%.2fs scaled=${r.scaledSec}%.2fs " +
+        f"ratio=${r.ratio}%.1fx bound=${r.bound}%.1fx ${if (r.ok) "PASS" else "FAIL"}")
+      r
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val outDir = if (args.length > 2) args(2) else s"/tmp/graft_scale_${copies}x"
+    val entries = if (args.length > 3) args(3).split(",").toSeq else DefaultEntries
+    val spark = graft.GraftSession.local(32, "scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = run(spark, baseDir, outDir, copies, entries)
+    spark.stop()
+    val js = results.map(r =>
+      f""""${r.name}":{"base_sec":${r.baseSec}%.3f,"scaled_sec":${r.scaledSec}%.3f,"ratio":${r.ratio}%.2f,"ok":${r.ok}}""")
+      .mkString("{", ",", "}")
+    val line = s"""{"scale_smoke":$js,"copies":$copies,"bound":${1.5 * copies},"base":"$baseDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"/tmp/scale_smoke_${copies}x.json"), line + "\n")
+    catch { case _: Exception => () }
+    println(line)
+    if (results.exists(!_.ok)) sys.exit(1)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.tools.ScaleSmoke
+
+/** Pins the DECORRELATION invariants of the scale-smoke corpus builder: a
+  * copies× self-union must be a BIGGER workload, not a DIFFERENT one —
+  * within-copy structure preserved exactly, cross-copy similarity pushed
+  * below every near-dup threshold the flagship pipelines use. */
+class ScaleSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val copies = 3
+  private lazy val outDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("scale_smoke_spec").toString
+    ScaleSmoke.buildScaledDir(spark, TestSpark.sf0001, d, copies)
+    d
+  }
+
+  test("row counts scale by copies and ids stay distinct") {
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val baseDocs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val baseEmb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    assert(docs.count() == copies * baseDocs.count())
+    assert(emb.count() == copies * baseEmb.count())
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+    assert(emb.select("vec_id").distinct().count() == emb.count())
+  }
+
+  test("copy 0 is byte-identical to the base tables") {
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .where(col("doc_id") < ScaleSmoke.IdOffset)
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    assert(docs.exceptAll(base).isEmpty && base.exceptAll(docs).isEmpty)
+  }
+
+  test("embedding copies are orthogonal transforms: norms preserved exactly") {
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val norm = expr(
+      "aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
+    // group the copies of one base vector by base id: an orthogonal
+    // transform must leave the squared norm bit-exact for float inputs
+    // summed in double, up to association order — allow 1e-6 relative
+    val spread = emb
+      .groupBy(pmod(col("vec_id"), lit(ScaleSmoke.IdOffset)).as("base_id"))
+      .agg(((max(norm) - min(norm)) / greatest(max(norm), lit(1e-12)))
+        .as("rel_spread"))
+      .agg(max("rel_spread")).head().getDouble(0)
+    assert(spread < 1e-6, s"norms drift across copies: rel spread $spread")
+  }
+
+  test("cross-copy embeddings decorrelate (mean |cosine| small) and differ per copy") {
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val c0 = emb.where(col("vec_id") < ScaleSmoke.IdOffset)
+      .select(col("vec_id").as("base_id"), col("embedding").as("e0"))
+    def copyK(k: Int) = emb
+      .where(col("vec_id") >= k * ScaleSmoke.IdOffset &&
+        col("vec_id") < (k + 1) * ScaleSmoke.IdOffset)
+      .select((col("vec_id") - k * ScaleSmoke.IdOffset).as("base_id"),
+        col("embedding").as(s"e$k"))
+    graft.plans.HashExpressions.register(spark)
+    val joined = c0.join(copyK(1), "base_id").join(copyK(2), "base_id")
+    val stats = joined.agg(
+      avg(abs(call_function("graft_cosine", col("e0"), col("e1")))).as("c01"),
+      avg(abs(call_function("graft_cosine", col("e0"), col("e2")))).as("c02"),
+      avg(abs(call_function("graft_cosine", col("e1"), col("e2")))).as("c12"),
+      sum(when(col("e1") === col("e2"), 1L).otherwise(0L)).as("eq12")
+    ).head()
+    // pseudo-random 64-dim cosines concentrate near 0.1; 0.35 is far below
+    // any near-dup threshold (x02c/x14c use ≥ 0.4) yet flake-proof
+    Seq("c01", "c02", "c12").foreach { c =>
+      val v = stats.getAs[Double](c)
+      assert(v < 0.35, s"mean |cos| $c = $v — copies are not decorrelated")
+    }
+    assert(stats.getAs[Long]("eq12") == 0L,
+      "distinct copies produced identical vectors (transform repeats)")
+  }
+
+  test("cross-copy texts fall below the near-dup Jaccard threshold") {
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val c0 = docs.where(col("doc_id") < ScaleSmoke.IdOffset)
+      .select(col("doc_id").as("base_id"), col("text").as("t0"))
+    val c1 = docs
+      .where(col("doc_id") >= ScaleSmoke.IdOffset &&
+        col("doc_id") < 2L * ScaleSmoke.IdOffset)
+      .select((col("doc_id") - ScaleSmoke.IdOffset).as("base_id"),
+        col("text").as("t1"))
+    def shingles(c: org.apache.spark.sql.Column) = array_distinct(
+      filter(transform(split(c, "\\s+"),
+        (w, i) => concat_ws(" ", w, try_element_at(split(c, "\\s+"), i + 2))),
+        s => size(split(s, " ")) === 2))
+    val jac = c0.join(c1, "base_id")
+      .select((size(array_intersect(shingles(col("t0")), shingles(col("t1"))))
+        / greatest(size(array_union(shingles(col("t0")), shingles(col("t1")))),
+          lit(1))).as("j"))
+      .agg(max("j"), avg("j")).head()
+    // x02/x16 pair thresholds are ≥ 0.6; mutated copies must sit well under
+    assert(jac.getDouble(1) < 0.4,
+      s"mean cross-copy Jaccard ${jac.getDouble(1)} too high")
+  }
+
+  test("scaled dir serves a full declared entry unchanged") {
+    val out = SparkEntry.queries("x12_pack_sequences")(spark, outDir)
+    assert(out.limit(1).count() == 1L)
+  }
+}
