@@ -107,6 +107,54 @@ object Contamination {
       }
   }
 
+  /** Estimated in-memory bytes per broadcast contaminated-id row: one id
+    * value + row overhead. Conservative (high). */
+  private val BytesPerIdRow = 32L
+
+  /** Broadcast-or-shuffle decision for a COMPUTED id set (the anti-join
+    * side of [[decontaminate]]/[[semanticDecontaminate]]). Normally the set
+    * is bounded by the benchmark's reach and broadcasting is right; but a
+    * corpus-scale "benchmark" or a permissive cosine threshold can flag an
+    * unbounded corpus fraction, and an unconditional broadcast then dies at
+    * the driver. Same two rungs as [[guardedPostings]]: the optimizer's
+    * size estimate first (an id projection, so no expansion factor), then
+    * ONE exact count, memoized per (plan, estimate). The cold counting rung
+    * persists the id set, counts it, localCheckpoints it and releases the
+    * persist — so the corpus scan behind the id set runs once and the only
+    * lingering storage is the materialized id column, never the corpus
+    * (the caller's output is corpus-sized and must NOT be checkpointed). */
+  private def guardedIds(ids: DataFrame, force: Option[Boolean]): DataFrame =
+    force match {
+      case Some(true)  => broadcast(ids)
+      case Some(false) => ids
+      case None =>
+        val threshold =
+          ids.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        if (threshold <= 0) ids
+        else {
+          val est = ids.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (est <= BigInt(threshold)) broadcast(ids)
+          else {
+            val key = s"ids:${ids.queryExecution.analyzed.semanticHash()}:$est"
+            val cached = countCache.get(key)
+            if (cached != null) {
+              if (cached.longValue * BytesPerIdRow <= threshold) broadcast(ids)
+              else ids
+            } else {
+              val persisted = ids.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val c = persisted.count()
+              if (countCache.size > 64) countCache.clear()
+              countCache.put(key, c)
+              val materialized =
+                CacheOps.materializeAndRelease(persisted, persisted)
+              if (c * BytesPerIdRow <= threshold) broadcast(materialized)
+              else materialized
+            }
+          }
+        }
+    }
+
   /** All (corpus doc, benchmark doc) pairs sharing at least `minShared`
     * distinct k-grams, with the shared count. */
   def overlapPairs(corpus: DataFrame, corpusId: String, corpusText: String,
@@ -166,27 +214,33 @@ object Contamination {
   }
 
   /** The corpus minus embedding-space contamination ([[semanticContaminatedIds]]
-    * anti-joined back, broadcast — the id set is bounded by the bench's
-    * reach). Compose with [[decontaminate]] for both leakage channels. */
+    * anti-joined back through [[guardedIds]] — normally bench-bounded and
+    * broadcast, but a permissive `minCosine` can flag an unbounded corpus
+    * fraction, so the anti-join degrades to a shuffle above the threshold).
+    * Compose with [[decontaminate]] for both leakage channels.
+    * `idsBroadcast` forces the decision either way. */
   def semanticDecontaminate(corpus: DataFrame, corpusId: String,
                             corpusVec: String, bench: DataFrame,
-                            benchVec: String,
-                            minCosine: Double): DataFrame =
+                            benchVec: String, minCosine: Double,
+                            idsBroadcast: Option[Boolean] = None): DataFrame =
     corpus.join(
-      broadcast(semanticContaminatedIds(corpus, corpusId, corpusVec,
-        bench, benchVec, minCosine)),
+      guardedIds(semanticContaminatedIds(corpus, corpusId, corpusVec,
+        bench, benchVec, minCosine), idsBroadcast),
       Seq(corpusId), "left_anti")
 
-  /** The corpus with contaminated documents removed (anti-join on id). The
-    * contaminated-id set is bounded by the benchmark's reach, so ITS
-    * broadcast is unconditional — the guard applies to the postings join
-    * inside [[contaminatedIds]]. */
+  /** The corpus with contaminated documents removed (anti-join on id,
+    * through [[guardedIds]] — normally bench-bounded and broadcast, but a
+    * corpus-scale "benchmark" flags an unbounded corpus fraction and the
+    * anti-join degrades to a shuffle join above the threshold). The
+    * postings-join guard inside [[contaminatedIds]] is governed by
+    * `benchBroadcast`, the anti-join side by `idsBroadcast`. */
   def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
                     bench: DataFrame, benchId: String, benchText: String,
                     k: Int = 8, minShared: Int = 1,
-                    benchBroadcast: Option[Boolean] = None): DataFrame =
+                    benchBroadcast: Option[Boolean] = None,
+                    idsBroadcast: Option[Boolean] = None): DataFrame =
     corpus.join(
-      broadcast(contaminatedIds(corpus, corpusId, corpusText,
-        bench, benchId, benchText, k, minShared, benchBroadcast)),
+      guardedIds(contaminatedIds(corpus, corpusId, corpusText,
+        bench, benchId, benchText, k, minShared, benchBroadcast), idsBroadcast),
       Seq(corpusId), "left_anti")
 }

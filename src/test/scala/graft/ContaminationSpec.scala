@@ -89,6 +89,47 @@ class ContaminationSpec extends AnyFunSuite {
     assert(kept == Set(20L, 30L))
   }
 
+  test("contaminated-id anti-join: guarded broadcast degrades to shuffle, identical results") {
+    def antiJoinLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("LeftAnti")).toSeq
+    // default threshold, tiny corpus: the id set's estimate fits → the
+    // anti-join plans as a broadcast join with ZERO pre-action jobs
+    val byDefault = Contamination.decontaminate(corpus, "doc_id", "text",
+      bench, "bench_id", "btext", k = 5)
+    assert(antiJoinLines(byDefault).exists(_.contains("Broadcast")),
+      s"bench-bounded id set must broadcast:\n${antiJoinLines(byDefault)}")
+    val expected = byDefault.collect().map(_.getLong(0)).toSet
+    assert(expected == Set(2L))
+    val conf = spark.conf
+    val before = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // 1-byte threshold: estimate can't fit, the exact count (rung 2)
+      // can't either → the anti-join MUST degrade to a non-broadcast join
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val auto = Contamination.decontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", k = 5)
+      val lines = antiJoinLines(auto)
+      assert(lines.nonEmpty && lines.forall(!_.contains("Broadcast")),
+        s"above-threshold id set must not broadcast:\n$lines")
+      assert(auto.collect().map(_.getLong(0)).toSet == expected,
+        "shuffle fallback must produce identical results")
+      // same contract on the semantic (embedding) anti-join
+      val corpusV = Seq(
+        (10L, Seq(0.9f, 0.1f, 0.0f)),
+        (20L, Seq(0.1f, 1.0f, 0.0f)),
+        (30L, Seq(-1.0f, 0.0f, 0.1f)))
+        .toDF("vec_id", "embedding")
+      val benchV = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("bench_id", "embedding")
+      val sem = Contamination.semanticDecontaminate(
+        corpusV, "vec_id", "embedding", benchV, "embedding", minCosine = 0.8)
+      val semLines = antiJoinLines(sem)
+      assert(semLines.nonEmpty && semLines.forall(!_.contains("Broadcast")),
+        s"semantic anti-join must not broadcast above threshold:\n$semLines")
+      assert(sem.collect().map(_.getLong(0)).toSet == Set(20L, 30L))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("auto guard decides from plan statistics: ZERO jobs before the result action") {
     // The round-6 guard ran an eager count() over the bench postings per
     // call — the only bench regression that round. The stats-based guard
