@@ -40,12 +40,16 @@ object ProductQuantization {
     * (subspace, subvector) rows, assign against that subspace's current book
     * via an m-branch CASE of native nearest-cell calls, partial-aggregated
     * (subspace, cell, dim) means; only m·ksub·dsub doubles return to the
-    * driver). Empty cells keep their previous centroid. At 100 TB, train on
-    * a `.sample()` of the corpus — PQ codebooks need thousands of vectors,
-    * not the corpus (standard practice; the API takes whatever frame you
-    * pass). `dim` must be divisible by `m`. */
+    * driver). Empty cells keep their previous centroid. PQ codebooks need
+    * thousands of vectors, not the corpus (standard practice), so every
+    * Lloyd pass scans a deterministic
+    * [[SimilaritySearch.refinementSample]] capped at `refineSampleCap`
+    * rows — under-cap corpora train on every row, so small inputs are
+    * unchanged. `dim` must be divisible by `m`. */
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-              m: Int = 8, ksub: Int = 16, iters: Int = 2): Seq[Seq[Array[Double]]] = {
+              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              refineSampleCap: Int = SimilaritySearch.RefineSampleCap)
+      : Seq[Seq[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(ksub > 0 && iters >= 0, "ksub must be positive, iters non-negative")
     graft.plans.HashExpressions.register(corpus.sparkSession)
@@ -55,18 +59,25 @@ object ProductQuantization {
     // sub-centroids, after which every native call sees m·dsub ≠ dim and
     // the whole corpus encodes to NULL — silently.
     val wellFormed = col(vecCol).isNotNull && size(col(vecCol)) === dim
+    // the refinement sample is drawn by the SAME xxhash64(id) order as the
+    // init, so the init vectors are its first ksub rows either way; skip
+    // the materialization when no Lloyd pass will read it
+    val trainSet =
+      if (iters == 0) corpus.select(col(idCol), col(vecCol)).where(wellFormed)
+      else SimilaritySearch.refinementSample(
+        corpus.select(col(idCol), col(vecCol)).where(wellFormed),
+        idCol, refineSampleCap)
     val init: Seq[Seq[Array[Double]]] = {
       // Number covers FLOAT embeddings and DOUBLE residual frames alike
-      val sample = corpus
-        .select(col(vecCol)).where(wellFormed)
+      val sample = trainSet
         .orderBy(xxhash64(col(idCol))).limit(ksub)
-        .collect().map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+        .collect().map(_.getSeq[Number](1).map(_.doubleValue).toArray)
       (0 until m).map(mi => sample.map(v => v.slice(mi * dsub, (mi + 1) * dsub)).toSeq)
     }
     var books = init
     for (_ <- 1 to iters) {
       // one pass, all subspaces: (subspace, cell, dim index) → mean
-      val subRows = corpus.where(wellFormed)
+      val subRows = trainSet
         .select(explode(array((0 until m).map { mi =>
           struct(lit(mi).as("m"),
             slice(col(vecCol), mi * dsub + 1, dsub).as("sv"))

@@ -21,6 +21,29 @@ import scala.util.Random
   */
 object SimilaritySearch {
 
+  /** Default row cap for k-means refinement passes ([[trainIvf]],
+    * [[ProductQuantization.trainPq]]): far above k·(points-per-centroid)
+    * for every configuration shipped here, far below any corpus. */
+  val RefineSampleCap: Int = 1 << 16
+
+  /** Deterministic, partitioning-invariant refinement sample for Lloyd
+    * passes: k-means needs thousands of points per centroid, not the
+    * corpus, and a FULL-corpus scan per iteration is the index-build
+    * bottleneck at 100 TB. One TakeOrdered pass over `xxhash64(id)` picks a
+    * stable pseudo-random `cap`-row subset — the same ordering discipline
+    * as the codebook/centroid init, so under-cap inputs train on exactly
+    * the rows they always did — localCheckpointed so every iteration reads
+    * `cap` rows from block storage, re-spread across the session's shuffle
+    * partitions so the refinement passes stay parallel (TakeOrdered's
+    * output is a single partition). */
+  private[graft] def refinementSample(corpus: DataFrame, idCol: String,
+                                      cap: Int): DataFrame = {
+    require(cap > 0, "refineSampleCap must be positive")
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    corpus.orderBy(xxhash64(col(idCol))).limit(cap)
+      .repartition(p).localCheckpoint(true)
+  }
+
   /** Deterministic random hyperplanes (seeded) as literal arrays — resolved
     * once on the driver, broadcast with the plan; dim·planes doubles. */
   private[graft] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
@@ -173,15 +196,28 @@ object SimilaritySearch {
     * ARTIFACT a deployment stores and reuses. Splitting training from
     * [[ivfSearch]] is what decouples search latency from corpus size: at
     * 100 TB the k-means passes run once per index build, not once per query
-    * batch. */
+    * batch — and each pass scans a [[refinementSample]] capped at
+    * `refineSampleCap` rows, not the corpus (standard k-means practice;
+    * under-cap corpora train on every row, so small inputs are unchanged). */
   def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 16, refineIters: Int = 2): Seq[Array[Double]] = {
+               nlist: Int = 16, refineIters: Int = 2,
+               refineSampleCap: Int = RefineSampleCap): Seq[Array[Double]] = {
     graft.plans.HashExpressions.register(corpus.sparkSession)
-    val init = corpus
-      .select(col(vecCol)).orderBy(xxhash64(col(idCol))).limit(nlist)
-      .collect()
-      .map(r => r.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    refineCentroids(corpus, vecCol, init, refineIters)
+    if (refineIters <= 0)
+      corpus.select(col(vecCol)).orderBy(xxhash64(col(idCol))).limit(nlist)
+        .collect()
+        .map(r => r.getSeq[Number](0).map(_.doubleValue).toArray).toSeq
+    else {
+      val sample = refinementSample(
+        corpus.select(col(idCol), col(vecCol)).where(col(vecCol).isNotNull),
+        idCol, refineSampleCap)
+      // first nlist rows of the SAME hash order the sample was drawn by —
+      // identical init vectors to sampling-free training
+      val init = sample.orderBy(xxhash64(col(idCol))).limit(nlist)
+        .collect()
+        .map(r => r.getSeq[Number](1).map(_.doubleValue).toArray).toSeq
+      refineCentroids(sample, vecCol, init, refineIters)
+    }
   }
 
   /** Search a pre-trained IVF index ([[trainIvf]]'s centroids): each corpus

@@ -302,6 +302,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e1 < e0, "first Lloyd step should strictly improve on sample init")
   }
 
+  test("sampled Lloyd: under-cap training matches full-corpus refinement") {
+    graft.plans.HashExpressions.register(spark)
+    // the fixture is far under RefineSampleCap, so the refinement sample IS
+    // the whole corpus: trainIvf must equal init + full-corpus Lloyd up to
+    // aggregation-order float drift
+    val cents = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+      nlist = 8, refineIters = 2)
+    val init = embs.where(col("embedding").isNotNull)
+      .select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val full = SimilaritySearch.refineCentroids(embs, "embedding", init, iters = 2)
+    assert(cents.size == full.size)
+    cents.zip(full).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"sampled/full drift: $x vs $y") }
+    }
+  }
+
+  test("refinement sample: capped, deterministic, partitioning-invariant") {
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val cap = 50
+    def ids(df: DataFrame) = SimilaritySearch.refinementSample(df, "vec_id", cap)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val a = ids(base)
+    val b = ids(base.repartition(13))
+    assert(a.size == cap, s"sample must hold exactly cap rows, got ${a.size}")
+    assert(a == b, "sample must not move when the input is repartitioned")
+    // above-cap training still produces a usable quantizer: the objective
+    // on the FULL corpus must improve over the sample init (clustered data)
+    val sampled = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+      nlist = 8, refineIters = 2, refineSampleCap = cap)
+    val init = embs.where(col("embedding").isNotNull)
+      .select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val e0 = SimilaritySearch.quantizationError(embs, "embedding", init)
+    val eS = SimilaritySearch.quantizationError(embs, "embedding", sampled)
+    assert(eS < e0, s"sampled refinement must beat raw init on the corpus: $e0 -> $eS")
+  }
+
   test("graft_nearest_dist is bit-identical to the interpreted assign-then-fold form") {
     graft.plans.HashExpressions.register(spark)
     val cents = embs.select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
