@@ -1003,6 +1003,30 @@ FROM documents ORDER BY media_id"""))
       .orderBy("id_1", "id_2"),
     None)
 
+  private val x4f = DeclaredQuery("x04f_fingerprint_groups",
+    // The fingerprint VALUE is xxhash64 — no DuckDB spelling — but its
+    // DEFINING property is oracle-checkable: fingerprints must partition
+    // documents exactly as the normalized text does. Spark groups by the
+    // 64-bit fingerprint, the oracle groups by the normalized STRING; a
+    // hash collision (or a normalization divergence) merges/splits a group
+    // and hash-fails the gate. Output per doc: min-id group representative
+    // and group size.
+    (s, d) => {
+      val w = Window.partitionBy("fp")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          min("doc_id").over(w).as("rep_id"),
+          count(lit(1)).over(w).as("n_dups"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY norm) AS rep_id,
+  COUNT(*) OVER (PARTITION BY norm) AS n_dups
+FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents)
+ORDER BY doc_id"""))
+
   private val x6 = DeclaredQuery("x06_stratified_sample",
     // deterministic quota sampling (dataset mixing primitive): up to 50 docs
     // per language, chosen by content-keyed pseudorandom order — identical
@@ -1061,6 +1085,27 @@ ORDER BY doc_id"""))
     Some("""WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
 SELECT l.event_id, r.value AS last_purchase
 FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""))
+
+  private val x7c = DeclaredQuery("x07c_asof_inner",
+    // strict point-in-time join: events with NO same-user purchase at-or-
+    // before their timestamp are DROPPED (DuckDB plain ASOF JOIN), instead
+    // of surviving with NULLs as in x07's ASOF LEFT JOIN
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.backward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          by = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Map("value" -> "last_purchase"),
+          joinType = "inner")
+        .select("event_id", "last_purchase")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, r.value AS last_purchase
+FROM events l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id"""))
 
   private val x7b = DeclaredQuery("x07b_asof_forward",
@@ -2050,6 +2095,33 @@ FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id ORDER BY doc_i
   UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem)
 SELECT col_1, col_2, FLOOR(c*10000 + 0.5)/10000 AS corr4 FROM p ORDER BY col_1, col_2"""))
 
+  private val x29c = DeclaredQuery("x29c_correlation_pairwise",
+    // Pairwise-deletion correlation (SQL corr()'s native NULL policy: each
+    // pair uses every row where ITS two columns are both non-null) — still
+    // one Gramian scan via the [values, null-masks, squares] packing. The
+    // NULLIF planting (same expression both engines) makes the three
+    // columns null on DIFFERENT rows, so pairwise and listwise genuinely
+    // diverge and the oracle pins the per-pair row universes.
+    (s, d) => {
+      val planted = t(s, d, "lineitem").select(
+        nullif(col("l_quantity"), lit(17.0)).as("q"),
+        nullif(col("l_discount"), lit(0.04)).as("disc"),
+        nullif(col("l_tax"), lit(0.02)).as("tax"))
+      graft.operators.Profiling.correlationMatrix(planted,
+          Seq("q", "disc", "tax"), deletion = "pairwise")
+        .select(col("col_1"), col("col_2"),
+          (floor(col("corr") * 10000 + 0.5) / 10000).as("corr4"))
+        .orderBy("col_1", "col_2")
+    },
+    Some("""WITH src AS (
+  SELECT NULLIF(l_quantity, 17.0) AS q, NULLIF(l_discount, 0.04) AS disc,
+         NULLIF(l_tax, 0.02) AS tax FROM lineitem),
+p AS (
+  SELECT 'q' AS col_1, 'disc' AS col_2, corr(q, disc) AS c FROM src
+  UNION ALL SELECT 'q', 'tax', corr(q, tax) FROM src
+  UNION ALL SELECT 'disc', 'tax', corr(disc, tax) FROM src)
+SELECT col_1, col_2, FLOOR(c*10000 + 0.5)/10000 AS corr4 FROM p ORDER BY col_1, col_2"""))
+
   private val x29b = DeclaredQuery("x29b_standardize",
     // Z-score feature scaling (Profiling.standardize): μ/σ from the same
     // one-scan Gramian pass as x29, applied map-only. Oracled vs DuckDB
@@ -2297,10 +2369,10 @@ FROM u ORDER BY doc_id"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
-    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4g,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x8, x8b, x9, x10, x10b, x11, x12, x12b,
+    x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -32,29 +32,40 @@ object AsofJoin {
     *
     * @param valueCols map of right-side column → output name (right columns
     *   may shadow left names — outputs are renamed, so no collision)
+    * @param joinType `"left"` (default — every left row survives, unmatched
+    *   rows carry NULL outputs, DuckDB `ASOF LEFT JOIN`) or `"inner"`
+    *   (unmatched left rows are DROPPED, DuckDB `ASOF JOIN`). A matched row
+    *   whose VALUES are all NULL is still matched — inner keeps it.
     * @note right side should be unique per (by, rightTs); with duplicates the
     *   surviving row follows sort-tie order (same caveat as DuckDB ASOF).
     * @note NULL semantics match SQL ASOF: right rows with a NULL key or NULL
     *   timestamp never match (pre-filtered); left rows with a NULL key or
-    *   NULL timestamp get NULL outputs (NULL = NULL is not a match). */
+    *   NULL timestamp get NULL outputs (NULL = NULL is not a match) — and
+    *   are dropped under `"inner"`. */
   def backward(left: DataFrame, right: DataFrame, by: String,
                leftTs: String, rightTs: String,
-               valueCols: Map[String, String]): DataFrame =
-    asofImpl(left, right, by, leftTs, rightTs, valueCols, forwardDir = false)
+               valueCols: Map[String, String],
+               joinType: String = "left"): DataFrame =
+    asofImpl(left, right, by, leftTs, rightTs, valueCols,
+      forwardDir = false, joinType)
 
   /** Forward as-of join: for each left row, the EARLIEST right row with
     * `rightTs >= leftTs` in the same key group ("next purchase after this
     * impression"). Same union-and-sweep, descending timestamp order —
-    * identical cost profile to [[backward]]. */
+    * identical cost profile to [[backward]], same `joinType` contract. */
   def forward(left: DataFrame, right: DataFrame, by: String,
               leftTs: String, rightTs: String,
-              valueCols: Map[String, String]): DataFrame =
-    asofImpl(left, right, by, leftTs, rightTs, valueCols, forwardDir = true)
+              valueCols: Map[String, String],
+              joinType: String = "left"): DataFrame =
+    asofImpl(left, right, by, leftTs, rightTs, valueCols,
+      forwardDir = true, joinType)
 
   private def asofImpl(left: DataFrame, right: DataFrame, by: String,
                        leftTs: String, rightTs: String,
                        valueCols: Map[String, String],
-                       forwardDir: Boolean): DataFrame = {
+                       forwardDir: Boolean, joinType: String): DataFrame = {
+    require(joinType == "left" || joinType == "inner",
+      s"joinType must be 'left' or 'inner', got '$joinType'")
     val vals = valueCols.toSeq
     val leftPayload = left.columns.toSeq.filterNot(_ == by)
     val matchType = StructType(vals.map { case (rc, out) =>
@@ -89,7 +100,12 @@ object AsofJoin {
     // partition, so the running last sees no match — NULL out, as required.
     val swept = l2.unionByName(r2)
       .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
-    swept.where(col("__side") === 1)
+    // the match STRUCT is non-null for every matched row (even when all its
+    // fields are NULL), so it doubles as the inner-join survival predicate
+    val kept =
+      if (joinType == "inner") col("__side") === 1 && col("__m").isNotNull
+      else col("__side") === 1
+    swept.where(kept)
       .select(col(by) +: leftPayload.map(c => col(s"__l_$c").as(c)) ++:
         vals.map { case (_, out) => col("__m").getField(out).as(out) }: _*)
   }

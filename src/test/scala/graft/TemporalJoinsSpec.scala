@@ -54,6 +54,36 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got(1L) == null && got(2L) == null && got(3L) == 7.0)
   }
 
+  test("asof inner: drops unmatched left rows, keeps matched-with-NULL-value rows") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 50L),
+        (5L, "c", 99L))
+      .toDF("event_id", "k", "t")
+    // the t=18 row matches event 2 with a NULL value — inner must KEEP it
+    // (the MATCH exists; its value happens to be NULL)
+    val right = Seq(("a", 10L, Option(1.0)), ("a", 18L, Option.empty[Double]),
+        ("b", 60L, Option(3.0)))
+      .toDF("k", "t", "v")
+    val inner = AsofJoin.backward(left, right, "k", "t", "t",
+        Map("v" -> "last_v"), joinType = "inner")
+      .select("event_id", "last_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(inner.keySet == Set(1L, 2L), s"unmatched rows must drop: $inner")
+    assert(inner(1L) == 1.0)
+    assert(inner(2L) == null, "matched row with NULL value survives inner")
+    // inner ≡ left-outer restricted to matched rows, on forward too
+    val fwdLeft = AsofJoin.forward(left, right, "k", "t", "t", Map("v" -> "next_v"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val fwdInner = AsofJoin.forward(left, right, "k", "t", "t",
+        Map("v" -> "next_v"), joinType = "inner")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // forward matches: 1 (t=10→right 10), 3 (t=5→right 10), 4 (t=50→right 60);
+    // 2 (t=20, latest "a" right is 18) and 5 (no "c" rows) drop
+    assert(fwdInner == Set(1L, 3L, 4L) && fwdLeft == Set(1L, 2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException](
+      AsofJoin.backward(left, right, "k", "t", "t", Map("v" -> "x"), "full"))
+  }
+
   test("asof backward: left payload columns survive intact") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L, "keep")).toDF("id", "k", "t", "payload")
