@@ -55,28 +55,84 @@ object Profiling {
     * the ratio, so values match SQL `corr()` exactly up to float
     * rounding — DuckDB-oracled in the gate).
     *
-    * Rows with a NULL in ANY profiled column are excluded (listwise
-    * deletion — one consistent row universe for the whole matrix; SQL
-    * `corr()` deletes pairwise per pair, which agrees exactly when the
-    * columns have no nulls and diverges by design when they do). Output:
-    * one row per unordered pair (i < j, column-name order) — the diagonal
-    * is identically 1 and carries no information. A zero-variance column
-    * yields NULL correlations (0/0), matching SQL. */
-  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * NULL policy is explicit: `deletion = "listwise"` (default) excludes
+    * rows with a NULL in ANY profiled column — one consistent row universe
+    * for the whole matrix; `deletion = "pairwise"` matches SQL `corr()`,
+    * which deletes per PAIR (each correlation uses every row where its two
+    * columns are both non-null). The two agree exactly on null-free
+    * columns and diverge by design otherwise. Pairwise still costs ONE
+    * scan: the packed array carries [values (null→0), null masks,
+    * squares], and every per-pair count/sum/second-moment is a Gramian
+    * cross-product of those entries ((3D)²-bounded buffer). Output: one
+    * row per unordered pair (i < j, column-name order) — the diagonal is
+    * identically 1 and carries no information. A zero-variance column (or
+    * a pair with fewer than 2 complete rows, pairwise) yields NULL
+    * correlations (0/0), matching SQL. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+                        deletion: String = "listwise"): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
-    val (_, _, cov) = numericMoments(df, cols)
+    require(deletion == "listwise" || deletion == "pairwise",
+      s"deletion must be 'listwise' or 'pairwise', got '$deletion'")
     val d = cols.size
-    val out = for {
-      i <- 0 until d
-      j <- (i + 1) until d
-    } yield {
-      val denom = math.sqrt(cov(i)(i)) * math.sqrt(cov(j)(j))
-      (cols(i), cols(j),
-        if (denom == 0.0) None else Some(cov(i)(j) / denom))
-    }
+    val out: Seq[(String, String, Option[Double])] =
+      if (deletion == "listwise") {
+        val (_, _, cov) = numericMoments(df, cols)
+        for {
+          i <- 0 until d
+          j <- (i + 1) until d
+        } yield {
+          val denom = math.sqrt(cov(i)(i)) * math.sqrt(cov(j)(j))
+          (cols(i), cols(j),
+            if (denom == 0.0) None else Some(cov(i)(j) / denom))
+        }
+      } else pairwiseCorrelations(df, cols)
     val spark = df.sparkSession
     import spark.implicits._
     out.toDF("col_1", "col_2", "corr")
+  }
+
+  /** Per-pair moments from ONE Gramian pass over the 3D-wide packed array
+    * [v_1..v_D (null→0), m_1..m_D (null masks), v_1²..v_D²]: for pair
+    * (i, j), n = Σm_i·m_j, the sums are Σv·m cross-terms, the second
+    * moments Σv²·m cross-terms, the cross-product Σv_i·v_j — every one a
+    * single entry of the Gramian's upper triangle. */
+  private def pairwiseCorrelations(df: DataFrame, cols: Seq[String])
+      : Seq[(String, String, Option[Double])] = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val d = cols.size
+    val vs = cols.map(c => coalesce(col(c).cast("double"), lit(0.0)))
+    val ms = cols.map(c => when(col(c).isNotNull, 1.0).otherwise(0.0))
+    val qs = vs.map(v => v * v)
+    val dd = 3 * d
+    val r = df
+      .select(call_function("graft_gramian", array(vs ++ ms ++ qs: _*), lit(dd)).as("g"))
+      .head().getStruct(0)
+    val tri = r.getSeq[Double](2)
+    // upper-triangle index: requires a <= b (all uses below order d-block
+    // offsets ascending: value i < mask d+j < square 2d+k for any i,j,k < d)
+    def triAt(a: Int, b: Int): Double = tri(a * dd - a * (a - 1) / 2 + (b - a))
+    for {
+      i <- 0 until d
+      j <- (i + 1) until d
+    } yield {
+      val n = triAt(d + i, d + j)
+      val c = if (n < 2) None else {
+        val si = triAt(i, d + j); val sj = triAt(j, d + i)
+        val qi = triAt(d + j, 2 * d + i); val qj = triAt(d + i, 2 * d + j)
+        val p = triAt(i, j)
+        val mi = si / n; val mj = sj / n
+        // same relative-epsilon zero-variance clamp as numericMoments
+        def varOf(q: Double, mu: Double): Double = {
+          val v = q / n - mu * mu
+          val scale = math.abs(q) / n
+          if (v <= 1e-12 * math.max(scale, java.lang.Double.MIN_VALUE)) 0.0 else v
+        }
+        val vi = varOf(qi, mi); val vj = varOf(qj, mj)
+        val denom = math.sqrt(vi) * math.sqrt(vj)
+        if (denom == 0.0) None else Some((p / n - mi * mj) / denom)
+      }
+      (cols(i), cols(j), c)
+    }
   }
 
   /** Z-score standardization — the feature-scaling pass before distance- or

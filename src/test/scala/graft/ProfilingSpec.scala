@@ -86,6 +86,54 @@ class ProfilingSpec extends AnyFunSuite {
       "constant column (within complete rows) must yield NULL, not NaN")
   }
 
+  test("correlationMatrix pairwise: per-pair row universes, SQL corr() semantics") {
+    // nulls land on DIFFERENT rows per column, so every deletion policy has
+    // a distinct row universe per pair
+    val df = Seq(
+      (Some(1.0), Some(1.0), Some(2.0)),
+      (Some(2.0), Some(4.0), None),
+      (Some(3.0), Some(3.0), Some(6.0)),
+      (None, Some(8.0), Some(7.0)),
+      (Some(5.0), None, Some(10.0)))
+      .toDF("a", "b", "c")
+    val got = Profiling.correlationMatrix(df, Seq("a", "b", "c"),
+        deletion = "pairwise")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    def pearson(pairs: Seq[(Double, Double)]): Double = {
+      val n = pairs.size.toDouble
+      val (ma, mb) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+      val cov = pairs.map { case (u, v) => (u - ma) * (v - mb) }.sum / n
+      val sa = math.sqrt(pairs.map(p => (p._1 - ma) * (p._1 - ma)).sum / n)
+      val sb = math.sqrt(pairs.map(p => (p._2 - mb) * (p._2 - mb)).sum / n)
+      cov / (sa * sb)
+    }
+    // each pair's universe is exactly the rows where BOTH its columns exist
+    assert(math.abs(got(("a", "b")).get -
+      pearson(Seq((1.0, 1.0), (2.0, 4.0), (3.0, 3.0)))) < 1e-12)
+    assert(math.abs(got(("a", "c")).get -
+      pearson(Seq((1.0, 2.0), (3.0, 6.0), (5.0, 10.0)))) < 1e-12)
+    assert(math.abs(got(("b", "c")).get -
+      pearson(Seq((1.0, 2.0), (3.0, 6.0), (8.0, 7.0)))) < 1e-12)
+    assert(math.abs(got(("a", "c")).get - 1.0) < 1e-12,
+      "a and c are exactly linear on their shared rows")
+    // pairs with < 2 shared rows are NULL, as is a shared-zero-variance pair
+    val sparse = Seq(
+      (Some(1.0), None, Some(3.0)),
+      (None, Some(2.0), Some(3.0)),
+      (Some(4.0), Some(5.0), Some(3.0)))
+      .toDF("a", "b", "c")
+    val g2 = Profiling.correlationMatrix(sparse, Seq("a", "b", "c"),
+        deletion = "pairwise")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(g2(("a", "b")).isEmpty, "single shared row → NULL")
+    assert(g2(("a", "c")).isEmpty && g2(("b", "c")).isEmpty,
+      "constant column on shared rows → NULL")
+    intercept[IllegalArgumentException](
+      Profiling.correlationMatrix(df, Seq("a", "b"), deletion = "banana"))
+  }
+
   test("standardize: z-scores match JVM moments; null and zero-variance contracts") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
