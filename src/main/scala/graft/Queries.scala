@@ -1108,6 +1108,32 @@ SELECT l.event_id, r.value AS last_purchase
 FROM events l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id"""))
 
+  private val x7d = DeclaredQuery("x07d_asof_tolerance",
+    // bounded-staleness point-in-time join (pandas merge_asof tolerance):
+    // the matched purchase is still the latest at-or-before one, but a
+    // match older than 6 hours is voided — never widened to an older
+    // qualifying row. The tolerance follows the timestamp type: events.ts
+    // is TIMESTAMP, so the gap is an interval and the tolerance an interval
+    // literal; the oracle spells the same voiding as a CASE over DuckDB's
+    // native ASOF LEFT JOIN interval gap.
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.backward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          by = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Map("value" -> "recent_purchase"),
+          tolerance = Some(expr("INTERVAL 6 HOURS")))
+        .select("event_id", "recent_purchase")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id,
+  CASE WHEN l.ts - r.ts <= INTERVAL 6 HOUR THEN r.value END AS recent_purchase
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""))
+
   private val x7b = DeclaredQuery("x07b_asof_forward",
     // forward-looking point-in-time join: each event gets the same user's
     // EARLIEST purchase value at-or-after its timestamp. Oracle: DuckDB's
@@ -2370,7 +2396,7 @@ FROM u ORDER BY doc_id"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x8, x8b, x9, x10, x10b, x11, x12, x12b,
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x10d)
 

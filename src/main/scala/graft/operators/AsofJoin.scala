@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -36,6 +36,15 @@ object AsofJoin {
     *   rows carry NULL outputs, DuckDB `ASOF LEFT JOIN`) or `"inner"`
     *   (unmatched left rows are DROPPED, DuckDB `ASOF JOIN`). A matched row
     *   whose VALUES are all NULL is still matched — inner keeps it.
+    * @param tolerance maximum allowed timestamp gap (pandas `merge_asof`
+    *   semantics): the matched row is still the LATEST at-or-before one,
+    *   but if its gap `leftTs - rightTs` exceeds the tolerance the match is
+    *   voided — NULL under `"left"`, dropped under `"inner"`. The value is
+    *   compared against the difference of the two timestamp columns, so its
+    *   type follows theirs (numeric ts → numeric tolerance, TIMESTAMP ts →
+    *   an interval expression). Never widens the match — a nearer
+    *   NON-qualifying row is not skipped in favor of an older qualifying
+    *   one (exactly pandas/QuestDB TOLERANCE behavior).
     * @note right side should be unique per (by, rightTs); with duplicates the
     *   surviving row follows sort-tie order (same caveat as DuckDB ASOF).
     * @note NULL semantics match SQL ASOF: right rows with a NULL key or NULL
@@ -45,30 +54,44 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, by: String,
                leftTs: String, rightTs: String,
                valueCols: Map[String, String],
-               joinType: String = "left"): DataFrame =
+               joinType: String = "left",
+               tolerance: Option[Column] = None): DataFrame =
     asofImpl(left, right, by, leftTs, rightTs, valueCols,
-      forwardDir = false, joinType)
+      forwardDir = false, joinType, tolerance)
 
   /** Forward as-of join: for each left row, the EARLIEST right row with
     * `rightTs >= leftTs` in the same key group ("next purchase after this
     * impression"). Same union-and-sweep, descending timestamp order —
-    * identical cost profile to [[backward]], same `joinType` contract. */
+    * identical cost profile to [[backward]], same `joinType`/`tolerance`
+    * contract (the gap is `rightTs - leftTs`). */
   def forward(left: DataFrame, right: DataFrame, by: String,
               leftTs: String, rightTs: String,
               valueCols: Map[String, String],
-              joinType: String = "left"): DataFrame =
+              joinType: String = "left",
+              tolerance: Option[Column] = None): DataFrame =
     asofImpl(left, right, by, leftTs, rightTs, valueCols,
-      forwardDir = true, joinType)
+      forwardDir = true, joinType, tolerance)
+
+  /** Reserved match-struct field carrying the matched row's timestamp for
+    * the tolerance check. */
+  private val MatchTsField = "__asof_mts"
 
   private def asofImpl(left: DataFrame, right: DataFrame, by: String,
                        leftTs: String, rightTs: String,
                        valueCols: Map[String, String],
-                       forwardDir: Boolean, joinType: String): DataFrame = {
+                       forwardDir: Boolean, joinType: String,
+                       tolerance: Option[Column]): DataFrame = {
     require(joinType == "left" || joinType == "inner",
       s"joinType must be 'left' or 'inner', got '$joinType'")
+    require(!valueCols.values.exists(_ == MatchTsField),
+      s"output name $MatchTsField is reserved")
     val vals = valueCols.toSeq
     val leftPayload = left.columns.toSeq.filterNot(_ == by)
-    val matchType = StructType(vals.map { case (rc, out) =>
+    // with a tolerance the struct also carries the matched row's timestamp,
+    // so the gap check reads the SAME row the sweep selected
+    val structFields = vals ++
+      (if (tolerance.isDefined) Seq(rightTs -> MatchTsField) else Nil)
+    val matchType = StructType(structFields.map { case (rc, out) =>
       StructField(out, right.schema(rc).dataType, nullable = true) })
     // common schema: by, __ats (event time), __side (0=right, 1=left),
     // left payload (null on right rows), __v match-struct (null on left
@@ -85,7 +108,7 @@ object AsofJoin {
       .select(
         (col(by) +: col(rightTs).as("__ats") +: lit(0).as("__side") +:
           leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))) :+
-          struct(vals.map { case (rc, out) => col(rc).as(out) }: _*).as("__v"): _*)
+          struct(structFields.map { case (rc, out) => col(rc).as(out) }: _*).as("__v"): _*)
     // Backward sweeps ascending; forward sweeps DESCENDING so the running
     // last is the earliest right row at-or-after. Either way NULL-ts left
     // rows must sort before every right row (nulls_first) so the sweep sees
@@ -98,8 +121,18 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NULL-ts left rows sort before every (non-null-ts) right row in their
     // partition, so the running last sees no match — NULL out, as required.
-    val swept = l2.unionByName(r2)
+    val swept0 = l2.unionByName(r2)
       .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
+    // tolerance voids an out-of-range match IN PLACE (never widens to an
+    // older qualifying row — pandas merge_asof semantics); a NULL __m keeps
+    // the condition NULL → stays unmatched
+    val swept = tolerance match {
+      case None => swept0
+      case Some(tol) =>
+        val mts = col("__m").getField(MatchTsField)
+        val gap = if (forwardDir) mts - col("__ats") else col("__ats") - mts
+        swept0.withColumn("__m", when(col("__m").isNotNull && gap <= tol, col("__m")))
+    }
     // the match STRUCT is non-null for every matched row (even when all its
     // fields are NULL), so it doubles as the inner-join survival predicate
     val kept =

@@ -62,11 +62,10 @@ object ProductQuantization {
     // the refinement sample is drawn by the SAME xxhash64(id) order as the
     // init, so the init vectors are its first ksub rows either way; skip
     // the materialization when no Lloyd pass will read it
+    val filtered = corpus.select(col(idCol), col(vecCol)).where(wellFormed)
     val trainSet =
-      if (iters == 0) corpus.select(col(idCol), col(vecCol)).where(wellFormed)
-      else SimilaritySearch.refinementSample(
-        corpus.select(col(idCol), col(vecCol)).where(wellFormed),
-        idCol, refineSampleCap)
+      if (iters == 0 || SimilaritySearch.smallEnoughToScan(filtered)) filtered
+      else SimilaritySearch.refinementSample(filtered, idCol, refineSampleCap)
     val init: Seq[Seq[Array[Double]]] = {
       // Number covers FLOAT embeddings and DOUBLE residual frames alike
       val sample = trainSet

@@ -26,6 +26,25 @@ object SimilaritySearch {
     * for every configuration shipped here, far below any corpus. */
   val RefineSampleCap: Int = 1 << 16
 
+  /** Inputs whose OPTIMIZER size estimate sits under this many bytes skip
+    * the sample materialization entirely and run Lloyd straight over the
+    * input (identical rows either way — the sample would be under-cap — but
+    * zero extra jobs): the TakeOrdered + checkpoint overhead only amortizes
+    * when per-iteration scans are actually expensive. Stats-based, so the
+    * decision costs no job; estimates only ever err LARGE (filters/joins
+    * pass child sizes through), which errs toward sampling — safe. */
+  val RefineSampleBytesFloor: Long = 64L << 20
+
+  /** Session override for [[RefineSampleBytesFloor]] (set to `0` to force
+    * the sampling path — specs use this to pin it on small fixtures). */
+  val RefineSampleFloorConf = "graft.refineSampleFloorBytes"
+
+  private[graft] def smallEnoughToScan(df: DataFrame): Boolean = {
+    val floor = df.sparkSession.conf.getOption(RefineSampleFloorConf)
+      .map(_.toLong).getOrElse(RefineSampleBytesFloor)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(floor)
+  }
+
   /** Deterministic, partitioning-invariant refinement sample for Lloyd
     * passes: k-means needs thousands of points per centroid, not the
     * corpus, and a FULL-corpus scan per iteration is the index-build
@@ -208,9 +227,11 @@ object SimilaritySearch {
         .collect()
         .map(r => r.getSeq[Number](0).map(_.doubleValue).toArray).toSeq
     else {
-      val sample = refinementSample(
-        corpus.select(col(idCol), col(vecCol)).where(col(vecCol).isNotNull),
-        idCol, refineSampleCap)
+      val filtered =
+        corpus.select(col(idCol), col(vecCol)).where(col(vecCol).isNotNull)
+      val sample =
+        if (smallEnoughToScan(filtered)) filtered
+        else refinementSample(filtered, idCol, refineSampleCap)
       // first nlist rows of the SAME hash order the sample was drawn by —
       // identical init vectors to sampling-free training
       val init = sample.orderBy(xxhash64(col(idCol))).limit(nlist)

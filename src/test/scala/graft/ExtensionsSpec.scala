@@ -304,11 +304,14 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("sampled Lloyd: under-cap training matches full-corpus refinement") {
     graft.plans.HashExpressions.register(spark)
-    // the fixture is far under RefineSampleCap, so the refinement sample IS
-    // the whole corpus: trainIvf must equal init + full-corpus Lloyd up to
+    // floor 0 forces the sampling path; the fixture is far under
+    // RefineSampleCap, so the materialized sample IS the whole corpus:
+    // trainIvf must equal init + full-corpus Lloyd up to
     // aggregation-order float drift
-    val cents = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+    spark.conf.set(SimilaritySearch.RefineSampleFloorConf, "0")
+    val cents = try SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
       nlist = 8, refineIters = 2)
+    finally spark.conf.unset(SimilaritySearch.RefineSampleFloorConf)
     val init = embs.where(col("embedding").isNotNull)
       .select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
@@ -331,8 +334,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a == b, "sample must not move when the input is repartitioned")
     // above-cap training still produces a usable quantizer: the objective
     // on the FULL corpus must improve over the sample init (clustered data)
-    val sampled = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+    spark.conf.set(SimilaritySearch.RefineSampleFloorConf, "0")
+    val sampled = try SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
       nlist = 8, refineIters = 2, refineSampleCap = cap)
+    finally spark.conf.unset(SimilaritySearch.RefineSampleFloorConf)
     val init = embs.where(col("embedding").isNotNull)
       .select(col("embedding")).orderBy(xxhash64(col("vec_id"))).limit(8)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq

@@ -76,24 +76,36 @@ class PqSpec extends AnyFunSuite {
   }
 
   test("trainPq refinement sample: cap-invariant under cap, useful above cap") {
-    // any cap ≥ |corpus| draws the same sample (same hash order, same
-    // repartition) → bit-identical codebooks
-    val a = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
-      ksub = 4, iters = 2, refineSampleCap = 1000)
-    val b = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
-      ksub = 4, iters = 2, refineSampleCap = 100000)
-    assert(a.flatten.map(_.toSeq) == b.flatten.map(_.toSeq),
-      "above-corpus caps must train identically")
-    // a cap of half the corpus still has to beat the un-refined init on the
-    // FULL corpus (clustered fixture: sampled Lloyd converges to the same
-    // cluster structure)
-    val init = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
-      ksub = 4, iters = 0)
-    val sampled = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
-      ksub = 4, iters = 2, refineSampleCap = 30)
-    val e0 = ProductQuantization.reconstructionError(corpus, "embedding", init)
-    val eS = ProductQuantization.reconstructionError(corpus, "embedding", sampled)
-    assert(eS < e0, s"sampled refinement must beat raw init: $e0 -> $eS")
+    spark.conf.set(SimilaritySearch.RefineSampleFloorConf, "0") // force sampling
+    try {
+      // any cap ≥ |corpus| draws the same sample (same hash order, same
+      // repartition) → bit-identical codebooks
+      val a = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
+        ksub = 4, iters = 2, refineSampleCap = 1000)
+      val b = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
+        ksub = 4, iters = 2, refineSampleCap = 100000)
+      assert(a.flatten.map(_.toSeq) == b.flatten.map(_.toSeq),
+        "above-corpus caps must train identically")
+      // a cap of half the corpus still has to beat the un-refined init on
+      // the FULL corpus (clustered fixture: sampled Lloyd converges to the
+      // same cluster structure)
+      val init = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
+        ksub = 4, iters = 0)
+      val sampled = ProductQuantization.trainPq(corpus, "vec_id", "embedding", dim, m,
+        ksub = 4, iters = 2, refineSampleCap = 30)
+      val e0 = ProductQuantization.reconstructionError(corpus, "embedding", init)
+      val eS = ProductQuantization.reconstructionError(corpus, "embedding", sampled)
+      assert(eS < e0, s"sampled refinement must beat raw init: $e0 -> $eS")
+      // and the default stats floor routes this small fixture AROUND the
+      // sample materialization, to the identical-rows direct path
+      spark.conf.unset(SimilaritySearch.RefineSampleFloorConf)
+      val direct = ProductQuantization.trainPq(corpus, "vec_id", "embedding",
+        dim, m, ksub = 4, iters = 2, refineSampleCap = 1000)
+      val eD = ProductQuantization.reconstructionError(corpus, "embedding", direct)
+      assert(math.abs(eD - ProductQuantization.reconstructionError(
+        corpus, "embedding", a)) < 1e-9,
+        "direct and sampled paths must train equivalent codebooks under cap")
+    } finally spark.conf.unset(SimilaritySearch.RefineSampleFloorConf)
   }
 
   test("trainPq never increases reconstruction error across Lloyd iterations") {

@@ -84,6 +84,42 @@ class TemporalJoinsSpec extends AnyFunSuite {
       AsofJoin.backward(left, right, "k", "t", "t", Map("v" -> "x"), "full"))
   }
 
+  test("asof tolerance: stale matches void in place, never widen to older rows") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "b", 100L))
+      .toDF("event_id", "k", "t")
+    // for event 2 the LATEST at-or-before row is t=195 (gap 5, within);
+    // for event 1 it's t=60 (gap 40, stale) — an older in-tolerance row
+    // does NOT exist, and crucially t=60 must not be skipped for nothing
+    val right = Seq(("a", 60L, 6.0), ("a", 195L, 9.0), ("b", 98L, 7.0))
+      .toDF("k", "t", "v")
+    def run(tol: Long, joinType: String = "left") =
+      AsofJoin.backward(left, right, "k", "t", "t", Map("v" -> "last_v"),
+          joinType, tolerance = Some(lit(tol)))
+        .select("event_id", "last_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val tol10 = run(10L)
+    assert(tol10(1L) == null, "stale match (gap 40 > 10) voids to NULL")
+    assert(tol10(2L) == 9.0, "in-tolerance match survives")
+    assert(tol10(3L) == 7.0)
+    val tol50 = run(50L)
+    assert(tol50(1L) == 6.0, "wider tolerance admits the same selected row")
+    assert(run(10L, "inner").keySet == Set(2L, 3L),
+      "inner drops tolerance-voided rows")
+    // forward direction: gap measured the other way
+    val fwd = AsofJoin.forward(left, right, "k", "t", "t", Map("v" -> "next_v"),
+        tolerance = Some(lit(10L)))
+      .select("event_id", "next_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // event 1 (t=100): next "a" row is 195, gap 95 > 10 → NULL
+    assert(fwd(1L) == null && fwd(2L) == null && fwd(3L) == null)
+    val fwdWide = AsofJoin.forward(left, right, "k", "t", "t", Map("v" -> "next_v"),
+        tolerance = Some(lit(100L)))
+      .select("event_id", "next_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(fwdWide(1L) == 9.0)
+  }
+
   test("asof backward: left payload columns survive intact") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L, "keep")).toDF("id", "k", "t", "payload")
