@@ -72,31 +72,51 @@ object AsofJoin {
     asofImpl(left, right, by, leftTs, rightTs, valueCols,
       forwardDir = true, joinType, tolerance)
 
+  /** Nearest as-of join (pandas `merge_asof direction='nearest'`): for each
+    * left row, whichever of the backward match (latest at-or-before) and the
+    * forward match (earliest at-or-after) has the SMALLER absolute timestamp
+    * gap; the backward match wins exact ties (pandas tie order). With a
+    * `tolerance`, each side is voided independently when ITS gap exceeds the
+    * bound and the pick runs over the survivors — equivalent to pandas'
+    * |gap| ≤ tolerance test.
+    *
+    * Cost: the same single shuffle on the key, then TWO incremental window
+    * sweeps over it (one ascending, one descending — one extra sort, no
+    * extra exchange). Deliberately NOT one sweep plus an
+    * unbounded-following frame: Spark evaluates [currentRow,
+    * unboundedFollowing] frames by re-aggregating the remaining rows per
+    * row — O(n²) per key — while two running frames stay O(n log n). */
+  def nearest(left: DataFrame, right: DataFrame, by: String,
+              leftTs: String, rightTs: String,
+              valueCols: Map[String, String],
+              joinType: String = "left",
+              tolerance: Option[Column] = None): DataFrame =
+    asofNearest(left, right, by, leftTs, rightTs, valueCols, joinType, tolerance)
+
   /** Reserved match-struct field carrying the matched row's timestamp for
-    * the tolerance check. */
+    * the tolerance / nearest-gap check. */
   private val MatchTsField = "__asof_mts"
 
-  private def asofImpl(left: DataFrame, right: DataFrame, by: String,
-                       leftTs: String, rightTs: String,
-                       valueCols: Map[String, String],
-                       forwardDir: Boolean, joinType: String,
-                       tolerance: Option[Column]): DataFrame = {
+  /** Tagged union of both inputs on the common sweep schema: by, __ats
+    * (event time), __side (0=right, 1=left), left payload (null on right
+    * rows), __v match-struct (null on left rows; non-null on every right
+    * row even when its fields are null, so ignoreNulls skips only the left
+    * rows interleaved in the sweep). With `withMatchTs` the struct also
+    * carries the matched row's timestamp, so gap checks read the SAME row
+    * the sweep selected. */
+  private def prepare(left: DataFrame, right: DataFrame, by: String,
+                      leftTs: String, rightTs: String,
+                      vals: Seq[(String, String)], joinType: String,
+                      withMatchTs: Boolean): DataFrame = {
     require(joinType == "left" || joinType == "inner",
       s"joinType must be 'left' or 'inner', got '$joinType'")
-    require(!valueCols.values.exists(_ == MatchTsField),
+    require(!vals.exists(_._2 == MatchTsField),
       s"output name $MatchTsField is reserved")
-    val vals = valueCols.toSeq
     val leftPayload = left.columns.toSeq.filterNot(_ == by)
-    // with a tolerance the struct also carries the matched row's timestamp,
-    // so the gap check reads the SAME row the sweep selected
     val structFields = vals ++
-      (if (tolerance.isDefined) Seq(rightTs -> MatchTsField) else Nil)
+      (if (withMatchTs) Seq(rightTs -> MatchTsField) else Nil)
     val matchType = StructType(structFields.map { case (rc, out) =>
       StructField(out, right.schema(rc).dataType, nullable = true) })
-    // common schema: by, __ats (event time), __side (0=right, 1=left),
-    // left payload (null on right rows), __v match-struct (null on left
-    // rows; non-null on every right row even when its fields are null,
-    // so ignoreNulls skips only the left rows interleaved in the sweep)
     val l2 = left.select(
       (col(by) +: col(leftTs).as("__ats") +: lit(1).as("__side") +:
         leftPayload.map(c => col(c).as(s"__l_$c"))) :+
@@ -109,20 +129,50 @@ object AsofJoin {
         (col(by) +: col(rightTs).as("__ats") +: lit(0).as("__side") +:
           leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))) :+
           struct(structFields.map { case (rc, out) => col(rc).as(out) }: _*).as("__v"): _*)
-    // Backward sweeps ascending; forward sweeps DESCENDING so the running
-    // last is the earliest right row at-or-after. Either way NULL-ts left
-    // rows must sort before every right row (nulls_first) so the sweep sees
-    // no match for them — desc defaults to nulls_last, hence the explicit
-    // ordering.
-    val ord = if (forwardDir) col("__ats").desc_nulls_first
+    l2.unionByName(r2)
+  }
+
+  /** Incremental running frame over the keyed sweep: ascending for the
+    * backward direction, DESCENDING for forward (so the running last is the
+    * earliest right row at-or-after). Either way NULL-ts left rows must
+    * sort before every right row (nulls_first) so the sweep sees no match
+    * for them — desc defaults to nulls_last, hence the explicit ordering.
+    * Right rows sort before left rows at equal timestamps (__side) — as-of
+    * is inclusive on both directions. */
+  private def runningFrame(by: String, descending: Boolean) = {
+    val ord = if (descending) col("__ats").desc_nulls_first
               else col("__ats").asc_nulls_first
-    val w = Window.partitionBy(by)
+    Window.partitionBy(by)
       .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
+
+  /** Keep matched/all left rows per `joinType` and unwrap the match struct.
+    * The struct is non-null for every matched row (even when all its fields
+    * are NULL), so it doubles as the inner-join survival predicate. */
+  private def finish(swept: DataFrame, left: DataFrame, by: String,
+                     vals: Seq[(String, String)], joinType: String): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(_ == by)
+    val kept =
+      if (joinType == "inner") col("__side") === 1 && col("__m").isNotNull
+      else col("__side") === 1
+    swept.where(kept)
+      .select(col(by) +: leftPayload.map(c => col(s"__l_$c").as(c)) ++:
+        vals.map { case (_, out) => col("__m").getField(out).as(out) }: _*)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, by: String,
+                       leftTs: String, rightTs: String,
+                       valueCols: Map[String, String],
+                       forwardDir: Boolean, joinType: String,
+                       tolerance: Option[Column]): DataFrame = {
+    val vals = valueCols.toSeq
+    val unioned = prepare(left, right, by, leftTs, rightTs, vals, joinType,
+      withMatchTs = tolerance.isDefined)
     // NULL-ts left rows sort before every (non-null-ts) right row in their
     // partition, so the running last sees no match — NULL out, as required.
-    val swept0 = l2.unionByName(r2)
-      .withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
+    val swept0 = unioned.withColumn("__m",
+      last(col("__v"), ignoreNulls = true).over(runningFrame(by, forwardDir)))
     // tolerance voids an out-of-range match IN PLACE (never widens to an
     // older qualifying row — pandas merge_asof semantics); a NULL __m keeps
     // the condition NULL → stays unmatched
@@ -133,13 +183,46 @@ object AsofJoin {
         val gap = if (forwardDir) mts - col("__ats") else col("__ats") - mts
         swept0.withColumn("__m", when(col("__m").isNotNull && gap <= tol, col("__m")))
     }
-    // the match STRUCT is non-null for every matched row (even when all its
-    // fields are NULL), so it doubles as the inner-join survival predicate
-    val kept =
-      if (joinType == "inner") col("__side") === 1 && col("__m").isNotNull
-      else col("__side") === 1
-    swept.where(kept)
-      .select(col(by) +: leftPayload.map(c => col(s"__l_$c").as(c)) ++:
-        vals.map { case (_, out) => col("__m").getField(out).as(out) }: _*)
+    finish(swept, left, by, vals, joinType)
+  }
+
+  private def asofNearest(left: DataFrame, right: DataFrame, by: String,
+                          leftTs: String, rightTs: String,
+                          valueCols: Map[String, String],
+                          joinType: String,
+                          tolerance: Option[Column]): DataFrame = {
+    val vals = valueCols.toSeq
+    // the struct ALWAYS carries the match timestamp here — the nearest pick
+    // needs both gaps even without a tolerance
+    val unioned = prepare(left, right, by, leftTs, rightTs, vals, joinType,
+      withMatchTs = true)
+    // one shuffle, two incremental sweeps over it (asc = backward
+    // candidate, desc = forward candidate); Catalyst stacks the two Window
+    // execs over the same Exchange with one extra Sort between them
+    val swept2 = unioned
+      .withColumn("__mb",
+        last(col("__v"), ignoreNulls = true).over(runningFrame(by, descending = false)))
+      .withColumn("__mf",
+        last(col("__v"), ignoreNulls = true).over(runningFrame(by, descending = true)))
+    val gb = col("__ats") - col("__mb").getField(MatchTsField)
+    val gf = col("__mf").getField(MatchTsField) - col("__ats")
+    // tolerance voids each candidate independently — equivalent to voiding
+    // the picked winner (the winner's gap is the SMALLER one, so the farther
+    // side can never survive a tolerance that kills the nearer), and ≡
+    // pandas' |gap| ≤ tol test
+    val b = tolerance.fold(col("__mb"))(tol =>
+      when(col("__mb").isNotNull && gb <= tol, col("__mb")))
+    val f = tolerance.fold(col("__mf"))(tol =>
+      when(col("__mf").isNotNull && gf <= tol, col("__mf")))
+    // backward wins exact ties (pandas nearest tie order); gaps re-derived
+    // from the VOIDED candidates so a dropped side never wins the compare
+    val bGap = col("__ats") - b.getField(MatchTsField)
+    val fGap = f.getField(MatchTsField) - col("__ats")
+    val swept = swept2
+      .withColumn("__m",
+        when(b.isNotNull && (f.isNull || bGap <= fGap), b)
+          .when(f.isNotNull, f))
+      .drop("__mb", "__mf")
+    finish(swept, left, by, vals, joinType)
   }
 }

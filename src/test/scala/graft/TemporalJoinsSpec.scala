@@ -120,6 +120,59 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(fwdWide(1L) == 9.0)
   }
 
+  test("asof nearest: smaller absolute gap wins, backward wins ties") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 130L),
+        (4L, "b", 50L), (5L, "c", 10L))
+      .toDF("event_id", "k", "t")
+    // event 1 (t=100): backward 60 (gap 40) vs forward 195 (gap 95) → 60
+    // event 2 (t=200): backward 195 (gap 5), no forward → 195
+    // event 3 (t=130): backward 60 (gap 70) vs forward 195 (gap 65) → 195
+    // event 4 (t=50):  no backward, forward 98 (gap 48) → 98
+    // event 5 (t=10):  key "c" has no right rows at all → NULL
+    val right = Seq(("a", 60L, 6.0), ("a", 195L, 9.0), ("b", 98L, 7.0))
+      .toDF("k", "t", "v")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "near_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val near = collect(AsofJoin.nearest(left, right, "k", "t", "t", Map("v" -> "near_v")))
+    assert(near == Map(1L -> 6.0, 2L -> 9.0, 3L -> 9.0, 4L -> 7.0, 5L -> null))
+    // exact tie: t=127.5 is not representable in longs; plant an equidistant
+    // pair instead — backward must win
+    val tieLeft = Seq((9L, "a", 120L)).toDF("event_id", "k", "t")
+    val tieRight = Seq(("a", 110L, 1.0), ("a", 130L, 2.0)).toDF("k", "t", "v")
+    assert(collect(AsofJoin.nearest(tieLeft, tieRight, "k", "t", "t",
+      Map("v" -> "near_v"))) == Map(9L -> 1.0))
+    // equal-ts right row: gap 0 via the backward sweep
+    val eqRight = Seq(("a", 120L, 5.0), ("a", 121L, 8.0)).toDF("k", "t", "v")
+    assert(collect(AsofJoin.nearest(tieLeft, eqRight, "k", "t", "t",
+      Map("v" -> "near_v"))) == Map(9L -> 5.0))
+    // tolerance = pandas |gap| ≤ tol over the picked winner (the farther
+    // side can never out-survive the nearer one)
+    val tol = collect(AsofJoin.nearest(left, right, "k", "t", "t",
+      Map("v" -> "near_v"), tolerance = Some(lit(45L))))
+    assert(tol == Map(1L -> 6.0, 2L -> 9.0, 3L -> null, 4L -> null, 5L -> null))
+    // inner drops unmatched rows
+    assert(collect(AsofJoin.nearest(left, right, "k", "t", "t",
+      Map("v" -> "near_v"), joinType = "inner", tolerance = Some(lit(45L))))
+      .keySet == Set(1L, 2L))
+    // NULL-ts left rows never match, NULL-ts right rows never selected
+    val nullLeft = Seq((7L, "a", null.asInstanceOf[java.lang.Long])).toDF("event_id", "k", "t")
+    assert(collect(AsofJoin.nearest(nullLeft, right, "k", "t", "t",
+      Map("v" -> "near_v"))) == Map(7L -> null))
+  }
+
+  test("asof nearest: plan has one exchange, two window sweeps") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L)).toDF("event_id", "k", "t")
+    val right = Seq(("a", 60L, 6.0)).toDF("k", "t", "v")
+    val plan = AsofJoin.nearest(left, right, "k", "t", "t", Map("v" -> "near_v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"nearest must not shuffle per sweep:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2)
+  }
+
   test("asof backward: left payload columns survive intact") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L, "keep")).toDF("id", "k", "t", "payload")
