@@ -1183,6 +1183,29 @@ SELECT b.event_id,
 FROM b JOIN f ON b.event_id = f.event_id
 ORDER BY b.event_id"""))
 
+  private val x7f = DeclaredQuery("x07f_asof_strict",
+    // strict-inequality as-of (pandas allow_exact_matches=False): the
+    // matched purchase must be strictly BEFORE the event, so a purchase
+    // event never matches itself — it gets the user's PREVIOUS purchase
+    // (a regime x07 never exercises: every purchase row differs). Oracle:
+    // DuckDB native ASOF with the strict comparator.
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.backward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          by = "user_id", leftTs = "ts", rightTs = "ts",
+          valueCols = Map("value" -> "prev_purchase"),
+          allowExactMatches = false)
+        .select("event_id", "prev_purchase")
+        .orderBy("event_id")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, r.value AS prev_purchase
+FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+ORDER BY l.event_id"""))
+
   private val x8 = DeclaredQuery("x08_range_join_binned",
     // interval join via equi-binning (RangeJoin): lineitems shipped within 7
     // days of a big order's date. A bare BETWEEN join would plan as a nested
@@ -2425,7 +2448,7 @@ FROM u ORDER BY doc_id"""))
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
-    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x8, x8b, x9, x10, x10b, x11, x12, x12b,
+    x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x10d)
 

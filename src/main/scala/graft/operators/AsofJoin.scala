@@ -45,6 +45,12 @@ object AsofJoin {
     *   an interval expression). Never widens the match — a nearer
     *   NON-qualifying row is not skipped in favor of an older qualifying
     *   one (exactly pandas/QuestDB TOLERANCE behavior).
+    * @param allowExactMatches `true` (default) matches inclusively
+    *   (`rightTs <= leftTs`, DuckDB `>=`); `false` is the strict form
+    *   (`rightTs < leftTs`, DuckDB `>`) — pandas `allow_exact_matches` —
+    *   implemented purely as a sort-tie flip, same cost. Applies to all
+    *   three directions (under [[nearest]] an equal-ts right row is
+    *   excluded from BOTH candidate sides).
     * @note right side should be unique per (by, rightTs); with duplicates the
     *   surviving row follows sort-tie order (same caveat as DuckDB ASOF).
     * @note NULL semantics match SQL ASOF: right rows with a NULL key or NULL
@@ -55,9 +61,10 @@ object AsofJoin {
                leftTs: String, rightTs: String,
                valueCols: Map[String, String],
                joinType: String = "left",
-               tolerance: Option[Column] = None): DataFrame =
+               tolerance: Option[Column] = None,
+               allowExactMatches: Boolean = true): DataFrame =
     asofImpl(left, right, by, leftTs, rightTs, valueCols,
-      forwardDir = false, joinType, tolerance)
+      forwardDir = false, joinType, tolerance, allowExactMatches)
 
   /** Forward as-of join: for each left row, the EARLIEST right row with
     * `rightTs >= leftTs` in the same key group ("next purchase after this
@@ -68,9 +75,10 @@ object AsofJoin {
               leftTs: String, rightTs: String,
               valueCols: Map[String, String],
               joinType: String = "left",
-              tolerance: Option[Column] = None): DataFrame =
+              tolerance: Option[Column] = None,
+              allowExactMatches: Boolean = true): DataFrame =
     asofImpl(left, right, by, leftTs, rightTs, valueCols,
-      forwardDir = true, joinType, tolerance)
+      forwardDir = true, joinType, tolerance, allowExactMatches)
 
   /** Nearest as-of join (pandas `merge_asof direction='nearest'`): for each
     * left row, whichever of the backward match (latest at-or-before) and the
@@ -90,8 +98,10 @@ object AsofJoin {
               leftTs: String, rightTs: String,
               valueCols: Map[String, String],
               joinType: String = "left",
-              tolerance: Option[Column] = None): DataFrame =
-    asofNearest(left, right, by, leftTs, rightTs, valueCols, joinType, tolerance)
+              tolerance: Option[Column] = None,
+              allowExactMatches: Boolean = true): DataFrame =
+    asofNearest(left, right, by, leftTs, rightTs, valueCols, joinType,
+      tolerance, allowExactMatches)
 
   /** Reserved match-struct field carrying the matched row's timestamp for
     * the tolerance / nearest-gap check. */
@@ -139,11 +149,17 @@ object AsofJoin {
     * for them — desc defaults to nulls_last, hence the explicit ordering.
     * Right rows sort before left rows at equal timestamps (__side) — as-of
     * is inclusive on both directions. */
-  private def runningFrame(by: String, descending: Boolean) = {
+  private def runningFrame(by: String, descending: Boolean,
+                           allowExact: Boolean) = {
     val ord = if (descending) col("__ats").desc_nulls_first
               else col("__ats").asc_nulls_first
+    // inclusive as-of: right rows (side 0) sort BEFORE left rows at equal
+    // timestamps, inside the running frame. Strict (allow_exact_matches =
+    // false) flips the tie so equal-ts right rows land AFTER the left row —
+    // outside its frame — in either sweep direction.
+    val tie = if (allowExact) col("__side").asc else col("__side").desc
     Window.partitionBy(by)
-      .orderBy(ord, col("__side"))
+      .orderBy(ord, tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
 
@@ -165,14 +181,16 @@ object AsofJoin {
                        leftTs: String, rightTs: String,
                        valueCols: Map[String, String],
                        forwardDir: Boolean, joinType: String,
-                       tolerance: Option[Column]): DataFrame = {
+                       tolerance: Option[Column],
+                       allowExact: Boolean): DataFrame = {
     val vals = valueCols.toSeq
     val unioned = prepare(left, right, by, leftTs, rightTs, vals, joinType,
       withMatchTs = tolerance.isDefined)
     // NULL-ts left rows sort before every (non-null-ts) right row in their
     // partition, so the running last sees no match — NULL out, as required.
     val swept0 = unioned.withColumn("__m",
-      last(col("__v"), ignoreNulls = true).over(runningFrame(by, forwardDir)))
+      last(col("__v"), ignoreNulls = true)
+        .over(runningFrame(by, forwardDir, allowExact)))
     // tolerance voids an out-of-range match IN PLACE (never widens to an
     // older qualifying row — pandas merge_asof semantics); a NULL __m keeps
     // the condition NULL → stays unmatched
@@ -190,7 +208,8 @@ object AsofJoin {
                           leftTs: String, rightTs: String,
                           valueCols: Map[String, String],
                           joinType: String,
-                          tolerance: Option[Column]): DataFrame = {
+                          tolerance: Option[Column],
+                          allowExact: Boolean): DataFrame = {
     val vals = valueCols.toSeq
     // the struct ALWAYS carries the match timestamp here — the nearest pick
     // needs both gaps even without a tolerance
@@ -200,10 +219,10 @@ object AsofJoin {
     // candidate, desc = forward candidate); Catalyst stacks the two Window
     // execs over the same Exchange with one extra Sort between them
     val swept2 = unioned
-      .withColumn("__mb",
-        last(col("__v"), ignoreNulls = true).over(runningFrame(by, descending = false)))
-      .withColumn("__mf",
-        last(col("__v"), ignoreNulls = true).over(runningFrame(by, descending = true)))
+      .withColumn("__mb", last(col("__v"), ignoreNulls = true)
+        .over(runningFrame(by, descending = false, allowExact)))
+      .withColumn("__mf", last(col("__v"), ignoreNulls = true)
+        .over(runningFrame(by, descending = true, allowExact)))
     val gb = col("__ats") - col("__mb").getField(MatchTsField)
     val gf = col("__mf").getField(MatchTsField) - col("__ats")
     // tolerance voids each candidate independently — equivalent to voiding

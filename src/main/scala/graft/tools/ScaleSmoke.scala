@@ -41,7 +41,8 @@ object ScaleSmoke {
 
   val DefaultEntries: Seq[String] = Seq(
     "x12_pack_sequences", "x16_neardup_components",
-    "x23b_ivfpq_topk", "x10c_curation_pipeline")
+    "x23b_ivfpq_topk", "x10c_curation_pipeline",
+    "x07_asof_join", "x07e_asof_nearest")
 
   final case class EntryTiming(name: String, baseSec: Double, scaledSec: Double,
       bound: Double) {
@@ -56,7 +57,7 @@ object ScaleSmoke {
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     import java.nio.file.{Files, Path}
-    val marker = Path.of(outDir, s".complete_v2_${copies}x")
+    val marker = Path.of(outDir, s".complete_v3_${copies}x")
     if (Files.exists(marker)) return
     val out = Path.of(outDir)
     if (Files.exists(out)) { // stale params — rebuild from scratch
@@ -97,8 +98,27 @@ object ScaleSmoke {
     scaledEmb.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
 
+    // events scale along the KEY axis: copy i shifts event_id AND user_id
+    // into a fresh id universe, so per-user timeline density (the window
+    // sweep's per-key work) is preserved while key cardinality grows
+    // `copies`× — the realistic scale dimension for point-in-time joins.
+    // ts stays raw int64 nanos (nanosAsLong read, no timestamp conversion):
+    // Tables.table applies the same nanos→micros truncation to the scaled
+    // dir as to the base one.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val scaledEv = (0 until copies).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        (col("event_id") + lit(i * IdOffset)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * IdOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+    scaledEv.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+
     graft.sources.Tables.names
-      .filterNot(n => n == "documents" || n == "embeddings")
+      .filterNot(n => n == "documents" || n == "embeddings" || n == "events")
       .foreach { n =>
         val link = Path.of(outDir, s"$n.parquet")
         if (!Files.exists(link))

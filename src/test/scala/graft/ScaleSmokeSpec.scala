@@ -29,6 +29,23 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(emb.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("event copies preserve per-user timelines in fresh id universes") {
+    val ev = spark.read.parquet(s"$outDir/events.parquet")
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    assert(ev.count() == copies * base.count())
+    assert(ev.select("event_id").distinct().count() == ev.count())
+    // every base user appears as exactly `copies` scaled users, each with an
+    // IDENTICAL (event count, ts span) timeline profile — the as-of sweep's
+    // per-key work is preserved, only key cardinality grows
+    val bad = ev.groupBy("user_id")
+      .agg(count("*").as("n"), min("ts").as("lo"), max("ts").as("hi"))
+      .groupBy(pmod(col("user_id"), lit(ScaleSmoke.IdOffset)).as("bu"))
+      .agg(count("*").as("nusers"),
+        countDistinct(col("n"), col("lo"), col("hi")).as("profiles"))
+      .where(col("nusers") =!= copies || col("profiles") =!= 1)
+    assert(bad.isEmpty, "per-user timeline profiles must replicate exactly")
+  }
+
   test("copy 0 is byte-identical to the base tables") {
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
       .where(col("doc_id") < ScaleSmoke.IdOffset)

@@ -173,6 +173,34 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).size >= 2)
   }
 
+  test("asof strict (allow_exact_matches=false): equal-ts rows excluded in all directions") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 100L), (2L, "a", 50L)).toDF("event_id", "k", "t")
+    val right = Seq(("a", 100L, 1.0), ("a", 60L, 2.0), ("a", 140L, 3.0))
+      .toDF("k", "t", "v")
+    def collect(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("event_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // inclusive backward: event 1 matches the equal-ts row
+    assert(collect(AsofJoin.backward(left, right, "k", "t", "t",
+      Map("v" -> "x")), "x") == Map(1L -> 1.0, 2L -> null))
+    // strict backward: equal-ts skipped IN FAVOR OF the previous row
+    assert(collect(AsofJoin.backward(left, right, "k", "t", "t",
+      Map("v" -> "x"), allowExactMatches = false), "x") == Map(1L -> 2.0, 2L -> null))
+    // strict forward: equal-ts skipped in favor of the NEXT row
+    assert(collect(AsofJoin.forward(left, right, "k", "t", "t",
+      Map("v" -> "x"), allowExactMatches = false), "x") == Map(1L -> 3.0, 2L -> 2.0))
+    // strict nearest: the equal-ts row (gap 0) is out on both sides; the
+    // nearer survivor wins (backward 60 at gap 40 beats forward 140 at 40 —
+    // tie goes backward)
+    assert(collect(AsofJoin.nearest(left, right, "k", "t", "t",
+      Map("v" -> "x"), allowExactMatches = false), "x") == Map(1L -> 2.0, 2L -> 2.0))
+    // strict + tolerance compose: gap 40 > 30 voids both sides of event 1
+    assert(collect(AsofJoin.nearest(left, right, "k", "t", "t",
+      Map("v" -> "x"), tolerance = Some(lit(30L)), allowExactMatches = false),
+      "x") == Map(1L -> null, 2L -> 2.0))
+  }
+
   test("asof backward: left payload columns survive intact") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L, "keep")).toDF("id", "k", "t", "payload")
