@@ -107,5 +107,28 @@ object syntax {
       Packing.packSequences(df, idCol,
         graft.functions.TextAnalysis.tokenCount(
           org.apache.spark.sql.functions.col(textCol)), capacity)
+
+    // -- temporal joins ---------------------------------------------------
+
+    /** Point-in-time join against `right` (the full pandas merge_asof
+      * surface — see [[graft.operators.AsofJoin]] for semantics and the
+      * cost model). `direction` is `"backward"` (default), `"forward"` or
+      * `"nearest"`. */
+    def asofJoin(right: DataFrame, by: String, leftTs: String, rightTs: String,
+                 valueCols: Map[String, String],
+                 direction: String = "backward",
+                 joinType: String = "left",
+                 tolerance: Option[Column] = None,
+                 allowExactMatches: Boolean = true): DataFrame =
+      direction match {
+        case "backward" => AsofJoin.backward(df, right, by, leftTs, rightTs,
+          valueCols, joinType, tolerance, allowExactMatches)
+        case "forward" => AsofJoin.forward(df, right, by, leftTs, rightTs,
+          valueCols, joinType, tolerance, allowExactMatches)
+        case "nearest" => AsofJoin.nearest(df, right, by, leftTs, rightTs,
+          valueCols, joinType, tolerance, allowExactMatches)
+        case other => throw new IllegalArgumentException(
+          s"direction must be backward|forward|nearest, got '$other'")
+      }
   }
 }

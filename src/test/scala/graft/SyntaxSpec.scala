@@ -46,6 +46,17 @@ class SyntaxSpec extends AnyFunSuite {
     assert(rows(li.graft.standardize(Seq("l_quantity")).select("l_orderkey", "l_quantity_z")) ==
       rows(graft.operators.Profiling.standardize(li, Seq("l_quantity"))
         .select("l_orderkey", "l_quantity_z")))
+    val ev = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val evL = ev.select("event_id", "user_id", "ts")
+    assert(rows(evL.graft.asofJoin(purchases, "user_id", "ts", "ts",
+        Map("value" -> "v"), direction = "nearest")) ==
+      rows(graft.operators.AsofJoin.nearest(evL, purchases, "user_id", "ts", "ts",
+        Map("value" -> "v"))))
+    assertThrows[IllegalArgumentException](
+      evL.graft.asofJoin(purchases, "user_id", "ts", "ts", Map("value" -> "v"),
+        direction = "sideways"))
   }
 
   test("verbs chain into a pipeline and stay lazy") {
