@@ -2220,6 +2220,25 @@ SELECT col_1, col_2, FLOOR(c*10000 + 0.5)/10000 AS corr4 FROM p ORDER BY col_1, 
   FLOOR(((l_extendedprice - AVG(l_extendedprice) OVER ()) / STDDEV_POP(l_extendedprice) OVER ())*10000 + 0.5)/10000 AS pz
 FROM lineitem ORDER BY l_orderkey, l_linenumber, qz, pz"""))
 
+  private val x30 = DeclaredQuery("x30_semantic_dedup",
+    // SemDeDup (cluster-then-compare) end to end: IVF-trained k-means cells
+    // bound the candidate stage to ≈ n²/nlist within-cell comparisons —
+    // the subquadratic scale path over x16c's exact n² pair closure. Pairs
+    // at the same 0.45 cosine bar collapse via the same distributed
+    // closure; minimum-id representative kept. Rows-only by declaration:
+    // the cell structure is k-means-derived (not SQL-expressible) — ground
+    // truth is ExtensionsSpec's pins (nlist = 1 ≡ the exact brute-force
+    // kept set; clustered pair recall vs cosinePairsExact; partitioning
+    // invariance).
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.NearDup.semanticDedupe(e, "vec_id", "embedding",
+          minCosine = 0.45, nlist = 8, refineIters = 2, probes = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+    None)
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2450,7 +2469,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

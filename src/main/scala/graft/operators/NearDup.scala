@@ -407,4 +407,59 @@ object NearDup {
       .where(col("cosine") >= minCosine)
       .select("id_1", "id_2", "cosine")
   }
+
+  /** Cell-scoped candidate pairs — the SemDeDup cluster-then-compare recipe:
+    * vectors are assigned to their `probes` nearest of the given k-means
+    * `centroids` ([[SimilaritySearch.trainIvf]]); candidate pairs form ONLY
+    * inside a shared cell, exact native cosine filters them.
+    *
+    * Scale: the pair stage is one equi-join on the int cell id — Σ m_i²
+    * comparisons over cell sizes m_i (≈ n²/nlist on balanced cells) instead
+    * of [[cosinePairsExact]]'s n² cross join; pick nlist ≈ n / (target mean
+    * cell size) so cells stay executor-sized at any corpus size. Cross-cell
+    * near-dups are missed BY DESIGN (the trade that makes the stage
+    * subquadratic); `probes > 1` assigns each vector to several nearest
+    * cells — the same multi-probe recall fix the IVF search path uses, at
+    * `probes`× candidate cost. Rows with NULL vectors pair with nothing. */
+  def cellPairs(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[Array[Double]], minCosine: Double,
+                probes: Int = 1): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cell = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      explode(call_function("graft_nearest_cells", col(vecCol), cents,
+        lit(probes))).as("__cell"))
+    val a = cell.select(col("__cell"), col("__id").as("id_1"), col("__v").as("__v1"))
+    val b = cell.select(col("__cell"), col("__id").as("id_2"), col("__v").as("__v2"))
+    val joined = a.join(b, Seq("__cell")).where(col("id_1") < col("id_2"))
+      .select("id_1", "id_2", "__v1", "__v2")
+    // probes > 1 pairs the same ids once per shared cell — collapse before
+    // scoring so each surviving pair costs one cosine (probes = 1 cannot
+    // duplicate a pair; keep its plan free of the extra aggregate)
+    val uniq = if (probes > 1) joined.dropDuplicates("id_1", "id_2") else joined
+    uniq.withColumn("cosine", call_function("graft_cosine", col("__v1"), col("__v2")))
+      .where(col("cosine") >= minCosine)
+      .select("id_1", "id_2", "cosine")
+  }
+
+  /** SemDeDup-style semantic dedup, end to end: train the coarse quantizer
+    * ([[SimilaritySearch.trainIvf]] — deterministic sample init + sampled
+    * Lloyd), generate within-cell pairs at `minCosine` ([[cellPairs]]),
+    * collapse the pair graph by distributed connected components and keep
+    * the minimum-id representative per duplicate group
+    * ([[Dedup.keepClusterRepresentatives]]). Returns `df` minus the dropped
+    * near-duplicates — deterministic and partitioning-invariant throughout.
+    *
+    * nlist = 1 degenerates to the exact brute-force pipeline (every pair
+    * compared — identical kept set to [[cosinePairsExact]] +
+    * representatives, pinned in ExtensionsSpec); production corpora size
+    * nlist so that n/nlist vectors fit one executor's pair loop. */
+  def semanticDedupe(df: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double = 0.95, nlist: Int = 64,
+                     refineIters: Int = 2, probes: Int = 1): DataFrame = {
+    val cents = SimilaritySearch.trainIvf(df, idCol, vecCol, nlist, refineIters)
+    Dedup.keepClusterRepresentatives(df, idCol,
+      cellPairs(df, idCol, vecCol, cents, minCosine, probes))
+  }
 }

@@ -45,6 +45,12 @@ object syntax {
       Dedup.keepClusterRepresentatives(df, idCol,
         NearDup.nearDuplicates(df, idCol, textCol, minJaccard))
 
+    def semanticDedupe(idCol: String, vecCol: String,
+                       minCosine: Double = 0.95, nlist: Int = 64,
+                       refineIters: Int = 2, probes: Int = 1): DataFrame =
+      NearDup.semanticDedupe(df, idCol, vecCol, minCosine, nlist,
+        refineIters, probes)
+
     // -- cleaning / scoring ----------------------------------------------
     def c4Filter(textCol: String, minLineWords: Int = 3,
                  minLines: Int = 3): DataFrame = {

@@ -685,4 +685,53 @@ class ExtensionsSpec extends AnyFunSuite {
     val plan = frames.queryExecution.optimizedPlan.toString
     assert(!plan.contains("content"), "payload column must be pruned from the plan")
   }
+
+  // ---- SemDeDup: clustered semantic dedup (x30 ground truth) ----
+
+  test("semanticDedupe: nlist=1 degenerates to the exact brute-force kept set") {
+    graft.plans.HashExpressions.register(spark)
+    def kept(df: DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val exact = Dedup.keepClusterRepresentatives(embs, "vec_id",
+      NearDup.cosinePairsExact(embs, "vec_id", "embedding", minCosine = 0.45))
+    val one = NearDup.semanticDedupe(embs, "vec_id", "embedding",
+      minCosine = 0.45, nlist = 1, refineIters = 0)
+    val k = kept(one)
+    assert(k == kept(exact), "one cell holds every pair — kept sets must match")
+    assert(k.size < embs.count(), "the 0.45 bar must actually drop duplicates")
+  }
+
+  test("semanticDedupe: cell pairs are exact-verified subsets with high recall; deterministic") {
+    graft.plans.HashExpressions.register(spark)
+    val cents = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+      nlist = 4, refineIters = 2)
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cell = pairSet(NearDup.cellPairs(embs, "vec_id", "embedding", cents,
+      minCosine = 0.45, probes = 2))
+    val exact = pairSet(NearDup.cosinePairsExact(embs, "vec_id", "embedding",
+      minCosine = 0.45))
+    assert(cell.subsetOf(exact),
+      "every cell pair is exact-cosine-scored — no false positives possible")
+    assert(exact.nonEmpty && cell.size >= 0.8 * exact.size,
+      s"multi-probe cell recall too low: ${cell.size}/${exact.size}")
+    // the candidate stage is a pure expression over fixed centroids —
+    // partitioning-invariant
+    val repart = pairSet(NearDup.cellPairs(embs.repartition(13), "vec_id",
+      "embedding", cents, minCosine = 0.45, probes = 2))
+    assert(repart == cell)
+    // end-to-end: same frame, same parameters → same kept set, and dropped
+    // ids are exactly (corpus minus kept)
+    def kept(df: DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val a = NearDup.semanticDedupe(embs, "vec_id", "embedding",
+      minCosine = 0.45, nlist = 4, refineIters = 2, probes = 2)
+    val b = NearDup.semanticDedupe(embs, "vec_id", "embedding",
+      minCosine = 0.45, nlist = 4, refineIters = 2, probes = 2)
+    assert(kept(a) == kept(b))
+    assert(kept(a).size >= kept(Dedup.keepClusterRepresentatives(embs, "vec_id",
+        NearDup.cosinePairsExact(embs, "vec_id", "embedding", 0.45))).size,
+      "missing cross-cell pairs can only KEEP more docs, never drop extras")
+  }
 }

@@ -57,6 +57,10 @@ class SyntaxSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       evL.graft.asofJoin(purchases, "user_id", "ts", "ts", Map("value" -> "v"),
         direction = "sideways"))
+    assert(rows(emb.graft.semanticDedupe("vec_id", "embedding", minCosine = 0.45,
+        nlist = 4, refineIters = 1).select("vec_id")) ==
+      rows(graft.operators.NearDup.semanticDedupe(emb, "vec_id", "embedding",
+        minCosine = 0.45, nlist = 4, refineIters = 1).select("vec_id")))
   }
 
   test("verbs chain into a pipeline and stay lazy") {
