@@ -2239,6 +2239,49 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber, qz, pz"""))
     },
     None)
 
+  private val x31 = DeclaredQuery("x31_heavy_hitters",
+    // certified exact top-k tokens via the two-pass Misra–Gries recipe
+    // (HeavyHitters.topTokens): pass 1 is ONE aggregate whose partial state
+    // is <= capacity counters (the shuffle is partitions x capacity rows,
+    // vocabulary-independent), pass 2 recounts only the surviving
+    // candidates exactly. The oracle is the plain exact top-k — the hash
+    // match proves the bounded-shuffle path loses nothing (the result is
+    // certified: k-th count beats the n/(capacity+1) miss bound).
+    (s, d) => graft.operators.HeavyHitters
+      .topTokens(t(s, d, "documents"), "text", k = 20, capacity = 64)
+      .orderBy(desc("cnt"), col("term")),
+    Some("""WITH tok AS (
+  SELECT unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term
+  FROM documents),
+c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1)
+SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20"""))
+
+  private val x31c = DeclaredQuery("x31c_mg_sketch",
+    // the sketch itself, oracled through its exactness clause: with
+    // capacity >= vocabulary nothing is ever discarded (sum(est) = n), so
+    // the Misra–Gries estimates ARE the exact frequency table and DuckDB
+    // can check every (term, est, n_tokens) row. The under-capacity bounds
+    // (est <= true <= est + n/(cap+1)) are pinned in HeavyHittersSpec on a
+    // skewed fixture where discards actually happen.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(explode(transform(
+        graft.functions.TextAnalysis.tokens(col("text")), w => lower(w)))
+        .as("token"))
+      graft.operators.HeavyHitters.sketch(toks, "token", capacity = 4096)
+        .orderBy(desc("est"), col("term"))
+    },
+    Some("""WITH tok AS (
+  SELECT unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term
+  FROM documents),
+c AS (SELECT term, COUNT(*) AS est FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_tokens FROM tok)
+SELECT term, est, n_tokens FROM c CROSS JOIN n ORDER BY est DESC, term"""))
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2469,7 +2512,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -211,6 +211,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_pca_project"),
       new ExpressionInfo(classOf[PcaProjectExpr].getName, "graft_pca_project"),
       exprs => PcaProjectExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_mg_sketch"),
+      new ExpressionInfo(classOf[MisraGriesAggregate].getName, "graft_mg_sketch"),
+      exprs => MisraGriesAggregate(exprs(0), exprs(1))))
   }
 }
 
@@ -262,5 +265,7 @@ object HashExpressions {
       exprs => BpeWordsExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_pca_project",
       exprs => PcaProjectExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_mg_sketch",
+      exprs => MisraGriesAggregate(exprs(0), exprs(1)), "built-in")
   }
 }

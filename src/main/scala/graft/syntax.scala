@@ -51,6 +51,10 @@ object syntax {
       NearDup.semanticDedupe(df, idCol, vecCol, minCosine, nlist,
         refineIters, probes)
 
+    def topTokens(textCol: String, k: Int, capacity: Int,
+                  requireCertified: Boolean = true): DataFrame =
+      HeavyHitters.topTokens(df, textCol, k, capacity, requireCertified)
+
     // -- cleaning / scoring ----------------------------------------------
     def c4Filter(textCol: String, minLineWords: Int = 3,
                  minLines: Int = 3): DataFrame = {

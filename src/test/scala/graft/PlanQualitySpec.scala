@@ -297,7 +297,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "graft_pq_encode", "graft_pq_lut", "graft_pq_adc",
       "graft_bloom_agg", "graft_bloom_contains",
       "graft_nfc", "graft_deflate_len", "graft_bpe_tokens", "graft_gramian",
-      "graft_bpe_words", "graft_pca_project")
+      "graft_bpe_words", "graft_pca_project", "graft_mg_sketch")
     val reg = spark.sessionState.functionRegistry
     val missing = expected.filterNot(n =>
       reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))

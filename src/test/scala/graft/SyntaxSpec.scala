@@ -61,6 +61,9 @@ class SyntaxSpec extends AnyFunSuite {
         nlist = 4, refineIters = 1).select("vec_id")) ==
       rows(graft.operators.NearDup.semanticDedupe(emb, "vec_id", "embedding",
         minCosine = 0.45, nlist = 4, refineIters = 1).select("vec_id")))
+    assert(rows(docs.graft.topTokens("text", k = 5, capacity = 64)) ==
+      rows(graft.operators.HeavyHitters.topTokens(docs, "text", k = 5,
+        capacity = 64)))
   }
 
   test("verbs chain into a pipeline and stay lazy") {
