@@ -2282,6 +2282,68 @@ c AS (SELECT term, COUNT(*) AS est FROM tok GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_tokens FROM tok)
 SELECT term, est, n_tokens FROM c CROSS JOIN n ORDER BY est DESC, term"""))
 
+  private val x32 = DeclaredQuery("x32_lm_score",
+    // CCNet-style fluency gate (LanguageModel.selfScore): train a stupid-
+    // backoff bigram LM on the corpus (two count aggregations — the model
+    // stays a DISTRIBUTED relation, never a driver artifact) and score
+    // every doc by mean log10 backoff probability. Scoring is explode +
+    // three equi-joins — AQE broadcasts the count tables when they fit.
+    // Oracled against the same train+score derivation in DuckDB SQL;
+    // the mean of logs is rounded to 4 decimals on both sides (libm log10
+    // and fold order differ by ulps across engines, nothing more).
+    (s, d) => graft.operators.LanguageModel
+      .selfScore(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("lm_score") * 10000 + 0.5) / 10000).as("lm_score4"))
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+  SELECT doc_id, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS ts
+  FROM documents),
+uni AS (SELECT t AS term, COUNT(*) AS c1
+        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM (SELECT unnest(ts) FROM tok)),
+pos AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i+1]])) AS p
+              FROM tok WHERE len(ts) >= 2)),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pos GROUP BY 1, 2),
+sc AS (SELECT pos.doc_id,
+         CASE WHEN b.c2 IS NOT NULL THEN b.c2 * 1.0 / u1.c1
+              WHEN u2.c1 IS NOT NULL THEN 0.4 * u2.c1 / n.n
+              ELSE 0.4 / n.n END AS p
+       FROM pos
+       LEFT JOIN big b ON pos.w1 = b.w1 AND pos.w2 = b.w2
+       LEFT JOIN uni u1 ON pos.w1 = u1.term
+       LEFT JOIN uni u2 ON pos.w2 = u2.term
+       CROSS JOIN n),
+agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          FLOOR(AVG(LOG10(p)) * 10000 + 0.5) / 10000 AS lm_score4
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.lm_score4
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
+
+  private val x32b = DeclaredQuery("x32b_lm_bigrams",
+    // the trained bigram table itself (LanguageModel.trainBigram): exact
+    // transition counts — the distributed "model weights" x32 scores with.
+    // Top-50 by count with a total tiebreak order.
+    (s, d) => {
+      val lm = graft.operators.LanguageModel.trainBigram(t(s, d, "documents"), "text")
+      lm.bigrams.orderBy(desc("c2"), col("w1"), col("w2")).limit(50)
+    },
+    Some("""WITH tok AS (
+  SELECT doc_id, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS ts
+  FROM documents),
+pos AS (SELECT p[1] AS w1, p[2] AS w2
+        FROM (SELECT unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i+1]])) AS p
+              FROM tok WHERE len(ts) >= 2))
+SELECT w1, w2, COUNT(*) AS c2 FROM pos GROUP BY 1, 2
+ORDER BY c2 DESC, w1, w2 LIMIT 50"""))
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2512,7 +2574,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

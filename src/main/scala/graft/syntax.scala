@@ -55,6 +55,10 @@ object syntax {
                   requireCertified: Boolean = true): DataFrame =
       HeavyHitters.topTokens(df, textCol, k, capacity, requireCertified)
 
+    def lmScore(idCol: String, textCol: String,
+                alpha: Double = 0.4): DataFrame =
+      LanguageModel.selfScore(df, idCol, textCol, alpha)
+
     // -- cleaning / scoring ----------------------------------------------
     def c4Filter(textCol: String, minLineWords: Int = 3,
                  minLines: Int = 3): DataFrame = {

@@ -64,6 +64,9 @@ class SyntaxSpec extends AnyFunSuite {
     assert(rows(docs.graft.topTokens("text", k = 5, capacity = 64)) ==
       rows(graft.operators.HeavyHitters.topTokens(docs, "text", k = 5,
         capacity = 64)))
+    assert(rows(docs.graft.lmScore("doc_id", "text").select("doc_id", "n_bigrams")) ==
+      rows(graft.operators.LanguageModel.selfScore(docs, "doc_id", "text")
+        .select("doc_id", "n_bigrams")))
   }
 
   test("verbs chain into a pipeline and stay lazy") {
