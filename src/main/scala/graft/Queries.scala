@@ -2344,6 +2344,28 @@ pos AS (SELECT p[1] AS w1, p[2] AS w2
 SELECT w1, w2, COUNT(*) AS c2 FROM pos GROUP BY 1, 2
 ORDER BY c2 DESC, w1, w2 LIMIT 50"""))
 
+  private val x33 = DeclaredQuery("x33_image_ahash",
+    // perceptual average-hash over the binary media column
+    // (Multimodal.averageHash): real images take the 8×8 area-mean
+    // luminance aHash; the synthesized GRFT payloads hash their body's 64
+    // nibbles — which DuckDB re-derives from sha256 hex (bit = hex char
+    // ≥ '8'), so the whole decode→hash kernel is oracled byte-exactly on
+    // the synthetic path (the real-image path is pinned in ExtensionsSpec:
+    // identity, brightness-shift, and resize stability). Output is the
+    // 64-char bit string — sign-free across engines.
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val media = graft.operators.Multimodal.synthesize(t(s, d, "documents"), "doc_id")
+      graft.operators.Multimodal.averageHash(media).toDF()
+        .select(col("media_id"), lpad(bin(col("ahash")), 64, "0").as("bits"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+  array_to_string(list_transform(range(1, 65),
+    i -> CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1) >= '8'
+         THEN '1' ELSE '0' END), '') AS bits
+FROM documents ORDER BY media_id"""))
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2574,7 +2596,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

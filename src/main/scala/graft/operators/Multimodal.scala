@@ -174,6 +174,91 @@ object Multimodal {
     buf(off + 3) = (v & 0xff).toByte
   }
 
+  final case class MediaHash(media_id: Long, ahash: Long)
+
+  /** 64-bit perceptual average-hash per media row — the image analog of
+    * simhash: near-identical images (recompressed, slightly resized,
+    * brightness-shifted) land within a few bits, so image-level dedup of a
+    * training corpus becomes the SAME banded hamming join the text path
+    * uses ([[NearDup.hammingPairs64]]).
+    *
+    * Real images (ImageIO-decodable): classic aHash — area-mean BT.601
+    * luminance on an 8×8 grid, threshold at the grid mean, bits packed
+    * row-major MSB-first. `GRFT` synthetic payloads hash their body's first
+    * 64 nibbles (bit = nibble ≥ 8) — deterministic, SQL-derivable (the
+    * x33 oracle recomputes it from sha256 hex in DuckDB), and invariant
+    * under the synthetic resize (which rewrites only the header), so the
+    * pipeline property "resize must not change the perceptual hash" is
+    * testable byte-exactly on the synthetic path and approximately on the
+    * real one. */
+  def averageHash(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) => MediaHash(id, hashOne(id, bytes)) }
+      }
+  }
+
+  private def hashOne(id: Long, bytes: Array[Byte]): Long =
+    if (isGrft(bytes)) {
+      val body = bytes.drop(16)
+      require(body.nonEmpty, s"media $id: GRFT payload has no body")
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        val b = body((i / 2) % body.length)
+        val nib = if (i % 2 == 0) (b >>> 4) & 0xf else b & 0xf
+        h = (h << 1) | (if (nib >= 8) 1L else 0L)
+        i += 1
+      }
+      h
+    } else {
+      val img = readImage(id, bytes)
+      val (w, hgt) = (img.getWidth, img.getHeight)
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        val y0 = cy * hgt / 8
+        val y1 = math.max(y0 + 1, (cy + 1) * hgt / 8)
+        var cx = 0
+        while (cx < 8) {
+          val x0 = cx * w / 8
+          val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+          var sum = 0.0
+          var y = y0
+          while (y < math.min(y1, hgt)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val p = img.getRGB(x, y)
+              sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                0.114 * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val px = (math.min(x1, w) - x0).max(1) * (math.min(y1, hgt) - y0).max(1)
+          cells(cy * 8 + cx) = sum / px
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64.0
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        h = (h << 1) | (if (cells(i) > mean) 1L else 0L)
+        i += 1
+      }
+      h
+    }
+
+  /** Image near-duplicate pairs: [[averageHash]] + the banded hamming join.
+    * One decode pass, one narrow shuffle — the multimodal spelling of
+    * simhash dedup, at any corpus size. */
+  def imageNearDupPairs(media: DataFrame, maxBits: Int = 3)
+                       (implicit spark: SparkSession): DataFrame =
+    NearDup.hammingPairs64(averageHash(media).toDF(), "media_id", "ahash", maxBits)
+
   /** Frame sampling plan for video-shaped media: explode frame indices from
     * metadata WITHOUT touching payload bytes (column pruning keeps `content`
     * out of the scan when only frame plans are needed). */

@@ -349,6 +349,24 @@ object NearDup {
     * codegen'd bit_count each, and dedup shuffles the ~800k survivors. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBits: Int = 3): DataFrame = {
+    // native expression (one call/row) instead of the interpreted HOF fold
+    graft.plans.HashExpressions.register(df.sparkSession)
+    hammingPairs64(df.select(col(idCol),
+        call_function("graft_simhash", TextAnalysis.tokens(col(textCol)))
+          .as("__simhash64")),
+      idCol, "__simhash64", maxBits)
+  }
+
+  /** Banded hamming-ball pairing over ANY 64-bit fingerprint column — the
+    * Manku multi-block machinery behind [[simhashPairs]], factored out so
+    * other 64-bit signatures (image average-hash in
+    * [[Multimodal.imageNearDupPairs]], audio fingerprints, ...) reuse the
+    * same one-shuffle candidate join. Returns (id_1, id_2, hamming) with
+    * id_1 < id_2; FULL recall within `maxBits` by the pigeonhole argument
+    * above (any pair within maxBits has some c-subset of blocks untouched,
+    * so they collide in that table). */
+  def hammingPairs64(hashed: DataFrame, idCol: String, hashCol: String,
+                     maxBits: Int = 3): DataFrame = {
     require(maxBits >= 0 && maxBits <= 14, s"maxBits must be in [0,14], got $maxBits")
     val c = if (maxBits <= 3) 1 else 2
     val nBlocks = maxBits + c
@@ -361,11 +379,8 @@ object NearDup {
     val tables = (0 until nBlocks).combinations(c).toSeq
     def tableKey(sh: Column, blocks: Seq[Int], tid: Int): Column =
       xxhash64((lit(tid) +: blocks.map(blockOf(sh, _))): _*)
-    // materialized for the same projection-collapse reason as minhash above;
-    // native expression (one call/row) instead of the interpreted HOF fold
-    graft.plans.HashExpressions.register(df.sparkSession)
-    val sig = df.select(col(idCol).as("__id"),
-      call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("__sh"))
+    // materialized for the same projection-collapse reason as minhash above
+    val sig = hashed.select(col(idCol).as("__id"), col(hashCol).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("__id"), col("__sh"),
       explode(array(tables.zipWithIndex.map { case (blocks, tid) =>

@@ -59,6 +59,11 @@ object syntax {
                 alpha: Double = 0.4): DataFrame =
       LanguageModel.selfScore(df, idCol, textCol, alpha)
 
+    def imageNearDups(maxBits: Int = 3): DataFrame = {
+      implicit val sp: org.apache.spark.sql.SparkSession = df.sparkSession
+      Multimodal.imageNearDupPairs(df, maxBits)
+    }
+
     // -- cleaning / scoring ----------------------------------------------
     def c4Filter(textCol: String, minLineWords: Int = 3,
                  minLines: Int = 3): DataFrame = {

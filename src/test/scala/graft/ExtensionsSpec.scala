@@ -734,4 +734,105 @@ class ExtensionsSpec extends AnyFunSuite {
         NearDup.cosinePairsExact(embs, "vec_id", "embedding", 0.45))).size,
       "missing cross-cell pairs can only KEEP more docs, never drop extras")
   }
+
+  // ---- X5+: perceptual image hash + hamming-band pairing ----
+
+  private def pngBytes(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("media_id", "content")
+  }
+
+  private def hashOf(media: DataFrame): Map[Long, Long] = {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    Multimodal.averageHash(media).collect().map(m => m.media_id -> m.ahash).toMap
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("averageHash: identical real images collide; perturbed stay near; unrelated far") {
+    def gray(v: Int) = { val c = v.max(0).min(255); (c << 16) | (c << 8) | c }
+    val gradient = pngBytes(64, 64)((x, y) => gray(x * 4 - y))
+    val shifted = pngBytes(64, 64)((x, y) => gray(x * 4 - y + 4))
+    val rnd = new java.util.Random(42)
+    val noise = pngBytes(64, 64)((_, _) => gray(rnd.nextInt(256)))
+    val h = hashOf(mediaOf(Seq(1L -> gradient, 2L -> gradient.clone(),
+      3L -> shifted, 4L -> noise)))
+    assert(h(1L) == h(2L), "identical bytes must collide exactly")
+    assert(hamming(h(1L), h(3L)) <= 4,
+      "uniform brightness shift moves cells AND threshold together")
+    assert(hamming(h(1L), h(4L)) >= 10, "unrelated content must be far")
+  }
+
+  test("averageHash survives a real bilinear downscale within a few bits") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def gray(v: Int) = { val c = v.max(0).min(255); (c << 16) | (c << 8) | c }
+    val img = pngBytes(96, 96)((x, y) => gray((x + 2 * y) / 2))
+    val media = mediaOf(Seq(7L -> img))
+      .withColumn("mime", lit("image/png"))
+    val small = Multimodal.resize(media, 48, 48).toDF()
+    val h0 = hashOf(media)(7L)
+    val h1 = hashOf(small)(7L)
+    assert(hamming(h0, h1) <= 12, s"resize moved the hash ${hamming(h0, h1)} bits")
+  }
+
+  test("GRFT synthetic hash is deterministic and invariant under synthetic resize") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.synthesize(docs.select("doc_id").limit(50), "doc_id")
+    val before = hashOf(media)
+    val after = hashOf(Multimodal.resize(media, 128, 96).toDF())
+    assert(before == after, "synthetic resize rewrites only the header")
+    // independent JVM rederivation from sha256 nibbles (the x33 oracle rule)
+    before.foreach { case (id, got) =>
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val want = hex.take(64).foldLeft(0L)((h, ch) =>
+        (h << 1) | (if (Character.digit(ch, 16) >= 8) 1L else 0L))
+      assert(got == want, s"media $id")
+    }
+  }
+
+  test("hammingPairs64: exact ball recall vs brute force at c=1 and c=2 thresholds") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
+    // plant near pairs: ids 100+i = base(i) with i%9 flipped bits
+    val planted = (0 until 9).map { i =>
+      var v = base(i)._2
+      (0 until i).foreach(b => v ^= (1L << (7 * b + 3)))
+      (100L + i, v)
+    }
+    val df = (base ++ planted).toDF("id", "h64")
+    for (maxBits <- Seq(3, 8)) {
+      val got = NearDup.hammingPairs64(df, "id", "h64", maxBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = (base ++ planted)
+      val want = (for {
+        (i, a) <- all; (j, b) <- all
+        if i < j && java.lang.Long.bitCount(a ^ b) <= maxBits
+      } yield (i, j)).toSet
+      assert(got == want, s"maxBits=$maxBits")
+    }
+  }
+
+  test("imageNearDupPairs surfaces the duplicate image, not the distinct one") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def gray(v: Int) = { val c = v.max(0).min(255); (c << 16) | (c << 8) | c }
+    val a = pngBytes(32, 32)((x, y) => gray(x * 8))
+    val rnd = new java.util.Random(11)
+    val other = pngBytes(32, 32)((_, _) => gray(rnd.nextInt(256)))
+    val pairs = Multimodal.imageNearDupPairs(
+        mediaOf(Seq(1L -> a, 2L -> a.clone(), 3L -> other)), maxBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }

@@ -67,6 +67,13 @@ class SyntaxSpec extends AnyFunSuite {
     assert(rows(docs.graft.lmScore("doc_id", "text").select("doc_id", "n_bigrams")) ==
       rows(graft.operators.LanguageModel.selfScore(docs, "doc_id", "text")
         .select("doc_id", "n_bigrams")))
+    locally {
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      val media = graft.operators.Multimodal.synthesize(
+        docs.select("doc_id").limit(30), "doc_id")
+      assert(rows(media.graft.imageNearDups(maxBits = 2)) ==
+        rows(graft.operators.Multimodal.imageNearDupPairs(media, maxBits = 2)))
+    }
   }
 
   test("verbs chain into a pipeline and stay lazy") {
