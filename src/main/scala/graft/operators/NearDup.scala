@@ -477,4 +477,20 @@ object NearDup {
     Dedup.keepClusterRepresentatives(df, idCol,
       cellPairs(df, idCol, vecCol, cents, minCosine, probes))
   }
+
+  /** [[semanticDedupe]] with nlist derived from a TARGET MEAN CELL SIZE —
+    * the production spelling of "cells stay executor-sized at any corpus
+    * size": the within-cell pair stage does ~n·targetCellSize/2 comparisons
+    * regardless of n (linear in the corpus, not quadratic), at the price of
+    * one count() to size the quantizer. A fixed nlist under growing data
+    * silently degrades toward the n² cross join; this variant is what the
+    * 10× scale smoke runs. */
+  def semanticDedupeAuto(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double = 0.95, targetCellSize: Int = 1000,
+                         refineIters: Int = 2, probes: Int = 1): DataFrame = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    val n = df.count()
+    val nlist = math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+    semanticDedupe(df, idCol, vecCol, minCosine, nlist, refineIters, probes)
+  }
 }

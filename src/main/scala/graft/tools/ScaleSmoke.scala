@@ -44,6 +44,18 @@ object ScaleSmoke {
     "x23b_ivfpq_topk", "x10c_curation_pipeline",
     "x07_asof_join", "x07e_asof_nearest")
 
+  /** Smoke-only runners for operators whose GATE parameterization is
+    * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
+    * a fixed nlist under 10× data grows cells 10× and the within-cell pair
+    * stage 100× — the failure mode the auto variant exists to prevent. The
+    * smoke therefore runs the PRODUCTION spelling (nlist from a target cell
+    * size), which is the discipline the operator's scaladoc prescribes. */
+  val CustomEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semantic_dedup_auto" -> ((s, dir) =>
+      graft.operators.NearDup.semanticDedupeAuto(
+        graft.sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.45, targetCellSize = 700, refineIters = 2, probes = 2)))
+
   final case class EntryTiming(name: String, baseSec: Double, scaledSec: Double,
       bound: Double) {
     def ratio: Double = scaledSec / baseSec
@@ -131,7 +143,7 @@ object ScaleSmoke {
     * Bench, so the whole plan executes). */
   private def timeEntry(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, dir)
+    CustomEntries.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
       .write.format("noop").mode("overwrite").save()
     val t = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()

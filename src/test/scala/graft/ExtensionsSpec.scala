@@ -735,6 +735,17 @@ class ExtensionsSpec extends AnyFunSuite {
       "missing cross-cell pairs can only KEEP more docs, never drop extras")
   }
 
+  test("semanticDedupeAuto: targetCellSize >= n degenerates to the exact nlist=1 path") {
+    graft.plans.HashExpressions.register(spark)
+    def kept(df: DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val auto = NearDup.semanticDedupeAuto(embs, "vec_id", "embedding",
+      minCosine = 0.45, targetCellSize = 1000000, refineIters = 0)
+    val exact = Dedup.keepClusterRepresentatives(embs, "vec_id",
+      NearDup.cosinePairsExact(embs, "vec_id", "embedding", minCosine = 0.45))
+    assert(kept(auto) == kept(exact))
+  }
+
   // ---- X5+: perceptual image hash + hamming-band pairing ----
 
   private def pngBytes(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
