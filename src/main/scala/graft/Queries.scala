@@ -2366,6 +2366,52 @@ ORDER BY c2 DESC, w1, w2 LIMIT 50"""))
          THEN '1' ELSE '0' END), '') AS bits
 FROM documents ORDER BY media_id"""))
 
+  private val x34 = DeclaredQuery("x34_html_extract",
+    // HTML → text boilerplate strip (Scrub.htmlToText) — the opening stage
+    // of every web-crawl pipeline, regex-grade tier (Java∩RE2 subset, like
+    // x17). The corpus is wrapped in a deterministic page template (title,
+    // style + script blocks with content, a comment, entities incl. a
+    // DOUBLE-escaped one) and extracted back; the hash match pins block
+    // removal, tag removal, the entity decode order (&amp; last, single
+    // pass — "&amp;amp;" must yield the literal "&amp;", never "&"), and
+    // whitespace collapse, identically in both engines.
+    (s, d) => {
+      val wrapped = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body { color: #111; }</style>" +
+          "<script>var x = 1 < 2;</script></head><body><!-- id "),
+        col("doc_id"),
+        lit(" --><h1>Doc &quot;"), col("doc_id"),
+        lit("&quot;</h1><p class=\"main\">"), col("text"),
+        lit("</p><div>tail &amp;amp; &lt;entities&gt;&nbsp;ok</div></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Scrub.htmlToText(wrapped).as("clean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body { color: #111; }</style><script>var x = 1 < 2;</script></head><body><!-- id '
+    || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &quot;' || CAST(doc_id AS VARCHAR)
+    || '&quot;</h1><p class="main">' || text
+    || '</p><div>tail &amp;amp; &lt;entities&gt;&nbsp;ok</div></body></html>' AS h
+  FROM documents)
+SELECT doc_id, trim(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g'),
+    '<[^>]+>', ' ', 'g'),
+    '&lt;', '<', 'g'),
+    '&gt;', '>', 'g'),
+    '&quot;', '"', 'g'),
+    '&#39;', '''', 'g'),
+    '&nbsp;', ' ', 'g'),
+    '&amp;', '&', 'g'),
+  '\s+', ' ', 'g')) AS clean
+FROM w ORDER BY doc_id"""))
+
   private val x23c = DeclaredQuery("x23c_opq_topk",
     // OPQ-rotated PQ ANN (trainOpq/encodeOpq/opqTopKAll): a full-rank
     // orthonormal PCA rotation decorrelates the axes (L2 distances exactly
@@ -2596,7 +2642,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -68,6 +68,41 @@ object Scrub {
       !lower(text).contains("lorem ipsum")
   }
 
+  // ---- HTML extraction ------------------------------------------------
+
+  /** Script/style/comment BLOCKS go first (content and all), then any
+    * remaining tag. `(?s)` (dot matches newline) and non-greedy `.*?` are
+    * both in the Java∩RE2 subset; attribute values containing '>' are out
+    * of scope for this regex-grade extractor (as they are for every
+    * regex-grade extractor — a real parser is the swap-point). */
+  val HtmlScriptRe  = "(?s)<script[^>]*>.*?</script>"
+  val HtmlStyleRe   = "(?s)<style[^>]*>.*?</style>"
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlTagRe     = "<[^>]+>"
+
+  /** The five named entities decoded after tag removal, `&amp;` LAST — so
+    * double-escaped text ("&amp;lt;") decodes to the literal entity
+    * ("&lt;"), not to '<'. Each pattern is metacharacter-free, so
+    * regexp_replace is a plain global substring replace in both engines. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text: the boilerplate-strip that opens every web-crawl
+    * pipeline (the regex-grade tier of it — wire a real parser through the
+    * same Column signature for pathological markup). Blocks, tags,
+    * entities, then whitespace collapse; map-only, codegen'd, fused with
+    * the scan like every other Scrub pass. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      HtmlScriptRe, " "), HtmlStyleRe, " "), HtmlCommentRe, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-document C4 signals (each fraction is ONE division of exact integer
     * counts — bit-stable across engines): total non-blank lines, fraction of
     * lines ending in terminal punctuation, fraction of lines with fewer than

@@ -65,6 +65,11 @@ object syntax {
     }
 
     // -- cleaning / scoring ----------------------------------------------
+    def htmlExtract(htmlCol: String): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      df.withColumn(htmlCol, graft.functions.Scrub.htmlToText(col(htmlCol)))
+    }
+
     def c4Filter(textCol: String, minLineWords: Int = 3,
                  minLines: Int = 3): DataFrame = {
       import org.apache.spark.sql.functions.col

@@ -67,4 +67,26 @@ class ScrubSpec extends AnyFunSuite {
       assert(!row.getBoolean(1))
     }
   }
+
+  private def extract(s: String): String =
+    Seq(s).toDF("h").select(Scrub.htmlToText(col("h"))).head().getString(0)
+
+  test("htmlToText strips blocks with content, tags, and collapses whitespace") {
+    val page = """<html><head><style>p { x: 1 }</style>
+      <script>if (1 < 2) { alert("hi") }</script></head>
+      <body><!-- note --><h1>Title</h1>
+      <p class="a">Hello   world</p></body></html>"""
+    assert(extract(page) == "Title Hello world")
+  }
+
+  test("htmlToText entity decode: &amp; last, single pass — no double decode") {
+    assert(extract("<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp; g</p>")
+      == "a <b> \"c\" 'd' e f & g")
+    // double-escaped text must surface the LITERAL entity, never its char
+    assert(extract("<p>&amp;lt; &amp;amp;</p>") == "&lt; &amp;")
+  }
+
+  test("htmlToText on plain text is whitespace-normalization only") {
+    assert(extract("already  clean\n text") == "already clean text")
+  }
 }

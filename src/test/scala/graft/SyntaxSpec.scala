@@ -74,6 +74,9 @@ class SyntaxSpec extends AnyFunSuite {
       assert(rows(media.graft.imageNearDups(maxBits = 2)) ==
         rows(graft.operators.Multimodal.imageNearDupPairs(media, maxBits = 2)))
     }
+    assert(rows(docs.graft.htmlExtract("text").select("doc_id", "text")) ==
+      rows(docs.select(col("doc_id"),
+        graft.functions.Scrub.htmlToText(col("text")).as("text"))))
   }
 
   test("verbs chain into a pipeline and stay lazy") {
