@@ -2630,6 +2630,51 @@ SELECT doc_id,
   CASE WHEN h < 0.75 THEN 'train' WHEN h < 0.875 THEN 'val' ELSE 'test' END AS split
 FROM u ORDER BY doc_id"""))
 
+  private val x35 = DeclaredQuery("x35_dup_spans",
+    // Exact duplicated-substring spans (SubstringDedup.duplicatedSpans —
+    // Lee et al. ACL'22 re-expressed relationally: k-gram postings keyed by
+    // xxhash64, window-count duplicate flag, gaps-and-islands merge). The
+    // oracle replays the same definition over the LITERAL gram strings —
+    // Spark groups by the 64-bit gram hash, DuckDB by the gram text, so a
+    // hash collision or tokenization divergence hash-fails the gate (the
+    // x04f partition-identity trick).
+    (s, d) => graft.operators.SubstringDedup
+      .duplicatedSpans(t(s, d, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start"),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS tk FROM documents),
+pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, array_to_string(tk[i:i+4], ' ') AS g
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks WHERE len(tk) >= 5)),
+d AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, p FROM pos JOIN d USING (g)),
+w AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5 THEN 0 ELSE 1 END AS brk FROM hits),
+isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM w)
+SELECT doc_id, MIN(p) AS span_start, MAX(p) + 5 AS span_end, COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""))
+
+  private val x35b = DeclaredQuery("x35b_dup_coverage",
+    // Duplicated-token coverage per document (SubstringDedup
+    // .duplicateCoverage) — the corpus-sizing statistic and the natural
+    // `dup_fraction > τ` filter input. Every document appears (zeros
+    // included); spans are disjoint so the sum never double-counts.
+    (s, d) => graft.operators.SubstringDedup
+      .duplicateCoverage(t(s, d, "documents"), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        round2(col("dup_fraction")).as("dup_fraction"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS tk FROM documents),
+pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, array_to_string(tk[i:i+4], ' ') AS g
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks WHERE len(tk) >= 5)),
+d AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, p FROM pos JOIN d USING (g)),
+w AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5 THEN 0 ELSE 1 END AS brk FROM hits),
+isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM w),
+spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 5 AS e FROM isl GROUP BY doc_id, island),
+agg AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_tokens FROM spans GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+SELECT nt.doc_id, n_tokens, COALESCE(dup_tokens, 0) AS dup_tokens,
+  FLOOR((CASE WHEN n_tokens > 0 THEN COALESCE(dup_tokens, 0) * 1.0 / n_tokens ELSE 0.0 END) * 100 + 0.5) / 100 AS dup_fraction
+FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -2642,7 +2687,7 @@ FROM u ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

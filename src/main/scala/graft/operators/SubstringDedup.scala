@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Exact duplicated-substring detection (Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better", ACL'22), re-expressed relationally.
+  *
+  * The paper builds a corpus-wide suffix array and reports every substring of
+  * ≥ N tokens that occurs twice anywhere in the corpus; training on text with
+  * those spans removed improves LM quality. A literal suffix array is a
+  * single-machine artifact — it needs random access to the whole corpus. The
+  * relational equivalent that scales on Spark: a span of ≥ k duplicated
+  * tokens exists iff every length-k window inside it is duplicated, so
+  *
+  *   1. explode each document into its token k-gram START POSITIONS, keyed by
+  *      the xxhash64 of the gram (8-byte shuffle keys, never gram text —
+  *      same injectivity argument as the x02d shingle index);
+  *   2. a window count over the gram key marks globally-duplicated windows
+  *      (occurrences ≥ minOccurrences) — ONE shuffle, map-side partials,
+  *      no postings self-join and therefore no quadratic candidate blowup;
+  *   3. per document, merge surviving window starts into maximal spans with
+  *      the gaps-and-islands pattern (a window sort bounded by doc length —
+  *      the second and last shuffle).
+  *
+  * Total work is O(total tokens) rows through two narrow shuffles, at any
+  * corpus size; contrast the suffix-array build's O(corpus) RAM on one node.
+  *
+  * Reference scope note: the reference engine (operators.py:80) delegates all
+  * transformation to Postgres and has no dedup surface; this extension is
+  * SURVEY.md §2c territory.
+  */
+object SubstringDedup {
+
+  /** Maximal duplicated token spans per document.
+    *
+    * Output: (idCol, span_start, span_end, n_windows) — token indices,
+    * start inclusive, end exclusive; `n_windows` = duplicated k-windows
+    * merged into the span. Spans are disjoint per document (consecutive
+    * islands are > k apart, so `span_end < next span_start`). Documents
+    * shorter than k tokens emit nothing.
+    *
+    * A span's text occurs elsewhere window-by-window, not necessarily as one
+    * contiguous repeat — exactly the paper's "every length-k window of the
+    * span is duplicated" criterion (their §4.1 merge step does the same).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, minOccurrences: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minOccurrences >= 2L, s"minOccurrences must be >= 2, got $minOccurrences")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one row per window start; the gram is hashed at birth so nothing
+    // downstream ever shuffles document text
+    val pos = df
+      .select(col(idCol), toks.as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))))
+          .as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p").cast("long").as("__p"), col("__g"))
+    // duplicated-window flag via a count window over the gram key: one
+    // shuffle, no self-join — each position row either survives or dies
+    val hits = pos
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("__g")))
+      .where(col("__occ") >= minOccurrences)
+      .select(col(idCol), col("__p"))
+    // gaps-and-islands: starts ≤ k apart overlap or touch → same span
+    val byDoc = Window.partitionBy(idCol).orderBy("__p")
+    hits
+      .withColumn("__brk",
+        when(col("__p") - lag("__p", 1).over(byDoc) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("__island", sum("__brk").over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__p").as("span_start"),
+        (max("__p") + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Per-document duplicated-token coverage — the statistic the paper uses to
+    * size the problem (what fraction of the corpus is duplicated text) and
+    * the natural filter input (`dup_fraction > τ` → drop or trim the doc).
+    *
+    * Output: (idCol, n_tokens, dup_tokens, dup_fraction) for EVERY document
+    * (zeros included — a coverage stat over only-affected docs would bias any
+    * aggregate built on it). Spans are disjoint, so summing their lengths
+    * never double-counts a token.
+    */
+  def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, minOccurrences: Long = 2L): DataFrame = {
+    val dup = duplicatedSpans(df, idCol, textCol, k, minOccurrences)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    val nTok = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    nTok.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+}
