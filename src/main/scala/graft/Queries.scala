@@ -2633,7 +2633,8 @@ FROM u ORDER BY doc_id"""))
   private val x35 = DeclaredQuery("x35_dup_spans",
     // Exact duplicated-substring spans (SubstringDedup.duplicatedSpans —
     // Lee et al. ACL'22 re-expressed relationally: k-gram postings keyed by
-    // xxhash64, window-count duplicate flag, gaps-and-islands merge). The
+    // xxhash64, map-side-partial groupBy duplicate-gram set + left-semi
+    // join, gaps-and-islands merge). The
     // oracle replays the same definition over the LITERAL gram strings —
     // Spark groups by the 64-bit gram hash, DuckDB by the gram text, so a
     // hash collision or tokenization divergence hash-fails the gate (the

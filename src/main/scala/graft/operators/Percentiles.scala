@@ -66,4 +66,70 @@ object Percentiles {
       .join(agged, Seq(groupCol), "left")
       .select(col(groupCol) +: names.map(col): _*)
   }
+
+  /** Exact GLOBAL quantiles of one column — the no-group-key case that
+    * [[exactByGroup]] cannot serve at scale (a constant group key turns its
+    * ranking window into ONE partition holding the whole column).
+    *
+    * Scale design — the same distributed-scan recipe as
+    * [[Packing.packSequences]]: `repartitionByRange` on the value (range
+    * partition i holds values ≤ range partition i+1, so partition ids follow
+    * the global order), per-partition COUNTS prefix-scanned on the driver
+    * (one long per partition), then global rank = partition offset +
+    * partition-LOCAL `row_number`. The only single-point data is `partitions`
+    * longs plus the ≤ 2·|ps| neighbor values collected at the end — every
+    * sort is partition-local and spillable, so the pass survives any column
+    * size. Interpolation is the identical `(1−d)·lower + d·higher` at
+    * `h = (n−1)·p` as [[exactByGroup]], `percentile()` and DuckDB's
+    * `QUANTILE_CONT`.
+    *
+    * Returns one value per requested quantile, driver-side (quantiles are
+    * model artifacts, like [[Profiling.standardize]]'s μ/σ); `None` when the
+    * column has no non-NULL values. NULLs are ignored, as everywhere.
+    */
+  def exactGlobalValues(df: DataFrame, valueCol: String, ps: Seq[Double],
+                        partitions: Int = 0): Seq[Option[Double]] = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0,1]")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted so the count pass and the rank pass see the SAME range
+    // boundaries (they come from sampling the input) — narrow (double) rows
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .repartitionByRange(p, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = counts.valuesIterator.sum
+      if (n == 0L) return ps.map(_ => None)
+      val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+        acc + counts.getOrElse(i, 0L))
+      val offsetOf = element_at(
+        map(offsets.take(p).zipWithIndex
+          .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
+        col("__pid"))
+      val w = Window.partitionBy("__pid").orderBy("__v")
+      val targets = ps.flatMap { q =>
+        val h = (n - 1).toDouble * q
+        Seq(math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
+      }.distinct
+      // ≤ 2·|ps| rows back to the driver — a model artifact, not data
+      val at = base
+        .withColumn("__rn", offsetOf + row_number().over(w))
+        .where(col("__rn").isin(targets: _*))
+        .select(col("__rn"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      ps.map { q =>
+        val h = (n - 1).toDouble * q
+        val lo = math.floor(h).toLong + 1
+        val hi = math.ceil(h).toLong + 1
+        val d = h - math.floor(h)
+        Some((1.0 - d) * at(lo) + d * at(hi))
+      }
+    } finally base.unpersist()
+  }
 }

@@ -157,6 +157,33 @@ object Profiling {
     }
   }
 
+  /** Robust feature scaling: appends `<col><suffix>` = (x − median)/IQR per
+    * requested column — the outlier-resistant sibling of [[standardize]]
+    * (scikit-learn's RobustScaler): a single 10⁹-row price outlier shifts μ/σ
+    * arbitrarily but moves the median/IQR by at most one rank. Quantiles come
+    * from [[Percentiles.exactGlobalValues]] (one distributed range-sort per
+    * column, driver-side artifact ≤ 3 doubles each), applied map-only —
+    * the same fit/apply split as every scaler here. Per-column NULLs are
+    * ignored in the fit (unlike [[standardize]]'s listwise matrix universe —
+    * there is no cross-column moment to keep consistent here); a NULL input
+    * yields a NULL scaled value, and a zero-IQR column maps to NULL
+    * everywhere (never ±Infinity). */
+  def robustScale(df: DataFrame, cols: Seq[String],
+                  suffix: String = "_r"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val fits = cols.map { c =>
+      val qs = Percentiles.exactGlobalValues(df, c, Seq(0.25, 0.5, 0.75))
+      c -> (qs(0), qs(1), qs(2))
+    }
+    fits.foldLeft(df) {
+      case (acc, (c, (Some(q25), Some(med), Some(q75)))) if q75 - q25 != 0.0 =>
+        acc.withColumn(c + suffix,
+          (col(c).cast("double") - lit(med)) / lit(q75 - q25))
+      case (acc, (c, _)) =>
+        acc.withColumn(c + suffix, lit(null).cast("double"))
+    }
+  }
+
   /** (n complete rows, means, covariance matrix) for numeric columns in one
     * scan: pack into an array, run the native [[graft.plans.GramianAggregate]]
     * (one D²-bounded buffer per partition), derive μ/Σ driver-side — the

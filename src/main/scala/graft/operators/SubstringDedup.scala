@@ -17,16 +17,34 @@ import graft.functions.TextAnalysis
   *
   *   1. explode each document into its token k-gram START POSITIONS, keyed by
   *      the xxhash64 of the gram (8-byte shuffle keys, never gram text —
-  *      same injectivity argument as the x02d shingle index);
-  *   2. a window count over the gram key marks globally-duplicated windows
-  *      (occurrences ≥ minOccurrences) — ONE shuffle, map-side partials,
-  *      no postings self-join and therefore no quadratic candidate blowup;
+  *      `exactGrams = true` keys by the literal gram text instead, see below);
+  *   2. a `groupBy` count over the gram key finds globally-duplicated grams
+  *      (occurrences ≥ minOccurrences) — hash aggregation with MAP-SIDE
+  *      PARTIAL aggregation, so a hot gram ("the the the …" boilerplate at
+  *      corpus scale) collapses to one row per map task before the shuffle;
+  *      a left-semi join of positions against that (much smaller) duplicated
+  *      set marks surviving windows, and AQE's skew-join split handles any
+  *      residual hot key on the join side. (An earlier spelling used
+  *      `count(...).over(Window.partitionBy(gram))`, which gets NO partial
+  *      aggregation — every occurrence row of a hot gram lands in a single
+  *      WindowExec task — and is exactly the skew this version removes.)
   *   3. per document, merge surviving window starts into maximal spans with
-  *      the gaps-and-islands pattern (a window sort bounded by doc length —
-  *      the second and last shuffle).
+  *      the gaps-and-islands pattern (a window sort bounded by doc length).
   *
-  * Total work is O(total tokens) rows through two narrow shuffles, at any
-  * corpus size; contrast the suffix-array build's O(corpus) RAM on one node.
+  * Total work is O(total tokens) rows through narrow shuffles at any corpus
+  * size; contrast the suffix-array build's O(corpus) RAM on one node.
+  *
+  * Hash-collision bound (default `exactGrams = false`): grouping by the
+  * 64-bit xxhash64 of the gram instead of its text means two DIFFERENT grams
+  * that collide are counted as one, which can flag a non-duplicated window as
+  * duplicated (false positive only — a truly duplicated window can never be
+  * missed). By the birthday bound, G distinct grams yield ≈ G²/2⁶⁵ expected
+  * colliding pairs: at G ≈ 10¹³ (≈ 100 TB of text) that is ~3·10⁶ pairs, a
+  * ~10⁻⁷ fraction of windows — negligible for corpus curation, but not
+  * "exact". `exactGrams = true` removes the caveat entirely by shuffling the
+  * literal k-token gram string as the key (~k·avg-token bytes per row instead
+  * of 8 — the usual ~4–8× wider dedup shuffle); results are then
+  * byte-identical to the definition the DuckDB gate oracle replays.
   *
   * Reference scope note: the reference engine (operators.py:80) delegates all
   * transformation to Postgres and has no dedup surface; this extension is
@@ -45,27 +63,39 @@ object SubstringDedup {
     * A span's text occurs elsewhere window-by-window, not necessarily as one
     * contiguous repeat — exactly the paper's "every length-k window of the
     * span is duplicated" criterion (their §4.1 merge step does the same).
+    *
+    * `exactGrams` selects the duplicate key: `false` (default) shuffles the
+    * 8-byte xxhash64 of each gram (a ~10⁻⁷ false-positive window fraction at
+    * 100 TB — bound derived in the object scaladoc); `true` shuffles the
+    * literal gram text (wider rows, zero collisions).
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 5, minOccurrences: Long = 2L): DataFrame = {
+                      k: Int = 5, minOccurrences: Long = 2L,
+                      exactGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minOccurrences >= 2L, s"minOccurrences must be >= 2, got $minOccurrences")
     val toks = TextAnalysis.tokens(col(textCol))
-    // one row per window start; the gram is hashed at birth so nothing
-    // downstream ever shuffles document text
+    // one row per window start; by default the gram is hashed at birth so
+    // nothing downstream ever shuffles document text
+    val gramOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (exactGrams) identity else xxhash64(_)
     val pos = df
       .select(col(idCol), toks.as("__tk"))
       .where(size(col("__tk")) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))))
+          i => gramOf(concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))))
           .as(Seq("__p", "__g")))
       .select(col(idCol), col("__p").cast("long").as("__p"), col("__g"))
-    // duplicated-window flag via a count window over the gram key: one
-    // shuffle, no self-join — each position row either survives or dies
-    val hits = pos
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("__g")))
+    // duplicated grams via groupBy (map-side partial aggregation collapses
+    // hot grams before the shuffle), then a left-semi join marks surviving
+    // positions — AQE splits any skewed gram on the join; no postings
+    // self-join and therefore no quadratic candidate blowup
+    val dupGrams = pos.groupBy("__g")
+      .agg(count(lit(1)).as("__occ"))
       .where(col("__occ") >= minOccurrences)
+      .select("__g")
+    val hits = pos.join(dupGrams, Seq("__g"), "left_semi")
       .select(col(idCol), col("__p"))
     // gaps-and-islands: starts ≤ k apart overlap or touch → same span
     val byDoc = Window.partitionBy(idCol).orderBy("__p")
@@ -90,8 +120,9 @@ object SubstringDedup {
     * never double-counts a token.
     */
   def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 5, minOccurrences: Long = 2L): DataFrame = {
-    val dup = duplicatedSpans(df, idCol, textCol, k, minOccurrences)
+                        k: Int = 5, minOccurrences: Long = 2L,
+                        exactGrams: Boolean = false): DataFrame = {
+    val dup = duplicatedSpans(df, idCol, textCol, k, minOccurrences, exactGrams)
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
     val nTok = df.select(col(idCol),
