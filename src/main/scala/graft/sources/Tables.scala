@@ -20,18 +20,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = {
       if (name == "events")
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-        // (PARQUET_TYPE_ILLEGAL). Read nanos as Long (legacy conf, set in
-        // GraftSession and re-ensured here for driver-built sessions), then
-        // truncate to micros exactly like DuckDB's parquet reader does
-        // (integer division, not float), yielding an identical TIMESTAMP_NTZ.
+        // Older fixture generations wrote events.ts as parquet TIMESTAMP(NANOS),
+        // which Spark's reader rejects (PARQUET_TYPE_ILLEGAL) unless nanos are
+        // read as raw Long (legacy conf, set in GraftSession and re-ensured
+        // here for driver-built sessions).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
     }
-    if (name == "events")
-      df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    else df
+    if (name == "events") {
+      // Normalize ts to TIMESTAMP_NTZ regardless of fixture vintage:
+      //  - int64 nanos (legacy TIMESTAMP(NANOS) fixtures): truncate to micros
+      //    exactly like DuckDB's parquet reader does (integer division).
+      //  - native timestamp[us] (current fixtures): plain NTZ cast.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
+    } else df
   }
 
   /** Register every table as a temp view so `spark.sql` text matches the
