@@ -2676,6 +2676,82 @@ SELECT nt.doc_id, n_tokens, COALESCE(dup_tokens, 0) AS dup_tokens,
   FLOOR((CASE WHEN n_tokens > 0 THEN COALESCE(dup_tokens, 0) * 1.0 / n_tokens ELSE 0.0 END) * 100 + 0.5) / 100 AS dup_fraction
 FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""))
 
+  private val x36 = DeclaredQuery("x36_select_budget",
+    // PREFIX-truncation token-budget fill (Selection.selectByBudget): rank
+    // documents by (n_chars DESC, doc_id), keep while the running
+    // whitespace-token total fits in 10k tokens. The oracle is the
+    // windowed-SQL spelling of the same strict ranking prefix — the operator
+    // computes it with the distributed-scan recipe (range partition +
+    // driver-side subtotal prefix scan + partition-local window) instead of
+    // the single-partition global window the SQL text implies.
+    (s, d) => graft.operators.Selection.selectByBudget(
+        t(s, d, "documents"), "doc_id", col("n_chars").cast("double"),
+        size(split(col("text"), " ")).cast("long"), budget = 10000L)
+      .orderBy("doc_id"),
+    Some("""WITH ranked AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM documents)
+SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 10000 ORDER BY doc_id"""))
+
+  private val x36b = DeclaredQuery("x36b_select_skip_greedy",
+    // SKIP-GREEDY token-budget fill (Selection.selectByBudgetSkipGreedy):
+    // an overshooting document is skipped individually and the fill keeps
+    // consuming down the ranking. The sequential recurrence is ANSI-
+    // expressible only as an O(n)-deep recursive CTE (quadratic in DuckDB),
+    // so this entry is rows-only; the exact semantics are pinned in
+    // SelectionSpec by a driver-side sequential-walk differential on
+    // multi-partition data plus the adversarial alternating-size fixture.
+    (s, d) => graft.operators.Selection.selectByBudgetSkipGreedy(
+        t(s, d, "documents"), "doc_id", col("n_chars").cast("double"),
+        size(split(col("text"), " ")).cast("long"), budget = 10000L)
+      .orderBy("doc_id"),
+    None)
+
+  private val x36c = DeclaredQuery("x36c_quantile_cut",
+    // Rank cut (Selection.keepAboveQuantile): keep the top 20% of documents
+    // by n_chars. The threshold is Percentiles.exactGlobalValues' exact
+    // interpolated quantile — DuckDB's QUANTILE_CONT uses the bit-identical
+    // (1−d)·lo + d·hi interpolation (verified at the binary level), so the
+    // membership comparison is exact with no rounding.
+    (s, d) => graft.operators.Selection.keepAboveQuantile(
+        t(s, d, "documents"), "n_chars", q = 0.8)
+      .select("doc_id", "n_chars").orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars FROM documents
+WHERE CAST(n_chars AS DOUBLE) >= (SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.8) FROM documents)
+ORDER BY doc_id"""))
+
+  private val x36d = DeclaredQuery("x36d_robust_scale",
+    // Robust scaling (Profiling.robustScale): (x − median)/IQR per column,
+    // medians/IQRs for BOTH columns fitted in ONE melted composite
+    // range-sort scan (Percentiles.exactGlobalValuesMulti). Both engines
+    // compute the identical interpolation, so the 4-decimal floor is only
+    // insurance against engine-version drift, not a semantic gap.
+    (s, d) => {
+      val scaled = graft.operators.Profiling.robustScale(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"))
+      scaled.select(col("l_orderkey"), col("l_linenumber"),
+          (floor(col("l_quantity_r") * 10000 + 0.5) / 10000).as("qty_r"),
+          (floor(col("l_extendedprice_r") * 10000 + 0.5) / 10000).as("price_r"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH f AS (
+  SELECT QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.25) AS q1a,
+         QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.5)  AS ma,
+         QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.75) AS q3a,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1b,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.5)  AS mb,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3b
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+  FLOOR((CAST(l_quantity AS DOUBLE) - ma) / (q3a - q1a) * 10000 + 0.5) / 10000 AS qty_r,
+  FLOOR((CAST(l_extendedprice AS DOUBLE) - mb) / (q3b - q1b) * 10000 + 0.5) / 10000 AS price_r
+FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -2688,7 +2764,7 @@ FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -88,48 +88,96 @@ object Percentiles {
     * column has no non-NULL values. NULLs are ignored, as everywhere.
     */
   def exactGlobalValues(df: DataFrame, valueCol: String, ps: Seq[Double],
-                        partitions: Int = 0): Seq[Option[Double]] = {
+                        partitions: Int = 0): Seq[Option[Double]] =
+    exactGlobalValuesMulti(df, Seq(valueCol), ps, partitions)(valueCol)
+
+  /** [[exactGlobalValues]] for SEVERAL columns in ONE input scan — the
+    * multi-column fit [[Profiling.robustScale]] needs (a per-column loop
+    * re-executes the whole upstream plan per column).
+    *
+    * Recipe: melt to narrow (column-index, value) pairs with `posexplode`,
+    * then `repartitionByRange` on the COMPOSITE key (index, value) — the
+    * leading index groups each column's values into a contiguous span of
+    * range partitions while the trailing value still splits every column
+    * ACROSS ~p/|cols| partitions, so no column ever lands in one partition
+    * (the failure mode that rules out a melt through [[exactByGroup]], whose
+    * per-group ranking window is one partition per column). A range boundary
+    * may straddle two columns, so counts/offsets are keyed by
+    * (partition, column). Driver-side state: |partitions|·|cols| longs plus
+    * the ≤ 2·|ps|·|cols| neighbor values — model artifacts, not data.
+    *
+    * Returns quantiles keyed by column name; a column with no non-NULL
+    * values maps to all-`None`. Interpolation is the identical
+    * `(1−d)·lower + d·higher` at `h = (n−1)·p` as everywhere here. */
+  def exactGlobalValuesMulti(df: DataFrame, valueCols: Seq[String],
+                             ps: Seq[Double], partitions: Int = 0)
+      : Map[String, Seq[Option[Double]]] = {
     require(ps.nonEmpty, "ps must be non-empty")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0,1]")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = valueCols.size
     // persisted so the count pass and the rank pass see the SAME range
-    // boundaries (they come from sampling the input) — narrow (double) rows
-    val base = df.select(col(valueCol).cast("double").as("__v"))
+    // boundaries (they come from sampling the input) — narrow (int, double)
+    val base = df
+      .select(posexplode(array(valueCols.map(cn => col(cn).cast("double")): _*))
+        .as(Seq("__ci", "__v")))
       .where(col("__v").isNotNull)
-      .repartitionByRange(p, col("__v"))
+      .repartitionByRange(p, col("__ci"), col("__v"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val n = counts.valuesIterator.sum
-      if (n == 0L) return ps.map(_ => None)
-      val offsets = (0 until p).scanLeft(0L)((acc, i) =>
-        acc + counts.getOrElse(i, 0L))
+      val counts = base.groupBy("__pid", "__ci").agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val nByCol: Map[Int, Long] =
+        counts.groupBy(_._1._2).map { case (ci, m) => ci -> m.values.sum }
+      if (counts.isEmpty)
+        return valueCols.map(_ -> ps.map(_ => None)).toMap
+      // per-(partition, column) global-rank offsets: scan partitions in id
+      // order independently per column (partition ids follow value order
+      // within each column's contiguous partition span)
+      val offsetMap: Map[(Int, Int), Long] = (0 until c).flatMap { ci =>
+        var acc = 0L
+        (0 until p).flatMap { pid =>
+          counts.get((pid, ci)).map { cnt =>
+            val entry = (pid, ci) -> acc; acc += cnt; entry
+          }
+        }
+      }.toMap
       val offsetOf = element_at(
-        map(offsets.take(p).zipWithIndex
-          .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
-        col("__pid"))
-      val w = Window.partitionBy("__pid").orderBy("__v")
-      val targets = ps.flatMap { q =>
-        val h = (n - 1).toDouble * q
-        Seq(math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
-      }.distinct
-      // ≤ 2·|ps| rows back to the driver — a model artifact, not data
+        map(offsetMap.toSeq.flatMap { case ((pid, ci), o) =>
+          Seq(lit(pid.toLong * c + ci), lit(o))
+        }: _*),
+        col("__pid").cast("long") * c + col("__ci"))
+      val w = Window.partitionBy("__pid", "__ci").orderBy("__v")
+      val targetsByCol: Map[Int, Seq[Long]] = nByCol.map { case (ci, n) =>
+        ci -> ps.flatMap { q =>
+          val h = (n - 1).toDouble * q
+          Seq(math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
+        }.distinct
+      }
+      // ≤ 2·|ps|·|cols| rows back to the driver — a model artifact, not data
       val at = base
         .withColumn("__rn", offsetOf + row_number().over(w))
-        .where(col("__rn").isin(targets: _*))
-        .select(col("__rn"), col("__v"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      ps.map { q =>
-        val h = (n - 1).toDouble * q
-        val lo = math.floor(h).toLong + 1
-        val hi = math.ceil(h).toLong + 1
-        val d = h - math.floor(h)
-        Some((1.0 - d) * at(lo) + d * at(hi))
-      }
+        .where(targetsByCol.map { case (ci, ts) =>
+          col("__ci") === ci && col("__rn").isin(ts: _*)
+        }.reduce(_ || _))
+        .select(col("__ci"), col("__rn"), col("__v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      valueCols.zipWithIndex.map { case (cn, ci) =>
+        cn -> (nByCol.get(ci) match {
+          case None => ps.map(_ => None)
+          case Some(n) => ps.map { q =>
+            val h = (n - 1).toDouble * q
+            val lo = math.floor(h).toLong + 1
+            val hi = math.ceil(h).toLong + 1
+            val d = h - math.floor(h)
+            Some((1.0 - d) * at((ci, lo)) + d * at((ci, hi)))
+          }
+        })
+      }.toMap
     } finally base.unpersist()
   }
 }

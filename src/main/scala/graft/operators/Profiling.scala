@@ -160,9 +160,11 @@ object Profiling {
   /** Robust feature scaling: appends `<col><suffix>` = (x − median)/IQR per
     * requested column — the outlier-resistant sibling of [[standardize]]
     * (scikit-learn's RobustScaler): a single 10⁹-row price outlier shifts μ/σ
-    * arbitrarily but moves the median/IQR by at most one rank. Quantiles come
-    * from [[Percentiles.exactGlobalValues]] (one distributed range-sort per
-    * column, driver-side artifact ≤ 3 doubles each), applied map-only —
+    * arbitrarily but moves the median/IQR by at most one rank. Quantiles for
+    * ALL columns come from ONE input scan
+    * ([[Percentiles.exactGlobalValuesMulti]]'s melted composite range-sort —
+    * a per-column loop would re-execute the upstream plan per column;
+    * driver-side artifact ≤ 3 doubles each), applied map-only —
     * the same fit/apply split as every scaler here. Per-column NULLs are
     * ignored in the fit (unlike [[standardize]]'s listwise matrix universe —
     * there is no cross-column moment to keep consistent here); a NULL input
@@ -171,8 +173,10 @@ object Profiling {
   def robustScale(df: DataFrame, cols: Seq[String],
                   suffix: String = "_r"): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    val qsByCol =
+      Percentiles.exactGlobalValuesMulti(df, cols, Seq(0.25, 0.5, 0.75))
     val fits = cols.map { c =>
-      val qs = Percentiles.exactGlobalValues(df, c, Seq(0.25, 0.5, 0.75))
+      val qs = qsByCol(c)
       c -> (qs(0), qs(1), qs(2))
     }
     fits.foldLeft(df) {

@@ -8,10 +8,9 @@ import org.apache.spark.sql.functions._
   * after dedup/filter decide which are usable. Two standard curation
   * policies:
   *
-  *   - token-budget fill ([[selectByBudget]]): "the run affords B tokens;
-  *     take the best-scored documents until the budget is spent" — the
-  *     greedy knapsack every data-mixing recipe reduces to when documents
-  *     are small relative to the budget;
+  *   - token-budget fill ([[selectByBudget]] — ranking-prefix truncation;
+  *     [[selectByBudgetSkipGreedy]] — exact skip-greedy): "the run affords
+  *     B tokens; take the best-scored documents until the budget is spent";
   *   - quantile threshold ([[keepAboveQuantile]]): "keep the top (1−q)
   *     fraction by score" — a rank cut, so it composes with any score
   *     without per-dataset threshold tuning.
@@ -30,16 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** Greedy budget fill: rank rows by (`scoreCol` DESC, `idCol` ASC), keep
-    * every row whose RUNNING token total (including itself) fits in
-    * `budget`. Output: (idCol, n_tokens, cum_tokens) for kept rows —
-    * `cum_tokens` is the running total in selection order, so the largest
-    * kept `cum_tokens` is the realized budget spend.
+  /** PREFIX-TRUNCATION budget fill: rank rows by (`scoreCol` DESC, `idCol`
+    * ASC), keep every row whose RUNNING token total over ALL ranked rows
+    * (including itself) fits in `budget`. Output: (idCol, n_tokens,
+    * cum_tokens) for kept rows — `cum_tokens` is the running total in
+    * selection order, so the largest kept `cum_tokens` is the realized
+    * budget spend.
     *
-    * The "including itself" rule means one document mid-stream whose tokens
-    * would overshoot is dropped while LATER, smaller documents still fit —
-    * the fill keeps consuming down the ranking (standard greedy knapsack
-    * behavior, and what the windowed-SQL spelling computes too).
+    * The kept set is a STRICT RANKING PREFIX: the running total is monotone
+    * over the full ranking, so the first document that overshoots ends the
+    * fill — later, smaller documents are NOT re-admitted, and the skipped
+    * document's tokens stay in every later row's `cum_tokens`. This is
+    * exactly what the windowed-SQL spelling
+    * (`... WHERE SUM(n) OVER (ORDER BY score DESC, id) <= B`) computes. For
+    * the skip-greedy policy that drops an overshooting document and keeps
+    * filling with later ones, use [[selectByBudgetSkipGreedy]].
     *
     * NULL handling: a NULL score sorts last (after every real score); NULL
     * token counts fill as zero — both keep the scan total-ordered and
@@ -79,6 +83,107 @@ object Selection {
       .where(col("cum_tokens") <= budget)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
     CacheOps.materializeAndRelease(out, base)
+  }
+
+  /** SKIP-GREEDY budget fill — the sequential policy: walk the ranking
+    * (`scoreCol` DESC, `idCol` ASC); keep a document iff its tokens fit in
+    * the budget REMAINING after every earlier KEPT document; a document that
+    * overshoots is skipped individually and the walk keeps consuming — so
+    * with budget 20 over ranked token counts (10, 100, 5), documents 1 and 3
+    * are kept (unlike [[selectByBudget]]'s prefix truncation, which stops at
+    * document 2). Output shape matches [[selectByBudget]]: (idCol, n_tokens,
+    * cum_tokens), with `cum_tokens` the running total over KEPT rows only.
+    *
+    * The recurrence (each decision depends on all earlier decisions) is
+    * inherently sequential, but it is the unique fixed point of a
+    * PARALLEL relaxation: start from all-kept, and each pass recomputes
+    * every decision `keep(i) := keptSum_before(i) + tokens(i) ≤ budget`
+    * against the PREVIOUS pass's kept-set (Jacobi iteration). If a pass's
+    * kept-set agrees with the true greedy set on every row before position
+    * i, the next pass decides row i (and every earlier row) correctly — so
+    * the agreement prefix grows monotonically and the iteration converges
+    * exactly, in practice within a handful of passes (one per "skip event"
+    * region, and skips cluster near the budget boundary). Each pass is the
+    * same distributed-scan recipe as [[selectByBudget]] (per-partition
+    * kept-token subtotals prefix-scanned on the driver + a partition-local
+    * window) — no global single-partition window, driver state
+    * O(partitions) longs. Convergence is detected by kept-set signature
+    * (count, token sum, id-hash XOR); `maxPasses` bounds the adversarial
+    * worst case (alternating oversize/undersize documents) and overrunning
+    * it throws rather than returning a non-greedy set.
+    *
+    * NULL handling matches [[selectByBudget]]: NULL scores sort last, NULL
+    * token counts fill as zero. */
+  def selectByBudgetSkipGreedy(df: DataFrame, idCol: String, scoreCol: Column,
+                               nTokens: Column, budget: Long,
+                               partitions: Int = 0,
+                               maxPasses: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxPasses > 0, s"maxPasses must be positive, got $maxPasses")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val order = Seq(col("__s").desc_nulls_last, col(idCol).asc)
+    var cur = df.select(col(idCol), scoreCol.as("__s"),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+      .repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__sb", lit(0L))
+      .withColumn("__keep", lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Window.partitionBy("__pid").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val keptTok = when(col("__keep"), col("n_tokens")).otherwise(0L)
+      var sig: (Long, Long, Long) = (-1L, -1L, -1L)
+      var converged = false
+      var pass = 0
+      while (!converged && pass < maxPasses) {
+        pass += 1
+        val subtotals = cur.groupBy("__pid").agg(sum(keptTok).as("__t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (subtotals.isEmpty) converged = true // empty input: nothing to fill
+        else {
+          val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+            acc + subtotals.getOrElse(i, 0L))
+          val offsetOf = element_at(
+            map(offsets.take(p).zipWithIndex
+              .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
+            col("__pid"))
+          val next = cur
+            .withColumn("__sb2",
+              offsetOf + coalesce(sum(keptTok).over(w), lit(0L)))
+            .withColumn("__keep", col("__sb2") + col("n_tokens") <= budget)
+            .select(col(idCol), col("__s"), col("n_tokens"), col("__pid"),
+              col("__sb2").as("__sb"), col("__keep"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val sr = next.agg(
+            sum(when(col("__keep"), 1L).otherwise(0L)).as("c"),
+            sum(keptTok).as("t"),
+            // XOR-fold of id hashes: order-independent set signature with no
+            // overflow (a SUM of 64-bit hashes trips ANSI long overflow)
+            bit_xor(when(col("__keep"), xxhash64(col(idCol).cast("string")))
+              .otherwise(0L)).as("h")).head()
+          val newSig = (sr.getLong(0), sr.getLong(1), sr.getLong(2))
+          cur.unpersist(false)
+          cur = next
+          converged = newSig == sig
+          sig = newSig
+        }
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"skip-greedy fill did not converge in $maxPasses passes " +
+            "(adversarial token-size alternation?) — raise maxPasses")
+      // converged: cur's flags equal the previous pass's, so __sb (computed
+      // from the previous flags) IS the final kept-only prefix sum
+      val out = cur.where(col("__keep"))
+        .select(col(idCol), col("n_tokens"),
+          (col("__sb") + col("n_tokens")).as("cum_tokens"))
+      CacheOps.materializeAndRelease(out, cur)
+    } catch {
+      case e: Throwable => cur.unpersist(false); throw e
+    }
   }
 
   /** Rank cut: keep rows whose `scoreCol` is ≥ the exact q-quantile of the

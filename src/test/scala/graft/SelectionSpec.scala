@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Percentiles, Profiling, Selection}
+
+/** Pins for the corpus-selection surface (Selection) and the global-quantile
+  * fits behind it (Percentiles.exactGlobalValues/Multi, Profiling
+  * .robustScale) — the round-11 additions the advisor flagged as unpinned. */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --------------------------------------------------------------- budget fill
+
+  test("selectByBudget is PREFIX truncation: first overshoot ends the fill") {
+    // ranked token counts (10, 100, 5) with budget 20: the prefix policy
+    // keeps ONLY doc 1 — doc 2 overshoots and doc 3 is NOT re-admitted,
+    // and the overshooting doc's tokens stay in the running total
+    val df = Seq((1L, 3.0, 10L), (2L, 2.0, 100L), (3L, 1.0, 5L))
+      .toDF("doc_id", "score", "n")
+    val out = Selection.selectByBudget(df, "doc_id", col("score"), col("n"), 20L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 10L)))
+  }
+
+  test("selectByBudget equals the windowed-SQL spelling on multi-partition data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, rnd.nextDouble(), rnd.nextInt(40) + 1L))
+    val df = rows.toDF("doc_id", "score", "n").repartition(7)
+    val budget = 2000L
+    val got = Selection.selectByBudget(df, "doc_id", col("score"), col("n"), budget)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // oracle: single-partition window over the same ranking
+    df.createOrReplaceTempView("sel_docs")
+    val want = spark.sql(
+      s"""SELECT doc_id, n_tokens, cum_tokens FROM (
+            SELECT doc_id, n AS n_tokens,
+              SUM(n) OVER (ORDER BY score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_tokens
+            FROM sel_docs)
+          WHERE cum_tokens <= $budget
+          ORDER BY doc_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("selectByBudgetSkipGreedy keeps filling past an overshooting doc") {
+    // same fixture as the prefix pin: skip-greedy keeps docs 1 AND 3
+    // (10 + 5 = 15 ≤ 20), with kept-only running totals
+    val df = Seq((1L, 3.0, 10L), (2L, 2.0, 100L), (3L, 1.0, 5L))
+      .toDF("doc_id", "score", "n")
+    val out = Selection
+      .selectByBudgetSkipGreedy(df, "doc_id", col("score"), col("n"), 20L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 10L), (3L, 5L, 15L)))
+  }
+
+  test("selectByBudgetSkipGreedy equals the sequential walk on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map(i => (i, rnd.nextDouble(), rnd.nextInt(60) + 1L))
+    val budget = 1500L
+    // sequential reference: walk (score DESC, id ASC), keep iff it fits
+    val expected = {
+      var rem = budget
+      val kept = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      rows.sortBy { case (id, s, _) => (-s, id) }.foreach { case (id, _, n) =>
+        if (n <= rem) { rem -= n; kept += ((id, n, budget - rem)) }
+      }
+      kept.sortBy(_._1).toSeq
+    }
+    val df = rows.toDF("doc_id", "score", "n").repartition(9)
+    val got = Selection
+      .selectByBudgetSkipGreedy(df, "doc_id", col("score"), col("n"), budget)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+  }
+
+  test("selectByBudgetSkipGreedy: alternating oversize/undersize converges") {
+    // adversarial shape for the Jacobi relaxation: big docs that only the
+    // final remaining-budget can reject, interleaved with small ones
+    val rows = (1L to 60L).map(i =>
+      (i, 1000.0 - i, if (i % 2 == 1) 9L else 1L))
+    val budget = 20L
+    val expected = {
+      var rem = budget
+      val kept = scala.collection.mutable.ArrayBuffer[Long]()
+      rows.foreach { case (id, _, n) => if (n <= rem) { rem -= n; kept += id } }
+      kept.toSeq
+    }
+    val got = Selection
+      .selectByBudgetSkipGreedy(rows.toDF("doc_id", "score", "n").repartition(5),
+        "doc_id", col("score"), col("n"), budget)
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("selectByBudgetSkipGreedy: empty input keeps nothing") {
+    val df = Seq.empty[(Long, Double, Long)].toDF("doc_id", "score", "n")
+    assert(Selection
+      .selectByBudgetSkipGreedy(df, "doc_id", col("score"), col("n"), 10L)
+      .count() == 0L)
+  }
+
+  // --------------------------------------------------------------- quantile cut
+
+  test("keepAboveQuantile keeps the top (1−q) and matches a manual threshold") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+      .repartition(6)
+    val kept = Selection.keepAboveQuantile(df, "s", 0.9)
+      .select("id").as[Long].collect().sorted.toSeq
+    // exact 0.9-quantile of 1..100 is h=(99)(0.9)=89.1 → between 90 and 91
+    // → threshold 90.1; kept = 91..100
+    assert(kept == (91L to 100L))
+  }
+
+  test("keepAboveQuantile: NULL scores never pass; all-NULL keeps nothing") {
+    val mixed = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "s")
+    val kept = Selection.keepAboveQuantile(mixed, "s", 0.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "s")
+    assert(Selection.keepAboveQuantile(allNull, "s", 0.5).count() == 0L)
+  }
+
+  // ------------------------------------------------- global quantiles (the fit)
+
+  test("exactGlobalValues == percentile() on a multi-partition fixture") {
+    val lineitem = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = Percentiles.exactGlobalValues(lineitem, "l_extendedprice", ps)
+      .map(_.get)
+    val want = lineitem
+      .select(percentile(col("l_extendedprice"),
+        lit(ps.toArray)).as("p"))
+      .head().getSeq[Double](0)
+    got.zip(want).zip(ps).foreach { case ((g, w), q) =>
+      assert(g == w, s"quantile $q: exactGlobalValues $g != percentile() $w")
+    }
+  }
+
+  test("exactGlobalValues: single row and all-NULL edge cases") {
+    val one = Seq((1L, 42.0)).toDF("id", "v")
+    assert(Percentiles.exactGlobalValues(one, "v", Seq(0.0, 0.5, 1.0))
+      == Seq(Some(42.0), Some(42.0), Some(42.0)))
+    val nulls = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+    assert(Percentiles.exactGlobalValues(nulls, "v", Seq(0.25, 0.75))
+      == Seq(None, None))
+  }
+
+  test("exactGlobalValuesMulti == per-column exactGlobalValues in one scan") {
+    val lineitem = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val multi = Percentiles.exactGlobalValuesMulti(lineitem, cols, ps)
+    cols.foreach { c =>
+      val single = Percentiles.exactGlobalValues(lineitem, c, ps)
+      assert(multi(c) == single, s"column $c: multi != single")
+    }
+  }
+
+  test("exactGlobalValuesMulti: a fully-NULL column is None, others unaffected") {
+    val df = Seq((1.0, Option.empty[Double]), (2.0, None), (3.0, None))
+      .toDF("a", "b")
+    val m = Percentiles.exactGlobalValuesMulti(df, Seq("a", "b"), Seq(0.5))
+    assert(m("a") == Seq(Some(2.0)))
+    assert(m("b") == Seq(None))
+  }
+
+  // --------------------------------------------------------------- robust scale
+
+  test("robustScale matches manual (x − median)/IQR; NULL in → NULL out") {
+    // values 1..9: median 5, q25 = 3 (h=2), q75 = 7 (h=6) → IQR 4
+    val df = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+ (10L, None))
+      .toDF("id", "v").repartition(4)
+    val out = Profiling.robustScale(df, Seq("v"))
+      .orderBy("id").select("v_r").collect()
+    (1 to 9).foreach { i =>
+      assert(out(i - 1).getDouble(0) == (i.toDouble - 5.0) / 4.0,
+        s"row $i scaled wrong")
+    }
+    assert(out(9).isNullAt(0), "NULL input must scale to NULL")
+  }
+
+  test("robustScale: zero-IQR column maps to NULL everywhere") {
+    val df = (1 to 20).map(i => (i.toLong, 7.0, i.toDouble)).toDF("id", "c", "v")
+    val out = Profiling.robustScale(df, Seq("c", "v"))
+    assert(out.where(col("c_r").isNotNull).count() == 0L)
+    assert(out.where(col("v_r").isNull).count() == 0L)
+  }
+}
