@@ -2723,6 +2723,26 @@ SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 10000 ORDER 
 WHERE CAST(n_chars AS DOUBLE) >= (SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.8) FROM documents)
 ORDER BY doc_id"""))
 
+  private val x36e = DeclaredQuery("x36e_quantile_buckets",
+    // Exact global decile assignment (Selection.assignQuantileBuckets) —
+    // the scalable sibling of NTILE(10) OVER (ORDER BY …), whose global
+    // window is one partition's sort: k−1 exact interpolated thresholds
+    // fitted by distributed range-sort, applied as a map-only fold.
+    // Value-split semantics (ties share a bucket), so the oracle is the
+    // same QUANTILE_CONT threshold fold, not NTILE.
+    (s, d) => graft.operators.Selection.assignQuantileBuckets(
+        t(s, d, "documents"), "n_chars", k = 10)
+      .select("doc_id", "n_chars", "bucket").orderBy("doc_id"),
+    Some("WITH t AS (SELECT "
+      + (1 to 9).map(i =>
+          s"QUANTILE_CONT(CAST(n_chars AS DOUBLE), ${i / 10.0}) AS t$i")
+        .mkString(", ")
+      + " FROM documents)\nSELECT doc_id, n_chars, CAST(1 + "
+      + (1 to 9).map(i =>
+          s"(CASE WHEN CAST(n_chars AS DOUBLE) >= t$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      + " AS INT) AS bucket\nFROM documents CROSS JOIN t ORDER BY doc_id"))
+
   private val x36d = DeclaredQuery("x36d_robust_scale",
     // Robust scaling (Profiling.robustScale): (x − median)/IQR per column,
     // medians/IQRs for BOTH columns fitted in ONE melted composite
@@ -2764,7 +2784,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x10d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -200,4 +200,36 @@ object Selection {
       case None => df.where(lit(false))
     }
   }
+
+  /** Exact global quantile-bucket assignment — quality-DECILE stratification
+    * for mixture recipes ("sample 2× from the top decile, 0.5× from the
+    * bottom"): appends `bucketCol` ∈ 1..k where bucket b means the score is
+    * ≥ the (b−1)/k exact quantile and < the b/k one.
+    *
+    * The scalable sibling of `NTILE(k) OVER (ORDER BY score)`, which forces
+    * the ENTIRE corpus through one partition's sort. Here the k−1 thresholds
+    * are fitted with [[Percentiles.exactGlobalValues]]'s distributed
+    * range-sort (driver artifact: k−1 doubles) and applied as one map-only
+    * threshold fold — no global window at any corpus size.
+    *
+    * Semantics vs NTILE: buckets split by VALUE, not by row count — every
+    * tie of the same score lands in the same bucket (the property mixture
+    * sampling actually wants: identical documents must not straddle a
+    * stratum boundary), so under heavy ties bucket populations are uneven
+    * and a bucket can be empty. A NULL score gets a NULL bucket; an all-NULL
+    * column leaves every bucket NULL. */
+  def assignQuantileBuckets(df: DataFrame, scoreCol: String, k: Int,
+                            bucketCol: String = "bucket"): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets, got $k")
+    val ps = (1 until k).map(_.toDouble / k)
+    val thresholds = Percentiles.exactGlobalValues(df, scoreCol, ps)
+    val s = col(scoreCol).cast("double")
+    val bucket = thresholds.flatten match {
+      case ts if ts.isEmpty => lit(null).cast("int") // all-NULL column
+      case ts => ts.foldLeft(lit(1)) { (acc, t) =>
+        acc + when(s >= t, 1).otherwise(0)
+      }
+    }
+    df.withColumn(bucketCol, when(s.isNotNull, bucket).cast("int"))
+  }
 }

@@ -42,7 +42,11 @@ object ScaleSmoke {
   val DefaultEntries: Seq[String] = Seq(
     "x12_pack_sequences", "x16_neardup_components",
     "x23b_ivfpq_topk", "x10c_curation_pipeline",
-    "x07_asof_join", "x07e_asof_nearest")
+    "x07_asof_join", "x07e_asof_nearest",
+    // round-12 selection surface: the budget fill and the decile assignment
+    // both ride the distributed-scan recipe (range partition + driver-side
+    // O(partitions) prefix scan) — the smoke checks the fit stays scan-bound
+    "x36_select_budget", "x36e_quantile_buckets", "x36b_select_skip_greedy")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

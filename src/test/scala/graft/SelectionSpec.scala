@@ -130,6 +130,33 @@ class SelectionSpec extends AnyFunSuite {
     assert(Selection.keepAboveQuantile(allNull, "s", 0.5).count() == 0L)
   }
 
+  test("assignQuantileBuckets: exact quartiles of 1..100 give 25/25/25/25") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+      .repartition(6)
+    val out = Selection.assignQuantileBuckets(df, "s", k = 4)
+      .orderBy("id").select("id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // thresholds: 25.75, 50.5, 75.25 → buckets split 1..25 / 26..50 /
+    // 51..75 / 76..100
+    out.foreach { case (id, b) =>
+      val want = if (id <= 25) 1 else if (id <= 50) 2 else if (id <= 75) 3 else 4
+      assert(b == want, s"id $id in bucket $b, want $want")
+    }
+  }
+
+  test("assignQuantileBuckets: ties share a bucket; NULL score → NULL bucket") {
+    val df = Seq((1L, Some(7.0)), (2L, Some(7.0)), (3L, Some(7.0)),
+      (4L, None)).toDF("id", "s")
+    val out = Selection.assignQuantileBuckets(df, "s", k = 5)
+      .orderBy("id").collect()
+    val buckets = out.take(3).map(r => r.getInt(2))
+    assert(buckets.distinct.length == 1, "equal scores must share one bucket")
+    assert(out(3).isNullAt(2), "NULL score must get a NULL bucket")
+    val allNull = Seq((1L, Option.empty[Double])).toDF("id", "s")
+    assert(Selection.assignQuantileBuckets(allNull, "s", 3)
+      .where(col("bucket").isNotNull).count() == 0L)
+  }
+
   // ------------------------------------------------- global quantiles (the fit)
 
   test("exactGlobalValues == percentile() on a multi-partition fixture") {
