@@ -2723,6 +2723,48 @@ SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 10000 ORDER 
 WHERE CAST(n_chars AS DOUBLE) >= (SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.8) FROM documents)
 ORDER BY doc_id"""))
 
+  private val x10e = DeclaredQuery("x10e_mixture_pipeline",
+    // Composed flagship v5 — the mixture-curriculum recipe over the round-12
+    // selection surface, ONE lazy chain: exact quality-quartile assignment
+    // (k−1 threshold fit + map-only fold) → per-bucket content-keyed
+    // Bernoulli mixture rates (top quartile kept whole, lower quartiles
+    // downsampled — map-only, no shuffle) → prefix-truncation token-budget
+    // fill over the survivors (one range shuffle + partition-local window).
+    // The oracle replays the full derivation: QUANTILE_CONT thresholds,
+    // the same sha256 unit-interval draw, the same windowed running total.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val bucketed = graft.operators.Selection
+        .assignQuantileBuckets(docs, "n_chars", k = 4)
+      val rate = when(col("bucket") === 4, 1.0)
+        .when(col("bucket") === 3, 0.5)
+        .when(col("bucket") === 2, 0.25)
+        .otherwise(0.1)
+      val sampled = bucketed
+        .where(graft.operators.Sampling.hashUnit(col("doc_id")) < rate)
+      graft.operators.Selection.selectByBudget(
+          sampled, "doc_id", col("n_chars").cast("double"),
+          size(split(col("text"), " ")).cast("long"), budget = 8000L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.25) AS t1,
+              QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.5)  AS t2,
+              QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.75) AS t3 FROM documents),
+b AS (SELECT doc_id, n_chars, text,
+        1 + (CASE WHEN CAST(n_chars AS DOUBLE) >= t1 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) >= t2 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(n_chars AS DOUBLE) >= t3 THEN 1 ELSE 0 END) AS bucket
+      FROM documents CROSS JOIN t),
+s AS (SELECT doc_id, n_chars, text FROM b
+      WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+            < CASE bucket WHEN 4 THEN 1.0 WHEN 3 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END),
+ranked AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+               ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM s)
+SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
+
   private val x36e = DeclaredQuery("x36e_quantile_buckets",
     // Exact global decile assignment (Selection.assignQuantileBuckets) —
     // the scalable sibling of NTILE(10) OVER (ORDER BY …), whose global
@@ -2784,7 +2826,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x10d)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
