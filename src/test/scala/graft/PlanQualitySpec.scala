@@ -306,4 +306,32 @@ class PlanQualitySpec extends AnyFunSuite {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(e)
   }
+
+  test("x36 budget fill never plans a single-partition global window") {
+    // the naive SUM(...) OVER (ORDER BY ...) spelling forces the whole
+    // corpus through ONE partition; the distributed-scan recipe must show a
+    // multi-partition range exchange and a window partitioned by __pid
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Selection.selectByBudget(
+      docs, "doc_id", org.apache.spark.sql.functions.col("n_chars").cast("double"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).cast("long"),
+      budget = 10000L)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("SinglePartition"),
+      s"budget fill must not use a single-partition exchange:\n$p")
+  }
+
+  test("x36e decile assignment applies thresholds map-only (no exchange)") {
+    // the fit (exactGlobalValues) runs its own bounded jobs at call time;
+    // the APPLIED plan — what actually runs over the corpus — must be a
+    // pure map: scan + threshold fold, no exchange, no window
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Selection.assignQuantileBuckets(docs, "n_chars", 10)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"),
+      s"threshold application must be map-only:\n$p")
+    assert(!p.contains("Window"), s"no window in the applied plan:\n$p")
+  }
 }
