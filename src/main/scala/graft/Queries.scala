@@ -2765,6 +2765,27 @@ ranked AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toke
            FROM s)
 SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
 
+  private val x36f = DeclaredQuery("x36f_select_budget_per_source",
+    // Per-group budget fill (Selection.selectByBudgetPerGroup): every source
+    // gets its own 800-token cap, filled best-first. The grouped window
+    // distributes by source on its own (one hash shuffle + per-group
+    // sorts) — the oracle is the identical PARTITION BY spelling.
+    (s, d) => graft.operators.Selection.selectByBudgetPerGroup(
+        t(s, d, "documents"), "source", "doc_id",
+        col("n_chars").cast("double"),
+        size(split(col("text"), " ")).cast("long"),
+        defaultBudget = 800L)
+      .orderBy("source", "doc_id"),
+    Some("""WITH ranked AS (
+  SELECT source, doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+           PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM documents)
+SELECT source, doc_id, n_tokens, cum_tokens FROM ranked
+WHERE cum_tokens <= 800 ORDER BY source, doc_id"""))
+
   private val x36e = DeclaredQuery("x36e_quantile_buckets",
     // Exact global decile assignment (Selection.assignQuantileBuckets) —
     // the scalable sibling of NTILE(10) OVER (ORDER BY …), whose global
@@ -2826,7 +2847,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

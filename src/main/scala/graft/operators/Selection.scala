@@ -85,6 +85,41 @@ object Selection {
     CacheOps.materializeAndRelease(out, base)
   }
 
+  /** Per-GROUP prefix-truncation budget fill — "every source/domain gets its
+    * own token budget" (the per-domain cap step of a mixing recipe): within
+    * each `groupCol` value, rank by (`scoreCol` DESC, `idCol` ASC) and keep
+    * rows whose group-local running token total fits the group's budget
+    * (`budgets(group)`, else `defaultBudget`). Output: (groupCol, idCol,
+    * n_tokens, cum_tokens) with `cum_tokens` group-local.
+    *
+    * Unlike the GLOBAL fill — where the ORDER BY spelling would funnel the
+    * corpus through one partition and [[selectByBudget]] must rebuild the
+    * running total from per-partition subtotals — the grouped window
+    * distributes by `groupCol` on its own, so this is ONE hash shuffle +
+    * per-group sorts, the plan Spark already does well. Caveat: each group
+    * sorts within one task; for a handful of corpus-sized groups, run
+    * [[selectByBudget]] per group instead (that recipe exists precisely for
+    * the degenerate group count). Same prefix semantics and NULL handling
+    * as [[selectByBudget]]. */
+  def selectByBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             scoreCol: Column, nTokens: Column,
+                             defaultBudget: Long,
+                             budgets: Map[String, Long] = Map.empty): DataFrame = {
+    require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
+    require(budgets.values.forall(_ > 0), "every group budget must be positive")
+    val budgetOf = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__s").desc_nulls_last, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol), scoreCol.as("__s"),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .where(col("cum_tokens") <= budgetOf)
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** SKIP-GREEDY budget fill — the sequential policy: walk the ranking
     * (`scoreCol` DESC, `idCol` ASC); keep a document iff its tokens fit in
     * the budget REMAINING after every earlier KEPT document; a document that

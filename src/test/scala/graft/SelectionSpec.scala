@@ -49,6 +49,21 @@ class SelectionSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("selectByBudgetPerGroup: independent group-local fills and budgets") {
+    val df = Seq(
+      ("a", 1L, 5.0, 10L), ("a", 2L, 4.0, 10L), ("a", 3L, 3.0, 10L),
+      ("b", 4L, 9.0, 7L), ("b", 5L, 8.0, 7L))
+      .toDF("src", "doc_id", "score", "n").repartition(4)
+    val out = Selection.selectByBudgetPerGroup(df, "src", "doc_id",
+        col("score"), col("n"), defaultBudget = 20L,
+        budgets = Map("b" -> 7L))
+      .orderBy("src", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // group a (budget 20): docs 1,2 fit (10, 20); doc 3 overshoots.
+    // group b (budget 7): doc 4 fits exactly; doc 5 overshoots.
+    assert(out.toSeq == Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 4L, 7L)))
+  }
+
   test("selectByBudgetSkipGreedy keeps filling past an overshooting doc") {
     // same fixture as the prefix pin: skip-greedy keeps docs 1 AND 3
     // (10 + 5 = 15 ≤ 20), with kept-only running totals
