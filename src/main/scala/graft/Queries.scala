@@ -2765,6 +2765,29 @@ ranked AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toke
            FROM s)
 SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
 
+  private val x37 = DeclaredQuery("x37_line_scrub",
+    // Line-level boilerplate removal (LineDedup.removeBoilerplateLines,
+    // CCNet/RefinedWeb recipe): sentences appearing in >= 2 distinct docs
+    // are deleted from every doc. The synthetic corpus contains NO
+    // cross-document duplicate sentences, so this gate pins the identity
+    // half of the contract — zero false removals and BYTE-EXACT
+    // split→anti-join→reassemble round-tripping (order, separators, counts)
+    // — while LineDedupSpec pins the removal half on planted boilerplate.
+    (s, d) => graft.operators.LineDedup.removeBoilerplateLines(
+        t(s, d, "documents"), "doc_id", "text", minDocFreq = 2, sep = ". ")
+      .orderBy("doc_id"),
+    Some("""WITH l AS (SELECT doc_id, i AS p, tk[i] AS line
+           FROM (SELECT doc_id, string_split(text, '. ') AS tk,
+                        unnest(range(1, len(tk) + 1)) AS i FROM documents)),
+b AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+k AS (SELECT doc_id, p, line FROM l WHERE line NOT IN (SELECT line FROM b)),
+r AS (SELECT doc_id, string_agg(line, '. ' ORDER BY p) AS text_clean,
+             COUNT(*) AS kept FROM k GROUP BY doc_id),
+n AS (SELECT doc_id, CAST(len(string_split(text, '. ')) AS BIGINT) AS n_lines FROM documents)
+SELECT n.doc_id, COALESCE(text_clean, '') AS text_clean, n_lines,
+       n_lines - COALESCE(kept, 0) AS n_removed
+FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id"""))
+
   private val x36f = DeclaredQuery("x36f_select_budget_per_source",
     // Per-group budget fill (Selection.selectByBudgetPerGroup): every source
     // gets its own 800-token cap, filled best-first. The grouped window
@@ -2847,7 +2870,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x37, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
