@@ -46,7 +46,8 @@ object ScaleSmoke {
     // round-12 selection surface: the budget fill and the decile assignment
     // both ride the distributed-scan recipe (range partition + driver-side
     // O(partitions) prefix scan) — the smoke checks the fit stays scan-bound
-    "x36_select_budget", "x36e_quantile_buckets", "x36b_select_skip_greedy")
+    "x36_select_budget", "x36e_quantile_buckets", "x36b_select_skip_greedy",
+    "x36f_select_budget_per_source", "x37_line_scrub")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
