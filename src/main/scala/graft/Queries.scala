@@ -425,14 +425,18 @@ object Queries {
     Some("SELECT l_returnflag, FLOOR(STDDEV_SAMP(l_quantity) * 100 + 0.5) / 100 AS sd, FLOOR(VAR_SAMP(l_quantity) * 100 + 0.5) / 100 AS vr, FLOOR(CORR(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
 
   private val q37 = DeclaredQuery("q37_percentiles",
-    // exact interpolated percentiles via DISTRIBUTED SORT (Percentiles
-    // .exactByGroup): Spark's `percentile` aggregate buffers every group
-    // value in one aggregation buffer — a hot group at 100 TB lands in one
-    // executor's heap; the sort-rank form spills and distributes. Same
-    // h=(n−1)p interpolation as `percentile` and DuckDB `quantile_cont`
-    // (equivalence pinned in ExtensionsSpec).
+    // exact interpolated percentiles via DISTRIBUTED SORT: Spark's
+    // `percentile` aggregate buffers every group value in one aggregation
+    // buffer — a hot group at 100 TB lands in one executor's heap. THIS
+    // shape (3 groups × the whole table) is also exactly where the grouped
+    // ranking window degenerates (each group = one task's sort), so the
+    // gate runs the RANGED form: composite (group, value) range partition
+    // splits every group across ~p/3 partitions, ranks rebuilt from
+    // per-(partition, group) offsets. Same h=(n−1)p interpolation as
+    // `percentile` and DuckDB `quantile_cont`; ranged ≡ window form pinned
+    // bit-identically in SelectionSpec.
     (s, d) => {
-      val pcts = graft.operators.Percentiles.exactByGroup(
+      val pcts = graft.operators.Percentiles.exactByGroupRanged(
         t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
         ps = Seq(0.5, 0.9), names = Seq("p50", "p90"))
       pcts.select(col("l_returnflag"),

@@ -216,6 +216,30 @@ class SelectionSpec extends AnyFunSuite {
     assert(m("b") == Seq(None))
   }
 
+  test("exactByGroupRanged ≡ exactByGroup (incl. all-NULL group), guard fires") {
+    val lineitem = graft.sources.Tables.table(spark, TestSpark.sf0001, "lineitem")
+    val ps = Seq(0.25, 0.5, 0.9); val names = Seq("p25", "p50", "p90")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val window = rows(Percentiles.exactByGroup(
+      lineitem, "l_returnflag", "l_extendedprice", ps, names))
+    val ranged = rows(Percentiles.exactByGroupRanged(
+      lineitem, "l_returnflag", "l_extendedprice", ps, names))
+    assert(ranged.toSeq == window.toSeq) // bit-identical, not approximately
+    // all-NULL group keeps NULL percentiles in both forms
+    val mixed = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None))
+      .toDF("g", "v").repartition(3)
+    val m = Percentiles.exactByGroupRanged(mixed, "g", "v", Seq(0.5), Seq("p50"))
+      .orderBy("g").collect()
+    assert(m(0).getDouble(1) == 2.0 && m(1).isNullAt(1))
+    // bounded-group guard
+    intercept[IllegalArgumentException] {
+      Percentiles.exactByGroupRanged(
+        lineitem, "l_orderkey", "l_extendedprice", Seq(0.5), Seq("p50"),
+        maxGroups = 10)
+    }
+  }
+
   // --------------------------------------------------------------- robust scale
 
   test("robustScale matches manual (x − median)/IQR; NULL in → NULL out") {
