@@ -2769,6 +2769,29 @@ ranked AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toke
            FROM s)
 SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 8000 ORDER BY doc_id"""))
 
+  private val x36g = DeclaredQuery("x36g_winsorize",
+    // Quantile clipping (Profiling.winsorize): both columns' [p05, p95]
+    // bounds from ONE melted range-sort scan, applied map-only. No
+    // rounding: the fitted quantiles are bit-identical across engines
+    // (QUANTILE_CONT interpolation pin) and LEAST/GREATEST are exact.
+    (s, d) => graft.operators.Profiling.winsorize(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"), lower = 0.05, upper = 0.95)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity_w").as("qty_w"), col("l_extendedprice_w").as("price_w"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_w", "price_w"),
+    Some("""WITH f AS (
+  SELECT QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.05) AS loa,
+         QUANTILE_CONT(CAST(l_quantity AS DOUBLE), 0.95) AS hia,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.05) AS lob,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.95) AS hib
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+  LEAST(GREATEST(CAST(l_quantity AS DOUBLE), loa), hia) AS qty_w,
+  LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lob), hib) AS price_w
+FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber, qty_w, price_w"""))
+
   private val x37 = DeclaredQuery("x37_line_scrub",
     // Line-level boilerplate removal (LineDedup.removeBoilerplateLines,
     // CCNet/RefinedWeb recipe): sentences appearing in >= 2 distinct docs
@@ -2874,7 +2897,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x37, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x37, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -188,6 +188,33 @@ object Profiling {
     }
   }
 
+  /** Winsorization — clip each requested column to its own exact
+    * [lower, upper] quantiles (outlier capping ahead of moment-based
+    * statistics: a 10⁹-row price typo stops dominating μ/σ without dropping
+    * the row, the complement of [[robustScale]]'s rank-based rescaling).
+    * Appends `<col><suffix>` = LEAST(GREATEST(x, q_lower), q_upper); the
+    * 2·|cols| clip bounds come from ONE input scan
+    * ([[Percentiles.exactGlobalValuesMulti]]) and apply map-only — the same
+    * fit/apply artifact split as every scaler here. A NULL input stays
+    * NULL; an all-NULL column passes through NULL everywhere. */
+  def winsorize(df: DataFrame, cols: Seq[String],
+                lower: Double = 0.01, upper: Double = 0.99,
+                suffix: String = "_w"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(lower >= 0.0 && upper <= 1.0 && lower < upper,
+      s"need 0 <= lower < upper <= 1, got [$lower, $upper]")
+    val fits = Percentiles.exactGlobalValuesMulti(df, cols, Seq(lower, upper))
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c + suffix, fits(c) match {
+        case Seq(Some(lo), Some(hi)) =>
+          val x = col(c).cast("double")
+          when(x.isNull, lit(null).cast("double"))
+            .otherwise(least(greatest(x, lit(lo)), lit(hi)))
+        case _ => lit(null).cast("double") // all-NULL column
+      })
+    }
+  }
+
   /** (n complete rows, means, covariance matrix) for numeric columns in one
     * scan: pack into an array, run the native [[graft.plans.GramianAggregate]]
     * (one D²-bounded buffer per partition), derive μ/Σ driver-side — the

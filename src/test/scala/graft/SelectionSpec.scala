@@ -255,6 +255,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(9).isNullAt(0), "NULL input must scale to NULL")
   }
 
+  test("winsorize clips at the exact fitted quantiles; NULL passthrough") {
+    // values 1..100: bounds via the same (1−d)·lo + d·hi IEEE sequence the
+    // fit computes (a decimal literal can differ in the last ulp)
+    def interp(q: Double): Double = {
+      val h = 99.0 * q
+      val d = h - math.floor(h)
+      (1.0 - d) * (math.floor(h) + 1.0) + d * (math.ceil(h) + 1.0)
+    }
+    val (lo, hi) = (interp(0.1), interp(0.9))
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+ (101L, None))
+      .toDF("id", "v").repartition(5)
+    val out = Profiling.winsorize(df, Seq("v"), lower = 0.1, upper = 0.9)
+      .orderBy("id").collect()
+    (1 to 100).foreach { i =>
+      val w = out(i - 1).getDouble(2)
+      val want = math.min(math.max(i.toDouble, lo), hi)
+      assert(w == want, s"value $i clipped to $w, want $want")
+    }
+    assert(out(100).isNullAt(2), "NULL input must stay NULL")
+    // interior values pass through bit-identically
+    assert(out(49).getDouble(2) == 50.0)
+  }
+
   test("robustScale: zero-IQR column maps to NULL everywhere") {
     val df = (1 to 20).map(i => (i.toLong, 7.0, i.toDouble)).toDF("id", "c", "v")
     val out = Profiling.robustScale(df, Seq("c", "v"))
