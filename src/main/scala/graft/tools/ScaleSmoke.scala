@@ -59,7 +59,21 @@ object ScaleSmoke {
     "semantic_dedup_auto" -> ((s, dir) =>
       graft.operators.NearDup.semanticDedupeAuto(
         graft.sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.45, targetCellSize = 700, refineIters = 2, probes = 2)))
+        minCosine = 0.45, targetCellSize = 700, refineIters = 2, probes = 2)),
+    // head-to-head hot-group percentile forms on the row-scaled lineitem
+    // (3 groups at any corpus size): the per-group ranking window puts each
+    // group in ONE task's sort — its wall time grows with the corpus no
+    // matter the core count — while the composite-range form splits every
+    // group across ~p/3 partitions. Same results bit-for-bit (spec pin);
+    // the smoke records the wall-time separation.
+    "pctl_window_hotgroup" -> ((s, dir) =>
+      graft.operators.Percentiles.exactByGroup(
+        graft.sources.Tables.table(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), Seq("p50", "p90"))),
+    "pctl_ranged_hotgroup" -> ((s, dir) =>
+      graft.operators.Percentiles.exactByGroupRanged(
+        graft.sources.Tables.table(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), Seq("p50", "p90"))))
 
   final case class EntryTiming(name: String, baseSec: Double, scaledSec: Double,
       bound: Double) {
@@ -74,7 +88,7 @@ object ScaleSmoke {
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     import java.nio.file.{Files, Path}
-    val marker = Path.of(outDir, s".complete_v3_${copies}x")
+    val marker = Path.of(outDir, s".complete_v4_${copies}x")
     if (Files.exists(marker)) return
     val out = Path.of(outDir)
     if (Files.exists(out)) { // stale params — rebuild from scratch
@@ -134,8 +148,23 @@ object ScaleSmoke {
     scaledEv.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
 
+    // lineitem scales along the ROW axis with the GROUP CARDINALITY held
+    // fixed: copy i shifts l_orderkey into a fresh key universe while
+    // l_returnflag/l_linestatus keep their 3-value distribution — rows grow
+    // `copies`× but hot groups stay hot, the regime that separates the
+    // per-group ranking window (one task per group, grows linearly in
+    // corpus size) from the composite-range percentile form.
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    val scaledLi = (0 until copies).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+    scaledLi.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+
     graft.sources.Tables.names
-      .filterNot(n => n == "documents" || n == "embeddings" || n == "events")
+      .filterNot(n =>
+        n == "documents" || n == "embeddings" || n == "events" || n == "lineitem")
       .foreach { n =>
         val link = Path.of(outDir, s"$n.parquet")
         if (!Files.exists(link))
