@@ -2792,6 +2792,30 @@ SELECT l_orderkey, l_linenumber,
   LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lob), hib) AS price_w
 FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber, qty_w, price_w"""))
 
+  private val x36h = DeclaredQuery("x36h_robust_scale_by_group",
+    // Per-group robust scaling (Profiling.robustScaleByGroup): the
+    // per-language normalization step — (x − median_g)/IQR_g with each
+    // group's own quantiles, fitted by the composite-range form (few hot
+    // groups over a huge table is this operator's natural regime). Oracle
+    // replays the grouped QUANTILE_CONT fit + join + apply.
+    (s, d) => graft.operators.Profiling.robustScaleByGroup(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        (floor(col("l_extendedprice_rg") * 10000 + 0.5) / 10000).as("price_rg"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "price_rg"),
+    Some("""WITH f AS (
+  SELECT l_returnflag,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.5)  AS m,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+  FLOOR((CAST(l_extendedprice AS DOUBLE) - m) / (q3 - q1) * 10000 + 0.5) / 10000 AS price_rg
+FROM lineitem l JOIN f USING (l_returnflag)
+ORDER BY l_orderkey, l_linenumber, l_returnflag, price_rg"""))
+
   private val x37 = DeclaredQuery("x37_line_scrub",
     // Line-level boilerplate removal (LineDedup.removeBoilerplateLines,
     // CCNet/RefinedWeb recipe): sentences appearing in >= 2 distinct docs
@@ -2897,7 +2921,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x37, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

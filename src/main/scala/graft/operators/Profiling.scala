@@ -215,6 +215,34 @@ object Profiling {
     }
   }
 
+  /** Per-GROUP robust scaling — normalize a score WITHIN each group before
+    * any cross-group comparison or global cut (the per-language quality
+    * normalization step: a fluency score's scale differs by language, so a
+    * single global threshold over- or under-prunes whole languages).
+    * Appends `<valueCol><suffix>` = (x − median_g)/IQR_g using the group's
+    * own quantiles, fitted by [[Percentiles.exactByGroupRanged]] — the
+    * composite-range form, because this operator's natural regime is FEW
+    * hot groups (languages, sources) over a huge table, exactly where the
+    * per-group ranking window degenerates. The ≤ |groups|-row fit artifact
+    * joins back broadcast-style (AQE) and applies map-only.
+    *
+    * NULL contract: NULL value → NULL scaled; a zero-IQR group → NULL
+    * everywhere in that group; rows whose group is NULL (or whose group
+    * was all-NULL in the fit) → NULL scaled — never dropped. */
+  def robustScaleByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         suffix: String = "_rg",
+                         maxGroups: Int = 10000): DataFrame = {
+    val fit = Percentiles.exactByGroupRanged(df, groupCol, valueCol,
+        ps = Seq(0.25, 0.5, 0.75), names = Seq("__q1", "__med", "__q3"),
+        maxGroups = maxGroups)
+    df.join(fit, Seq(groupCol), "left")
+      .withColumn(valueCol + suffix,
+        when(col("__q3") - col("__q1") =!= 0.0,
+          (col(valueCol).cast("double") - col("__med"))
+            / (col("__q3") - col("__q1"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
   /** (n complete rows, means, covariance matrix) for numeric columns in one
     * scan: pack into an array, run the native [[graft.plans.GramianAggregate]]
     * (one D²-bounded buffer per partition), derive μ/Σ driver-side — the

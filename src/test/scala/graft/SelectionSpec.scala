@@ -278,6 +278,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(49).getDouble(2) == 50.0)
   }
 
+  test("robustScaleByGroup: each group scaled by its OWN median/IQR") {
+    // group a = 1..9 (med 5, IQR 4); group b = 101..109 (med 105, IQR 4);
+    // group c is zero-IQR; a NULL-group row passes through unscaled-NULL
+    val rows = (1 to 9).map(i => (Some("a"), i.toLong, Some(i.toDouble))) ++
+      (101 to 109).map(i => (Some("b"), i.toLong, Some(i.toDouble))) ++
+      Seq((Some("c"), 200L, Some(7.0)), (Some("c"), 201L, Some(7.0)),
+        (Option.empty[String], 300L, Some(5.0)))
+    val out = Profiling.robustScaleByGroup(
+        rows.toDF("g", "id", "v").repartition(5), "g", "v")
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val (g, id) = (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1))
+      val scaled = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      val want = g match {
+        case "a" => Some((id.toDouble - 5.0) / 4.0)
+        case "b" => Some((id.toDouble - 100.0 - 5.0) / 4.0)
+        case _ => None // zero-IQR group and NULL group both yield NULL
+      }
+      assert(scaled == want, s"group $g id $id: $scaled, want $want")
+    }
+    assert(out.length == rows.length, "no row may be dropped")
+  }
+
   test("robustScale: zero-IQR column maps to NULL everywhere") {
     val df = (1 to 20).map(i => (i.toLong, 7.0, i.toDouble)).toDF("id", "c", "v")
     val out = Profiling.robustScale(df, Seq("c", "v"))
