@@ -47,6 +47,10 @@ object Queries {
   private def round2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5) / 100
 
+  /** 4-decimal sibling of [[round2]] — same fixed IEEE op sequence. */
+  private def round4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000 + 0.5) / 10000
+
   // ---------------------------------------------------------------- Q1–Q8: scan/filter/expr/agg
 
   private val q01 = DeclaredQuery("q01_scan_project",
@@ -2909,6 +2913,131 @@ SELECT l_orderkey, l_linenumber,
   FLOOR((CAST(l_extendedprice AS DOUBLE) - mb) / (q3b - q1b) * 10000 + 0.5) / 10000 AS price_r
 FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
 
+  private val x38 = DeclaredQuery("x38_top_trigram",
+    // Gopher top-n-gram repetition signal at n=3 (Repetition.topNgramStats):
+    // each document's most frequent word trigram and the character fraction
+    // it accounts for. Same word-count shape as x04g one order up; the
+    // sf0.01 corpus has 27 docs with a repeated trigram, so ranking and the
+    // (count desc, gram asc) tie-break are genuinely exercised.
+    (s, d) => graft.operators.Repetition
+      .topNgramStats(t(s, d, "documents"), "doc_id", "text", 3)
+      .select(col("doc_id"), col("top_ngram"), col("n_occurrences"),
+        round2(col("top_ngram_char_frac")).as("top_ngram_char_frac"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+  SELECT doc_id, length(text) AS tlen,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+g AS (SELECT doc_id, tlen,
+    unnest(list_transform(range(1, len(toks) - 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS gram
+  FROM t WHERE len(toks) >= 3),
+c AS (SELECT doc_id, tlen, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM c)
+SELECT doc_id, gram AS top_ngram, c AS n_occurrences,
+  FLOOR(c * length(gram) * 1.0 / tlen * 100 + 0.5) / 100 AS top_ngram_char_frac
+FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
+  private val x38b = DeclaredQuery("x38b_dup_ngram_coverage",
+    // Gopher duplicated-n-gram character coverage (Repetition.dupNgramCoverage)
+    // at n=3: fraction of each document's characters covered by at least one
+    // occurrence of a trigram repeated within the document, overlaps counted
+    // once (the union-over-token-positions convention). The spec pins n=5 on
+    // planted fixtures; the gate runs n=3 because that's the order the
+    // synthetic corpus actually duplicates (27 nonzero docs at sf0.01).
+    (s, d) => graft.operators.Repetition
+      .dupNgramCoverage(t(s, d, "documents"), "doc_id", "text", 3)
+      .select(col("doc_id"), col("dup_chars"), col("total_chars"),
+        round4(col("dup_ngram_char_frac")).as("dup_ngram_char_frac"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS tlen,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+u AS (SELECT doc_id, tlen, toks FROM t WHERE len(toks) >= 3),
+g AS (SELECT doc_id,
+    unnest(list_transform(range(1, len(toks) - 1),
+      i -> struct_pack(pos := i, gram := array_to_string(toks[i:i+2], ' ')))) AS o
+  FROM u),
+oc AS (SELECT doc_id, o.pos AS pos, o.gram AS gram FROM g),
+c AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, gram) AS c FROM oc),
+ci AS (SELECT DISTINCT doc_id, i
+  FROM (SELECT doc_id, unnest(range(pos, pos + 3)) AS i FROM c WHERE c > 1)),
+d AS (SELECT ci.doc_id,
+    CAST(SUM(length(u.toks[CAST(ci.i AS INT)])) AS BIGINT) AS dchars
+  FROM ci JOIN u USING (doc_id) GROUP BY 1)
+SELECT u.doc_id, COALESCE(d.dchars, 0) AS dup_chars, u.tlen AS total_chars,
+  FLOOR(COALESCE(d.dchars, 0) * 1.0 / u.tlen * 10000 + 0.5) / 10000 AS dup_ngram_char_frac
+FROM u LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
+
+  private val x39 = DeclaredQuery("x39_distribution_drift",
+    // Corpus drift monitoring (Profiling.distributionDrift): PSI of the
+    // n_chars distribution, non-English docs vs the English reference, over
+    // 10 equal-probability bins fitted on the reference's exact deciles.
+    // The interpolated decile fit, the value-split bucket fold, the
+    // proportion divisions, and the eps-clamped (Δp)·ln ratio all replicate
+    // in DuckDB; ln ulps are absorbed by 4-decimal rounding (x32 precedent).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Profiling.distributionDrift(
+          docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"),
+          "n_chars", k = 10)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round4(col("p_ref")).as("p_ref"), round4(col("p_cur")).as("p_cur"),
+          round4(col("psi_term")).as("psi_term"))
+        .orderBy("bucket")
+    },
+    Some("""WITH r0 AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+c0 AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL),
+e AS (SELECT QUANTILE_CONT(v, 0.1) AS e1, QUANTILE_CONT(v, 0.2) AS e2,
+             QUANTILE_CONT(v, 0.3) AS e3, QUANTILE_CONT(v, 0.4) AS e4,
+             QUANTILE_CONT(v, 0.5) AS e5, QUANTILE_CONT(v, 0.6) AS e6,
+             QUANTILE_CONT(v, 0.7) AS e7, QUANTILE_CONT(v, 0.8) AS e8,
+             QUANTILE_CONT(v, 0.9) AS e9 FROM r0),
+rb AS (SELECT 1 + CAST(v >= e1 AS INT) + CAST(v >= e2 AS INT)
+         + CAST(v >= e3 AS INT) + CAST(v >= e4 AS INT) + CAST(v >= e5 AS INT)
+         + CAST(v >= e6 AS INT) + CAST(v >= e7 AS INT) + CAST(v >= e8 AS INT)
+         + CAST(v >= e9 AS INT) AS bucket FROM r0 CROSS JOIN e),
+cb AS (SELECT 1 + CAST(v >= e1 AS INT) + CAST(v >= e2 AS INT)
+         + CAST(v >= e3 AS INT) + CAST(v >= e4 AS INT) + CAST(v >= e5 AS INT)
+         + CAST(v >= e6 AS INT) + CAST(v >= e7 AS INT) + CAST(v >= e8 AS INT)
+         + CAST(v >= e9 AS INT) AS bucket FROM c0 CROSS JOIN e),
+rc AS (SELECT bucket, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+cc AS (SELECT bucket, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+b AS (SELECT CAST(i AS INT) AS bucket FROM range(1, 11) t(i)),
+j AS (SELECT b.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+             COALESCE(cc.n_cur, 0) AS n_cur
+      FROM b LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+p AS (SELECT *, n_ref * 1.0 / SUM(n_ref) OVER () AS p_ref,
+             n_cur * 1.0 / SUM(n_cur) OVER () AS p_cur FROM j)
+SELECT bucket, n_ref, n_cur,
+  FLOOR(p_ref * 10000 + 0.5) / 10000 AS p_ref,
+  FLOOR(p_cur * 10000 + 0.5) / 10000 AS p_cur,
+  FLOOR((GREATEST(p_cur, 1e-6) - GREATEST(p_ref, 1e-6))
+    * LN(GREATEST(p_cur, 1e-6) / GREATEST(p_ref, 1e-6)) * 10000 + 0.5) / 10000 AS psi_term
+FROM p ORDER BY bucket"""))
+
+  private val x40 = DeclaredQuery("x40_temperature_mixture",
+    // Temperature-flattened language mixture (Sampling.temperatureMixture,
+    // α=0.5, target 50%): rates ∝ √n_g boost low-resource languages. Every
+    // arithmetic step is IEEE-exact cross-engine (sqrt is correctly rounded;
+    // the Σ√n fold order is pinned groups-ASC on both sides via DuckDB's
+    // ordered list_reduce), so the kept SET matches bit-for-bit — the same
+    // sha256-keyed Bernoulli contract as x06b.
+    (s, d) => graft.operators.Sampling
+      .temperatureMixture(t(s, d, "documents"), "lang", "doc_id",
+        alpha = 0.5, targetFrac = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT lang, COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+s AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), (a, b) -> a + b) AS s,
+             CAST(SUM(n) AS BIGINT) AS total FROM n),
+r AS (SELECT lang, LEAST(1.0, 0.5 * total * sqrt(CAST(n AS DOUBLE)) / s / n) AS rate
+      FROM n CROSS JOIN s)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 < rate
+ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -2921,7 +3050,7 @@ FROM lineitem CROSS JOIN f ORDER BY l_orderkey, l_linenumber"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x40, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -243,6 +243,64 @@ object Profiling {
       .drop("__q1", "__med", "__q3")
   }
 
+  /** Distribution DRIFT between two snapshots of one numeric signal — the
+    * monitoring gate an ingestion pipeline runs per crawl: does the new
+    * batch still look like the reference corpus? Population Stability Index
+    * over `k` equal-probability bins fitted on the REFERENCE side: bin edges
+    * are the reference's exact (i/k)-quantiles
+    * ([[Percentiles.exactGlobalValues]] — one range-sort scan, k−1 doubles
+    * on the driver), both sides histogram through the same map-only
+    * threshold fold ([[Selection.assignQuantileBuckets]]'s value-split rule:
+    * x ≥ edge → higher bin, so ties never straddle a bin), and each bin
+    * contributes `psi_term = (p_cur' − p_ref')·ln(p_cur'/p_ref')` where p'
+    * clamps the proportion at `eps` — a bin one side misses entirely must
+    * contribute a large FINITE penalty, not ±∞ (standard PSI practice).
+    * Σ psi_term is the PSI (common reading: < 0.1 stable, > 0.25 drifted).
+    *
+    * Output: (bucket, n_ref, n_cur, p_ref, p_cur, psi_term) ordered by
+    * bucket, with the UNclamped proportions reported. NULL values are
+    * excluded on both sides. Heavy ties can leave interior bins empty on
+    * either side (value-split semantics); `eps` covers both. An empty `cur`
+    * (or `ref`) side yields NaN proportions — visibly, never silently.
+    *
+    * Shape: one quantile-fit scan over `ref`, then one count-aggregate scan
+    * per side, each reducing to ≤ k rows; everything downstream of the
+    * scans is k-row arithmetic. Nothing corpus-sized shuffles, and the two
+    * count scans are independent jobs — on a cluster they overlap. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+                        k: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
+    import org.apache.spark.sql.expressions.Window
+    val edges = Percentiles.exactGlobalValues(
+      ref, valueCol, (1 until k).map(_.toDouble / k)).flatten
+    val v = col(valueCol).cast("double")
+    val bucket = edges.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(v >= t, 1).otherwise(0)
+    }
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .where(v.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(name))
+    val spine = ref.sparkSession.range(1, k + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def clamp(c: org.apache.spark.sql.Column) = greatest(c, lit(eps))
+    spine
+      .join(counts(ref, "n_ref"), Seq("bucket"), "left")
+      .join(counts(cur, "n_cur"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("p_ref",
+        col("n_ref").cast("double") / sum("n_ref").over(wAll))
+      .withColumn("p_cur",
+        col("n_cur").cast("double") / sum("n_cur").over(wAll))
+      .withColumn("psi_term",
+        (clamp(col("p_cur")) - clamp(col("p_ref")))
+          * log(clamp(col("p_cur")) / clamp(col("p_ref"))))
+      .orderBy("bucket")
+  }
+
   /** (n complete rows, means, covariance matrix) for numeric columns in one
     * scan: pack into an array, run the native [[graft.plans.GramianAggregate]]
     * (one D²-bounded buffer per partition), derive μ/Σ driver-side — the

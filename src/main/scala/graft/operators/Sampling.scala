@@ -96,6 +96,54 @@ object Sampling {
     df.where(hashUnit(col(keyCol)) < frac)
   }
 
+  /** Temperature-flattened mixture RATES — the multilingual-corpus recipe
+    * (XLM/mBERT style): allocate a `targetFrac`·N total budget across groups
+    * proportionally to n_g^α, so α=1 keeps natural proportions, α→0
+    * approaches uniform-per-group, and the usual α∈[0.3, 0.7] boosts
+    * low-resource groups without drowning high-resource ones. The per-row
+    * Bernoulli rate for group g is
+    * `min(1, targetFrac · N · (n_g^α / Σ_h n_h^α) / n_g)` — a rate above 1
+    * caps (the group is smaller than its allocation; the shortfall is NOT
+    * reallocated — re-run with a higher α or frac if the realized total
+    * matters).
+    *
+    * The fit is one groupBy-count whose result is a ≤`maxGroups`-row driver
+    * artifact (groups are languages/sources, not data); the fold order for
+    * Σ n^α is groups ASC by name, so the double is reproducible across
+    * runs. α=0.5 routes through `sqrt` — the one power IEEE guarantees
+    * correctly rounded, hence the cross-engine-exact choice for oracles.
+    * NULL-group rows are counted in no group (and [[temperatureMixture]]
+    * drops them — rate 0). */
+  def temperatureRates(df: DataFrame, groupCol: String, alpha: Double,
+                       targetFrac: Double,
+                       maxGroups: Int = 10000): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.size <= maxGroups,
+      s"${counts.size} groups exceed maxGroups=$maxGroups — not a mixture axis")
+    def pow(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val total = counts.map(_._2).sum
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + pow(n) }
+    counts.map { case (g, n) =>
+      g -> math.min(1.0, targetFrac * total * pow(n) / s / n)
+    }.toMap
+  }
+
+  /** [[temperatureRates]] applied as the content-keyed Bernoulli mixture —
+    * one fit job, then the same map-only filter as [[weightedByStratum]].
+    * NULL-group rows are dropped (rate 0). */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         alpha: Double, targetFrac: Double,
+                         maxGroups: Int = 10000): DataFrame =
+    weightedByStratum(df, groupCol, keyCol,
+      temperatureRates(df, groupCol, alpha, targetFrac, maxGroups),
+      default = 0.0)
+
   /** Deterministic train/val/test split assignment: each row gets the first
     * label whose cumulative weight exceeds its [[hashUnit]] draw. Keyed on
     * row identity, so the split is stable across runs, partitionings, and

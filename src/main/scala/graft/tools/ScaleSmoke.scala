@@ -47,7 +47,13 @@ object ScaleSmoke {
     // both ride the distributed-scan recipe (range partition + driver-side
     // O(partitions) prefix scan) — the smoke checks the fit stays scan-bound
     "x36_select_budget", "x36e_quantile_buckets", "x36b_select_skip_greedy",
-    "x36f_select_budget_per_source", "x37_line_scrub")
+    "x36f_select_budget_per_source", "x37_line_scrub",
+    // round-13: dup-ngram coverage is the data-bound one (position explode +
+    // (doc,gram) window + position-union distinct); drift and the
+    // temperature mixture reduce to k-row / |groups|-row artifacts and
+    // should track the scan
+    "x38b_dup_ngram_coverage", "x39_distribution_drift",
+    "x40_temperature_mixture")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

@@ -171,6 +171,45 @@ class ProfilingSpec extends AnyFunSuite {
       "the genuinely varying column must keep real z-scores")
   }
 
+  test("distributionDrift: identical snapshots read zero PSI everywhere") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profiling.distributionDrift(ref, ref, "v", k = 4).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(out.forall(r => r.getLong(1) == 25L && r.getLong(2) == 25L))
+    assert(out.forall(r => r.getDouble(3) == 0.25 && r.getDouble(4) == 0.25))
+    assert(out.forall(r => r.getDouble(5) == 0.0))
+  }
+
+  test("distributionDrift: hand-computed PSI terms, empty-bin eps clamp, NULL exclusion") {
+    // ref = 1..10, k=2 → one edge at the exact median 5.5; ref splits 5/5.
+    // cur = all values BELOW the edge (plus a NULL that must not count):
+    // bucket 1 gets p_cur=1, bucket 2 is EMPTY on the cur side → its term
+    // uses the eps clamp: (eps - 0.5)·ln(eps/0.5).
+    val ref = (1 to 10).map(i => Some(i.toDouble)).toDF("v")
+    val cur = (Seq.fill(4)(Some(2.0)) :+ (None: Option[Double])).toDF("v")
+    val out = Profiling.distributionDrift(ref, cur, "v", k = 2).collect()
+    val eps = 1e-6
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 5L, 4L), (2, 5L, 0L)))
+    val t1 = (1.0 - 0.5) * math.log(1.0 / 0.5)
+    val t2 = (eps - 0.5) * math.log(eps / 0.5)
+    assert(math.abs(out(0).getDouble(5) - t1) < 1e-12)
+    assert(math.abs(out(1).getDouble(5) - t2) < 1e-12)
+    assert(out(1).getDouble(4) == 0.0, "reported p_cur stays unclamped")
+  }
+
+  test("distributionDrift: partitioning invariance and bucket-edge tie rule") {
+    val refRows = (1 to 60).map(i => (i % 6).toDouble + 1)
+    val curRows = (1 to 30).map(i => (i % 3).toDouble * 2 + 1)
+    val a = Profiling.distributionDrift(
+      refRows.toDF("v").repartition(1), curRows.toDF("v").repartition(1), "v", k = 3).collect()
+    val b = Profiling.distributionDrift(
+      refRows.toDF("v").repartition(7), curRows.toDF("v").repartition(5), "v", k = 3).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.getLong(1)).sum == 60L && a.map(_.getLong(2)).sum == 30L,
+      "every non-NULL row lands in exactly one bucket")
+  }
+
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap

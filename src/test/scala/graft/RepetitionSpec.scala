@@ -33,6 +33,61 @@ class RepetitionSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((7L, 1.0 / 4, 11.0 / totalChars)))
   }
 
+  test("topNgramStats: trigram ranking and char fraction exact") {
+    val d = docs(
+      (1L, "a b c a b c x"),  // trigrams: "a b c"×2 wins over the rest (×1)
+      (2L, "p q r"),          // single trigram
+      (3L, "p q"))            // < 3 tokens → omitted
+    val out = Repetition.topNgramStats(d, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c", 2L, 2.0 * 5 / 13),
+      (2L, "p q r", 1L, 5.0 / 5)))
+  }
+
+  test("dupNgramCoverage: overlap counted once, zero-dup and short docs") {
+    val d = docs(
+      // tokens: a b a b a b  → dup bigrams "a b"×3 at pos 0,2,4 and
+      // "b a"×2 at pos 1,3 → covered token positions 0..5 (all six),
+      // dup_chars = 6, total_chars = length("a b a b a b") = 11
+      (1L, "a b a b a b"),
+      // no repeated bigram → present with 0.0
+      (2L, "u v w x"),
+      // < 2 tokens → omitted
+      (3L, "solo"))
+    val out = Repetition.dupNgramCoverage(d, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 11L, 6.0 / 11),
+      (2L, 0L, 7L, 0.0)))
+  }
+
+  test("dupNgramCoverage: n=5 partial coverage with distinct-span union") {
+    // tokens: Q1..Q5 appear twice with junk between; the two occurrences of
+    // the 5-gram "q1 q2 q3 q4 q5" cover positions 0-4 and 8-12 → covered
+    // token chars = 10 tokens × 2 chars = 20. One junk token repeats ("zz")
+    // but a repeated UNIGRAM is not a 5-gram — contributes nothing.
+    val text = "q1 q2 q3 q4 q5 zz yy zz q1 q2 q3 q4 q5 ww"
+    val d = docs((9L, text))
+    val out = Repetition.dupNgramCoverage(d, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((9L, 20L, text.length.toLong, 20.0 / text.length)))
+  }
+
+  test("dupNgramCoverage: partitioning invariance") {
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) s"r$i s$i r$i s$i r$i" else s"a$i b$i c$i d$i e$i"))
+    val d1 = rows.toDF("doc_id", "text").repartition(1)
+    val d7 = rows.toDF("doc_id", "text").repartition(7)
+    val a = Repetition.dupNgramCoverage(d1, "doc_id", "text", 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = Repetition.dupNgramCoverage(d7, "doc_id", "text", 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("topBigramStats: count, tie-break, and char fraction exact") {
     val d = docs(
       (1L, "a b a b a"),   // bigrams: "a b"×2, "b a"×2 → tie → "a b" wins

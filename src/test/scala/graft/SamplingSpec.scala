@@ -81,6 +81,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() == docs.where(col("lang") === "en").count()) // 1.0 keeps all
   }
 
+  test("temperatureRates: hand-computed α=0.5 allocation, cap, α=1 identity") {
+    import spark.implicits._
+    // groups: a×100, b×400 → √: 10, 20; S=30; total 500; frac 0.3 →
+    // rate_a = 0.3·500·10/30/100 = 0.05·... compute exactly below
+    val df = ((1 to 100).map(i => (s"a$i", "a")) ++ (1 to 400).map(i => (s"b$i", "b")))
+      .toDF("id", "g")
+    val r = Sampling.temperatureRates(df, "g", alpha = 0.5, targetFrac = 0.3)
+    val s = math.sqrt(100.0) + math.sqrt(400.0)
+    assert(r("a") == 0.3 * 500 * 10.0 / s / 100)
+    assert(r("b") == 0.3 * 500 * 20.0 / s / 400)
+    // α=1 keeps natural proportions: every rate == targetFrac exactly
+    val r1 = Sampling.temperatureRates(df, "g", alpha = 1.0, targetFrac = 0.25)
+    assert(r1("a") == 0.25 && r1("b") == 0.25)
+    // a tiny group whose allocation exceeds its size caps at 1
+    val df2 = df.union(Seq(("c1", "c")).toDF("id", "g"))
+    val r2 = Sampling.temperatureRates(df2, "g", alpha = 0.5, targetFrac = 0.9)
+    assert(r2("c") == 1.0)
+    // NULL groups are not a group
+    val df3 = df.union(Seq(("n1", null.asInstanceOf[String])).toDF("id", "g"))
+    assert(Sampling.temperatureRates(df3, "g", 0.5, 0.3).keySet == Set("a", "b"))
+    assert(Sampling.temperatureMixture(df3, "g", "id", 0.5, 0.3)
+      .where(org.apache.spark.sql.functions.col("g").isNull).count() == 0L,
+      "NULL-group rows are dropped, never kept by accident")
+  }
+
+  test("temperatureMixture: α<1 boosts the small group's share; deterministic") {
+    import spark.implicits._
+    val df = ((1 to 60).map(i => (s"a$i", "big")) ++ (1 to 6).map(i => (s"b$i", "small")))
+      .toDF("id", "g")
+    val kept = Sampling.temperatureMixture(df, "g", "id", alpha = 0.5, targetFrac = 0.5)
+    val byG = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Sampling.temperatureRates(df, "g", 0.5, 0.5)
+    assert(rates("small") > rates("big"),
+      "temperature must boost the low-resource group's per-row rate")
+    val again = Sampling.temperatureMixture(df.repartition(7), "g", "id", 0.5, 0.5)
+      .orderBy("id").collect().toSeq
+    assert(Sampling.temperatureMixture(df, "g", "id", 0.5, 0.5)
+      .orderBy("id").collect().toSeq == again, "partitioning-invariant kept set")
+    assert(byG.values.sum > 0)
+  }
+
   test("splitAssign: total, disjoint, partitioning-invariant, near-target proportions") {
     val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
     val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
