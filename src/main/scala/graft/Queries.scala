@@ -3038,6 +3038,101 @@ SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
 WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 < rate
 ORDER BY doc_id"""))
 
+  private val x39b = DeclaredQuery("x39b_categorical_drift",
+    // Language-MIX drift (Profiling.categoricalDrift): PSI over the lang
+    // column between the even- and odd-doc_id halves of the corpus — one
+    // bin per language, full-outer value union, same eps-clamped terms as
+    // x39. The halves share a mix, so the gate exercises near-zero terms;
+    // the spec plants a one-sided value for the clamp path.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Profiling.categoricalDrift(
+          docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+          "lang")
+        .select(col("value"), col("n_ref"), col("n_cur"),
+          round4(col("p_ref")).as("p_ref"), round4(col("p_cur")).as("p_cur"),
+          round4(col("psi_term")).as("psi_term"))
+        .orderBy("value")
+    },
+    Some("""WITH rc AS (SELECT lang AS value, COUNT(*) AS n_ref FROM documents
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+cc AS (SELECT lang AS value, COUNT(*) AS n_cur FROM documents
+        WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+j AS (SELECT COALESCE(rc.value, cc.value) AS value,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM rc FULL OUTER JOIN cc ON rc.value = cc.value),
+p AS (SELECT *, n_ref * 1.0 / SUM(n_ref) OVER () AS p_ref,
+             n_cur * 1.0 / SUM(n_cur) OVER () AS p_cur FROM j)
+SELECT value, n_ref, n_cur,
+  FLOOR(p_ref * 10000 + 0.5) / 10000 AS p_ref,
+  FLOOR(p_cur * 10000 + 0.5) / 10000 AS p_cur,
+  FLOOR((GREATEST(p_cur, 1e-6) - GREATEST(p_ref, 1e-6))
+    * LN(GREATEST(p_cur, 1e-6) / GREATEST(p_ref, 1e-6)) * 10000 + 0.5) / 10000 AS psi_term
+FROM p ORDER BY value"""))
+
+  private val x41 = DeclaredQuery("x41_gopher_rules",
+    // Gopher document-quality rule filter (Scrub.gopherSignals/gopherKeep):
+    // the table-A1 screens as one codegen'd projection — token-count and
+    // mean-token-length bounds, symbol ratio, bullet/ellipsis line shape,
+    // alpha-token fraction, required-stopword hits — plus the keep verdict
+    // at bounds the fixture actually splits on (minTokens lowered to 30 and
+    // minStopwordHits to 1: the synthetic docs are shorter than web pages
+    // and never carry two DISTINCT required stopwords — 382/500 carry one —
+    // so the paper defaults would keep zero rows and exercise nothing; the
+    // spec pins the default bounds on planted prose instead).
+    (s, d) => {
+      val sig = graft.functions.Scrub.gopherSignals(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), sig.as("__s"))
+        .select(col("doc_id"),
+          col("__s.n_tokens").as("n_tokens"),
+          round4(col("__s.mean_tok_len")).as("mean_tok_len"),
+          round4(col("__s.symbol_word_ratio")).as("symbol_word_ratio"),
+          round4(col("__s.alpha_token_frac")).as("alpha_token_frac"),
+          col("__s.stopword_hits").as("stopword_hits"),
+          graft.functions.Scrub.gopherKeep(col("__s"), minTokens = 30,
+              minStopwordHits = 1)
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+s AS (SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+      / NULLIF(len(toks), 0) AS mean_tok_len,
+    CASE WHEN len(toks) > 0 THEN
+      ((length(text) - length(replace(text, '#', ''))) * 1.0
+       + (length(text) - length(replace(text, '…', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks)
+      ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
+      ELSE 0.0 END AS alpha_token_frac,
+    CAST(list_contains(list_transform(toks, x -> lower(x)), 'the') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'be') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'to') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'of') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'and') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'that') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'have') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'with') AS INT)
+      AS stopword_hits
+  FROM t)
+SELECT doc_id, n_tokens,
+  FLOOR(mean_tok_len * 10000 + 0.5) / 10000 AS mean_tok_len,
+  FLOOR(symbol_word_ratio * 10000 + 0.5) / 10000 AS symbol_word_ratio,
+  FLOOR(alpha_token_frac * 10000 + 0.5) / 10000 AS alpha_token_frac,
+  stopword_hits,
+  COALESCE(n_tokens BETWEEN 30 AND 100000
+    AND mean_tok_len BETWEEN 3.0 AND 10.0
+    AND symbol_word_ratio <= 0.1
+    AND alpha_token_frac >= 0.8
+    AND stopword_hits >= 1, FALSE) AS keep
+FROM s ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3050,7 +3145,7 @@ ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x40, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -68,6 +68,82 @@ object Scrub {
       !lower(text).contains("lorem ipsum")
   }
 
+  // ---- Gopher document-level rules (Rae et al. 2021, table A1) --------
+
+  /** The 8-word required-stopword list of the Gopher document filter: a
+    * document must contain at least 2 of these (lowercased token match) to
+    * look like running English prose. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Raw signals for the Gopher document-quality rules, as ONE map-only
+    * struct (so a pipeline computes them in a single codegen'd projection
+    * and the keep decision composes downstream):
+    *  - `n_tokens`: whitespace token count;
+    *  - `mean_tok_len`: mean token length in chars (NULL when no tokens);
+    *  - `symbol_word_ratio`: '#', '…' and '...' occurrences per token —
+    *    the hash/ellipsis symbol screen;
+    *  - `bullet_line_frac` / `ellipsis_line_frac`: fraction of non-empty
+    *    trimmed lines starting with a bullet marker ("- ", "* ", "• ") /
+    *    ending in an ellipsis;
+    *  - `alpha_token_frac`: fraction of tokens containing at least one
+    *    [A-Za-z] character;
+    *  - `stopword_hits`: distinct members of [[GopherStopwords]] present.
+    * Ratios over zero denominators read 0.0 (and `mean_tok_len` NULL), so
+    * an empty document fails the bounds, never NaN-poisons a filter. */
+  def gopherSignals(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    val nD = n.cast("double")
+    def occurrences(s: String): Column =
+      (length(text) - length(replace(text, lit(s), lit("")))) / s.length
+    val symbols = occurrences("#") + occurrences("…") + occurrences("...")
+    val ls = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(ls)
+    def lineFrac(p: Column => Column): Column =
+      when(nl > 0, size(filter(ls, p)).cast("double") / nl.cast("double"))
+        .otherwise(0.0)
+    val lowToks = transform(toks, t => lower(t))
+    val hits = GopherStopwords
+      .map(w => array_contains(lowToks, w).cast("int"))
+      .reduce(_ + _)
+    struct(
+      n.cast("long").as("n_tokens"),
+      TextAnalysis.meanTokenLength(text).as("mean_tok_len"),
+      when(n > 0, symbols.cast("double") / nD).otherwise(0.0)
+        .as("symbol_word_ratio"),
+      lineFrac(l => l.startsWith("- ") || l.startsWith("* ")
+        || l.startsWith("• ")).as("bullet_line_frac"),
+      lineFrac(l => l.endsWith("...") || l.endsWith("…"))
+        .as("ellipsis_line_frac"),
+      when(n > 0, size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+        / nD).otherwise(0.0).as("alpha_token_frac"),
+      hits.cast("int").as("stopword_hits"))
+  }
+
+  /** The Gopher KEEP decision over a [[gopherSignals]] struct, with the
+    * paper's default bounds exposed as parameters (tune per corpus; the
+    * published numbers target web crawl at full scale). A NULL
+    * `mean_tok_len` (no tokens) fails the bound — comparison semantics
+    * make the conjunction NULL, which `coalesce` pins to false so the
+    * filter DROPS, never passes, degenerate documents. */
+  def gopherKeep(signals: Column,
+                 minTokens: Long = 50, maxTokens: Long = 100000,
+                 minMeanTok: Double = 3.0, maxMeanTok: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8,
+                 minStopwordHits: Int = 2): Column = coalesce(
+    signals("n_tokens").between(minTokens, maxTokens) &&
+      signals("mean_tok_len").between(minMeanTok, maxMeanTok) &&
+      signals("symbol_word_ratio") <= maxSymbolRatio &&
+      signals("bullet_line_frac") <= maxBulletFrac &&
+      signals("ellipsis_line_frac") <= maxEllipsisFrac &&
+      signals("alpha_token_frac") >= minAlphaFrac &&
+      signals("stopword_hits") >= minStopwordHits,
+    lit(false))
+
   // ---- HTML extraction ------------------------------------------------
 
   /** Script/style/comment BLOCKS go first (content and all), then any

@@ -271,7 +271,6 @@ object Profiling {
                         k: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(k >= 2, s"need at least 2 bins, got $k")
     require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
-    import org.apache.spark.sql.expressions.Window
     val edges = Percentiles.exactGlobalValues(
       ref, valueCol, (1 until k).map(_.toDouble / k)).flatten
     val v = col(valueCol).cast("double")
@@ -284,13 +283,49 @@ object Profiling {
       .groupBy("bucket").agg(count(lit(1)).as(name))
     val spine = ref.sparkSession.range(1, k + 1)
       .select(col("id").cast("int").as("bucket"))
+    psiTerms(
+      spine
+        .join(counts(ref, "n_ref"), Seq("bucket"), "left")
+        .join(counts(cur, "n_cur"), Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_ref", "n_cur")),
+      eps).orderBy("bucket")
+  }
+
+  /** [[distributionDrift]] for a CATEGORICAL signal — the language-mix /
+    * source-mix shift monitor: one bin per distinct value (full-outer union
+    * of both sides' value sets, so a value present on only one side still
+    * gets its eps-clamped penalty), same PSI terms, ordered by value.
+    * Output: (value, n_ref, n_cur, p_ref, p_cur, psi_term). NULL categories
+    * are excluded, like NULL values in the numeric form.
+    *
+    * Scale note: bins = distinct categories, and the proportion pass is a
+    * single-partition window over that bin table — correct for mixture
+    * axes (languages, sources, format tags: model-artifact-sized). A
+    * near-unique column is not a mixture axis; bucket it (numeric → the
+    * quantile form; strings → hash ranges) before asking for drift. */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, catCol: String,
+                       eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .where(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("value"))
+      .agg(count(lit(1)).as(name))
+    psiTerms(
+      counts(ref, "n_ref")
+        .join(counts(cur, "n_cur"), Seq("value"), "full_outer")
+        .na.fill(0L, Seq("n_ref", "n_cur")),
+      eps).orderBy("value")
+  }
+
+  /** Append (p_ref, p_cur, psi_term) to a (bin, n_ref, n_cur) frame. The
+    * global window runs over the BIN table (k rows / distinct categories),
+    * never the corpus. */
+  private def psiTerms(binned: DataFrame, eps: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def clamp(c: org.apache.spark.sql.Column) = greatest(c, lit(eps))
-    spine
-      .join(counts(ref, "n_ref"), Seq("bucket"), "left")
-      .join(counts(cur, "n_cur"), Seq("bucket"), "left")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+    binned
       .withColumn("p_ref",
         col("n_ref").cast("double") / sum("n_ref").over(wAll))
       .withColumn("p_cur",
@@ -298,7 +333,6 @@ object Profiling {
       .withColumn("psi_term",
         (clamp(col("p_cur")) - clamp(col("p_ref")))
           * log(clamp(col("p_cur")) / clamp(col("p_ref"))))
-      .orderBy("bucket")
   }
 
   /** (n complete rows, means, covariance matrix) for numeric columns in one

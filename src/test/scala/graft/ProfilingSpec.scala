@@ -198,6 +198,24 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 0.0, "reported p_cur stays unclamped")
   }
 
+  test("categoricalDrift: value union, one-sided clamp, NULL category exclusion") {
+    val ref = (Seq.fill(6)("en") ++ Seq.fill(2)("de") :+ (null: String)).toDF("lang")
+    val cur = (Seq.fill(4)("en") ++ Seq.fill(4)("fr")).toDF("lang")
+    val out = Profiling.categoricalDrift(ref, cur, "lang").collect()
+    // ordered by value: de (ref-only), en, fr (cur-only); NULL row excluded
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("de", 2L, 0L), ("en", 6L, 4L), ("fr", 0L, 4L)))
+    val eps = 1e-6
+    def term(pc: Double, pr: Double): Double = {
+      val (a, b) = (math.max(pc, eps), math.max(pr, eps))
+      (a - b) * math.log(a / b)
+    }
+    val expected = Seq(term(0.0, 0.25), term(0.5, 0.75), term(0.5, 0.0))
+    out.map(_.getDouble(5)).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12)
+    }
+  }
+
   test("distributionDrift: partitioning invariance and bucket-edge tie rule") {
     val refRows = (1 to 60).map(i => (i % 6).toDouble + 1)
     val curRows = (1 to 30).map(i => (i % 3).toDouble * 2 + 1)

@@ -89,4 +89,58 @@ class ScrubSpec extends AnyFunSuite {
   test("htmlToText on plain text is whitespace-normalization only") {
     assert(extract("already  clean\n text") == "already clean text")
   }
+
+  private def signalsOf(s: String) =
+    Seq(s).toDF("t").select(Scrub.gopherSignals(col("t")).as("s"))
+      .select("s.*").head()
+
+  test("gopherSignals: exact counts and fractions on crafted text") {
+    val r = signalsOf("The cat sat\n- bullet one\n- bullet two\nwaiting...")
+    // tokens: The cat sat - bullet one - bullet two waiting... → 10 tokens
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    // '...' appears once → symbol ratio 1/10
+    assert(r.getAs[Double]("symbol_word_ratio") == 0.1)
+    // 4 non-empty lines, 2 bullet-started, 1 ellipsis-ended
+    assert(r.getAs[Double]("bullet_line_frac") == 0.5)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.25)
+    // '-' twice contributes non-alpha tokens: 8 of 10 contain [A-Za-z]
+    assert(r.getAs[Double]("alpha_token_frac") == 0.8)
+    // 'the' (lowercased) present once → 1 hit
+    assert(r.getAs[Int]("stopword_hits") == 1)
+  }
+
+  test("gopherSignals: empty doc reads zero ratios, NULL mean, and never keeps") {
+    val r = signalsOf("   ")
+    assert(r.getAs[Long]("n_tokens") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mean_tok_len")))
+    assert(r.getAs[Double]("symbol_word_ratio") == 0.0)
+    assert(r.getAs[Double]("alpha_token_frac") == 0.0)
+    val kept = Seq("   ").toDF("t")
+      .select(Scrub.gopherKeep(Scrub.gopherSignals(col("t"))).as("k"))
+      .head().getBoolean(0)
+    assert(!kept, "NULL mean_tok_len must pin the keep decision to false")
+  }
+
+  test("gopherKeep: each rule independently rejects") {
+    def keep(s: String, minTokens: Long = 5, minStopwordHits: Int = 0,
+             maxEllipsisFrac: Double = 0.3): Boolean =
+      Seq(s).toDF("t")
+        .select(Scrub.gopherKeep(Scrub.gopherSignals(col("t")),
+          minTokens = minTokens, minStopwordHits = minStopwordHits,
+          maxEllipsisFrac = maxEllipsisFrac).as("k"))
+        .head().getBoolean(0)
+    val good = "the quick brown fox jumps over the lazy sleeping dog"
+    assert(keep(good))
+    assert(!keep("too short"), "token-count floor")
+    assert(!keep("### ### " + good), "symbol ratio ceiling")
+    assert(!keep("a b c d e f g h i j"), "mean token length floor")
+    assert(!keep("the extraordinarily lengthy overcomplicated terminological " +
+      "constructions dominate everything", minTokens = 5),
+      "mean token length ceiling")
+    assert(!keep("12345 67890 12345 67890 12345 67890"), "alpha-token floor")
+    assert(!keep(good + "\nwait...", maxEllipsisFrac = 0.3),
+      "ellipsis line fraction ceiling")
+    assert(!keep("quick brown foxes jump high", minStopwordHits = 2),
+      "required-stopword floor")
+  }
 }
