@@ -3133,6 +3133,181 @@ SELECT doc_id, n_tokens,
     AND stopword_hits >= 1, FALSE) AS keep
 FROM s ORDER BY doc_id"""))
 
+  private val x42 = DeclaredQuery("x42_importance_weights",
+    // DSIR importance weighting (ImportanceWeights.importanceWeights):
+    // explicit add-one unigram ratios fitted on target = English docs vs
+    // raw = the whole corpus, every doc scored by Σ ln(p̂_t/p̂_r) over its
+    // tokens. The smoothed-probability quotient is mirrored op-for-op in
+    // DuckDB; the per-doc sum/mean of lns is rounded to 4 decimals on both
+    // sides (fold order and libm ulps — the x32 precedent). raw ⊇ every
+    // scored doc, so the gate never hits the OOV path (ImportanceSpec pins
+    // it on planted fixtures).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.ImportanceWeights
+        .importanceWeights(docs, "doc_id", "text",
+          docs.where(col("lang") === "en"), docs)
+        .select(col("doc_id"), col("n_tokens"),
+          round4(col("log_weight")).as("log_weight4"),
+          round4(col("mean_log_ratio")).as("mean_log_ratio4"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+  SELECT doc_id, lang, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS ts
+  FROM documents),
+tc AS (SELECT t AS feature, COUNT(*) AS c_t
+       FROM (SELECT unnest(ts) AS t FROM tok WHERE lang = 'en') GROUP BY 1),
+rc AS (SELECT t AS feature, COUNT(*) AS c_r
+       FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+j AS (SELECT COALESCE(tc.feature, rc.feature) AS feature,
+             COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+      FROM tc FULL OUTER JOIN rc ON tc.feature = rc.feature),
+tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS n_t, CAST(SUM(c_r) AS DOUBLE) AS n_r,
+               CAST(COUNT(*) AS DOUBLE) AS v FROM j),
+r AS (SELECT feature,
+        LN(((c_t + 1.0) / (n_t + v)) / ((c_r + 1.0) / (n_r + v))) AS lr
+      FROM j CROSS JOIN tot),
+dt AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+sc AS (SELECT dt.doc_id, r.lr FROM dt JOIN r ON dt.t = r.feature),
+agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+          FLOOR(SUM(lr) * 10000 + 0.5) / 10000 AS log_weight4,
+          FLOOR(AVG(lr) * 10000 + 0.5) / 10000 AS mean_log_ratio4
+        FROM sc GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, a.log_weight4, a.mean_log_ratio4
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
+
+  private val x42b = DeclaredQuery("x42b_gumbel_topk",
+    // DSIR's selection rule (ImportanceWeights.gumbelTopK): resample 50
+    // docs by importance weight + deterministic Gumbel noise (content-keyed
+    // sha256 uniform — the x40 portability trick — through −ln(−ln u)).
+    // The selection key is floor-rounded to 4 decimals BEFORE the top-k
+    // rank on both sides, so the kept set survives libm/fold ulps in the
+    // unrounded weights.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = graft.operators.ImportanceWeights
+        .importanceWeights(docs, "doc_id", "text",
+          docs.where(col("lang") === "en"), docs)
+      graft.operators.ImportanceWeights
+        .gumbelTopK(scored, "doc_id", "log_weight", 50)
+        .select("doc_id", "gumbel_key")
+    },
+    Some("""WITH tok AS (
+  SELECT doc_id, lang, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS ts
+  FROM documents),
+tc AS (SELECT t AS feature, COUNT(*) AS c_t
+       FROM (SELECT unnest(ts) AS t FROM tok WHERE lang = 'en') GROUP BY 1),
+rc AS (SELECT t AS feature, COUNT(*) AS c_r
+       FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+j AS (SELECT COALESCE(tc.feature, rc.feature) AS feature,
+             COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+      FROM tc FULL OUTER JOIN rc ON tc.feature = rc.feature),
+tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS n_t, CAST(SUM(c_r) AS DOUBLE) AS n_r,
+               CAST(COUNT(*) AS DOUBLE) AS v FROM j),
+r AS (SELECT feature,
+        LN(((c_t + 1.0) / (n_t + v)) / ((c_r + 1.0) / (n_r + v))) AS lr
+      FROM j CROSS JOIN tot),
+dt AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+agg AS (SELECT dt.doc_id, SUM(r.lr) AS log_weight
+        FROM dt JOIN r ON dt.t = r.feature GROUP BY 1),
+keyed AS (SELECT doc_id,
+    FLOOR((log_weight - LN(-LN(GREATEST(
+      CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0, 1e-12)))) * 10000 + 0.5) / 10000 AS gumbel_key
+  FROM agg)
+SELECT doc_id, gumbel_key FROM keyed
+ORDER BY gumbel_key DESC, doc_id LIMIT 50"""))
+
+  private val x42c = DeclaredQuery("x42c_hashed_weights",
+    // the DSIR paper's production shape (ImportanceWeights.hashedLogRatios):
+    // features are xxhash64-mod-2^16 buckets, so the ratio model is at most
+    // 65 536 rows — broadcastable at any corpus scale. xxhash64 has no
+    // DuckDB spelling, so the gate is rows-only; ImportanceSpec pins the
+    // whole bucket→smooth→score path against a naive in-JVM recount.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val b = 1 << 16
+      val m = graft.operators.ImportanceWeights.hashedLogRatios(
+        docs.where(col("lang") === "en"), docs, "text", b)
+      graft.operators.ImportanceWeights
+        .score(docs, "doc_id", "text", m, hashedBuckets = Some(b))
+        .select(col("doc_id"), col("n_tokens"),
+          round4(col("log_weight")).as("log_weight4"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  private val x43 = DeclaredQuery("x43_vocab_jsd",
+    // mixture-design diagnostic (Relevance.vocabJsDivergence): pairwise
+    // Jensen–Shannon divergence between per-language unigram distributions
+    // — shared-term inner sum plus the closed-form ½ln2·(1−coverage)
+    // correction, so disjoint-vocabulary pairs read exactly ln 2. Every
+    // probability is an exact integer quotient; the cross-term sums round
+    // to 4 decimals on both sides.
+    (s, d) => graft.operators.Relevance
+      .vocabJsDivergence(t(s, d, "documents"), "lang", "text")
+      .select(col("group_a"), col("group_b"), col("n_shared_terms"),
+        round4(col("cov_a")).as("cov_a4"), round4(col("cov_b")).as("cov_b4"),
+        round4(col("jsd")).as("jsd4"))
+      .orderBy("group_a", "group_b"),
+    Some("""WITH tok AS (
+  SELECT lang AS g, unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term
+  FROM documents WHERE lang IS NOT NULL),
+c AS (SELECT g, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT g, SUM(c) AS n FROM c GROUP BY 1),
+dist AS (SELECT c.g, c.term, c.c / n.n AS p FROM c JOIN n USING (g)),
+sh AS (SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS n_shared_terms,
+        SUM(0.5 * a.p * LN(2.0 * a.p / (a.p + b.p))
+          + 0.5 * b.p * LN(2.0 * b.p / (a.p + b.p))) AS inner_sum,
+        SUM(a.p) AS cov_a, SUM(b.p) AS cov_b
+      FROM dist a JOIN dist b ON a.term = b.term AND a.g < b.g
+      GROUP BY 1, 2),
+pairs AS (SELECT a.g AS group_a, b.g AS group_b FROM n a JOIN n b ON a.g < b.g)
+SELECT p.group_a, p.group_b, COALESCE(n_shared_terms, 0) AS n_shared_terms,
+  FLOOR(COALESCE(cov_a, 0) * 10000 + 0.5) / 10000 AS cov_a4,
+  FLOOR(COALESCE(cov_b, 0) * 10000 + 0.5) / 10000 AS cov_b4,
+  FLOOR((COALESCE(inner_sum, 0) + 0.5 * LN(2.0)
+    * ((1.0 - COALESCE(cov_a, 0)) + (1.0 - COALESCE(cov_b, 0)))) * 10000 + 0.5) / 10000 AS jsd4
+FROM pairs p LEFT JOIN sh USING (group_a, group_b) ORDER BY 1, 2"""))
+
+  private val x44 = DeclaredQuery("x44_rank_fusion",
+    // quality-signal ensemble (Selection.reciprocalRankFusion): three
+    // incomparably-scaled signals (char count, token count, mean token
+    // length) fused by reciprocal rank, k = 60. Ranks come from the
+    // distributed range-partition recipe — never a single-partition global
+    // window — and the fused score is a fixed fold of exact divisions, so
+    // NOTHING here needs rounding: the oracle matches bit-for-bit.
+    (s, d) => {
+      val toks = graft.functions.TextAnalysis.tokenCount(col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("n_chars").cast("double").as("s_chars"),
+        toks.cast("double").as("s_tokens"),
+        (length(col("text")) / greatest(toks, lit(1))).as("s_mtl"))
+      graft.operators.Selection
+        .reciprocalRankFusion(docs, "doc_id", Seq("s_chars", "s_tokens", "s_mtl"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s_chars,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS DOUBLE) AS s_tokens,
+    length(text) / GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)), 1) AS s_mtl
+  FROM documents),
+r AS (SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY s_chars DESC NULLS LAST, doc_id) AS rank_s_chars,
+    ROW_NUMBER() OVER (ORDER BY s_tokens DESC NULLS LAST, doc_id) AS rank_s_tokens,
+    ROW_NUMBER() OVER (ORDER BY s_mtl DESC NULLS LAST, doc_id) AS rank_s_mtl
+  FROM s)
+SELECT doc_id, rank_s_chars, rank_s_tokens, rank_s_mtl,
+  1.0 / (60 + rank_s_chars) + 1.0 / (60 + rank_s_tokens) + 1.0 / (60 + rank_s_mtl) AS rrf
+FROM r ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3145,7 +3320,7 @@ FROM s ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

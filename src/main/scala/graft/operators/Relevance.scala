@@ -206,4 +206,59 @@ object Relevance {
           nullif(sum(coalesce(col("__c1"), lit(0L))), lit(0)).cast("double"))
           .as("ref_assoc"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the unigram vocabulary
+    * distributions of each `groupCol` value — the mixture-design diagnostic
+    * ("how lexically far apart are my sources/languages?"). Output one row
+    * per unordered group pair (group_a < group_b): shared-term count, each
+    * side's probability mass on the shared vocabulary, and the JSD in nats
+    * (0 = identical distributions, ln 2 ≈ 0.693 = disjoint vocabularies).
+    *
+    * Decomposition that avoids materializing the union vocabulary per pair:
+    * terms on only ONE side contribute `½·p·ln 2` each, which telescopes to
+    * `½·ln2·(1 − shared mass)` per side — so the whole divergence is an
+    * INNER join over shared terms plus a closed-form correction:
+    * `JSD = Σ_shared [½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q))]
+    *        + ½ln2·((1−cov_a) + (1−cov_b))`.
+    * Pairs sharing no terms at all still appear (via the tiny group-pair
+    * universe) with jsd = ln 2 exactly.
+    *
+    * Scale: one token-count shuffle builds the (group, term, p) relation;
+    * the self-join shuffles on `term` and emits ≤ |groups|² rows per term —
+    * `groupCol` is a mixture axis (languages, sources: tens, not millions),
+    * so the pair fan-out is a constant factor on the vocabulary scan. NULL
+    * groups are excluded. */
+  def vocabJsDivergence(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val counts = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(transform(TextAnalysis.tokens(col(textCol)), t => lower(t)))
+          .as("term"))
+      .groupBy("g", "term").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g").agg(sum("c").as("n"))
+    val dist = counts.join(broadcast(totals), "g")
+      .select(col("g"), col("term"), (col("c") / col("n")).as("p"))
+    val a = dist.select(col("g").as("group_a"), col("term"), col("p").as("pa"))
+    val b = dist.select(col("g").as("group_b"), col("term"), col("p").as("pb"))
+    val m = col("pa") + col("pb")
+    val shared = a.join(b, Seq("term"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(lit(0.5) * col("pa") * log(lit(2.0) * col("pa") / m)
+          + lit(0.5) * col("pb") * log(lit(2.0) * col("pb") / m)).as("__inner"),
+        sum("pa").as("cov_a"), sum("pb").as("cov_b"))
+    val halfLn2 = lit(0.5 * math.log(2.0))
+    val pairs = totals.select(col("g").as("group_a"))
+      .crossJoin(totals.select(col("g").as("group_b")))
+      .where(col("group_a") < col("group_b"))
+    pairs.join(shared, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        coalesce(col("cov_a"), lit(0.0)).as("cov_a"),
+        coalesce(col("cov_b"), lit(0.0)).as("cov_b"),
+        (coalesce(col("__inner"), lit(0.0)) +
+          halfLn2 * ((lit(1.0) - coalesce(col("cov_a"), lit(0.0)))
+            + (lit(1.0) - coalesce(col("cov_b"), lit(0.0))))).as("jsd"))
+  }
 }

@@ -267,4 +267,65 @@ object Selection {
     }
     df.withColumn(bucketCol, when(s.isNotNull, bucket).cast("int"))
   }
+
+  /** Distributed GLOBAL rank 1..N by (`scoreCol` DESC NULLS LAST, `idCol`
+    * ASC) — the same range-partition + driver-prefix recipe as
+    * [[selectByBudget]], here counting ROWS instead of tokens: a range
+    * shuffle orders the corpus, per-partition row counts are prefix-scanned
+    * on the driver (O(partitions) longs), and each partition's local
+    * `row_number` is offset by the rows before it. No single-partition
+    * global window at any corpus size. NULL scores rank after every real
+    * score (deterministically, by id). */
+  private def globalRank(df: DataFrame, idCol: String,
+                         scoreCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(col(idCol), scoreCol.as("__s"))
+      .repartitionByRange(p, col("__s").desc_nulls_last, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + counts.getOrElse(i, 0L))
+    val offsetOf = element_at(
+      map(offsets.take(p).zipWithIndex
+        .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
+      col("__pid"))
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("__s").desc_nulls_last, col(idCol))
+    val out = base
+      .withColumn("rank", offsetOf + row_number().over(w))
+      .select(col(idCol), col("rank"))
+    CacheOps.materializeAndRelease(out, base)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of several quality
+    * signals: each score column is ranked globally (higher = better, ties
+    * and NULLs broken by id), and the fused score is
+    * `rrf = Σ_cols 1/(k + rank_col)` — the standard ensemble rule when
+    * signal SCALES are incomparable (an LM fluency score and a compression
+    * ratio can't be averaged, but their ranks can). Output: (idCol,
+    * rank_<col>..., rrf), one row per input row. `k` (default 60, the
+    * paper's constant) damps the top-rank dominance.
+    *
+    * Determinism: ranks are exact integers and the fused sum is a fixed
+    * left-to-right fold of correctly-rounded divisions — bit-identical
+    * across engines, no rounding needed.
+    *
+    * Scale: one [[globalRank]] range shuffle per signal plus an id-keyed
+    * join to line the rank columns up — each piece is the distributed-scan
+    * shape, never a global single-partition sort. */
+  def reciprocalRankFusion(df: DataFrame, idCol: String,
+                           scoreCols: Seq[String], k: Int = 60): DataFrame = {
+    require(scoreCols.nonEmpty, "need at least one score column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = scoreCols.map { c =>
+      globalRank(df, idCol, col(c)).withColumnRenamed("rank", s"rank_$c")
+    }
+    val joined = ranked.reduce(_.join(_, Seq(idCol)))
+    val rrf = scoreCols.map(c => lit(1.0) / (lit(k) + col(s"rank_$c")))
+      .reduce(_ + _)
+    joined.withColumn("rrf", rrf)
+  }
 }

@@ -53,7 +53,12 @@ object ScaleSmoke {
     // temperature mixture reduce to k-row / |groups|-row artifacts and
     // should track the scan
     "x38b_dup_ngram_coverage", "x39_distribution_drift",
-    "x40_temperature_mixture")
+    "x40_temperature_mixture",
+    // DSIR + ensemble selection: x42 is the data-bound one (vocab-sized
+    // ratio model joined back over every token); x42b adds only a TakeOrdered
+    // on top; x44 is three range shuffles + an id join — all should track
+    // the corpus scan, none may go superlinear
+    "x42_importance_weights", "x42b_gumbel_topk", "x44_rank_fusion")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

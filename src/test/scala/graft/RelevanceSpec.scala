@@ -131,4 +131,39 @@ class RelevanceSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(run(d.repartition(5)) == run(d.coalesce(1)))
   }
+
+  // ------------------------------------------------------ vocabJsDivergence
+
+  test("vocabJsDivergence matches the naive union-vocab JSD on a hand fixture") {
+    import spark.implicits._
+    // A: "a a b" → p(a)=2/3, p(b)=1/3; B: "a c" → p(a)=1/2, p(c)=1/2
+    val df = Seq((1L, "A", "a a b"), (2L, "B", "a c")).toDF("doc_id", "g", "text")
+    val row = Relevance.vocabJsDivergence(df, "g", "text").collect().head
+    val pA = Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)
+    val pB = Map("a" -> 0.5, "c" -> 0.5)
+    val want = (pA.keySet ++ pB.keySet).toSeq.map { t =>
+      val (p, q) = (pA.getOrElse(t, 0.0), pB.getOrElse(t, 0.0))
+      val m = (p + q) / 2
+      (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+    }.sum
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    assert(row.getLong(2) == 1L, "only 'a' is shared")
+    assert(math.abs(row.getDouble(5) - want) < 1e-12)
+  }
+
+  test("vocabJsDivergence: identical groups → 0, disjoint groups → ln 2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p", "the cat sat"), (2L, "q", "the cat sat"),
+      (3L, "r", "completely different words")).toDF("doc_id", "g", "text")
+    val got = Relevance.vocabJsDivergence(df, "g", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("p", "q"), ("p", "r"), ("q", "r")),
+      "full pair universe, including disjoint pairs")
+    assert(math.abs(got(("p", "q"))._2) < 1e-12)
+    assert(got(("p", "r"))._1 == 0L)
+    assert(math.abs(got(("p", "r"))._2 - math.log(2.0)) < 1e-12)
+  }
 }

@@ -307,4 +307,39 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.where(col("c_r").isNotNull).count() == 0L)
     assert(out.where(col("v_r").isNull).count() == 0L)
   }
+
+  // --------------------------------------------------- reciprocalRankFusion
+
+  test("reciprocalRankFusion equals the windowed-SQL spelling on multi-partition data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map(i =>
+      (i, rnd.nextDouble(), rnd.nextInt(50).toDouble, rnd.nextDouble()))
+    val df = rows.toDF("doc_id", "s1", "s2", "s3").repartition(7)
+    val got = Selection.reciprocalRankFusion(df, "doc_id", Seq("s1", "s2", "s3"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    df.createOrReplaceTempView("rrf_docs")
+    val want = spark.sql(
+      """SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY s1 DESC NULLS LAST, doc_id) AS r1,
+           ROW_NUMBER() OVER (ORDER BY s2 DESC NULLS LAST, doc_id) AS r2,
+           ROW_NUMBER() OVER (ORDER BY s3 DESC NULLS LAST, doc_id) AS r3
+         FROM rrf_docs""")
+      .collect().map { r =>
+        val (r1, r2, r3) = (r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong)
+        (r.getLong(0), r1, r2, r3,
+          1.0 / (60 + r1) + 1.0 / (60 + r2) + 1.0 / (60 + r3))
+      }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("reciprocalRankFusion: NULL scores rank last, ties break by id") {
+    val df = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(5.0)), (4L, None))
+      .toDF("doc_id", "s")
+    val got = Selection.reciprocalRankFusion(df, "doc_id", Seq("s"), k = 10)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L, 2L -> 3L, 4L -> 4L))
+  }
 }
