@@ -3225,17 +3225,18 @@ ORDER BY gumbel_key DESC, doc_id LIMIT 50"""))
 
   private val x42c = DeclaredQuery("x42c_hashed_weights",
     // the DSIR paper's production shape (ImportanceWeights.hashedLogRatios):
-    // features are xxhash64-mod-2^16 buckets, so the ratio model is at most
-    // 65 536 rows — broadcastable at any corpus scale. xxhash64 has no
-    // DuckDB spelling, so the gate is rows-only; ImportanceSpec pins the
-    // whole bucket→smooth→score path against a naive in-JVM recount.
+    // features are xxhash64-mod-2^16 buckets over unigrams AND bigrams (the
+    // paper's feature set), so the ratio model is at most 65 536 rows —
+    // broadcastable at any corpus scale. xxhash64 has no DuckDB spelling,
+    // so the gate is rows-only; ImportanceSpec pins the whole
+    // n-gram→bucket→smooth→score path against a naive in-JVM recount.
     (s, d) => {
       val docs = t(s, d, "documents")
       val b = 1 << 16
       val m = graft.operators.ImportanceWeights.hashedLogRatios(
         docs.where(col("lang") === "en"), docs, "text", b)
       graft.operators.ImportanceWeights
-        .score(docs, "doc_id", "text", m, hashedBuckets = Some(b))
+        .score(docs, "doc_id", "text", m)
         .select(col("doc_id"), col("n_tokens"),
           round4(col("log_weight")).as("log_weight4"))
         .orderBy("doc_id")

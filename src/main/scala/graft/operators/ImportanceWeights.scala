@@ -33,8 +33,14 @@ object ImportanceWeights {
 
   /** The fitted model: `ratios` = (feature, log_ratio), `totals` = a single
     * row (n_target, n_raw, n_features). Plain DataFrames — persist or
-    * parquet round-trip them to reuse one fit across many scoring runs. */
-  final case class RatioModel(ratios: DataFrame, totals: DataFrame) {
+    * parquet round-trip them to reuse one fit across many scoring runs.
+    * The model carries its own feature configuration (`ngramOrders`,
+    * `hashedBuckets`) so [[score]] featurizes exactly the way the fit did —
+    * fit/score feature skew is impossible by construction (the same
+    * argument as [[Bpe]]'s shared pre-tokenizer). */
+  final case class RatioModel(ratios: DataFrame, totals: DataFrame,
+                              ngramOrders: Seq[Int],
+                              hashedBuckets: Option[Int]) {
 
     /** `ln((1/(n_target+V)) / (1/(n_raw+V)))` — the weight of a feature
       * absent from BOTH fit corpora, derived from `totals` columns. */
@@ -48,6 +54,24 @@ object ImportanceWeights {
   private def toks(textCol: String): Column =
     transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
 
+  /** Feature instances per document for the requested n-gram orders:
+    * order-1 = the tokens themselves, order-n = space-joined runs of n
+    * adjacent tokens (the DSIR paper fits hashed unigrams+bigrams). One
+    * flattened array per doc — a single Generate in the plan regardless of
+    * how many orders are requested. */
+  private def ngramInstances(textCol: String, orders: Seq[Int]): Column = {
+    val ts = toks(textCol)
+    val perOrder = orders.map {
+      case 1 => ts
+      case n =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", slice(ts, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+    }
+    if (perOrder.size == 1) perOrder.head else flatten(array(perOrder: _*))
+  }
+
   /** Hash-bucket feature: `xxhash64(token) mod numBuckets`, non-negative. */
   private def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(xxhash64(term), lit(numBuckets.toLong))
@@ -56,10 +80,16 @@ object ImportanceWeights {
     * join, add-one smooth over a feature space of size `featureSpace`
     * (a 1-row frame column so the whole fit stays one lazy plan). */
   private def fit(target: DataFrame, raw: DataFrame, textCol: String,
-                  feature: Column => Column,
+                  orders: Seq[Int], hashed: Option[Int],
                   featureSpace: DataFrame => Column): RatioModel = {
+    require(orders.nonEmpty && orders.forall(_ >= 1),
+      s"ngram orders must be >= 1, got $orders")
+    val feature: Column => Column = hashed match {
+      case Some(b) => bucketOf(_, b)
+      case None    => identity(_)
+    }
     def counts(df: DataFrame, as: String): DataFrame = df
-      .select(explode(toks(textCol)).as("__t"))
+      .select(explode(ngramInstances(textCol, orders)).as("__t"))
       .select(feature(col("__t")).as("feature"))
       .groupBy("feature").agg(count(lit(1)).as(as))
     val joined = counts(target, "c_target")
@@ -80,7 +110,7 @@ object ImportanceWeights {
         log(((col("c_target") + lit(1.0)) / (col("n_target") + col("n_features"))) /
           ((col("c_raw") + lit(1.0)) / (col("n_raw") + col("n_features"))))
           .as("log_ratio"))
-    RatioModel(ratios, totalsWithV)
+    RatioModel(ratios, totalsWithV, orders, hashed)
   }
 
   /** Explicit-unigram fit: features are the tokens themselves, the feature
@@ -88,37 +118,38 @@ object ImportanceWeights {
     * is vocabulary-sized. */
   def unigramLogRatios(target: DataFrame, raw: DataFrame,
                        textCol: String): RatioModel =
-    fit(target, raw, textCol, identity(_),
-      t => col("n_seen"))
+    fit(target, raw, textCol, Seq(1), None, _ => col("n_seen"))
 
   /** Hashed-feature fit (the DSIR paper's production shape): features are
-    * `xxhash64 mod numBuckets`, the feature space is all `numBuckets`
-    * buckets (absent buckets smooth to 1/(N+B) implicitly via the scorer's
-    * OOV path). Model size is bounded by `numBuckets` — broadcastable at
-    * any corpus scale. */
+    * `xxhash64 mod numBuckets` over the requested n-gram orders — the
+    * paper fits unigrams+bigrams, `ngramOrders = Seq(1, 2)`. The feature
+    * space is all `numBuckets` buckets (absent buckets smooth to 1/(N+B)
+    * implicitly via the scorer's OOV path). Model size is bounded by
+    * `numBuckets` — broadcastable at any corpus scale. */
   def hashedLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
-                      numBuckets: Int = 1 << 20): RatioModel = {
+                      numBuckets: Int = 1 << 20,
+                      ngramOrders: Seq[Int] = Seq(1, 2)): RatioModel = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    fit(target, raw, textCol, bucketOf(_, numBuckets),
+    fit(target, raw, textCol, ngramOrders, Some(numBuckets),
       _ => lit(numBuckets.toLong))
   }
 
-  /** Score documents against a fitted model: per-doc token count and
-    * importance log-weight `Σ_tokens log_ratio(feature(token))` plus its
-    * per-token mean (the length-normalized variant). Tokens whose feature
-    * is absent from the model score the OOV ratio; documents with zero
-    * tokens keep n_tokens = 0 and NULL weights (nothing silently drops).
-    *
-    * `hashed` must match the model's fit variant so scoring buckets the
-    * same way the fit did. */
+  /** Score documents against a fitted model: per-doc feature-instance
+    * count and importance log-weight `Σ_instances log_ratio(feature)` plus
+    * its per-instance mean (the length-normalized variant). Featurization
+    * (n-gram orders, hashing) comes from the MODEL, so it always matches
+    * the fit. Instances whose feature is absent from the model score the
+    * OOV ratio; documents yielding zero instances keep n_tokens = 0 and
+    * NULL weights (nothing silently drops). */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: RatioModel, hashedBuckets: Option[Int] = None): DataFrame = {
-    val feat: Column => Column = hashedBuckets match {
+            model: RatioModel): DataFrame = {
+    val feat: Column => Column = model.hashedBuckets match {
       case Some(b) => bucketOf(_, b)
       case None    => identity(_)
     }
     val toksDf = docs
-      .select(col(idCol), explode(toks(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(ngramInstances(textCol, model.ngramOrders)).as("__t"))
       .select(col(idCol), feat(col("__t")).as("feature"))
     val scored = toksDf
       .join(model.ratios.select(col("feature"), col("log_ratio")),

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Scrub, TextAnalysis}
+
+/** Structured-Streaming document ingest — the "continuous crawl intake"
+  * shape: new corpus files land in a directory, each micro-batch is
+  * quality-gated, redacted, and deduplicated BEFORE it reaches the curated
+  * store, so the batch curation operators downstream never see raw crawl.
+  *
+  * Design: the quality gate ([[curatedIngest]]) is STATELESS — every filter
+  * and projection is a map-only Column expression from the batch surface
+  * ([[Scrub]], [[TextAnalysis]]), so it runs identically under streaming
+  * and batch (Structured Streaming's parity promise, pinned in
+  * StreamingSpec). Only dedup carries STATE: [[dedupedIngest]] keeps the
+  * seen-fingerprint set in the state store (the streaming analog of
+  * CCNet's global hash set). State is per-key tiny (an 8-byte hash), but
+  * unbounded in key count — for an infinite crawl, either bound it with
+  * [[dedupedIngestWithinWatermark]] (duplicates only arrive within a
+  * bounded window of each other, the usual crawl-recrawl pattern) or
+  * periodically compact the curated store with the batch
+  * `Dedup.dedupeAgainst` instead.
+  */
+object DocumentStreams {
+
+  /** The canonical documents schema (TESTDATA.md) — streaming sources
+    * require an explicit schema (no inference pass over an unbounded
+    * directory), the same contract as [[graft.sources.JsonL]]. */
+  val DocumentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
+  /** Stream document parquet files from `path` (a directory new files keep
+    * landing in), one file per micro-batch by default (the deterministic
+    * replay unit). */
+  def readDocuments(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 1,
+                    schema: org.apache.spark.sql.types.StructType =
+                      DocumentsSchema): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .parquet(path)
+
+  /** The stateless quality gate, one codegen'd pass per micro-batch:
+    * Gopher document rules + C4 line-level cleaning + PII redaction, with
+    * the quality signals kept as inspectable columns (`n_tokens`,
+    * `quality`). Identical semantics to the batch x41/x17/x17b surface —
+    * same functions, same plan shape. */
+  def curatedIngest(docs: DataFrame, minTokens: Int = 30,
+                    minStopwordHits: Int = 1): DataFrame = {
+    val sig = Scrub.gopherSignals(col("text"))
+    docs
+      .withColumn("__sig", sig)
+      .where(Scrub.gopherKeep(col("__sig"), minTokens = minTokens,
+        minStopwordHits = minStopwordHits))
+      .withColumn("text", Scrub.redactPii(Scrub.c4CleanText(col("text"))))
+      .withColumn("n_tokens", col("__sig.n_tokens"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .drop("__sig")
+  }
+
+  /** Quality gate + STATEFUL exact dedup on the normalized-text
+    * fingerprint: the first document with a given fingerprint passes, every
+    * later duplicate is dropped — across micro-batches, because the
+    * fingerprint set lives in the state store. Append-mode safe (rows are
+    * final when emitted). State grows with distinct fingerprints — see the
+    * class doc for the two bounding strategies. */
+  def dedupedIngest(docs: DataFrame, minTokens: Int = 30,
+                    minStopwordHits: Int = 1): DataFrame =
+    curatedIngest(docs, minTokens, minStopwordHits)
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fingerprint")
+
+  /** Watermark-bounded streaming dedup: duplicates are only suppressed when
+    * they arrive within `delay` (event time on `tsCol`) of the first copy,
+    * and state older than the watermark is evicted — bounded state for an
+    * unbounded stream. The contract crawl pipelines actually need when
+    * recrawls cluster in time. */
+  def dedupedIngestWithinWatermark(docs: DataFrame, tsCol: String,
+                                   delay: String, minTokens: Int = 30,
+                                   minStopwordHits: Int = 1): DataFrame =
+    curatedIngest(docs, minTokens, minStopwordHits)
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+}

@@ -55,8 +55,9 @@ class ImportanceSpec extends AnyFunSuite {
     val raw = Seq((3L, "stock market index fell"), (4L, "the index rose")).toDF("doc_id", "text")
     val docs = Seq((5L, "the cat index"), (6L, "unseen words here")).toDF("doc_id", "text")
     val b = 64
-    val m = ImportanceWeights.hashedLogRatios(target, raw, "text", b)
-    val got = ImportanceWeights.score(docs, "doc_id", "text", m, hashedBuckets = Some(b))
+    val m = ImportanceWeights.hashedLogRatios(target, raw, "text", b,
+      ngramOrders = Seq(1))
+    val got = ImportanceWeights.score(docs, "doc_id", "text", m)
       .orderBy("doc_id").collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
 
@@ -79,6 +80,51 @@ class ImportanceSpec extends AnyFunSuite {
     val d6 = bucketsOf(Seq((6L, "unseen words here"))).map(lr).sum
     assert(math.abs(got(5L) - d5) < 1e-9)
     assert(math.abs(got(6L) - d6) < 1e-9)
+  }
+
+  test("unigram+bigram hashed features match a naive n-gram recount") {
+    val target = Seq((1L, "the cat sat down")).toDF("doc_id", "text")
+    val raw = Seq((2L, "the dog sat"), (3L, "cat nap")).toDF("doc_id", "text")
+    val docs = Seq((5L, "the cat sat"), (6L, "x")).toDF("doc_id", "text")
+    val b = 128
+    val m = ImportanceWeights.hashedLogRatios(target, raw, "text", b,
+      ngramOrders = Seq(1, 2))
+    val got = ImportanceWeights.score(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // naive: unigrams + space-joined bigrams, buckets pulled from Spark
+    def feats(text: String): Seq[String] = {
+      val ts = text.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val allFeats = (Seq("the cat sat down") ++ Seq("the dog sat", "cat nap") ++
+      Seq("the cat sat", "x")).flatMap(feats).distinct
+    val bucketOfFeat = allFeats.toDF("f")
+      .select(col("f"), pmod(xxhash64(col("f")), lit(b.toLong)).as("bkt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tc = feats("the cat sat down").groupBy(bucketOfFeat)
+      .view.mapValues(_.size.toLong).toMap
+    val rFeats = feats("the dog sat") ++ feats("cat nap")
+    val rc = rFeats.groupBy(bucketOfFeat).view.mapValues(_.size.toLong).toMap
+    val (nT, nR) = (feats("the cat sat down").size.toDouble, rFeats.size.toDouble)
+    def lr(bkt: Long): Double =
+      math.log(((tc.getOrElse(bkt, 0L) + 1.0) / (nT + b)) /
+        ((rc.getOrElse(bkt, 0L) + 1.0) / (nR + b)))
+    val d5 = feats("the cat sat").map(f => lr(bucketOfFeat(f)))
+    val d6 = feats("x").map(f => lr(bucketOfFeat(f)))
+    assert(got(0)._2 == d5.size.toLong, "instances = unigrams + bigrams")
+    assert(math.abs(got(0)._3 - d5.sum) < 1e-9)
+    assert(got(1)._2 == d6.size.toLong && got(1)._2 == 1L)
+    assert(math.abs(got(1)._3 - d6.sum) < 1e-9)
+  }
+
+  test("gumbelTopK plans as TakeOrdered — no global sort at any scale") {
+    val scored = (1L to 50L).map(i => (i, i.toDouble))
+      .toDF("doc_id", "log_weight")
+    val plan = ImportanceWeights.gumbelTopK(scored, "doc_id", "log_weight", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
   test("gumbelTopK is deterministic, ranked by weight+noise, and caps at k") {

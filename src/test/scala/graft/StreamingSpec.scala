@@ -584,4 +584,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(eight.length == 1 && eight.head.getLong(0) == 1L,
       s"late event must not be counted: ${eight.mkString}")
   }
+
+  // ------------------------------------------------------- document ingest
+
+  /** Prose that passes the Gopher screens at low minTokens AND survives
+    * C4 line cleaning (terminal period, ≥3 words): all-alpha words, mean
+    * token length ~4, contains 'the'. */
+  private def prose(i: Long): String =
+    s"the quick brown fox jumps over the lazy dog number $i end."
+
+  test("curatedIngest: streaming equals the batch spelling of the same gate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs-stream").toString
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    docs.repartitionByRange(3, col("doc_id")).write.mode("overwrite").parquet(dir)
+    val streamed = graft.streaming.DocumentStreams.curatedIngest(
+      graft.streaming.DocumentStreams.readDocuments(spark, dir))
+    runToMemory(streamed, "curated_stream")
+    val got = spark.table("curated_stream").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val want = graft.streaming.DocumentStreams.curatedIngest(docs)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("dedupedIngest suppresses duplicates ACROSS micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs-dedup").toString
+    def row(id: Long, text: String) =
+      (id, text, "en", "src0", text.length.toLong)
+    def write(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write((1L to 20L).map(i => row(i, prose(i))))
+    Thread.sleep(1100) // distinct mod times → deterministic file order
+    // second file: 10 fresh docs + 10 TEXT duplicates of docs 1-10
+    write((21L to 30L).map(i => row(i, prose(i))) ++
+      (31L to 40L).map(i => row(i, prose(i - 30))))
+    val out = graft.streaming.DocumentStreams.dedupedIngest(
+      graft.streaming.DocumentStreams.readDocuments(spark, dir),
+      minTokens = 5, minStopwordHits = 1)
+    runToMemory(out, "deduped_stream")
+    val kept = spark.table("deduped_stream")
+    assert(kept.count() == 30L, "one survivor per distinct text")
+    assert(kept.select("fingerprint").distinct().count() == 30L)
+    // exactly one of each duplicate pair (i, i+30) survives
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    (1L to 10L).foreach { i =>
+      assert(ids.contains(i) ^ ids.contains(i + 30L),
+        s"exactly one of ($i, ${i + 30}) must survive")
+    }
+  }
+
+  test("dedupedIngestWithinWatermark dedups inside the event-time window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs-wm").toString
+    Seq(
+      (1L, prose(1), "en", "src0", "2024-01-01 10:00:00"),
+      (2L, prose(1), "en", "src0", "2024-01-01 10:02:00"), // dup, in-window
+      (3L, prose(3), "en", "src0", "2024-01-01 10:01:00"))
+      .toDF("doc_id", "text", "lang", "source", "ts_s")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("ts_s").cast("timestamp").as("ingest_ts"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, ingest_ts TIMESTAMP")
+    val out = graft.streaming.DocumentStreams.dedupedIngestWithinWatermark(
+      graft.streaming.DocumentStreams.readDocuments(spark, dir, schema = schema),
+      "ingest_ts", "10 minutes", minTokens = 5, minStopwordHits = 1)
+    runToMemory(out, "wm_dedup")
+    val kept = spark.table("wm_dedup")
+    assert(kept.count() == 2L, "the in-window duplicate must be suppressed")
+    assert(kept.select("fingerprint").distinct().count() == 2L)
+  }
 }
