@@ -3309,6 +3309,70 @@ SELECT doc_id, rank_s_chars, rank_s_tokens, rank_s_mtl,
   1.0 / (60 + rank_s_chars) + 1.0 / (60 + rank_s_tokens) + 1.0 / (60 + rank_s_mtl) AS rrf
 FROM r ORDER BY doc_id"""))
 
+  private val x45 = DeclaredQuery("x45_filter_funnel",
+    // curation-cascade attrition accounting (Profiling.filterFunnel): four
+    // ordered screens evaluated as flag products in ONE corpus scan — per
+    // stage, rows reaching it, passing it, and the marginal rate. The
+    // naive spelling re-scans the corpus once per stage; this is the
+    // observability primitive that replaces it. NULL predicates drop
+    // (mirrored with COALESCE(...,0) flags); pass_rate is one exact
+    // integer division, no rounding needed.
+    (s, d) => graft.operators.Profiling.filterFunnel(t(s, d, "documents"), Seq(
+        "min_chars" -> (col("n_chars") >= 100),
+        "english" -> (col("lang") === "en"),
+        "min_tokens" -> (graft.functions.TextAnalysis.tokenCount(col("text")) >= 30),
+        "no_lorem" -> !lower(col("text")).contains("lorem ipsum")))
+      .orderBy("stage"),
+    Some("""WITH f AS (SELECT
+    COALESCE(CAST(n_chars >= 100 AS INT), 0) AS f0,
+    COALESCE(CAST(lang = 'en' AS INT), 0) AS f1,
+    COALESCE(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) >= 30 AS INT), 0) AS f2,
+    COALESCE(CAST(NOT contains(lower(text), 'lorem ipsum') AS INT), 0) AS f3
+  FROM documents),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(f0) AS BIGINT) AS p0,
+             CAST(SUM(f0 * f1) AS BIGINT) AS p1,
+             CAST(SUM(f0 * f1 * f2) AS BIGINT) AS p2,
+             CAST(SUM(f0 * f1 * f2 * f3) AS BIGINT) AS p3 FROM f)
+SELECT 1 AS stage, 'min_chars' AS filter, n AS n_in, p0 AS n_pass,
+       n - p0 AS n_drop, CASE WHEN n = 0 THEN NULL ELSE p0 * 1.0 / n END AS pass_rate FROM a
+UNION ALL
+SELECT 2, 'english', p0, p1, p0 - p1, CASE WHEN p0 = 0 THEN NULL ELSE p1 * 1.0 / p0 END FROM a
+UNION ALL
+SELECT 3, 'min_tokens', p1, p2, p1 - p2, CASE WHEN p1 = 0 THEN NULL ELSE p2 * 1.0 / p1 END FROM a
+UNION ALL
+SELECT 4, 'no_lorem', p2, p3, p2 - p3, CASE WHEN p2 = 0 THEN NULL ELSE p3 * 1.0 / p2 END FROM a
+ORDER BY stage"""))
+
+  private val x46 = DeclaredQuery("x46_zipf_fit",
+    // corpus-health Zipf fit (Relevance.zipfFit): OLS of ln(freq) on
+    // ln(rank) over the top-500 terms via the built-in regression
+    // aggregates — natural prose sits near slope −1. Word count → TakeOrdered
+    // top-N (no global sort) → a ≤ 500-row ranking window. The regression
+    // internals accumulate doubles in engine-specific order, so the three
+    // fit statistics are rounded to 4 decimals on both sides.
+    (s, d) => {
+      val fit = graft.operators.Relevance.zipfFit(t(s, d, "documents"), "text", 500)
+      fit.select(col("n_terms"),
+        round4(col("slope")).as("slope4"),
+        round4(col("intercept")).as("intercept4"),
+        round4(col("r2")).as("r2_4"))
+    },
+    Some("""WITH tok AS (
+  SELECT unnest(list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t))) AS term
+  FROM documents),
+c AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, term LIMIT 500),
+r AS (SELECT LN(CAST(c AS DOUBLE)) AS lf,
+             LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS DOUBLE)) AS lr
+      FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+  FLOOR(regr_slope(lf, lr) * 10000 + 0.5) / 10000 AS slope4,
+  FLOOR(regr_intercept(lf, lr) * 10000 + 0.5) / 10000 AS intercept4,
+  FLOOR(regr_r2(lf, lr) * 10000 + 0.5) / 10000 AS r2_4
+FROM r"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3321,7 +3385,7 @@ FROM r ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the `ANALYZE`-style per-column summary a pipeline runs
@@ -372,5 +372,51 @@ object Profiling {
         cov(i)(i) = 0.0
     }
     (n, mu, cov)
+  }
+
+  /** Filter-funnel attrition accounting — "where does my curation cascade
+    * lose documents?": for an ORDERED sequence of named filter predicates,
+    * report per stage how many rows reached it (passed every earlier
+    * stage), how many passed it, and the marginal drop/pass-rate. One row
+    * per stage.
+    *
+    * Cost: ONE corpus scan total. Every predicate evaluates as a codegen'd
+    * int flag in the same projection and the prefix-conjunction counts are
+    * sums of flag PRODUCTS in one aggregate — the naive spelling (re-apply
+    * the growing filter chain per stage) scans the corpus once per stage
+    * and is exactly what this exists to avoid at 100 TB. A NULL predicate
+    * counts as a drop (the Gopher NULL-pins-to-drop convention).
+    *
+    * `n_in` for stage 1 is the corpus size; `pass_rate` is marginal
+    * (n_pass/n_in per stage), so the cascade's end-to-end yield is the
+    * last stage's n_pass over the first stage's n_in. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one filter stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be unique")
+    val flags = stages.zipWithIndex.map { case ((_, p), i) =>
+      coalesce(p, lit(false)).cast("int").as(s"__f$i")
+    }
+    val prefixCounts = stages.indices.map { i =>
+      sum(stages.indices.take(i + 1).map(j => col(s"__f$j")).reduce(_ * _))
+        .as(s"__p$i")
+    }
+    val row = df.select(flags: _*)
+      .agg(count(lit(1)).as("__n"), prefixCounts: _*)
+    // per-stage rows via ONE explode over the single aggregate row — a
+    // unionAll of per-stage selects would re-evaluate the aggregate (and
+    // the corpus scan under it) once per stage
+    val stageStructs = stages.zipWithIndex.map { case ((name, _), i) =>
+      val inCol = coalesce(
+        if (i == 0) col("__n") else col(s"__p${i - 1}"), lit(0L))
+      val passCol = coalesce(col(s"__p$i"), lit(0L))
+      struct(
+        lit(i + 1).as("stage"), lit(name).as("filter"),
+        inCol.as("n_in"), passCol.as("n_pass"),
+        (inCol - passCol).as("n_drop"),
+        when(inCol === 0, lit(null).cast("double"))
+          .otherwise(passCol / inCol).as("pass_rate"))
+    }
+    row.select(explode(array(stageStructs: _*)).as("s")).select(col("s.*"))
   }
 }

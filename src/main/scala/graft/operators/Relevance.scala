@@ -261,4 +261,37 @@ object Relevance {
           halfLn2 * ((lit(1.0) - coalesce(col("cov_a"), lit(0.0)))
             + (lit(1.0) - coalesce(col("cov_b"), lit(0.0))))).as("jsd"))
   }
+
+  /** Zipf-law fit over the top-`topN` corpus terms — the standard corpus
+    * health check: natural language shows ln(freq) ≈ α·ln(rank) + c with
+    * α ≈ −1; a much flatter slope flags template/boilerplate corpora, a
+    * much steeper one flags collapsed vocabulary. Returns ONE row:
+    * (n_terms, slope, intercept, r2) from an OLS fit of ln(freq) on
+    * ln(rank) via the built-in regression aggregates.
+    *
+    * Scale shape: the term count is the usual word-count shuffle; the
+    * top-N cut is `orderBy().limit()` = TakeOrdered (per-partition top-N,
+    * N-row driver merge — no global sort), and the ranking window runs
+    * over AT MOST `topN` rows, so its single-partition sort is
+    * constant-bounded at any corpus size. Rank ties at the cut break
+    * deterministically by term. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
+    val top = df
+      .select(explode(transform(TextAnalysis.tokens(col(textCol)),
+        t => lower(t))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("term"))
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("c"), col("term"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("lr"),
+        log(col("c").cast("double")).as("lf"))
+      .agg(count(lit(1)).as("n_terms"),
+        regr_slope(col("lf"), col("lr")).as("slope"),
+        regr_intercept(col("lf"), col("lr")).as("intercept"),
+        (regr_r2(col("lf"), col("lr"))).as("r2"))
+  }
 }

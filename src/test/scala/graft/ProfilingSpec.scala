@@ -228,6 +228,49 @@ class ProfilingSpec extends AnyFunSuite {
       "every non-NULL row lands in exactly one bucket")
   }
 
+  // --------------------------------------------------------- filterFunnel
+
+  test("filterFunnel: exact per-stage attrition, NULL predicate drops") {
+    import org.apache.spark.sql.functions._
+    // 6 rows: s1 (v >= 10) passes 4; of those, s2 (tag = 'a') passes 2
+    // (row 5's NULL tag must count as a drop); of those, s3 passes 1
+    val df = Seq(
+      (1L, 20, Some("a")), (2L, 20, Some("a")), (3L, 20, Some("b")),
+      (4L, 5, Some("a")), (5L, 20, None), (6L, 3, None))
+      .toDF("id", "v", "tag")
+    val out = Profiling.filterFunnel(df, Seq(
+      "big" -> (col("v") >= 10),
+      "tag_a" -> (col("tag") === "a"),
+      "id_odd" -> (col("id") % 2 === 1)))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1, "big", 6L, 4L, 2L, 4.0 / 6),
+      (2, "tag_a", 4L, 2L, 2L, 0.5),
+      (3, "id_odd", 2L, 1L, 1L, 0.5)))
+  }
+
+  test("filterFunnel scans the input exactly once") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 50L).map(i => (i, i * 2)).toDF("id", "v")
+    val plan = Profiling.filterFunnel(df, Seq(
+      "a" -> (col("v") > 10), "b" -> (col("id") < 40), "c" -> (col("v") % 4 === 0)))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE scan of the input, got $scans:\n$plan")
+  }
+
+  test("filterFunnel: empty input yields zero counts and NULL rates") {
+    import org.apache.spark.sql.functions._
+    val df = Seq.empty[(Long, Int)].toDF("id", "v")
+    val out = Profiling.filterFunnel(df, Seq("a" -> (col("v") > 0)))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 0L && out.head.getLong(3) == 0L
+      && out.head.isNullAt(5))
+  }
+
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap

@@ -152,6 +152,31 @@ class RelevanceSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(5) - want) < 1e-12)
   }
 
+  test("zipfFit recovers an exactly planted power law (slope −1, r² 1)") {
+    import spark.implicits._
+    // c_i = 840/i for ranks 1..8 — all integers, so ln(c) = ln(840) − ln(rank)
+    // EXACTLY: OLS must return slope −1, intercept ln(840), r² 1
+    val counts = (1 to 8).map(i => s"w$i" -> 840 / i)
+    val text = counts.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val row = Relevance.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(row.getLong(0) == 8L)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 1e-9, s"slope ${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - math.log(840.0)) < 1e-9)
+    assert(math.abs(row.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("zipfFit caps at topN with deterministic tie-breaks") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c c d e f g h")).toDF("doc_id", "text")
+    val row = Relevance.zipfFit(df.repartition(3), "text", topN = 4).collect().head
+    assert(row.getLong(0) == 4L, "rank list capped at topN")
+    // ties (c,d share count 2; d..h share 1): the cut keeps (a,b,c,d) by
+    // (count DESC, term ASC) — rerun on a different partitioning agrees
+    val again = Relevance.zipfFit(df.coalesce(1), "text", topN = 4).collect().head
+    assert(row.toString == again.toString)
+  }
+
   test("vocabJsDivergence: identical groups → 0, disjoint groups → ln 2") {
     import spark.implicits._
     val df = Seq(
