@@ -132,6 +132,40 @@ object syntax {
         graft.functions.TextAnalysis.tokenCount(
           org.apache.spark.sql.functions.col(textCol)), capacity)
 
+    // -- corpus selection & weighting -------------------------------------
+
+    /** DSIR importance weights for every row, fitted target-vs-raw
+      * ([[graft.operators.ImportanceWeights.importanceWeights]]). */
+    def importanceWeights(idCol: String, textCol: String,
+                          target: DataFrame, raw: DataFrame): DataFrame =
+      ImportanceWeights.importanceWeights(df, idCol, textCol, target, raw)
+
+    /** Deterministic Gumbel-top-k resample by a log-weight column
+      * ([[graft.operators.ImportanceWeights.gumbelTopK]]). */
+    def gumbelTopK(idCol: String, weightCol: String, k: Int): DataFrame =
+      ImportanceWeights.gumbelTopK(df, idCol, weightCol, k)
+
+    /** Reciprocal-rank fusion of incomparably-scaled quality signals
+      * ([[graft.operators.Selection.reciprocalRankFusion]]). */
+    def rankFusion(idCol: String, scoreCols: Seq[String],
+                   k: Int = 60): DataFrame =
+      Selection.reciprocalRankFusion(df, idCol, scoreCols, k)
+
+    /** One-scan per-stage attrition accounting for an ordered filter
+      * cascade ([[graft.operators.Profiling.filterFunnel]]). */
+    def filterFunnel(stages: Seq[(String, Column)]): DataFrame =
+      Profiling.filterFunnel(df, stages)
+
+    /** Zipf-law corpus-health fit over the top-N terms
+      * ([[graft.operators.Relevance.zipfFit]]). */
+    def zipfFit(textCol: String, topN: Int = 1000): DataFrame =
+      Relevance.zipfFit(df, textCol, topN)
+
+    /** Pairwise per-group vocabulary Jensen–Shannon divergence
+      * ([[graft.operators.Relevance.vocabJsDivergence]]). */
+    def vocabDivergence(groupCol: String, textCol: String): DataFrame =
+      Relevance.vocabJsDivergence(df, groupCol, textCol)
+
     // -- temporal joins ---------------------------------------------------
 
     /** Point-in-time join against `right` (the full pandas merge_asof

@@ -79,6 +79,26 @@ class SyntaxSpec extends AnyFunSuite {
         graft.functions.Scrub.htmlToText(col("text")).as("text"))))
   }
 
+  test("round-12 verbs delegate 1:1 (importance, fusion, funnel, zipf, jsd)") {
+    val en = docs.where(col("lang") === "en")
+    assert(rows(docs.graft.importanceWeights("doc_id", "text", en, docs)) ==
+      rows(graft.operators.ImportanceWeights
+        .importanceWeights(docs, "doc_id", "text", en, docs)))
+    val scored = docs.select(col("doc_id"),
+      col("n_chars").cast("double").as("w"))
+    assert(rows(scored.graft.gumbelTopK("doc_id", "w", 10)) ==
+      rows(graft.operators.ImportanceWeights.gumbelTopK(scored, "doc_id", "w", 10)))
+    assert(rows(scored.graft.rankFusion("doc_id", Seq("w"))) ==
+      rows(graft.operators.Selection.reciprocalRankFusion(scored, "doc_id", Seq("w"))))
+    val stages = Seq("big" -> (col("n_chars") >= 100))
+    assert(rows(docs.graft.filterFunnel(stages)) ==
+      rows(graft.operators.Profiling.filterFunnel(docs, stages)))
+    assert(rows(docs.graft.zipfFit("text", 50)) ==
+      rows(graft.operators.Relevance.zipfFit(docs, "text", 50)))
+    assert(rows(docs.graft.vocabDivergence("lang", "text")) ==
+      rows(graft.operators.Relevance.vocabJsDivergence(docs, "lang", "text")))
+  }
+
   test("verbs chain into a pipeline and stay lazy") {
     // (not c4Filter here: the synthetic corpus has no terminal punctuation,
     // so C4's line rule correctly drops every doc — pinned in ScrubSpec)
