@@ -3373,6 +3373,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
   FLOOR(regr_r2(lf, lr) * 10000 + 0.5) / 10000 AS r2_4
 FROM r"""))
 
+  private val x47 = DeclaredQuery("x47_cms_estimates",
+    // count-min-sketch point frequencies (HeavyHitters.cmsEstimates) for
+    // the eight Gopher required stopwords over the corpus token stream —
+    // the sketch answering "how prevalent are THESE terms" for keys chosen
+    // after the scan, completing the sketch roster (HLL x31b, MG x31c).
+    // The counter grid's hash placement has no SQL spelling → rows-only;
+    // HeavyHittersSpec pins the over-count-only and eps·n bounds plus
+    // partitioning-invariant determinism at a fixed seed.
+    (s, d) => graft.operators.HeavyHitters
+      .cmsTokenEstimates(t(s, d, "documents"), "text",
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+        eps = 1e-4)
+      .orderBy("token"),
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3385,7 +3400,7 @@ FROM r"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -103,4 +103,63 @@ object HeavyHitters {
 
   private def emptyResult(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
+
+  /** Count-min-sketch point-frequency estimates (Cormode & Muthukrishnan,
+    * J.Alg'05) for an explicit key set — the sketch that answers "how often
+    * does each of THESE values occur in the corpus" for keys chosen AFTER
+    * the scan (benchmark n-grams, blocklist domains), which Misra–Gries
+    * cannot (it only retains its own survivors). Complements the sketch
+    * roster: HLL (distinct counts, x31b), MG (top-k, x31c), CMS (point
+    * queries).
+    *
+    * Shape: ONE pass through Spark's built-in mergeable `count_min_sketch`
+    * aggregate — partial state is the fixed `w×d` counter grid
+    * (w = ⌈e/eps⌉, d = ⌈ln(1/(1−confidence))⌉), so the shuffle is
+    * partitions × grid, vocabulary-independent; the driver artifact is the
+    * grid (~`2.7/eps · d` longs), a model, not data. Estimates for the
+    * (bounded, driver-side) key list come from the deserialized sketch.
+    *
+    * Guarantees (spec-pinned): `est ≥ exact` always (counters only
+    * overcount), and `est ≤ exact + eps·n` with probability ≥ confidence
+    * per key. Deterministic for a fixed seed — reruns reproduce the exact
+    * estimates. NULLs are not counted and a NULL key is rejected. */
+  def cmsEstimates(df: DataFrame, keyCol: String, keys: Seq[String],
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(keys.nonEmpty, "need at least one key to estimate")
+    require(keys.forall(_ != null), "keys must be non-null")
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0,1), got $confidence")
+    val spark = df.sparkSession
+    val bin = df
+      .agg(count_min_sketch(col(keyCol).cast("string"), lit(eps),
+        lit(confidence), lit(seed)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    // an all-NULL/empty input can yield a NULL sketch → every estimate is 0
+    val estimate: String => Long =
+      if (bin == null) _ => 0L
+      else {
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bin))
+        cms.estimateCount(_)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        keys.map(k => Row(k, estimate(k))), 1),
+      StructType(Seq(
+        StructField(keyCol, StringType, nullable = false),
+        StructField("est", LongType, nullable = false))))
+  }
+
+  /** [[cmsEstimates]] over whitespace-tokenized, lowercased document text —
+    * "how prevalent is each of these probe terms in my corpus". */
+  def cmsTokenEstimates(docs: DataFrame, textCol: String, keys: Seq[String],
+                        eps: Double = 1e-4, confidence: Double = 0.99,
+                        seed: Int = 42): DataFrame =
+    cmsEstimates(
+      docs.select(explode(transform(TextAnalysis.tokens(col(textCol)),
+        t => lower(t))).as("token")),
+      "token", keys.map(_.toLowerCase(java.util.Locale.ROOT)), eps,
+      confidence, seed)
 }

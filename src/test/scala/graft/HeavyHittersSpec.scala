@@ -79,6 +79,46 @@ class HeavyHittersSpec extends AnyFunSuite {
     best.foreach(r => assert(r.getLong(1) == 2L))
   }
 
+  test("cmsEstimates: over-count-only guarantee, eps bound, determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // skewed corpus: key k_i with frequency ~ 1/i plus noise keys
+    val rows = (1 to 20).flatMap(i => Seq.fill(400 / i)(s"k$i")) ++
+      (1 to 500).map(i => s"noise${rnd.nextInt(3000)}")
+    val df = rows.toDF("k").repartition(7)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size
+    val keys = (1 to 20).map(i => s"k$i") ++ Seq("never_seen")
+    val got = HeavyHitters.cmsEstimates(df, "k", keys, eps = 0.01,
+      confidence = 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val ex = exact.getOrElse(k, 0L)
+      assert(got(k) >= ex, s"$k: est ${got(k)} must over-count exact $ex")
+      assert(got(k) <= ex + math.ceil(0.01 * n * 3).toLong,
+        s"$k: est ${got(k)} blew the eps bound vs $ex (n=$n)")
+    }
+    // fixed seed ⇒ bit-identical estimates at any partitioning (merge is
+    // counter addition, commutative)
+    val again = HeavyHitters.cmsEstimates(df.coalesce(1), "k", keys,
+      eps = 0.01, confidence = 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
+
+  test("cmsTokenEstimates folds case and handles empty input") {
+    import spark.implicits._
+    val docs = Seq((1L, "The the THE cat"), (2L, "the dog")).toDF("doc_id", "text")
+    val got = HeavyHitters.cmsTokenEstimates(docs, "text", Seq("THE", "cat"),
+      eps = 0.001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("the") >= 4L && got("cat") >= 1L)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val z = HeavyHitters.cmsTokenEstimates(empty, "text", Seq("x"))
+      .collect().map(_.getLong(1))
+    assert(z.toSeq == Seq(0L))
+  }
+
   test("topTokens over document text matches the SQL-shaped exact top-k") {
     val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
     val toks = docs.select(explode(transform(
