@@ -3388,6 +3388,86 @@ FROM r"""))
       .orderBy("token"),
     None)
 
+  private val x48 = DeclaredQuery("x48_keep_latest",
+    // keep-latest compaction (Dedup.keepLatest): the current row per entity
+    // — here each user's newest event, version order (ts, event_id). ONE
+    // hash aggregate via max_by(struct(all), struct(version)): partial
+    // aggregation keeps ≤ one candidate per key per partition map-side, so
+    // the shuffle is key-bounded — the window spelling the ORACLE uses
+    // (ROW_NUMBER ... DESC) would shuffle and sort every row's history.
+    // The hash match proves the aggregate form loses nothing vs the window.
+    (s, d) => graft.operators.Dedup.keepLatest(
+        t(s, d, "events").select("event_id", "ts", "user_id", "event_type", "value"),
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id"),
+    Some("""SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  private val x49 = DeclaredQuery("x49_snapshot_diff",
+    // snapshot diff (Dedup.snapshotDiff): two crawl snapshots derived
+    // deterministically from documents — old drops doc_id%11=3 (those ids
+    // read `added`), new drops doc_id%13=5 (`removed`) and rewrites text
+    // for doc_id%7=0 (`changed`); everything else `unchanged`. One
+    // full-outer hash join on id + a null-safe compare projection; the
+    // Spark side compares a struct(text, lang) with <=> (per-field
+    // null-safe), the oracle spells the same conjunction with
+    // IS NOT DISTINCT FROM.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.where(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val newSnap = docs.where(pmod(col("doc_id"), lit(13)) =!= 5)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      graft.operators.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH o AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 11 <> 3),
+n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, lang
+      FROM documents WHERE doc_id % 13 <> 5)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN (o.text IS NOT DISTINCT FROM n.text) AND (o.lang IS NOT DISTINCT FROM n.lang)
+         THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id"""))
+
+  private val x50 = DeclaredQuery("x50_ngram_novelty",
+    // per-doc n-gram novelty (Contamination.noveltyFractions): fraction of
+    // each corpus doc's distinct 5-gram shingles absent from the x14
+    // benchmark slice (doc_id%17=0) — the freshness/memorization-risk dual
+    // of contamination overlap. Operator counts xxhash64 shingle hashes,
+    // oracle counts string shingles (x02d injectivity argument, re-proved
+    // by the hash match); novelty = one exact IEEE division of exact
+    // integer counts, no rounding.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.noveltyFractions(
+          docs.where(pmod(col("doc_id"), lit(17)) =!= 0), "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(17)) === 0), "text", k = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ref AS (SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0),
+corp AS (SELECT doc_id, g FROM ex WHERE doc_id % 17 <> 0)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS novelty
+FROM corp c LEFT JOIN ref r ON c.g = r.g
+GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3400,7 +3480,7 @@ FROM r"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -228,6 +228,44 @@ object Contamination {
         bench, benchVec, minCosine), idsBroadcast),
       Seq(corpusId), "left_anti")
 
+  /** Per-document n-gram novelty against a reference corpus: for each
+    * corpus document, the fraction of its DISTINCT k-token shingles that
+    * appear nowhere in `reference` — the freshness/memorization-risk signal
+    * dual to [[overlapPairs]] (contamination asks "which docs overlap the
+    * benchmark?"; novelty asks "how much of THIS doc is new relative to
+    * what the model has already seen?"). Used to score a candidate dump
+    * against the existing training mix, or eval sets against the corpus.
+    *
+    * Output: (`idCol`, `n_grams` = distinct shingles in the doc, `n_novel` =
+    * those absent from the reference, `novelty` = n_novel/n_grams — one
+    * exact IEEE division of exact integers, bit-identical cross-engine).
+    * Shingling matches [[overlapPairs]]: whitespace tokens, k-gram hashes,
+    * whole-text fallback below k tokens — so every non-null text has ≥ 1
+    * shingle and `novelty` is never NULL for non-null text.
+    *
+    * Shape: the reference collapses to its DISTINCT 8-byte shingle-hash set
+    * (never bodies); the corpus explodes to (id, hash) postings and LEFT
+    * JOINs that set — AQE broadcasts a benchmark-sized reference, and a
+    * corpus-scale reference degrades to one narrow hash-keyed shuffle of
+    * 8-byte postings. The per-doc aggregate re-shuffles on id only. */
+  def noveltyFractions(corpus: DataFrame, idCol: String, textCol: String,
+                       reference: DataFrame, refTextCol: String,
+                       k: Int = 8): DataFrame = {
+    graft.plans.HashExpressions.register(corpus.sparkSession)
+    val refSet = reference
+      .select(explode(array_distinct(
+        call_function("graft_shingle_hashes", col(refTextCol), lit(k))))
+        .as("__h"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    postings(corpus, idCol, textCol, k)
+      .join(refSet, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** The corpus with contaminated documents removed (anti-join on id,
     * through [[guardedIds]] — normally bench-bounded and broadcast, but a
     * corpus-scale "benchmark" flags an unbounded corpus fraction and the

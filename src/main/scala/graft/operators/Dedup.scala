@@ -107,6 +107,68 @@ object Dedup {
     newDf.join(hit, newDf(idCol) === col("new_id"), "left_anti")
   }
 
+  /** Keep-latest compaction: per `keyCols` group, keep exactly the row that
+    * is maximal under the lexicographic order of `versionCols` — the
+    * CDC/upsert-compaction primitive (newest crawl of a URL, latest event
+    * per user, current row per entity id).
+    *
+    * Shape: ONE hash aggregate via `max_by(struct(all), struct(version))` —
+    * partial aggregation keeps at most one candidate row per key per
+    * partition map-side, so the shuffle moves ≤ |distinct keys| rows per
+    * partition. The window spelling (`ROW_NUMBER ... ORDER BY version DESC`)
+    * shuffles EVERY row and sorts each key's whole history per partition —
+    * at 100 TB with long per-key histories that sort is the bottleneck;
+    * the aggregate form never materializes a history.
+    *
+    * Determinism contract: `versionCols` must totally order rows within a
+    * key (append a unique id as the last version column when the timestamp
+    * alone can tie); rows where ANY version column is NULL lose to every
+    * non-NULL version (Spark's `max_by` ignores NULL ordering keys; a
+    * struct with a NULL field compares NULL) — keep version columns
+    * non-null upstream. */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(versionCols.nonEmpty, "versionCols must be non-empty")
+    val row = struct(df.columns.map(col): _*)
+    val version = struct(versionCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(row, version).as("__graft_latest"))
+      .select(col("__graft_latest.*"))
+  }
+
+  /** Snapshot diff: classify every id across two corpus snapshots as
+    * `added` (only in `newDf`), `removed` (only in `oldDf`), `changed`
+    * (in both, any `compareCols` value differs — NULL-safe comparison, so
+    * NULL→value and value→NULL both count as changes) or `unchanged` —
+    * the audit step between incremental crawls (what did this dump actually
+    * change?) and the input to incremental re-processing (re-embed only
+    * `added`+`changed`).
+    *
+    * Shape: one full-outer hash join on `idCol`; the comparison is a
+    * null-safe equality conjunction evaluated in the join's projection —
+    * map-only after the join. At 100 TB pass a precomputed content hash
+    * ([[withContentHash]]) as the single compare column so the join carries
+    * 8 bytes per side instead of document bodies.
+    *
+    * Contract: `idCol` is assumed unique per snapshot (duplicate ids
+    * multiply join rows, as in any keyed diff); run [[exactKeepFirst]] or
+    * [[keepLatest]] first if a snapshot can carry versions. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val o = oldDf.select(col(idCol).as("__graft_old_id"),
+      struct(compareCols.map(col): _*).as("__graft_old_v"))
+    val n = newDf.select(col(idCol).as("__graft_new_id"),
+      struct(compareCols.map(col): _*).as("__graft_new_v"))
+    o.join(n, col("__graft_old_id") === col("__graft_new_id"), "full_outer")
+      .select(
+        coalesce(col("__graft_new_id"), col("__graft_old_id")).as(idCol),
+        when(col("__graft_old_id").isNull, "added")
+          .when(col("__graft_new_id").isNull, "removed")
+          .when(col("__graft_old_v") <=> col("__graft_new_v"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Fuzzy dedup, final stage: collapse a near-duplicate PAIR list (any of
     * [[NearDup]]'s generators) into clusters via distributed connected
     * components, and keep exactly one representative per cluster — the
