@@ -40,6 +40,25 @@ object syntax {
                            minJaccard: Double = 0.8): DataFrame =
       Dedup.dedupeAgainstFuzzy(df, seen, idCol, textCol, minJaccard)
 
+    /** Keep-latest compaction: the current row per entity, one key-bounded
+      * hash aggregate ([[graft.operators.Dedup.keepLatest]]). */
+    def keepLatest(keyCols: Seq[String], versionCols: Seq[String]): DataFrame =
+      Dedup.keepLatest(df, keyCols, versionCols)
+
+    /** Snapshot diff vs an older snapshot: per-id added/removed/changed/
+      * unchanged ([[graft.operators.Dedup.snapshotDiff]] with `df` as the
+      * NEW side). */
+    def diffAgainst(oldSnapshot: DataFrame, idCol: String,
+                    compareCols: Seq[String]): DataFrame =
+      Dedup.snapshotDiff(oldSnapshot, df, idCol, compareCols)
+
+    /** Per-doc fraction of k-gram shingles unseen in `reference`
+      * ([[graft.operators.Contamination.noveltyFractions]]). */
+    def noveltyAgainst(reference: DataFrame, idCol: String, textCol: String,
+                       refTextCol: String, k: Int = 8): DataFrame =
+      Contamination.noveltyFractions(df, idCol, textCol, reference,
+        refTextCol, k)
+
     def fuzzyClusterDedup(idCol: String, textCol: String,
                           minJaccard: Double = 0.8): DataFrame =
       Dedup.keepClusterRepresentatives(df, idCol,

@@ -99,6 +99,21 @@ class SyntaxSpec extends AnyFunSuite {
       rows(graft.operators.Relevance.vocabJsDivergence(docs, "lang", "text")))
   }
 
+  test("compaction/diff/novelty verbs delegate 1:1") {
+    val ev = graft.sources.Tables.table(spark, TestSpark.sf0001, "events")
+    assert(rows(ev.graft.keepLatest(Seq("user_id"), Seq("ts", "event_id"))) ==
+      rows(graft.operators.Dedup.keepLatest(ev, Seq("user_id"), Seq("ts", "event_id"))))
+    val old = docs.where(col("doc_id") % 11 =!= 3).select("doc_id", "text")
+    val neu = docs.where(col("doc_id") % 13 =!= 5).select("doc_id", "text")
+    assert(rows(neu.graft.diffAgainst(old, "doc_id", Seq("text"))) ==
+      rows(graft.operators.Dedup.snapshotDiff(old, neu, "doc_id", Seq("text"))))
+    val bench = docs.where(col("doc_id") % 17 === 0)
+    val corp = docs.where(col("doc_id") % 17 =!= 0)
+    assert(rows(corp.graft.noveltyAgainst(bench, "doc_id", "text", "text", k = 5)) ==
+      rows(graft.operators.Contamination.noveltyFractions(
+        corp, "doc_id", "text", bench, "text", k = 5)))
+  }
+
   test("verbs chain into a pipeline and stay lazy") {
     // (not c4Filter here: the synthetic corpus has no terminal punctuation,
     // so C4's line rule correctly drops every doc — pinned in ScrubSpec)
