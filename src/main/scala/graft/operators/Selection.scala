@@ -328,4 +328,34 @@ object Selection {
       .reduce(_ + _)
     joined.withColumn("rrf", rrf)
   }
+
+  /** Top-k rows per group by `(scoreCol, idCol)` descending, WITHOUT the
+    * window sort: the native bounded-heap aggregate
+    * ([[graft.plans.TopKAggregate]]) keeps a k-entry partial state per
+    * (group, partition), so map-side combine reduces the shuffle to
+    * `groups × partitions × k` rows — the `ROW_NUMBER() <= k` window
+    * spelling shuffles every row and sorts each group's entire history.
+    * At 100 TB with hot groups (one domain holding billions of pages)
+    * that per-group sort is the bottleneck; this is one scan + a log(k)
+    * heap op per row.
+    *
+    * Output: `groupCols ++ (rank, scoreCol, idCol)`, rank 1..k descending
+    * by (score, id) — deterministic whenever ids are unique per group.
+    * Rows with a NULL score or id are skipped. Only the id is carried
+    * through the aggregate; join back on it for payload columns (the
+    * narrow-shuffle pattern). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk",
+        col(scoreCol).cast("double"), col(idCol).cast("long"), lit(k)).as("__graft_topk"))
+      .select(groupCols.map(col) :+ posexplode(col("__graft_topk")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as(scoreCol),
+        col("col.id").as(idCol)): _*)
+  }
 }

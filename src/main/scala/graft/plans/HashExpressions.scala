@@ -214,6 +214,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_mg_sketch"),
       new ExpressionInfo(classOf[MisraGriesAggregate].getName, "graft_mg_sketch"),
       exprs => MisraGriesAggregate(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
+      exprs => TopKAggregate(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -267,5 +270,7 @@ object HashExpressions {
       exprs => PcaProjectExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_mg_sketch",
       exprs => MisraGriesAggregate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      exprs => TopKAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -170,6 +170,12 @@ object syntax {
                    k: Int = 60): DataFrame =
       Selection.reciprocalRankFusion(df, idCol, scoreCols, k)
 
+    /** Top-k rows per group via the bounded-heap aggregate — no window
+      * sort ([[graft.operators.Selection.topKPerGroup]]). */
+    def topKPerGroup(groupCols: Seq[String], scoreCol: String,
+                     idCol: String, k: Int): DataFrame =
+      Selection.topKPerGroup(df, groupCols, scoreCol, idCol, k)
+
     /** One-scan per-stage attrition accounting for an ordered filter
       * cascade ([[graft.operators.Profiling.filterFunnel]]). */
     def filterFunnel(stages: Seq[(String, Column)]): DataFrame =
