@@ -54,13 +54,20 @@ object ImportanceWeights {
   private def toks(textCol: String): Column =
     transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
 
-  /** Feature instances per document for the requested n-gram orders:
+  /** Feature instances from a PRE-PROJECTED token-array attribute:
     * order-1 = the tokens themselves, order-n = space-joined runs of n
     * adjacent tokens (the DSIR paper fits hashed unigrams+bigrams). One
     * flattened array per doc — a single Generate in the plan regardless of
-    * how many orders are requested. */
-  private def ngramInstances(textCol: String, orders: Seq[Int]): Column = {
-    val ts = toks(textCol)
+    * how many orders are requested.
+    *
+    * `ts` MUST be a projected column attribute, not the [[toks]] expression
+    * inline: this expression references the token array ~4× for two orders,
+    * and a Generate input gets no subexpression elimination — inlining the
+    * tokenizer here re-split every document four times per pass (measured
+    * ~4× on the x42c fit before the round-12 fix). CollapseProject leaves
+    * the staging projection alone precisely because the alias is expensive
+    * and multiply-referenced. */
+  private def ngramInstances(ts: Column, orders: Seq[Int]): Column = {
     val perOrder = orders.map {
       case 1 => ts
       case n =>
@@ -81,7 +88,8 @@ object ImportanceWeights {
     * (a 1-row frame column so the whole fit stays one lazy plan). */
   private def fit(target: DataFrame, raw: DataFrame, textCol: String,
                   orders: Seq[Int], hashed: Option[Int],
-                  featureSpace: DataFrame => Column): RatioModel = {
+                  featureSpace: DataFrame => Column,
+                  materialize: Boolean = false): RatioModel = {
     require(orders.nonEmpty && orders.forall(_ >= 1),
       s"ngram orders must be >= 1, got $orders")
     val feature: Column => Column = hashed match {
@@ -89,14 +97,19 @@ object ImportanceWeights {
       case None    => identity(_)
     }
     def counts(df: DataFrame, as: String): DataFrame = df
-      .select(explode(ngramInstances(textCol, orders)).as("__t"))
+      .select(toks(textCol).as("__ts"))
+      .select(explode(ngramInstances(col("__ts"), orders)).as("__t"))
       .select(feature(col("__t")).as("feature"))
       .groupBy("feature").agg(count(lit(1)).as(as))
-    val joined = counts(target, "c_target")
+    val joined0 = counts(target, "c_target")
       .join(counts(raw, "c_raw"), Seq("feature"), "full_outer")
       .select(col("feature"),
         coalesce(col("c_target"), lit(0L)).as("c_target"),
         coalesce(col("c_raw"), lit(0L)).as("c_raw"))
+    // materialize = true (bounded hashed models only): run the two corpus
+    // count aggregations exactly ONCE and let totals + ratios derive from
+    // the checkpointed count table.
+    val joined = if (materialize) joined0.localCheckpoint(true) else joined0
     val totals = joined.agg(
       coalesce(sum(col("c_target")), lit(0L)).as("n_target"),
       coalesce(sum(col("c_raw")), lit(0L)).as("n_raw"),
@@ -130,8 +143,17 @@ object ImportanceWeights {
                       numBuckets: Int = 1 << 20,
                       ngramOrders: Seq[Int] = Seq(1, 2)): RatioModel = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // The hashed model is ≤ numBuckets rows — a TRAINING ARTIFACT like the
+    // IVF centroids and PQ codebooks, not a corpus-sized relation — so
+    // this fit is EAGER (`materialize = true`): the joined count table is
+    // localCheckpointed once and both the totals and the ratio table
+    // derive from the checkpoint. Left lazy, score() re-executed the two
+    // corpus count aggregations ~3× (ratios' own totals cross-join plus
+    // the scorer's totals reference) — measured ~12.5 s vs ~1.5 s on the
+    // x42c gate at sf0.1. The explicit-unigram fit stays lazy: its model
+    // is vocabulary-sized and the caller owns its lifecycle.
     fit(target, raw, textCol, ngramOrders, Some(numBuckets),
-      _ => lit(numBuckets.toLong))
+      _ => lit(numBuckets.toLong), materialize = true)
   }
 
   /** Score documents against a fitted model: per-doc feature-instance
@@ -148,8 +170,9 @@ object ImportanceWeights {
       case None    => identity(_)
     }
     val toksDf = docs
+      .select(col(idCol), toks(textCol).as("__ts"))
       .select(col(idCol),
-        explode(ngramInstances(textCol, model.ngramOrders)).as("__t"))
+        explode(ngramInstances(col("__ts"), model.ngramOrders)).as("__t"))
       .select(col(idCol), feat(col("__t")).as("feature"))
     val scored = toksDf
       .join(model.ratios.select(col("feature"), col("log_ratio")),
