@@ -47,15 +47,21 @@ object ConnectedComponents {
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 50): DataFrame = {
     requireIntegralIds(edges, srcCol, dstCol)
+    // Checkpoint the normalized edge list ONCE: the caller's edge lineage is
+    // typically the expensive part (an LSH band join, a within-cell cosine
+    // pass), and deriving `nodes` and `e` from the raw plan executed it
+    // twice before the first round even started — measured as the dominant
+    // cost of the x30 gate. One narrow (long, long) materialization, then
+    // everything downstream reads the checkpoint.
     val raw = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
     // Every node MENTIONED in the edge list appears in the output — a node
     // whose only edge is a self-loop is a singleton, not silently absent.
     val nodes = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node")))
       .distinct()
-      .localCheckpoint(true)
     var e = raw
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))

@@ -447,15 +447,20 @@ object NearDup {
         lit(probes))).as("__cell"))
     val a = cell.select(col("__cell"), col("__id").as("id_1"), col("__v").as("__v1"))
     val b = cell.select(col("__cell"), col("__id").as("id_2"), col("__v").as("__v2"))
-    val joined = a.join(b, Seq("__cell")).where(col("id_1") < col("id_2"))
-      .select("id_1", "id_2", "__v1", "__v2")
-    // probes > 1 pairs the same ids once per shared cell — collapse before
-    // scoring so each surviving pair costs one cosine (probes = 1 cannot
-    // duplicate a pair; keep its plan free of the extra aggregate)
-    val uniq = if (probes > 1) joined.dropDuplicates("id_1", "id_2") else joined
-    uniq.withColumn("cosine", call_function("graft_cosine", col("__v1"), col("__v2")))
+    val scored = a.join(b, Seq("__cell")).where(col("id_1") < col("id_2"))
+      // score + threshold BEFORE the probes-dedup shuffle: a pair shared by
+      // p cells pays ≤ p² redundant cosines (cheap map-side arithmetic),
+      // but the dedup then shuffles only the SURVIVING (id, id, cosine)
+      // triples — the earlier spelling deduped first and dragged both
+      // raw vectors through a candidate-sized exchange (measured ~3× the
+      // whole stage's cost at sf0.1). Same trick as hammingPairs' cheap
+      // bit_count before ITS dedup shuffle.
+      .withColumn("cosine", call_function("graft_cosine", col("__v1"), col("__v2")))
       .where(col("cosine") >= minCosine)
       .select("id_1", "id_2", "cosine")
+    // probes > 1 pairs the same ids once per shared cell (probes = 1 cannot
+    // duplicate a pair; keep its plan free of the extra aggregate)
+    if (probes > 1) scored.dropDuplicates("id_1", "id_2") else scored
   }
 
   /** SemDeDup-style semantic dedup, end to end: train the coarse quantizer
