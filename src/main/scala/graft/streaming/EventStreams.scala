@@ -140,6 +140,25 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.toIndexedSeq)
 
+  /** Streaming keep-latest — the continuously-maintained "current state per
+    * key" table (latest event per user, newest crawl version per URL): the
+    * streaming form of [[graft.operators.Dedup.keepLatest]], and literally
+    * a 1:1 delegation to it — the same `max_by(struct(all), struct(version))`
+    * aggregation expressions run as a STATEFUL streaming aggregation, so
+    * streaming/batch parity holds by construction (pinned in StreamingSpec,
+    * including out-of-order delivery: an older version arriving later never
+    * displaces the state's newer row, because max_by folds the new batch
+    * into the stored maximum).
+    *
+    * State is ONE narrow row per key — bounded by key cardinality, never by
+    * stream length. Emit with `OutputMode.Update` (each micro-batch emits
+    * only keys whose latest row changed) or `Complete` (re-emit the whole
+    * state table); `Append` is unsupported by construction — a key's latest
+    * row is never final. */
+  def latestPerKey(stream: DataFrame, keyCols: Seq[String],
+                   versionCols: Seq[String]): DataFrame =
+    graft.operators.Dedup.keepLatest(stream, keyCols, versionCols)
+
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
                                  n_events: Long)
   final case class OpenSession(start: Long, last: Long, n: Long)

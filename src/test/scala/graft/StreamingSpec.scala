@@ -113,6 +113,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"duplicate must be suppressed: $ids")
   }
 
+  test("latestPerKey maintains the current row per key across micro-batches, out-of-order safe") {
+    val dir = Files.createTempDirectory("slatest").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long, Double)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("a").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, "2024-01-01 08:00:00", 1L, 10.0),
+      (2L, "2024-01-01 08:05:00", 2L, 20.0)))
+    val q = EventStreams.latestPerKey(
+        EventStreams.readEvents(spark, dir), Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("slatest").start()
+    q.processAllAvailable()
+    val mid = spark.table("slatest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == Map(1L -> 1L, 2L -> 2L))
+    // batch 2: user 1 gets a NEWER event (id 3); user 2 an out-of-order
+    // OLDER one (id 4) that must NOT displace the stored id 2
+    write(Seq((3L, "2024-01-01 09:00:00", 1L, 11.0),
+      (4L, "2024-01-01 08:00:00", 2L, 19.0)))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.table("slatest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 3L, 2L -> 2L))
+    // parity: the streamed state table equals batch keepLatest over
+    // everything ever delivered — same expressions, so by construction
+    val batch = graft.operators.Dedup.keepLatest(
+        spark.read.parquet(dir), Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == state)
+  }
+
   test("Dedup.dedupeAgainst runs stream-static: arriving docs deduped against the kept corpus") {
     // The batch incremental-dedup operator works unchanged on a streaming new
     // side: the anti-join is stream-static (static seen keys, re-read per
