@@ -58,7 +58,16 @@ object ScaleSmoke {
     // ratio model joined back over every token); x42b adds only a TakeOrdered
     // on top; x44 is three range shuffles + an id join — all should track
     // the corpus scan, none may go superlinear
-    "x42_importance_weights", "x42b_gumbel_topk", "x44_rank_fusion")
+    "x42_importance_weights", "x42b_gumbel_topk", "x44_rank_fusion",
+    // round-12 compaction/audit surface: keep-latest and top-k-per-group
+    // ride key-bounded aggregates over the key-scaled events (per-key
+    // history fixed, key cardinality ×copies — partial state must keep the
+    // shuffle key-bounded); snapshot diff is one full-outer hash join;
+    // novelty is the postings explode + one narrow hash join; x42c is the
+    // materialized hashed-DSIR fit (bounded model, eager — must stay
+    // scan-bound after the round-12 re-execution fix)
+    "x48_keep_latest", "x49_snapshot_diff", "x50_ngram_novelty",
+    "x51_topk_per_group", "x42c_hashed_weights")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
