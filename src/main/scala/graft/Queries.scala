@@ -3469,15 +3469,16 @@ FROM corp c LEFT JOIN ref r ON c.g = r.g
 GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
   private val x51 = DeclaredQuery("x51_topk_per_group",
-    // top-k per group WITHOUT the window sort (Selection.topKPerGroup):
-    // each user's 3 highest-value events via the native bounded-heap
-    // aggregate graft_topk — partial state is a k-entry heap per (group,
-    // partition), so map-side combine bounds the shuffle at
-    // groups × partitions × k rows; the ROW_NUMBER window the ORACLE uses
-    // shuffles and sorts every row. The hash match proves the heap form
-    // returns exactly the window's rows and order. (events.value is
-    // non-null in this data; the operator's NULL-skip contract is pinned
-    // in TopKPerGroupSpec.)
+    // top-k per group without ANY sort (Selection.topKPerGroup): each
+    // user's 3 highest-value events via the native bounded-heap aggregate
+    // graft_topk — partial state is a k-entry heap per (group, partition),
+    // so map-side combine bounds the shuffle at groups × partitions × k
+    // narrow rows. Spark's InferWindowGroupLimit bounds the ROW_NUMBER
+    // window's shuffle too, but only after a full-width local sort of
+    // every map partition; the heap form is an O(log k) fold, no sort.
+    // The hash match proves the heap form returns exactly the window's
+    // rows and order. (events.value is non-null in this data; the
+    // operator's NULL-skip contract is pinned in TopKPerGroupSpec.)
     (s, d) => graft.operators.Selection.topKPerGroup(
         t(s, d, "events"), Seq("user_id"), "value", "event_id", k = 3)
       .orderBy("user_id", "rank"),

@@ -329,15 +329,16 @@ object Selection {
     joined.withColumn("rrf", rrf)
   }
 
-  /** Top-k rows per group by `(scoreCol, idCol)` descending, WITHOUT the
-    * window sort: the native bounded-heap aggregate
+  /** Top-k rows per group by `(scoreCol, idCol)` descending, without ANY
+    * sort: the native bounded-heap aggregate
     * ([[graft.plans.TopKAggregate]]) keeps a k-entry partial state per
-    * (group, partition), so map-side combine reduces the shuffle to
-    * `groups × partitions × k` rows — the `ROW_NUMBER() <= k` window
-    * spelling shuffles every row and sorts each group's entire history.
-    * At 100 TB with hot groups (one domain holding billions of pages)
-    * that per-group sort is the bottleneck; this is one scan + a log(k)
-    * heap op per row.
+    * (group, partition), so map-side combine bounds the shuffle at
+    * `groups × partitions × k` narrow rows. Spark's own rank-filter
+    * optimization (InferWindowGroupLimit) bounds the `ROW_NUMBER() <= k`
+    * window's shuffle similarly — but pays a FULL local sort of every map
+    * partition first, at full row width; the heap form is one O(log k)
+    * fold per row, hash-aggregated, and usable as an explicit surface
+    * where the window-filter pattern isn't statically recognizable.
     *
     * Output: `groupCols ++ (rank, scoreCol, idCol)`, rank 1..k descending
     * by (score, id) — deterministic whenever ids are unique per group.

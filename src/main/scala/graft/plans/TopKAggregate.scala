@@ -28,16 +28,18 @@ final class TopKBuffer {
   * pairs of the group, descending — ties on score broken by larger id, so
   * the result is deterministic whenever ids are unique.
   *
-  * This is top-k-per-group WITHOUT the window sort: the ubiquitous
-  * `ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC) <= k` spelling
-  * shuffles EVERY row and sorts each group's entire history per partition.
-  * Here the partial-aggregate state is a bounded k-entry heap, so map-side
-  * combine reduces each partition to ≤ k rows per group before the
-  * shuffle — `groups × partitions × k` rows move instead of the whole
-  * table, and nothing is ever sorted beyond the final k-element output.
-  * At 100 TB with hot groups (one domain with billions of pages) the
-  * window form's per-group sort is the bottleneck; this form's cost is
-  * one scan + a log(k) heap op per row.
+  * This is top-k-per-group WITHOUT any sort. Spark's own
+  * `InferWindowGroupLimit` (3.5+) already bounds the ubiquitous
+  * `ROW_NUMBER() OVER (...) <= k` spelling's shuffle with a partial
+  * WindowGroupLimit — but only AFTER a full local sort of every map
+  * partition (O(n log n) per partition, rows at full width), and only when
+  * the rank filter is statically recognizable in the plan. Here the
+  * partial-aggregate state is a bounded k-entry heap: one O(log k) heap op
+  * per row, no local sort, hash (not sort-based) aggregation, and
+  * `groups × partitions × k` narrow (score, id) rows on the shuffle.
+  * It is also an explicit relational surface — composable where the
+  * window-filter pattern can't be expressed or recognized (top-k inside a
+  * larger aggregation, dynamic k per call site, streaming state).
   *
   * Rows where score OR id is NULL are skipped (SQL aggregates ignore
   * NULLs; a NULL score is unrankable). NaN scores order via the IEEE total
