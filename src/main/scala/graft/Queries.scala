@@ -3487,6 +3487,27 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
   FROM events WHERE value IS NOT NULL) WHERE rn <= 3 ORDER BY user_id, rank"""))
 
+  private val x52 = DeclaredQuery("x52_unigram_tokens",
+    // unigram-LM (SentencePiece) tokenization [Kudo ACL'18] end to end:
+    // train on the corpus word-type histogram (ONE distributed word count
+    // through the same native pre-tokenizer BPE uses, then driver-side
+    // seed→EM→prune — the model is an artifact like the BPE merges), and
+    // apply via the native Viterbi expression, map-only. Rows-only by
+    // declaration: EM-fitted piece probabilities have no SQL spelling;
+    // UnigramLmSpec pins the whole path (char retention + total
+    // segmentation, EM likelihood monotonicity, native ≡ driver Viterbi
+    // incl. unseen chars, bit-deterministic partitioning-invariant
+    // training, vocab bound, artifact round-trip).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val m = graft.operators.UnigramLm.train(docs, "text", vocabSize = 400,
+        emIters = 2, seedMaxPieceLen = 6, seedSize = 2000)
+      graft.operators.UnigramLm.tokenCount(docs, "text", m)
+        .select(col("doc_id"), col("n_unigram_tokens"))
+        .orderBy("doc_id")
+    },
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3499,7 +3520,7 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x10d, x10e)
+    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -217,6 +217,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAggregate].getName, "graft_topk"),
       exprs => TopKAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_unigram_tokens"),
+      new ExpressionInfo(classOf[UnigramTokensExpr].getName, "graft_unigram_tokens"),
+      exprs => UnigramTokensExpr(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -272,5 +275,7 @@ object HashExpressions {
       exprs => MisraGriesAggregate(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       exprs => TopKAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_unigram_tokens",
+      exprs => UnigramTokensExpr(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

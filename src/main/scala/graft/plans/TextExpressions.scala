@@ -470,3 +470,109 @@ case class BpeWordsExpr(text: Expression)
   override protected def withNewChildInternal(c: Expression): BpeWordsExpr =
     copy(text = c)
 }
+
+/** `graft_unigram_tokens(text STRING, pieces ARRAY<STRING>, logps
+  * ARRAY<DOUBLE>)` → `ARRAY<STRING>`: unigram-LM subword segmentation
+  * [Kudo, ACL 2018] — per whitespace word (the shared
+  * [[BpePreTokenize]] pre-tokenizer, so train/apply skew is impossible by
+  * construction, same argument as BPE), the Viterbi-best piece sequence
+  * under the model's per-piece log probabilities.
+  *
+  * The piece table ships as two parallel FOLDABLE literal arrays (built by
+  * [[graft.operators.UnigramLm.tokens]]), evaluated once per executor into
+  * a hash map — zero UDFs, map-only, fuses with the scan.
+  *
+  * Totality: training always retains every single character it saw, but an
+  * apply-time word can still contain UNSEEN characters; the DP therefore
+  * allows any single character as a fallback piece at `unkLogp` =
+  * (min table logp − 10), so segmentation never fails and unseen
+  * characters surface as their own tokens. Ties in the DP break toward the
+  * SMALLEST start index (the longest final piece) — the driver reference
+  * in [[graft.operators.UnigramLm.segmentWord]] implements the identical
+  * loop, pinned equal in UnigramLmSpec. */
+case class UnigramTokensExpr(text: Expression, pieces: Expression, logps: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = text
+  override def second: Expression = pieces
+  override def third: Expression = logps
+  override def prettyName: String = "graft_unigram_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: text must be STRING")
+    else (pieces.dataType, logps.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(DoubleType, _))
+        if pieces.foldable && logps.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: pieces/logps must be foldable ARRAY<STRING>/ARRAY<DOUBLE>")
+    }
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    val ps = pieces.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ls = logps.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(ps.numElements() == ls.numElements(),
+      s"$prettyName: pieces and logps must be the same length")
+    var i = 0
+    while (i < ps.numElements()) {
+      m.putIfAbsent(ps.getUTF8String(i).toString, ls.getDouble(i))
+      i += 1
+    }
+    m
+  }
+  @transient private lazy val maxPieceLen: Int = {
+    var mx = 1
+    table.keySet().forEach(k => if (k.length > mx) mx = k.length)
+    mx
+  }
+  @transient private lazy val unkLogp: Double = {
+    var mn = 0.0
+    table.values().forEach(v => if (v < mn) mn = v)
+    mn - 10.0
+  }
+
+  private def applyWord(word: String,
+                        out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    val n = word.length
+    if (n == 0) return
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - maxPieceLen)
+      while (start < end) {
+        if (best(start) != Double.NegativeInfinity) {
+          val piece = word.substring(start, end)
+          val lp = table.get(piece)
+          val score =
+            if (lp != null) best(start) + lp.doubleValue
+            else if (end - start == 1) best(start) + unkLogp // unseen char fallback
+            else Double.NegativeInfinity
+          if (score > best(end)) { best(end) = score; back(end) = start }
+        }
+        start += 1
+      }
+      end += 1
+    }
+    // backtrack (collect reversed, then emit in order)
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    var at = n
+    while (at > 0) { val s = back(at); rev += word.substring(s, at); at = s }
+    var i = rev.length - 1
+    while (i >= 0) { out += UTF8String.fromString(rev(i)); i -= 1 }
+  }
+
+  override def nullSafeEval(t: Any, p: Any, l: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    BpePreTokenize.foreachWord(t.toString)(w => applyWord(w, out))
+    new GenericArrayData(out.toArray[AnyRef])
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, th: Expression): UnigramTokensExpr =
+    copy(text = f, pieces = s, logps = th)
+}
