@@ -112,27 +112,31 @@ object Dedup {
     * CDC/upsert-compaction primitive (newest crawl of a URL, latest event
     * per user, current row per entity id).
     *
-    * Shape: ONE hash aggregate via `max_by(struct(all), struct(version))` —
-    * partial aggregation keeps at most one candidate row per key per
-    * partition map-side, so the shuffle moves ≤ |distinct keys| rows per
-    * partition. The window spelling (`ROW_NUMBER ... ORDER BY version DESC`)
-    * shuffles EVERY row and sorts each key's whole history per partition —
-    * at 100 TB with long per-key histories that sort is the bottleneck;
-    * the aggregate form never materializes a history.
+    * Shape: ONE hash aggregate via the native `graft_latest`
+    * TypedImperativeAggregate ([[graft.plans.LatestAggregate]]) — partial
+    * aggregation keeps at most one candidate row per key per partition
+    * map-side, so the shuffle moves ≤ |distinct keys| narrow rows per
+    * partition, and the plan is ObjectHashAggregate: NO sort on either
+    * side. (The `max_by(struct, struct)` spelling computes the same thing
+    * but plans as SortAggregate — every map partition sorts its full input
+    * by the grouping key first; the ROW_NUMBER window spelling additionally
+    * sorts each key's whole history. At 100 TB with long per-key histories
+    * those sorts are the bottleneck; this form is one comparison per row.)
     *
     * Determinism contract: `versionCols` must totally order rows within a
     * key (append a unique id as the last version column when the timestamp
-    * alone can tie); rows where ANY version column is NULL lose to every
-    * non-NULL version (Spark's `max_by` ignores NULL ordering keys; a
-    * struct with a NULL field compares NULL) — keep version columns
-    * non-null upstream. */
+    * alone can tie); a NULL version FIELD sorts first under Spark's struct
+    * ordering, so it loses to any non-null value at that field — and ties
+    * keep the first-seen row, which is only deterministic when versions
+    * are unique per key. */
   def keepLatest(df: DataFrame, keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(versionCols.nonEmpty, "versionCols must be non-empty")
+    graft.plans.HashExpressions.register(df.sparkSession)
     val row = struct(df.columns.map(col): _*)
     val version = struct(versionCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(row, version).as("__graft_latest"))
+      .agg(call_function("graft_latest", version, row).as("__graft_latest"))
       .select(col("__graft_latest.*"))
   }
 

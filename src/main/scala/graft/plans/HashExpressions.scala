@@ -220,6 +220,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_unigram_tokens"),
       new ExpressionInfo(classOf[UnigramTokensExpr].getName, "graft_unigram_tokens"),
       exprs => UnigramTokensExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_latest"),
+      new ExpressionInfo(classOf[LatestAggregate].getName, "graft_latest"),
+      exprs => LatestAggregate(exprs(0), exprs(1))))
   }
 }
 
@@ -277,5 +280,7 @@ object HashExpressions {
       exprs => TopKAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_tokens",
       exprs => UnigramTokensExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_latest",
+      exprs => LatestAggregate(exprs(0), exprs(1)), "built-in")
   }
 }

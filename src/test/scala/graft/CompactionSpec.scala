@@ -60,6 +60,14 @@ class CompactionSpec extends AnyFunSuite {
     assert(out.select("v").as[String].collect().toSet == Set("x2", "y"))
   }
 
+  test("keepLatest plans as ObjectHashAggregate — no sort on either side") {
+    val plan = Dedup.keepLatest(versions, Seq("user"), Seq("ts", "seq"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected the typed aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("WindowExec"),
+      s"sort-based plan leaked in:\n$plan")
+  }
+
   test("keepLatest rejects empty key/version lists") {
     intercept[IllegalArgumentException](Dedup.keepLatest(versions, Seq(), Seq("ts")))
     intercept[IllegalArgumentException](Dedup.keepLatest(versions, Seq("user"), Seq()))
