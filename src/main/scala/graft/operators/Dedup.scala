@@ -15,12 +15,21 @@ object Dedup {
   /** Exact dedup, deterministic: keep the row with the smallest `tieBreaker`
     * per key group. Unlike `dropDuplicates` (which keeps an arbitrary row and
     * is therefore unstable across runs/partitionings), this is reproducible —
-    * a requirement for training-data lineage. One shuffle on `keyCols`. */
+    * a requirement for training-data lineage.
+    *
+    * One shuffle on `keyCols` via the sort-free `graft_earliest` aggregate
+    * ([[graft.plans.LatestAggregate]] in earliest mode) — partial
+    * aggregation keeps one candidate row per key per partition map-side
+    * and the plan is ObjectHashAggregate, vs the ROW_NUMBER window
+    * spelling's per-partition sorts. Same keep-smallest-tieBreaker rows
+    * (pinned by the x01 gates' DuckDB window oracle). */
   def exactKeepFirst(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val row = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(call_function("graft_earliest", struct(col(tieBreaker)), row)
+        .as("__graft_first"))
+      .select(col("__graft_first.*"))
   }
 
   /** Stable 64-bit content hash column (xxhash64). At scale, dedup on this

@@ -223,6 +223,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_latest"),
       new ExpressionInfo(classOf[LatestAggregate].getName, "graft_latest"),
       exprs => LatestAggregate(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_earliest"),
+      new ExpressionInfo(classOf[LatestAggregate].getName, "graft_earliest"),
+      exprs => LatestAggregate(exprs(0), exprs(1), earliest = true)))
   }
 }
 
@@ -282,5 +285,7 @@ object HashExpressions {
       exprs => UnigramTokensExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_latest",
       exprs => LatestAggregate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_earliest",
+      exprs => LatestAggregate(exprs(0), exprs(1), earliest = true), "built-in")
   }
 }

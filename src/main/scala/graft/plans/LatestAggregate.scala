@@ -37,12 +37,13 @@ final class LatestBuffer {
 case class LatestAggregate(
     version: Expression,
     payload: Expression,
+    earliest: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LatestBuffer] {
 
   override def children: Seq[Expression] = Seq(version, payload)
-  override def prettyName: String = "graft_latest"
+  override def prettyName: String = if (earliest) "graft_earliest" else "graft_latest"
   override def nullable: Boolean = true
   override def dataType: DataType = payload.dataType
 
@@ -52,8 +53,13 @@ case class LatestAggregate(
         s"$prettyName: version type ${version.dataType.simpleString} is not orderable")
     else TypeCheckResult.TypeCheckSuccess
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(version.dataType)
+  // `earliest = true` flips the comparison: the MINIMAL version's payload
+  // is kept — the keep-first dedup kernel (graft_earliest), same sort-free
+  // plan. Ties still keep the first-seen row in both modes.
+  @transient private lazy val ordering: Ordering[Any] = {
+    val asc = TypeUtils.getInterpretedOrdering(version.dataType)
+    if (earliest) asc.reverse else asc
+  }
   @transient private lazy val proj: UnsafeProjection =
     UnsafeProjection.create(Array(version.dataType, payload.dataType))
   @transient private lazy val scratch = new GenericInternalRow(2)

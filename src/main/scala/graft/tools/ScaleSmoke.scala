@@ -67,7 +67,7 @@ object ScaleSmoke {
     // materialized hashed-DSIR fit (bounded model, eager — must stay
     // scan-bound after the round-12 re-execution fix)
     "x48_keep_latest", "x49_snapshot_diff", "x50_ngram_novelty",
-    "x51_topk_per_group", "x42c_hashed_weights")
+    "x51_topk_per_group", "x42c_hashed_weights", "x52_unigram_tokens")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
