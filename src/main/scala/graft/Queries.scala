@@ -2035,6 +2035,39 @@ pairs AS (SELECT new_id, seen_id, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
           FROM isect JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = seen_id)
 SELECT new_id, seen_id, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY new_id, seen_id"""))
 
+  private val x20e = DeclaredQuery("x20e_neardup_against_index",
+    // incremental LSH dedup against the PERSISTED near-dup index artifact
+    // (NearDup.buildNearDupIndex → nearDuplicatesAgainstIndex): identical
+    // semantics to x20b, but the kept corpus contributes only its
+    // signature + shingle-set artifact — its text is never re-read, the
+    // incremental shape when the kept corpus dwarfs each new dump.
+    // Featurization params ride inside the artifact. Same brute-force
+    // DuckDB oracle as x20b: the hash match proves the artifact path
+    // loses nothing vs re-featurizing the corpus.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = graft.operators.NearDup.buildNearDupIndex(
+        docs.where(col("doc_id") < 250), "doc_id", "text")
+      graft.operators.NearDup.nearDuplicatesAgainstIndex(
+          docs.where(col("doc_id") >= 250), idx, "doc_id", "text",
+          minJaccard = 0.8)
+        .select(col("new_id"), col("seen_id"), round2(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "seen_id")
+    },
+    Some("""WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM documents)),
+exn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 250),
+exs AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 250),
+isect AS (SELECT n.doc_id AS new_id, a.doc_id AS seen_id, COUNT(*) AS c
+          FROM exn n JOIN exs a USING (g) GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (SELECT new_id, seen_id, c * 1.0 / NULLIF(sa.n + sb.n - c, 0) AS j
+          FROM isect JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = seen_id)
+SELECT new_id, seen_id, FLOOR(j*100+0.5)/100 AS jaccard FROM pairs WHERE j >= 0.8 ORDER BY new_id, seen_id"""))
+
   private val x20c = DeclaredQuery("x20c_dedupe_against_fuzzy",
     // The composed incremental clean (Dedup.dedupeAgainstFuzzy): new docs
     // surviving fuzzy dedup against the kept corpus — x20b's pair list
@@ -3520,7 +3553,7 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x10d, x10e)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x10d, x10e)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

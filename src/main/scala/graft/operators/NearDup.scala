@@ -184,38 +184,109 @@ object NearDup {
                             bands: Int = 32, k: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.plans.HashExpressions.register(newDf.sparkSession)
-    val r = numHashes / bands
     val hsNew = shingleHashFrame(newDf, idCol, textCol, k)
     val hsSeen = shingleHashFrame(seen, idCol, textCol, k)
     val sigNew = sigFrame(hsNew, numHashes)
     val sigSeen = sigFrame(hsSeen, numHashes)
     try {
-      val a = bandKeys(sigNew, bands, r)
-        .select(col("__band"), col("__bh"), col("__id").as("new_id"))
-      val b = bandKeys(sigSeen, bands, r)
-        .select(col("__band"), col("__bh"), col("__id").as("seen_id"))
-      val cand = a.join(b, Seq("__band", "__bh"))
-        .select("new_id", "seen_id").dropDuplicates("new_id", "seen_id")
-      // Loose signature-estimate pre-filter (as in the self-join path), then
-      // exact verification — precision is exact, the estimate only prunes.
-      val est = cand
-        .join(sigNew.select(col("__id").as("new_id"), col("__sig").as("__g1")), "new_id")
-        .join(sigSeen.select(col("__id").as("seen_id"), col("__sig").as("__g2")), "seen_id")
-        .where(size(filter(zip_with(col("__g1"), col("__g2"),
-          (x, y) => x === y), eq => eq)).cast("double") / numHashes >= minJaccard * 0.7)
-        .select("new_id", "seen_id")
-      val shNew = hsNew.select(col("__id").as("new_id"), array_distinct(col("__hs")).as("__s1"))
-      val shSeen = hsSeen.select(col("__id").as("seen_id"), array_distinct(col("__hs")).as("__s2"))
-      val out = est.join(shNew, "new_id").join(shSeen, "seen_id")
-        .withColumn("jaccard",
-          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
-            nullif(size(array_union(col("__s1"), col("__s2"))), lit(0)).cast("double"))
-        .where(col("jaccard") >= minJaccard)
-        .select("new_id", "seen_id", "jaccard")
-      out.localCheckpoint(true)
+      crossPairs(
+        sigNew,
+        hsNew.select(col("__id").as("new_id"), array_distinct(col("__hs")).as("__s1")),
+        sigSeen.select(col("__id"), col("__sig")),
+        hsSeen.select(col("__id").as("seen_id"), array_distinct(col("__hs")).as("__s2")),
+        numHashes, bands, minJaccard)
     } finally {
       sigNew.unpersist(false); sigSeen.unpersist(false)
       hsNew.unpersist(false); hsSeen.unpersist(false)
+    }
+  }
+
+  /** Shared new×seen LSH body: band-key join → loose signature-estimate
+    * pre-filter → exact Jaccard verification on the distinct shingle sets.
+    * `sigNew`/`sigSeen` are (__id, __sig) frames; `shNew`/`shSeen` carry
+    * (new_id, __s1) / (seen_id, __s2) distinct-shingle arrays. Precision is
+    * exact — the estimate only prunes. */
+  private def crossPairs(sigNew: DataFrame, shNew: DataFrame,
+                         sigSeen: DataFrame, shSeen: DataFrame,
+                         numHashes: Int, bands: Int,
+                         minJaccard: Double): DataFrame = {
+    val r = numHashes / bands
+    val a = bandKeys(sigNew, bands, r)
+      .select(col("__band"), col("__bh"), col("__id").as("new_id"))
+    val b = bandKeys(sigSeen, bands, r)
+      .select(col("__band"), col("__bh"), col("__id").as("seen_id"))
+    val cand = a.join(b, Seq("__band", "__bh"))
+      .select("new_id", "seen_id").dropDuplicates("new_id", "seen_id")
+    val est = cand
+      .join(sigNew.select(col("__id").as("new_id"), col("__sig").as("__g1")), "new_id")
+      .join(sigSeen.select(col("__id").as("seen_id"), col("__sig").as("__g2")), "seen_id")
+      .where(size(filter(zip_with(col("__g1"), col("__g2"),
+        (x, y) => x === y), eq => eq)).cast("double") / numHashes >= minJaccard * 0.7)
+      .select("new_id", "seen_id")
+    val out = est.join(shNew, "new_id").join(shSeen, "seen_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
+          nullif(size(array_union(col("__s1"), col("__s2"))), lit(0)).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("new_id", "seen_id", "jaccard")
+    out.localCheckpoint(true)
+  }
+
+  /** Near-dup INDEX artifact for a kept corpus: one row per document with
+    * its MinHash signature and distinct shingle-hash set, plus the
+    * featurization parameters — `(id, minhash_sig, shingle_hashes,
+    * num_hashes, shingle_k)`. Build ONCE per corpus snapshot and parquet
+    * it; every later crawl dedups against the artifact
+    * ([[nearDuplicatesAgainstIndex]]) without re-reading or re-shingling
+    * the kept corpus' text — the incremental shape at 100 TB, where the
+    * kept corpus dwarfs each new dump and its TEXT is the expensive thing
+    * to touch. Rows are signature-sized (numHashes + |distinct shingles|
+    * longs), not text-sized; the same split every index artifact here
+    * makes (IVF centroids, PQ codes). */
+  def buildNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, k: Int = 3): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    // staged projection: shingle once, derive both columns from the alias
+    // (CollapseProject leaves the expensive multiply-referenced alias alone)
+    df.select(col(idCol).as("id"),
+        call_function("graft_shingle_hashes", col(textCol), lit(k)).as("__hs"))
+      .select(col("id"),
+        call_function("graft_minhash_sig", col("__hs"), lit(numHashes)).as("minhash_sig"),
+        array_distinct(col("__hs")).as("shingle_hashes"),
+        lit(numHashes).as("num_hashes"), lit(k).as("shingle_k"))
+  }
+
+  /** [[nearDuplicatesAgainst]] against a prebuilt [[buildNearDupIndex]]
+    * artifact: identical output pairs (spec-pinned), but the seen side
+    * reads signatures and shingle sets straight from the artifact —
+    * featurization parameters come FROM the index (one 1-row action), so
+    * query/index skew is impossible, the same contract as the IVF index's
+    * embedded quantizer. */
+  def nearDuplicatesAgainstIndex(newDf: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String,
+                                 minJaccard: Double = 0.8,
+                                 bands: Int = 32): DataFrame = {
+    graft.plans.HashExpressions.register(newDf.sparkSession)
+    val params = index.select("num_hashes", "shingle_k").head(1)
+    if (params.isEmpty) // empty index: no pairs, schema-faithful empty frame
+      return newDf.select(col(idCol).as("new_id")).limit(0)
+        .crossJoin(index.select(col("id").as("seen_id")).limit(0))
+        .withColumn("jaccard", lit(0.0))
+    val numHashes = params(0).getInt(0)
+    val k = params(0).getInt(1)
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide the index's num_hashes ($numHashes)")
+    val hsNew = shingleHashFrame(newDf, idCol, textCol, k)
+    val sigNew = sigFrame(hsNew, numHashes)
+    try {
+      crossPairs(
+        sigNew,
+        hsNew.select(col("__id").as("new_id"), array_distinct(col("__hs")).as("__s1")),
+        index.select(col("id").as("__id"), col("minhash_sig").as("__sig")),
+        index.select(col("id").as("seen_id"), col("shingle_hashes").as("__s2")),
+        numHashes, bands, minJaccard)
+    } finally {
+      sigNew.unpersist(false); hsNew.unpersist(false)
     }
   }
 

@@ -107,6 +107,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out.count() == fresh.count())
   }
 
+  test("index path equals the direct path; artifact round-trips through parquet") {
+    val direct = NearDup.nearDuplicatesAgainst(fresh, seen, "doc_id", "text",
+        minJaccard = 0.5, numHashes = 64, bands = 16)
+      .select("new_id", "seen_id").as[(Long, Long)].collect().toSet
+    assert(direct.nonEmpty, "fixture must produce at least one cross pair")
+    val index = NearDup.buildNearDupIndex(seen, "doc_id", "text", numHashes = 64)
+    // params (numHashes=64, k=3) come from the artifact, not the call site
+    val viaIndex = NearDup.nearDuplicatesAgainstIndex(fresh, index,
+        "doc_id", "text", minJaccard = 0.5, bands = 16)
+      .select("new_id", "seen_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex == direct)
+    val path = java.nio.file.Files.createTempDirectory("ndidx").toString + "/idx"
+    index.write.mode("overwrite").parquet(path)
+    val reloaded = NearDup.nearDuplicatesAgainstIndex(fresh,
+        spark.read.parquet(path), "doc_id", "text", minJaccard = 0.5, bands = 16)
+      .select("new_id", "seen_id").as[(Long, Long)].collect().toSet
+    assert(reloaded == direct, "parquet round-trip must not change results")
+  }
+
+  test("index path: empty index drops nothing; bad bands fail loud") {
+    val empty = NearDup.buildNearDupIndex(seen.where(col("doc_id") < 0), "doc_id", "text")
+    val out = NearDup.nearDuplicatesAgainstIndex(fresh, empty, "doc_id", "text")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("new_id", "seen_id", "jaccard"))
+    val idx = NearDup.buildNearDupIndex(seen, "doc_id", "text", numHashes = 64)
+    intercept[IllegalArgumentException](
+      NearDup.nearDuplicatesAgainstIndex(fresh, idx, "doc_id", "text", bands = 48)
+        .collect())
+  }
+
   test("dedupeAgainst is partitioning-invariant") {
     val a = Dedup.dedupeAgainst(fresh.repartition(7), seen.repartition(3),
         df => df("text")).select("doc_id").as[Long].collect().sorted.toSeq
