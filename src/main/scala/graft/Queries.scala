@@ -2764,6 +2764,94 @@ SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 10000 ORDER 
 WHERE CAST(n_chars AS DOUBLE) >= (SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.8) FROM documents)
 ORDER BY doc_id"""))
 
+  private val x10f = DeclaredQuery("x10f_incremental_pipeline",
+    // Composed flagship v6 — the incremental-crawl audit over the round-12
+    // compaction surface, ONE lazy chain: snapshot diff (x49's derived
+    // old/new snapshots) selects the added+changed documents; each is
+    // checked for a near-duplicate in the KEPT corpus via the persisted
+    // near-dup index (x20e's artifact path — self-updates excluded, a
+    // changed doc may match its own predecessor), and scored for k=5-gram
+    // novelty against the kept corpus (x50). Output: one audit row per
+    // to-be-ingested doc (status, dup_hit, exact novelty fraction) — the
+    // decision table an incremental ingest run acts on. The oracle replays
+    // the ENTIRE derivation: full-outer diff, brute-force 3-gram Jaccard
+    // (x20b's spelling — the hash match re-proves LSH recall at 0.8), and
+    // the exact novelty ratio.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.where(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val newSnap = docs.where(pmod(col("doc_id"), lit(13)) =!= 5)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      val diff = graft.operators.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+      val todo = newSnap.join(
+        diff.where(col("status").isin("added", "changed")).select("doc_id", "status"),
+        "doc_id")
+      val idx = graft.operators.NearDup.buildNearDupIndex(oldSnap, "doc_id", "text")
+      val hits = graft.operators.NearDup
+        .nearDuplicatesAgainstIndex(todo, idx, "doc_id", "text", minJaccard = 0.8)
+        .where(col("new_id") =!= col("seen_id"))
+        .select(col("new_id").as("doc_id")).distinct()
+        .withColumn("__hit", lit(1))
+      val nov = graft.operators.Contamination
+        .noveltyFractions(todo, "doc_id", "text", oldSnap, "text", k = 5)
+      todo.select("doc_id", "status")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("dup_hit", coalesce(col("__hit"), lit(0))).drop("__hit")
+        .join(nov.select("doc_id", "novelty"), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH o AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 11 <> 3),
+n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, lang
+      FROM documents WHERE doc_id % 13 <> 5),
+st AS (SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN (o.text IS NOT DISTINCT FROM n.text) AND (o.lang IS NOT DISTINCT FROM n.lang)
+         THEN 'unchanged'
+       ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+todo AS (SELECT n.doc_id, n.text, st.status FROM n JOIN st USING (doc_id)
+         WHERE st.status IN ('added', 'changed')),
+sh3o AS (SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM o)),
+sh3n AS (SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM todo)),
+ex3o AS (SELECT doc_id, unnest(s) AS g FROM sh3o),
+ex3n AS (SELECT doc_id, unnest(s) AS g FROM sh3n),
+isect AS (SELECT t.doc_id AS new_id, a.doc_id AS seen_id, COUNT(*) AS c
+          FROM ex3n t JOIN ex3o a USING (g) WHERE t.doc_id <> a.doc_id GROUP BY 1, 2),
+szo AS (SELECT doc_id, len(s) AS n FROM sh3o),
+szn AS (SELECT doc_id, len(s) AS n FROM sh3n),
+dup AS (SELECT DISTINCT new_id AS doc_id
+        FROM isect JOIN szn sa ON sa.doc_id = new_id JOIN szo sb ON sb.doc_id = seen_id
+        WHERE c * 1.0 / NULLIF(sa.n + sb.n - c, 0) >= 0.8),
+sh5o AS (SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM o)),
+sh5n AS (SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS toks FROM todo)),
+ref AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh5o)),
+ex5n AS (SELECT doc_id, unnest(s) AS g FROM sh5n),
+nov AS (SELECT t.doc_id,
+          CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS novelty
+        FROM ex5n t LEFT JOIN ref r ON t.g = r.g GROUP BY 1)
+SELECT t.doc_id, t.status,
+  CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS dup_hit,
+  nov.novelty
+FROM todo t LEFT JOIN dup d USING (doc_id) JOIN nov USING (doc_id)
+ORDER BY t.doc_id"""))
+
   private val x10e = DeclaredQuery("x10e_mixture_pipeline",
     // Composed flagship v5 — the mixture-curriculum recipe over the round-12
     // selection surface, ONE lazy chain: exact quality-quartile assignment
@@ -3553,7 +3641,7 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x10d, x10e)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
