@@ -182,6 +182,19 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** [[dedupeAgainstFuzzy]] against a PERSISTED near-dup index
+    * ([[NearDup.buildNearDupIndex]]) instead of the kept corpus' text —
+    * the incremental-crawl spelling where the kept corpus is only ever
+    * touched as its signature artifact. Same drop semantics (any
+    * near-duplicate at `minJaccard` in the index drops the new row). */
+  def dedupeAgainstFuzzyIndex(newDf: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String,
+                              minJaccard: Double = 0.8): DataFrame = {
+    val hit = NearDup.nearDuplicatesAgainstIndex(newDf, index, idCol, textCol, minJaccard)
+      .select(col("new_id")).distinct()
+    newDf.join(hit, newDf(idCol) === col("new_id"), "left_anti")
+  }
+
   /** Fuzzy dedup, final stage: collapse a near-duplicate PAIR list (any of
     * [[NearDup]]'s generators) into clusters via distributed connected
     * components, and keep exactly one representative per cluster — the

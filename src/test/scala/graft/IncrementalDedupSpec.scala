@@ -126,6 +126,18 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(reloaded == direct, "parquet round-trip must not change results")
   }
 
+  test("dedupeAgainstFuzzyIndex keeps exactly the non-near-dup rows") {
+    val index = NearDup.buildNearDupIndex(seen, "doc_id", "text", numHashes = 64)
+    val kept = Dedup.dedupeAgainstFuzzyIndex(fresh, index, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.dedupeAgainstFuzzy(fresh, seen, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == direct, "index spelling must keep the same rows")
+    assert(kept == Seq(12L, 13L), "10 (exact) and 11 (0.81 jaccard) must go")
+  }
+
   test("index path: empty index drops nothing; bad bands fail loud") {
     val empty = NearDup.buildNearDupIndex(seen.where(col("doc_id") < 0), "doc_id", "text")
     val out = NearDup.nearDuplicatesAgainstIndex(fresh, empty, "doc_id", "text")
