@@ -67,7 +67,12 @@ object ScaleSmoke {
     // materialized hashed-DSIR fit (bounded model, eager — must stay
     // scan-bound after the round-12 re-execution fix)
     "x48_keep_latest", "x49_snapshot_diff", "x50_ngram_novelty",
-    "x51_topk_per_group", "x42c_hashed_weights", "x52_unigram_tokens")
+    "x51_topk_per_group", "x42c_hashed_weights", "x52_unigram_tokens",
+    // incremental-crawl audit flagship + the persisted-index dedup leg:
+    // the kept corpus contributes only its signature artifact, so the
+    // data-bound stage is the new side's featurization — must track the
+    // batch scan, never the kept-corpus size
+    "x10f_incremental_pipeline", "x20e_neardup_against_index")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
