@@ -3608,6 +3608,22 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
   FROM events WHERE value IS NOT NULL) WHERE rn <= 3 ORDER BY user_id, rank"""))
 
+  private val x51b = DeclaredQuery("x51b_topk_rows",
+    // full-row top-k per group (Selection.topKPerGroupRows): each user's 3
+    // highest-value events WITH their payload columns, one ObjectHash
+    // aggregate buffering k whole rows per (group, partition) — no sort,
+    // no join-back. The ROW_NUMBER oracle carries the same columns; the
+    // hash match proves the full-row heap returns exactly the window's
+    // rows, payloads included.
+    (s, d) => graft.operators.Selection.topKPerGroupRows(
+        t(s, d, "events").select("event_id", "ts", "user_id", "event_type", "value"),
+        Seq("user_id"), Seq("value", "event_id"), k = 3)
+      .orderBy("user_id", "rank"),
+    Some("""SELECT user_id, CAST(rn AS INT) AS rank, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 3 ORDER BY user_id, rank"""))
+
   private val x52 = DeclaredQuery("x52_unigram_tokens",
     // unigram-LM (SentencePiece) tokenization [Kudo ACL'18] end to end:
     // train on the corpus word-type histogram (ONE distributed word count
@@ -3641,7 +3657,7 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -359,4 +359,35 @@ object Selection {
         col("col.score").as(scoreCol),
         col("col.id").as(idCol)): _*)
   }
+
+  /** [[topKPerGroup]] carrying FULL rows: the k rows per group maximal
+    * under the lexicographic order of `orderCols`, with every column of
+    * `df` in the output plus their 1-based `rank` — no join-back to
+    * re-attach payload. The native full-row heap aggregate
+    * ([[graft.plans.TopKRowsAggregate]]) buffers k whole rows per
+    * (group, partition) and plans as ObjectHashAggregate, no sort anywhere
+    * — the one-shot shape for per-domain document caps ("keep the best N
+    * pages per domain"). For fat payloads at large k·|groups| prefer the
+    * narrow [[topKPerGroup]] + an id join-back: there, only (score, id)
+    * rides the shuffle.
+    *
+    * Rows where any `orderCols` expression is NULL rank under Spark's
+    * struct ordering (NULL field sorts first, so it loses); `orderCols`
+    * must totally order rows within a group (include a unique id last) for
+    * a deterministic result. */
+  def topKPerGroupRows(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[String], k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val payloadCols = df.columns.filterNot(groupCols.contains).toSeq
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk_rows",
+        struct(orderCols.map(col): _*),
+        struct(payloadCols.map(col): _*), lit(k)).as("__graft_rows"))
+      .select(groupCols.map(col) :+ posexplode(col("__graft_rows")): _*)
+      .select(groupCols.map(col) ++ Seq((col("pos") + 1).cast("int").as("rank")) ++
+        payloadCols.map(c => col(s"col.$c").as(c)): _*)
+  }
 }

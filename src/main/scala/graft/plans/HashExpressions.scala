@@ -226,6 +226,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_earliest"),
       new ExpressionInfo(classOf[LatestAggregate].getName, "graft_earliest"),
       exprs => LatestAggregate(exprs(0), exprs(1), earliest = true)))
+    e.injectFunction((FunctionIdentifier("graft_topk_rows"),
+      new ExpressionInfo(classOf[TopKRowsAggregate].getName, "graft_topk_rows"),
+      exprs => TopKRowsAggregate(exprs(0), exprs(1), exprs(2))))
   }
 }
 
@@ -287,5 +290,7 @@ object HashExpressions {
       exprs => LatestAggregate(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_earliest",
       exprs => LatestAggregate(exprs(0), exprs(1), earliest = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk_rows",
+      exprs => TopKRowsAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

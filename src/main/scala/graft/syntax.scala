@@ -176,6 +176,12 @@ object syntax {
                      idCol: String, k: Int): DataFrame =
       Selection.topKPerGroup(df, groupCols, scoreCol, idCol, k)
 
+    /** Full-row top-k per group — payload carried through the heap, no
+      * join-back ([[graft.operators.Selection.topKPerGroupRows]]). */
+    def topKRowsPerGroup(groupCols: Seq[String], orderCols: Seq[String],
+                         k: Int): DataFrame =
+      Selection.topKPerGroupRows(df, groupCols, orderCols, k)
+
     /** One-scan per-stage attrition accounting for an ordered filter
       * cascade ([[graft.operators.Profiling.filterFunnel]]). */
     def filterFunnel(stages: Seq[(String, Column)]): DataFrame =

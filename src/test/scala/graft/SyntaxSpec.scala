@@ -105,6 +105,8 @@ class SyntaxSpec extends AnyFunSuite {
       rows(graft.operators.Dedup.keepLatest(ev, Seq("user_id"), Seq("ts", "event_id"))))
     assert(rows(ev.graft.topKPerGroup(Seq("user_id"), "value", "event_id", 2)) ==
       rows(graft.operators.Selection.topKPerGroup(ev, Seq("user_id"), "value", "event_id", 2)))
+    assert(rows(ev.graft.topKRowsPerGroup(Seq("user_id"), Seq("value", "event_id"), 2)) ==
+      rows(graft.operators.Selection.topKPerGroupRows(ev, Seq("user_id"), Seq("value", "event_id"), 2)))
     val old = docs.where(col("doc_id") % 11 =!= 3).select("doc_id", "text")
     val neu = docs.where(col("doc_id") % 13 =!= 5).select("doc_id", "text")
     assert(rows(neu.graft.diffAgainst(old, "doc_id", Seq("text"))) ==

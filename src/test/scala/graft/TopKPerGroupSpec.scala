@@ -77,6 +77,36 @@ class TopKPerGroupSpec extends AnyFunSuite {
       Selection.topKPerGroup(fixture, Seq("g"), "score", "id", 0))
   }
 
+  test("full-row form matches the window with payload intact, partitioning-invariant") {
+    val df = fixture.withColumn("payload", concat($"g", lit("#"), $"id"))
+    val w = Window.partitionBy("g").orderBy($"score".desc, $"id".desc)
+    val expected = df.withColumn("rank", row_number().over(w)).where($"rank" <= 4)
+      .select("g", "rank", "score", "id", "payload").collect().toSet
+    Seq(1, 7).foreach { p =>
+      val got = Selection.topKPerGroupRows(df.repartition(p), Seq("g"),
+          Seq("score", "id"), 4)
+        .select("g", "rank", "score", "id", "payload").collect().toSet
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
+  test("full-row form: a NULL order field sorts lowest, losing to real scores") {
+    val df = Seq(("g", Option(2.0), 1L, "hi"), ("g", Option.empty[Double], 2L, "nul"),
+        ("g", Option(1.0), 3L, "lo"))
+      .toDF("g", "score", "id", "payload")
+    val got = Selection.topKPerGroupRows(df, Seq("g"), Seq("score", "id"), 2)
+      .select("rank", "payload").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "hi"), (2, "lo")), "NULL-score row must rank last")
+  }
+
+  test("full-row form plans as ObjectHashAggregate — no sort, no window") {
+    val plan = Selection.topKPerGroupRows(fixture, Seq("g"), Seq("score", "id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected the typed aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("WindowExec"),
+      s"sorting plan leaked in:\n$plan")
+  }
+
   test("plan shape: partial + final aggregate, no WindowExec") {
     val plan = Selection.topKPerGroup(fixture, Seq("g"), "score", "id", 3)
       .queryExecution.executedPlan.toString
