@@ -72,7 +72,8 @@ object ScaleSmoke {
     // the kept corpus contributes only its signature artifact, so the
     // data-bound stage is the new side's featurization — must track the
     // batch scan, never the kept-corpus size
-    "x10f_incremental_pipeline", "x20e_neardup_against_index")
+    "x10f_incremental_pipeline", "x20e_neardup_against_index",
+    "x51b_topk_rows")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
