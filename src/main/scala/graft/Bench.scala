@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   * codegen + plan-cache + file-listing cost, then THREE steady passes; the
   * reported per-entry number is the MEDIAN of the three — single-shot
   * steady numbers were observed drifting ±3× round-to-round on unchanged
-  * code, medians are stable. The JSON line ends with a `medians` map using
-  * compact gate ids (`q01`, `x02b`, ...) so the per-entry numbers survive
-  * tail-truncated logs: the verbose full-name `queries` map sits earlier in
-  * the line and may truncate; the tail always carries every median. */
+  * code, medians are stable. Per-entry medians are re-emitted at the end of
+  * stdout as multiple SHORT JSON lines (compact gate ids `q01`, `x02b`,
+  * ...): extension chunks first, then a <1k final line with the full
+  * q-surface + total, so a 2000-char log tail always captures a parseable
+  * final line (see the emission-contract comment at the bottom). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,14 +125,19 @@ object Bench {
       new java.io.FileOutputStream(java.io.FileDescriptor.err), true, "UTF-8")
 
     rawOut.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","first_pass_total":${fmt(warmTotal)},"passes":${steadyPasses + 1},"stat":"median_of_$steadyPasses","medians":$meds}""")
-    // The medians again as the FINAL stdout line, minimal keys, AND as a
-    // file: log harnesses that keep only a tail window truncate the big
-    // line above front-first, so the per-entry medians must sit at the very
-    // end of stdout and survive independently on disk. The stderr copy goes
-    // FIRST so that a harness merging stderr into stdout still ends its
-    // capture with the stdout copy. build.sbt sets
+    // The medians again at the very END of stdout, AND as a file. The log
+    // harness keeps only the LAST 2000 chars of stdout and parses the final
+    // line as JSON — at 176+ entries a single compact line is ~2.9k chars,
+    // so its head (and JSON validity) fell outside the window every round
+    // since r8. Emission contract, back-to-front: the FINAL line is a short
+    // (<1k) self-contained JSON object carrying the full q-surface medians
+    // + total, so it always parses; before it come extension-median chunk
+    // lines, each an independently valid JSON object ≤ ~1.3k chars, ordered
+    // so the chunks most likely to be cut are FIRST. The full single-line
+    // compact form still goes to stderr and to /tmp/bench_medians.json for
+    // the committed BENCH_MEDIANS.json snapshot. build.sbt sets
     // `Global / showSuccess := false` so sbt appends no "[success] Total
-    // time" epilogue after this line.
+    // time" epilogue after the final line.
     val compact = s"""{"medians":$meds,"total":${fmt(total)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.writeString(
@@ -140,6 +146,23 @@ object Bench {
       System.err.println(s"[bench] medians file write failed: ${e.getMessage}")
     }
     rawErr.println(compact)
-    rawOut.println(compact)
+    val (qMeds, xMeds) = results.partition(_._1.startsWith("q"))
+    def entryJson(kv: (String, Double)): String =
+      "\"" + shortName(kv._1) + "\":" + fmt(kv._2)
+    // Greedy ≤1300-char chunks of the extension medians, each line a valid
+    // standalone JSON object tagged with its chunk index.
+    val xChunks = xMeds.foldLeft(Vector(Vector.empty[String])) { (acc, kv) =>
+      val e = entryJson(kv)
+      if (acc.last.map(_.length + 1).sum + e.length > 1300)
+        acc :+ Vector(e)
+      else acc.init :+ (acc.last :+ e)
+    }.filter(_.nonEmpty)
+    xChunks.zipWithIndex.foreach { case (chunk, i) =>
+      rawOut.println(
+        s"""{"medians_x${i + 1}":${chunk.mkString("{", ",", "}")},"xchunks":${xChunks.size}}""")
+    }
+    val qJson = qMeds.map(entryJson).mkString("{", ",", "}")
+    rawOut.println(
+      s"""{"medians":$qJson,"total":${fmt(total)},"sf":"$sfDir","xchunks":${xChunks.size},"entries":${results.size}}""")
   }
 }

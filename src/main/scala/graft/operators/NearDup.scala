@@ -259,19 +259,29 @@ object NearDup {
   /** [[nearDuplicatesAgainst]] against a prebuilt [[buildNearDupIndex]]
     * artifact: identical output pairs (spec-pinned), but the seen side
     * reads signatures and shingle sets straight from the artifact —
-    * featurization parameters come FROM the index (one 1-row action), so
-    * query/index skew is impossible, the same contract as the IVF index's
-    * embedded quantizer. */
+    * featurization parameters come FROM the index (one small distinct
+    * action, uniformity-checked), so query/index skew is impossible, the
+    * same contract as the IVF index's embedded quantizer. */
   def nearDuplicatesAgainstIndex(newDf: DataFrame, index: DataFrame,
                                  idCol: String, textCol: String,
                                  minJaccard: Double = 0.8,
                                  bands: Int = 32): DataFrame = {
     graft.plans.HashExpressions.register(newDf.sparkSession)
-    val params = index.select("num_hashes", "shingle_k").head(1)
+    // Distinct, not head(1): a union of artifacts built with different
+    // parameters would otherwise silently sign the query side with ONE
+    // row's parameters and miss pairs against the rest of the index.
+    // The distinct is over ≤|index| rows of two ints — a cheap action —
+    // and a mixed-parameter index fails loud here.
+    val params = index.select("num_hashes", "shingle_k").distinct().collect()
     if (params.isEmpty) // empty index: no pairs, schema-faithful empty frame
       return newDf.select(col(idCol).as("new_id")).limit(0)
         .crossJoin(index.select(col("id").as("seen_id")).limit(0))
         .withColumn("jaccard", lit(0.0))
+    require(params.length == 1,
+      s"mixed-parameter near-dup index: found ${params.length} distinct " +
+        s"(num_hashes, shingle_k) combinations " +
+        params.map(r => s"(${r.getInt(0)}, ${r.getInt(1)})").mkString("[", ", ", "]") +
+        " — rebuild the artifacts with one parameter set before unioning")
     val numHashes = params(0).getInt(0)
     val k = params(0).getInt(1)
     require(numHashes % bands == 0,

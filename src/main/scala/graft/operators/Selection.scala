@@ -96,28 +96,62 @@ object Selection {
     * corpus through one partition and [[selectByBudget]] must rebuild the
     * running total from per-partition subtotals — the grouped window
     * distributes by `groupCol` on its own, so this is ONE hash shuffle +
-    * per-group sorts, the plan Spark already does well. Caveat: each group
-    * sorts within one task; for a handful of corpus-sized groups, run
-    * [[selectByBudget]] per group instead (that recipe exists precisely for
-    * the degenerate group count). Same prefix semantics and NULL handling
-    * as [[selectByBudget]]. */
+    * per-group sorts, the plan Spark already does well WHEN groups are
+    * many. The degenerate regime — a handful of corpus-sized groups, where
+    * `Window.partitionBy(group)` funnels each group through one task no
+    * matter the cluster size — is guarded AUTOMATICALLY: a cheap
+    * `approx_count_distinct` probe runs first, and when the group count is
+    * ≤ `fewGroups` (default 8; 0 disables the probe) the fill routes to
+    * one distributed [[selectByBudget]] per group instead (same order
+    * spec, same prefix semantics — differentially pinned in
+    * SelectionSpec), so no single task ever sorts a whole corpus. Same
+    * prefix semantics and NULL handling as [[selectByBudget]]; a NULL
+    * group is its own group and always gets `defaultBudget`. */
   def selectByBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
                              scoreCol: Column, nTokens: Column,
                              defaultBudget: Long,
-                             budgets: Map[String, Long] = Map.empty): DataFrame = {
+                             budgets: Map[String, Long] = Map.empty,
+                             fewGroups: Int = 8): DataFrame = {
     require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
     require(budgets.values.forall(_ > 0), "every group budget must be positive")
-    val budgetOf = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
-      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    val narrow = df.select(col(groupCol), col(idCol), scoreCol.as("__s"),
+      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+    // Degenerate-regime probe: approx_count_distinct is one narrow
+    // column-pruned scan with a mergeable sketch — 2% relative error, and
+    // the 2× margin on the threshold makes a mis-route vanishingly
+    // unlikely; a mis-route is a perf choice, never a correctness one.
+    val groups: Array[Any] =
+      if (fewGroups <= 0) Array.empty
+      else {
+        val est = narrow.agg(
+          approx_count_distinct(col(groupCol)).as("__c")).head().getLong(0)
+        if (est > 2L * fewGroups) Array.empty
+        else narrow.select(col(groupCol)).distinct()
+          .limit(fewGroups + 1).collect().map(_.get(0))
+      }
+    val few = fewGroups > 0 && groups.nonEmpty && groups.length <= fewGroups
+    if (few) {
+      val parts = groups.map { g =>
+        val slice = narrow.where(col(groupCol) <=> lit(g))
+        val b = Option(g).flatMap(v => budgets.get(v.toString))
+          .getOrElse(defaultBudget)
+        selectByBudget(slice, idCol, col("__s"), col("n_tokens"), b)
+          .select(lit(g).cast(df.schema(groupCol).dataType).as(groupCol),
+            col(idCol), col("n_tokens"), col("cum_tokens"))
+      }
+      parts.reduce(_.union(_))
+    } else {
+      val budgetOf = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+        when(col(groupCol) === g, lit(b)).otherwise(acc)
+      }
+      val w = Window.partitionBy(groupCol)
+        .orderBy(col("__s").desc_nulls_last, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      narrow
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .where(col("cum_tokens") <= budgetOf)
+        .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
     }
-    val w = Window.partitionBy(groupCol)
-      .orderBy(col("__s").desc_nulls_last, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(groupCol), col(idCol), scoreCol.as("__s"),
-        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .where(col("cum_tokens") <= budgetOf)
-      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 
   /** SKIP-GREEDY budget fill — the sequential policy: walk the ranking
@@ -342,13 +376,35 @@ object Selection {
     *
     * Output: `groupCols ++ (rank, scoreCol, idCol)`, rank 1..k descending
     * by (score, id) — deterministic whenever ids are unique per group.
-    * Rows with a NULL score or id are skipped. Only the id is carried
+    * Rows with a NULL score or id are skipped; id/score types are
+    * validated up front (integral id, numeric score) so a failing cast
+    * can't silently drop rows. Scores ride as doubles — a decimal wider
+    * than 15–16 significant digits can have near-ties reordered by the
+    * cast; use [[topKPerGroupRows]] to rank on exact decimals. Only the
+    * id is carried
     * through the aggregate; join back on it for payload columns (the
     * narrow-shuffle pattern). */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                    idCol: String, k: Int): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
+    // The aggregate's (double, long) state makes the casts below silent
+    // NULL-producers for non-numeric strings / out-of-range values, and the
+    // documented NULL-skip contract would then DROP those rows — so reject
+    // id/score columns whose type can't round-trip the cast, instead of
+    // hiding bad input. (Long ids and ≤double scores are the narrow-shuffle
+    // contract; use topKPerGroupRows for arbitrary id/order types.)
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"topKPerGroup id column '$idCol' must be an integral type " +
+        s"(byte/short/int/long), got ${idType.simpleString}: a failed " +
+        "cast to long would silently drop the row under the NULL-skip " +
+        "contract — use topKPerGroupRows for non-integral ids")
+    val scoreType = df.schema(scoreCol).dataType
+    require(scoreType.isInstanceOf[NumericType],
+      s"topKPerGroup score column '$scoreCol' must be numeric, got " +
+        s"${scoreType.simpleString}")
     graft.plans.HashExpressions.register(df.sparkSession)
     df.groupBy(groupCols.map(col): _*)
       .agg(call_function("graft_topk",

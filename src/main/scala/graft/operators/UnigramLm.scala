@@ -245,10 +245,19 @@ object UnigramLm {
     rev.reverse.toSeq
   }
 
-  /** Foldable piece-table literals (parallel arrays, lex order). */
-  def piecesLit(model: UnigramModel): (Column, Column) = (
-    array(model.pieces.map(p => lit(p._1)): _*),
-    array(model.pieces.map(p => lit(p._2)): _*))
+  /** Foldable piece-table literals (parallel arrays, lex order). Fails
+    * loud on an empty model: `array()` of zero literals types as
+    * ARRAY<NULL>, which would surface downstream as an opaque
+    * "pieces/logps must be foldable" analysis error from
+    * `graft_unigram_tokens`. An empty model comes from training on an
+    * empty or whitespace-only corpus. */
+  def piecesLit(model: UnigramModel): (Column, Column) = {
+    require(model.pieces.nonEmpty,
+      "empty unigram model (no pieces) — training input was empty or " +
+        "whitespace-only; train on a non-empty corpus before tokenizing")
+    (array(model.pieces.map(p => lit(p._1)): _*),
+      array(model.pieces.map(p => lit(p._2)): _*))
+  }
 
   /** Subword tokens per row via the native `graft_unigram_tokens`. */
   def tokens(df: DataFrame, textCol: String, model: UnigramModel,

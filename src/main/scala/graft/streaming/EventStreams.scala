@@ -143,8 +143,9 @@ object EventStreams {
   /** Streaming keep-latest — the continuously-maintained "current state per
     * key" table (latest event per user, newest crawl version per URL): the
     * streaming form of [[graft.operators.Dedup.keepLatest]], and literally
-    * a 1:1 delegation to it — the same `max_by(struct(all), struct(version))`
-    * aggregation expressions run as a STATEFUL streaming aggregation, so
+    * a 1:1 delegation to it — the same `graft_latest` aggregate
+    * ([[graft.plans.LatestAggregate]], a sort-free keep-max-row
+    * TypedImperativeAggregate) runs as a STATEFUL streaming aggregation, so
     * streaming/batch parity holds by construction (pinned in StreamingSpec,
     * including out-of-order delivery: an older version arriving later never
     * displaces the state's newer row, because max_by folds the new batch
@@ -154,7 +155,10 @@ object EventStreams {
     * stream length. Emit with `OutputMode.Update` (each micro-batch emits
     * only keys whose latest row changed) or `Complete` (re-emit the whole
     * state table); `Append` is unsupported by construction — a key's latest
-    * row is never final. */
+    * row is never final. Out-of-order safety is the aggregate's merge
+    * semantics: `graft_latest` folds each micro-batch into the stored
+    * maximum-version row, so an older version arriving later never
+    * displaces a newer one. */
   def latestPerKey(stream: DataFrame, keyCols: Seq[String],
                    versionCols: Seq[String]): DataFrame =
     graft.operators.Dedup.keepLatest(stream, keyCols, versionCols)

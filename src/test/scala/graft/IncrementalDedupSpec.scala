@@ -149,6 +149,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
         .collect())
   }
 
+  test("index path: a mixed-parameter index union fails loud") {
+    // a union of artifacts built with different (num_hashes, shingle_k)
+    // must be rejected, not silently signed with one row's parameters
+    val idx64 = NearDup.buildNearDupIndex(seen, "doc_id", "text", numHashes = 64)
+    val idx32 = NearDup.buildNearDupIndex(seen, "doc_id", "text", numHashes = 32)
+    val e = intercept[IllegalArgumentException](
+      NearDup.nearDuplicatesAgainstIndex(fresh, idx64.union(idx32),
+        "doc_id", "text", bands = 16))
+    assert(e.getMessage.contains("mixed-parameter"))
+  }
+
   test("dedupeAgainst is partitioning-invariant") {
     val a = Dedup.dedupeAgainst(fresh.repartition(7), seen.repartition(3),
         df => df("text")).select("doc_id").as[Long].collect().sorted.toSeq

@@ -64,6 +64,37 @@ class SelectionSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 4L, 7L)))
   }
 
+  test("selectByBudgetPerGroup: few-groups route ≡ window spelling") {
+    // 3 groups over multi-partition random data: the default probe routes
+    // through one distributed selectByBudget per group; fewGroups = 0
+    // forces the grouped-window spelling. Both must keep identical rows
+    // with identical group-local running totals.
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 300L).map { i =>
+      (Seq("a", "b", "c")(rnd.nextInt(3)), i, rnd.nextDouble(), rnd.nextInt(30) + 1L)
+    }
+    val df = rows.toDF("src", "doc_id", "score", "n").repartition(5)
+    def run(few: Int) = Selection.selectByBudgetPerGroup(df, "src", "doc_id",
+        col("score"), col("n"), defaultBudget = 400L,
+        budgets = Map("b" -> 150L), fewGroups = few)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val routed = run(8)
+    val windowed = run(0)
+    assert(routed.nonEmpty && routed == windowed)
+  }
+
+  test("topKPerGroup: non-integral id and non-numeric score fail loud") {
+    val df = Seq(("a", "x1", 1.0), ("a", "x2", 2.0))
+      .toDF("grp", "sid", "score")
+    val e = intercept[IllegalArgumentException](
+      Selection.topKPerGroup(df, Seq("grp"), "score", "sid", 1))
+    assert(e.getMessage.contains("integral"))
+    val df2 = Seq(("a", 1L, "high")).toDF("grp", "id", "score")
+    intercept[IllegalArgumentException](
+      Selection.topKPerGroup(df2, Seq("grp"), "score", "id", 1))
+  }
+
   test("selectByBudgetSkipGreedy keeps filling past an overshooting doc") {
     // same fixture as the prefix pin: skip-greedy keeps docs 1 AND 3
     // (10 + 5 = 15 ≤ 20), with kept-only running totals

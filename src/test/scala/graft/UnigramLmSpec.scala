@@ -116,4 +116,18 @@ class UnigramLmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       UnigramLm.train(corpus, "text", vocabSize = 5, pruneFrac = 1.0))
   }
+
+  test("guards: an empty model (empty training corpus) fails loud at tokenize") {
+    import spark.implicits._
+    val empty = UnigramLm.train(Seq("", "   ").toDF("text"), "text", vocabSize = 10)
+    assert(empty.pieces.isEmpty)
+    // without the guard this would surface as an opaque ARRAY<NULL>
+    // "must be foldable" analysis error from graft_unigram_tokens
+    val docs = Seq("hello").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      UnigramLm.tokens(docs, "text", empty))
+    assert(e.getMessage.contains("empty"))
+    intercept[IllegalArgumentException](
+      UnigramLm.tokenCount(docs, "text", empty))
+  }
 }
