@@ -3645,6 +3645,36 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
     },
     None)
 
+  private val x53 = DeclaredQuery("x53_edit_distance_join",
+    // Levenshtein similarity self-join (record linkage / entity
+    // resolution) via the segment-pigeonhole candidate scheme (PassJoin
+    // family): NO |n|² cross join — candidates come from an equi-join on
+    // (length, segment-index, segment-text) keys over DISTINCT strings,
+    // verified once per distinct pair with the early-exit
+    // levenshtein(threshold) kernel. The entry emits the distinct-string
+    // granularity with `n_id_pairs` multiplicities (the 100 TB shape —
+    // part names repeat ~312× at sf0.1, so raw id pairs are quadratic in
+    // the duplicate count: 5.5M rows of pure fan-out the cluster would
+    // never materialize). The oracle IS the brute-force distinct-name
+    // cross join, so the entry hash-pins BOTH the candidate scheme's
+    // completeness and the exact expansion cardinality, on top of
+    // FuzzyJoinSpec's randomized raw-pair brute-force differential.
+    (s, d) => graft.operators.FuzzyJoin.editDistanceGroupedSelfPairs(
+        t(s, d, "part"), "p_name", maxDist = 2)
+      .select(col("str_a"), col("str_b"), col("dist").cast("int").as("dist"),
+        col("n_id_pairs").cast("long").as("n_id_pairs"))
+      .orderBy("str_a", "str_b"),
+    Some("""WITH names AS (
+  SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name)
+SELECT a.p_name AS str_a, b.p_name AS str_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+  CAST(a.cnt * b.cnt AS BIGINT) AS n_id_pairs
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY str_a, str_b"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3657,7 +3687,7 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -89,6 +89,20 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x53 edit-distance join: equi-join candidates, no unguarded cartesian") {
+    // the segment scheme must plan as hash/sort-merge equi-joins; the ONLY
+    // nested-loop allowed is the short bucket's explicitly-broadcast
+    // (constant-bounded) join — a CartesianProduct anywhere means the
+    // candidate keys fell out of the join condition and the operator
+    // degraded to all-pairs
+    val p = plan("x53_edit_distance_join")
+    assert(!p.contains("CartesianProduct"), p)
+    val hashJoins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(hashJoins >= 3, s"expected candidate + expansion equi-joins:\n$p")
+  }
+
   test("GraftExtensions registers native functions at session build time") {
     // the shared test session predates the extensions; exercising apply()
     // against a fresh SparkSessionExtensions validates the injection wiring
