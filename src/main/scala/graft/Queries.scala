@@ -3675,6 +3675,45 @@ FROM names a JOIN names b
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 ORDER BY str_a, str_b"""))
 
+  private val x54 = DeclaredQuery("x54_scalar_quant",
+    // int8 scalar quantization of the embedding corpus (storage-tier
+    // compression, 4× on the wire/disk): per-dim min/max fit in one
+    // partial-agg-bounded pass (dim × partitions shuffle rows), then a
+    // map-only codegen'd encode. Codes use the engine-portable
+    // floor(+0.5) half-up rounding contract, so the per-label code SUMS
+    // are exact integers and the hash pins the entire fit+encode
+    // arithmetic bit-for-bit against DuckDB's list-lambda spelling — no
+    // FP-average tolerance anywhere.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val p = graft.operators.ScalarQuantization.fit(e, "embedding")
+      graft.operators.ScalarQuantization.quantize(e, "embedding", p)
+        .groupBy("label")
+        .agg(sum(expr(
+          "aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + CAST(c AS BIGINT))"))
+          .as("sum_codes"),
+          count(lit(1)).as("n"))
+        .orderBy("label")
+    },
+    Some("""WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings),
+dims AS (
+  SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+  FROM d GROUP BY dim),
+p AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM dims)
+SELECT label,
+  CAST(SUM(list_sum(list_transform(list_zip(embedding, mins, maxs),
+    t -> CAST(
+      LEAST(127, GREATEST(-128,
+        CAST(FLOOR(
+          (CAST(t[1] AS DOUBLE) - t[2])
+          * (CASE WHEN t[3] = t[2] THEN 0.0 ELSE 255.0 / (t[3] - t[2]) END)
+          + 0.5) AS BIGINT) - 128)) AS BIGINT)))) AS BIGINT) AS sum_codes,
+  COUNT(*) AS n
+FROM embeddings, p
+GROUP BY label ORDER BY label"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3687,7 +3726,7 @@ ORDER BY str_a, str_b"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
