@@ -3714,6 +3714,42 @@ SELECT label,
 FROM embeddings, p
 GROUP BY label ORDER BY label"""))
 
+  private val x55 = DeclaredQuery("x55_hard_negatives",
+    // contrastive-pair mining: label-0 vectors are the queries, their
+    // nearest neighbor (rank 1, the presumed positive/near-dup) is
+    // skipped, ranks 2..6 become hard negatives re-ranked 1..5. The
+    // mining is a pure rank filter over the shared neighbor schema, so
+    // the oracle is the x03 cosine spelling + a ROW_NUMBER window — the
+    // hash pins both the bit-identical scores and the skip/re-rank
+    // arithmetic. At scale the same post-pass rides ivfTopK instead of
+    // the brute topKAll (spec-pinned schema compatibility).
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val neighbors = graft.operators.SimilaritySearch.topKAll(
+        e, e.where(col("label") === 0), "vec_id", "embedding", "vec_id", k = 6)
+      graft.operators.SimilaritySearch.hardNegatives(neighbors, skipTop = 1, k = 5)
+        .select(col("query_id"), col("neg_id"), round2(col("score")).as("score"),
+          col("neg_rank").cast("int").as("neg_rank"))
+        .orderBy("query_id", "neg_rank")
+    },
+    Some("""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE label = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id,
+    list_sum(list_transform(list_zip(e.embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / NULLIF(SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neg_id, raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw DESC, neg_id) AS rn
+  FROM scored)
+SELECT query_id, neg_id, FLOOR(raw*100+0.5)/100 AS score,
+  CAST(rn - 1 AS INTEGER) AS neg_rank
+FROM ranked WHERE rn > 1 AND rn <= 6
+ORDER BY query_id, neg_rank"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3726,7 +3762,7 @@ GROUP BY label ORDER BY label"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

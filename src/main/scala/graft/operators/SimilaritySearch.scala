@@ -380,6 +380,55 @@ object SimilaritySearch {
     ivfSearch(trainIvf(corpus, idCol, vecCol, nlist, refineIters),
       corpus, queries, idCol, vecCol, queryIdCol, k, nprobe)
 
+  /** HARD-negative mining for contrastive training data — the post-pass
+    * over ANY neighbor frame in this file's shared (query_id, corpus_id,
+    * score, rank) schema ([[topKAll]] exact, [[ivfTopK]]/[[lshBucketedTopK]]
+    * at scale): drop each query's top `skipTop` ranks (in self-supervised
+    * mining the nearest hits are presumed positives/near-duplicates, not
+    * negatives) and keep the next `k` as negatives re-ranked 1..k. Being a
+    * pure rank filter it inherits the neighbor frame's plan — mining at
+    * 100 TB is exactly as hard as the ANN search that feeds it, nothing
+    * more. Request the source search with ≥ skipTop + k per query, or
+    * tail queries return fewer than k (documented, not an error). */
+  def hardNegatives(neighbors: DataFrame, skipTop: Int, k: Int): DataFrame = {
+    require(skipTop >= 0, s"skipTop must be >= 0, got $skipTop")
+    require(k >= 1, s"k must be >= 1, got $k")
+    neighbors
+      .where(col("rank") > skipTop && col("rank") <= skipTop + k)
+      .select(col("query_id"), col("corpus_id").as("neg_id"), col("score"),
+        (col("rank") - skipTop).as("neg_rank"))
+  }
+
+  /** EASY negatives — per query, `k` deterministic pseudo-random corpus
+    * rows (the in-batch-random complement to [[hardNegatives]]): a global
+    * content-keyed Bernoulli pool of ≈ `k × oversample` corpus ids
+    * (Sampling.bernoulliByKey semantics — stable across runs/partitionings)
+    * broadcasts against the queries, each (query, candidate) pair is ranked
+    * by its own pair hash, and the k smallest win. Per-query work is
+    * |pool|, never |corpus|; the pool count is corpus-size-independent by
+    * construction (fraction = target/count). Self-pairs are excluded;
+    * collisions with a supplied hard-negative frame can be removed by the
+    * caller with an anti-join on (query_id, neg_id). */
+  def easyNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, queryIdCol: String, k: Int,
+                    salt: String = "easyneg", oversample: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = corpus.select(col(idCol)).count()
+    require(n > 0, "easyNegatives: empty corpus")
+    val frac = math.min(1.0, (k.toLong * oversample).toDouble / n)
+    val pool = corpus.select(col(idCol).as("neg_id"))
+      .where(Sampling.hashUnit(concat_ws(":", col(idCol), lit(salt))) < frac)
+    val paired = queries.select(col(queryIdCol).as("query_id"))
+      .crossJoin(broadcast(pool))
+      .where(col("query_id") =!= col("neg_id"))
+    val w = Window.partitionBy("query_id").orderBy(
+      sha2(concat_ws(":", col("query_id"), col("neg_id"), lit(salt)), 256),
+      col("neg_id"))
+    paired.withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_id"), col("neg_rank"))
+  }
+
   /** All same-bucket pairs with exact cosine — the candidate generator for
     * embedding near-dup detection. */
   def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -846,4 +846,49 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  // ---- negative mining (contrastive pairs) ----
+
+  test("hardNegatives skips presumed positives and re-ranks; rides ivfTopK too") {
+    import spark.implicits._
+    val queries = embs.where(col("label") === 0).limit(5)
+    val neighbors = SimilaritySearch.topKAll(
+      embs, queries, "vec_id", "embedding", "vec_id", k = 6)
+    val mined = SimilaritySearch.hardNegatives(neighbors, skipTop = 1, k = 5)
+    // per query: exactly ranks 2..6 of the source, re-ranked 1..5, no self
+    val src = neighbors.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    val got = mined.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, negs) =>
+      assert(negs == src(q).drop(1), s"query $q: $negs vs ${src(q)}")
+      assert(!negs.contains(q))
+    }
+    // same post-pass composes over the ANN frame (shared schema)
+    val viaIvf = SimilaritySearch.hardNegatives(
+      SimilaritySearch.ivfTopK(embs, queries, "vec_id", "embedding",
+        "vec_id", k = 6, nlist = 4), skipTop = 1, k = 5)
+    assert(viaIvf.columns.toSeq ==
+      Seq("query_id", "neg_id", "score", "neg_rank"))
+    assert(viaIvf.count() > 0)
+  }
+
+  test("easyNegatives: deterministic, partitioning-invariant, self-free, k per query") {
+    val queries = embs.where(col("label") === 1).limit(4)
+    def mine(c: DataFrame) = SimilaritySearch.easyNegatives(
+        c, queries, "vec_id", "vec_id", k = 7, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = mine(embs.repartition(9))
+    val b = mine(embs.coalesce(1))
+    assert(a == b && a.nonEmpty)
+    val perQuery = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == 7))
+    assert(!a.exists(t => t._1 == t._2), "self pair leaked")
+    // a different salt draws a different pool
+    val c = SimilaritySearch.easyNegatives(embs, queries, "vec_id", "vec_id",
+        k = 7, salt = "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(c != a)
+  }
 }
