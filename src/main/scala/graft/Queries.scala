@@ -3750,6 +3750,27 @@ SELECT query_id, neg_id, FLOOR(raw*100+0.5)/100 AS score,
 FROM ranked WHERE rn > 1 AND rn <= 6
 ORDER BY query_id, neg_rank"""))
 
+  private val x56 = DeclaredQuery("x56_weighted_sample_exact_k",
+    // exact-size weight-proportional sample (A-ES exponential race,
+    // -ln(u)/w keyed on sha256(doc_id:salt)): the oracle recomputes the
+    // IDENTICAL race keys in DuckDB ('0x'||hex-prefix cast, same +0.5
+    // offset, same divisor), so the hash pins the whole selection — the
+    // only cross-engine freedom is sub-ulp libm ln drift, which only
+    // matters at key ties that sha-derived doubles never produce. Plans
+    // as TakeOrderedAndProject: no global sort at any corpus size.
+    (s, d) => graft.operators.Sampling.weightedSample(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), k = 100, salt = "s1")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+    -ln((('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8))::BIGINT + 0.5)
+        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS aes
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY aes, doc_id LIMIT 100)
+ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3762,7 +3783,7 @@ ORDER BY query_id, neg_rank"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

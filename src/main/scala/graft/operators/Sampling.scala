@@ -165,6 +165,63 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Weighted sample WITHOUT replacement of EXACT size k — the missing
+    * shape next to the Bernoulli samplers above (those draw a random-SIZE
+    * sample): inclusion driven by per-row weight, result exactly k rows.
+    * Mechanism is the Efraimidis–Spirakis exponential race (A-ES, IPL
+    * 2006): rank ascending by `-ln(u) / w` with u the row's content-keyed
+    * uniform draw — the k smallest keys are a weight-proportional sample
+    * without replacement. u = (hash32 + 0.5) / 2^32 ∈ (0, 1) strictly, so
+    * the log never sees 0; like every sampler here the draw is keyed on
+    * row identity + salt, hence reproducible across runs, partitionings,
+    * and engines (the DuckDB oracle recomputes the identical keys).
+    *
+    * Rows with NULL or non-positive weight are excluded (they'd win or
+    * lose the race degenerately; a zero-weight row should simply never be
+    * sampled). Output: the input columns plus `aes_key` (audit column —
+    * re-sorting by it reproduces the selection order).
+    *
+    * Scale: map-only key computation + a global top-k, which plans as
+    * TakeOrderedAndProject (per-partition heaps, k-row merge on the
+    * driver) — no global sort, no shuffle of the corpus. Per-stratum form:
+    * [[weightedSampleByStratum]]. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+                     k: Int, salt: String = "aes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("aes_key", aesKey(col(keyCol), weightCol, salt))
+      .orderBy(col("aes_key"), col(keyCol))
+      .limit(k)
+  }
+
+  /** [[weightedSample]] with an exact-k race PER STRATUM (k best keys in
+    * each group — "200 weight-proportional docs per language"). One
+    * grouped window; a hot stratum serializes its sort into one task, the
+    * same caveat (and the same Bernoulli pre-filter remedy) as
+    * [[stratifiedQuota]] vs [[stratifiedQuotaGuarded]]. */
+  def weightedSampleByStratum(df: DataFrame, stratumCol: String,
+                              keyCol: String, weightCol: Column, k: Int,
+                              salt: String = "aes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("aes_key"), col(keyCol))
+    df.where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("aes_key", aesKey(col(keyCol), weightCol, salt))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The A-ES race key: -ln((hash32 + 0.5)/2^32) / w, hash32 the first 8
+    * hex chars of sha256(key:salt) — the numeric sibling of [[hashUnit]],
+    * offset half a step so u is strictly inside (0, 1). */
+  private[graft] def aesKey(key: Column, weight: Column, salt: String): Column = {
+    val h = conv(substring(
+      sha2(concat_ws(":", key.cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+      .cast("double")
+    -log((h + 0.5) / 4294967296.0) / weight.cast("double")
+  }
+
   /** Deterministic corpus shuffle — reproducible training order: a total
     * ORDER BY sha256(key:salt). Content-keyed like [[splitAssign]], so the
     * order is identical across runs, partitionings, and engines; changing

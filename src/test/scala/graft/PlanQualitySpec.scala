@@ -103,6 +103,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashJoins >= 3, s"expected candidate + expansion equi-joins:\n$p")
   }
 
+  test("x56 weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("x56_weighted_sample_exact_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("GraftExtensions registers native functions at session build time") {
     // the shared test session predates the extensions; exercising apply()
     // against a fresh SparkSessionExtensions validates the injection wiring

@@ -169,4 +169,62 @@ class SamplingSpec extends AnyFunSuite {
     val displaced = a.zip(a.sorted).count { case (x, y) => x != y }
     assert(displaced > a.length / 2)
   }
+
+  test("weightedSample: exactly k rows, matches the driver-side A-ES reference") {
+    import java.security.MessageDigest
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, (i % 17 + 1).toDouble))
+    val df = rows.toDF("id", "w").repartition(7)
+    // driver reference: identical sha256 prefix → -ln((h+0.5)/2^32)/w
+    def aes(id: Long, w: Double, salt: String): Double = {
+      val hex = MessageDigest.getInstance("SHA-256")
+        .digest(s"$id:$salt".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16).toDouble
+      -math.log((h + 0.5) / 4294967296.0) / w
+    }
+    val expect = rows.sortBy { case (i, w) => (aes(i, w, "t1"), i) }.take(50)
+      .map(_._1).toSet
+    val got = Sampling.weightedSample(df, "id", col("w"), 50, salt = "t1")
+      .select("id").as[Long].collect().toSet
+    assert(got == expect && got.size == 50)
+    // partitioning invariance
+    val got1 = Sampling.weightedSample(df.coalesce(1), "id", col("w"), 50, "t1")
+      .select("id").as[Long].collect().toSet
+    assert(got1 == got)
+  }
+
+  test("weightedSample: weight-proportional inclusion, zero/NULL weights excluded") {
+    import spark.implicits._
+    // 100 rows at weight 9 vs 100 at weight 1: across salts the heavy rows
+    // must dominate the k=40 sample (expected ≈ 9:1 inclusion odds)
+    val rows = (1L to 100L).map(i => (i, 9.0)) ++ (101L to 200L).map(i => (i, 1.0))
+    val df = rows.toDF("id", "w")
+    val heavyShare = (1 to 10).map { s =>
+      val ids = Sampling.weightedSample(df, "id", col("w"), 40, s"salt$s")
+        .select("id").as[Long].collect()
+      ids.count(_ <= 100).toDouble / ids.length
+    }
+    val mean = heavyShare.sum / heavyShare.size
+    assert(mean > 0.75 && mean < 1.0, s"heavy-row share $mean not ∝ weights")
+    val withBad = rows.toDF("id", "w")
+      .union(Seq((900L, 0.0), (901L, -3.0)).toDF("id", "w"))
+      .union(Seq((902L, Option.empty[Double])).toDF("id", "w"))
+    val ids = Sampling.weightedSample(withBad, "id", col("w"), 200, "z")
+      .select("id").as[Long].collect().toSet
+    assert(!ids.exists(_ >= 900L), "zero/negative/NULL weights must never sample")
+  }
+
+  test("weightedSampleByStratum: exact k per stratum, same race keys") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (if (i % 3 == 0) "a" else "b", i, (i % 5 + 1).toDouble))
+    val df = rows.toDF("g", "id", "w").repartition(5)
+    val out = Sampling.weightedSampleByStratum(df, "g", "id", col("w"), 20, "t2")
+      .select("g", "id").as[(String, Long)].collect()
+    assert(out.groupBy(_._1).view.mapValues(_.length).toMap == Map("a" -> 20, "b" -> 20))
+    // each stratum's winners are the global race restricted to the stratum
+    val global = Sampling.weightedSample(df.where(col("g") === "a"), "id",
+      col("w"), 20, "t2").select("id").as[Long].collect().toSet
+    assert(out.filter(_._1 == "a").map(_._2).toSet == global)
+  }
 }
