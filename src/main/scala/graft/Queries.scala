@@ -3771,6 +3771,40 @@ ORDER BY query_id, neg_rank"""))
   ORDER BY aes, doc_id LIMIT 100)
 ORDER BY doc_id"""))
 
+  private val x57 = DeclaredQuery("x57_train_quality_classifier",
+    // the CCNet/GPT-3-style quality-filter loop end to end, trained ON the
+    // corpus instead of imported: Gopher-rule weak labels → distributed
+    // logistic regression on the signal columns (one partial-agg pass per
+    // GD step, driver state = coefficients) → smooth re-score of every
+    // document, reported as per-lang rule-vs-model keep counts. Rows-only
+    // by declaration: GD has no SQL spelling; LogisticRegressionSpec pins
+    // the trainer against a driver-side reference to 1e-6 and the
+    // composition with applyLinearModel.
+    (s, d) => {
+      import graft.functions.{Scoring, Scrub}
+      val feats = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          Scrub.gopherSignals(col("text")).as("sig"))
+        .select(col("doc_id"), col("lang"),
+          col("sig.n_tokens").cast("double").as("f_tokens"),
+          coalesce(col("sig.mean_tok_len"), lit(0.0)).as("f_mean_len"),
+          col("sig.symbol_word_ratio").as("f_sym"),
+          col("sig.alpha_token_frac").as("f_alpha"),
+          col("sig.stopword_hits").cast("double").as("f_stop"),
+          Scrub.gopherKeep(col("sig"), minTokens = 20, minStopwordHits = 1)
+            .cast("double").as("y"))
+      val m = graft.operators.LogisticRegression.train(feats,
+        Seq("f_tokens", "f_mean_len", "f_sym", "f_alpha", "f_stop"), "y",
+        iters = 20)
+      Scoring.applyLinearModel(feats, m.weights, m.bias)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).cast("long").as("n_rule_keep"),
+          sum(col("keep").cast("long")).as("n_model_keep"))
+        .orderBy("lang")
+    },
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3783,7 +3817,7 @@ ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
