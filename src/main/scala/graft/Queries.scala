@@ -3805,6 +3805,68 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x58 = DeclaredQuery("x58_sketch_vocab",
+    // per-language distinct-vocabulary tracking via mergeable HLL
+    // artifacts (Spark's DataSketches aggregates): one partial-agg pass
+    // whose shuffle carries sketch bytes, never words — the incremental
+    // profiling shape (fold tomorrow's crawl in with mergeHllByGroup, no
+    // rescan). Rows-only: DataSketches HLL keeps an order-sensitive HIP
+    // estimator, so the estimate is an error-bounded value, not a
+    // reproducible integer; the entry carries the EXACT distinct count
+    // alongside and a self-validating within-5% flag per row.
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val exact = words.groupBy("lang")
+        .agg(countDistinct(col("w")).as("exact_vocab"))
+      val est = graft.operators.SketchStats
+        .hllSketchByGroup(words, "lang", col("w"))
+        .select(col("lang"),
+          hll_sketch_estimate(col("sketch")).cast("long").as("hll_vocab"))
+      exact.join(est, "lang")
+        .withColumn("within_5pct",
+          abs(col("hll_vocab") - col("exact_vocab")).cast("double")
+            / col("exact_vocab") <= 0.05)
+        .orderBy("lang")
+    },
+    None)
+
+  private val x58b = DeclaredQuery("x58b_sketch_novelty",
+    // crawl-over-crawl DOCUMENT novelty/overlap from THETA artifacts
+    // alone — the sketch-cost sibling of the exact dedupeAgainst + count:
+    // sources src0–9 are the kept corpus, src10–19 the new crawl, keys
+    // are full document texts; the kept side contributes ONLY its
+    // kilobyte sketch (never rescanned). Below the theta sampling
+    // threshold the sketches are exact hash sets, so the entry carries
+    // the exact anti/semi-join counts next to the sketch estimates with
+    // equality flags. Rows-only by declaration (sketch internals have no
+    // SQL spelling); SketchStatsSpec pins exactness sub-threshold.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("__src_num",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      val texts = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("text").as("w"))
+      val seen = texts(docs.where(col("__src_num") < 10))
+      val fresh = texts(docs.where(col("__src_num") >= 10))
+      val sSeen = graft.operators.SketchStats.thetaSketch(seen, col("w"))
+      val sNew = graft.operators.SketchStats.thetaSketch(fresh, col("w"))
+      val novelEst = graft.operators.SketchStats.noveltyEstimate(sNew, sSeen)
+      val overlapEst = graft.operators.SketchStats.overlapEstimate(sNew, sSeen)
+      val exactNovel = fresh.distinct()
+        .join(seen.distinct(), Seq("w"), "left_anti").count()
+      val exactOverlap = fresh.distinct()
+        .join(seen.distinct(), Seq("w"), "left_semi").count()
+      val spark = s
+      import spark.implicits._
+      Seq((novelEst, exactNovel, novelEst == exactNovel,
+        overlapEst, exactOverlap, overlapEst == exactOverlap))
+        .toDF("novel_est", "novel_exact", "novel_match",
+          "overlap_est", "overlap_exact", "overlap_match")
+    },
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3817,7 +3879,7 @@ ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

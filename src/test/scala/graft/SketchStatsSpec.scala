@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SketchStats
+
+/** Pins for the mergeable distinct-count artifacts: accuracy vs exact,
+  * merge ≡ union-sketch (HLL register-max), partition invariance, theta
+  * set algebra vs exact novelty/overlap, per-group incremental fold,
+  * artifact round-trip. */
+class SketchStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def keyed(lo: Long, hi: Long, parts: Int = 6) =
+    (lo to hi).map(i => (i, s"doc-$i")).toDF("id", "key").repartition(parts)
+
+  test("HLL estimates within 3% of exact under any partitioning") {
+    // NOT bit-identical across partitionings: DataSketches HLL keeps an
+    // HIP estimator that is stream/merge-order sensitive (unions fall back
+    // to the composite estimator) — the contract is the error bound, and
+    // both spellings must sit inside it
+    val est = SketchStats.estimate(
+      SketchStats.hllSketch(keyed(1, 20000), col("key")))
+    val est1 = SketchStats.estimate(
+      SketchStats.hllSketch(keyed(1, 20000, parts = 1), col("key")))
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.03, s"estimate $est")
+    assert(math.abs(est1 - 20000.0) / 20000.0 < 0.03, s"estimate $est1")
+  }
+
+  test("merge of two HLL artifacts tracks the union sketch") {
+    val a = SketchStats.hllSketch(keyed(1, 8000), col("key"))
+    val b = SketchStats.hllSketch(keyed(5000, 15000), col("key"))
+    val merged = SketchStats.estimate(SketchStats.merge(a, b))
+    val full = SketchStats.estimate(
+      SketchStats.hllSketch(keyed(1, 15000), col("key")))
+    assert(math.abs(merged - full).toDouble / full < 0.03,
+      s"merge ($merged) must track union sketch ($full)")
+    assert(math.abs(merged - 15000.0) / 15000.0 < 0.03, s"merged $merged")
+  }
+
+  test("theta is EXACT below its sampling threshold, under any partitioning") {
+    // theta keeps the raw hash set until k (default 4096) distinct keys —
+    // below that it is a set, not an estimate: exact and partition-invariant
+    val e1 = SketchStats.estimate(
+      SketchStats.thetaSketch(keyed(1, 3000), col("key")))
+    val e2 = SketchStats.estimate(
+      SketchStats.thetaSketch(keyed(1, 3000, parts = 1), col("key")))
+    assert(e1 == 3000L && e2 == 3000L)
+    val novel = SketchStats.noveltyEstimate(
+      SketchStats.thetaSketch(keyed(2001, 4000), col("key")),
+      SketchStats.thetaSketch(keyed(1, 3000), col("key")))
+    assert(novel == 1000L, s"sub-threshold novelty must be exact, got $novel")
+  }
+
+  test("theta novelty/overlap track the exact set algebra") {
+    val seen = keyed(1, 10000)
+    val fresh = keyed(7001, 13000) // 3000 overlap, 6000 - 3000 = 3000 new
+    val sSeen = SketchStats.thetaSketch(seen, col("key"))
+    val sNew = SketchStats.thetaSketch(fresh, col("key"))
+    val novel = SketchStats.noveltyEstimate(sNew, sSeen)
+    val overlap = SketchStats.overlapEstimate(sNew, sSeen)
+    assert(math.abs(novel - 3000.0) / 3000.0 < 0.05, s"novelty $novel")
+    assert(math.abs(overlap - 3000.0) / 3000.0 < 0.05, s"overlap $overlap")
+  }
+
+  test("per-group fold: new groups appear, untouched survive, counts grow") {
+    val state = SketchStats.hllSketchByGroup(
+      Seq(("en", "a"), ("en", "b"), ("de", "x")).toDF("lang", "w"),
+      "lang", col("w"))
+    val batch = SketchStats.hllSketchByGroup(
+      Seq(("en", "c"), ("fr", "y")).toDF("lang", "w"), "lang", col("w"))
+    val folded = SketchStats.mergeHllByGroup(state, batch, "lang")
+    val est = folded.select(col("lang"),
+        hll_sketch_estimate(col("sketch")).cast("long").as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("en" -> 3L, "de" -> 1L, "fr" -> 1L), est.toString)
+  }
+
+  test("artifact round-trips through parquet with an unchanged estimate") {
+    val df = keyed(1, 500)
+    val art = SketchStats.hllSketch(df, col("key"))
+    val before = SketchStats.estimate(art)
+    val path = java.nio.file.Files.createTempDirectory("hll").toString + "/art"
+    SketchStats.save(art, path)
+    assert(SketchStats.estimate(SketchStats.load(spark, path)) == before,
+      "save/load must not change the sketch")
+    val theta = SketchStats.thetaSketch(df, col("key"))
+    val tPath = java.nio.file.Files.createTempDirectory("theta").toString + "/art"
+    SketchStats.save(theta, tPath)
+    assert(SketchStats.estimate(SketchStats.load(spark, tPath)) == 500L,
+      "theta below threshold is exact, and save/load preserves it")
+  }
+
+  test("guards: lgK bounds") {
+    val df = keyed(1, 10)
+    intercept[IllegalArgumentException](
+      SketchStats.hllSketch(df, col("key"), lgK = 2))
+    intercept[IllegalArgumentException](
+      SketchStats.hllSketchByGroup(df, "id", col("key"), lgK = 30))
+  }
+}
