@@ -197,6 +197,28 @@ object syntax {
     def vocabDivergence(groupCol: String, textCol: String): DataFrame =
       Relevance.vocabJsDivergence(df, groupCol, textCol)
 
+    // -- fuzzy matching / sampling / training (round-13 surfaces) ---------
+
+    /** Self edit-distance pairs (id_a < id_b, dist ≤ maxDist) via the
+      * segment-banded join — see [[graft.operators.FuzzyJoin]]. */
+    def editDistancePairs(idCol: String, strCol: String, maxDist: Int): DataFrame =
+      FuzzyJoin.editDistanceSelfPairs(df, idCol, strCol, maxDist)
+
+    /** Exact-k weight-proportional sample (A-ES exponential race) — see
+      * [[graft.operators.Sampling.weightedSample]]. */
+    def weightedSample(keyCol: String, weightCol: Column, k: Int,
+                       salt: String = "aes"): DataFrame =
+      Sampling.weightedSample(df, keyCol, weightCol, k, salt)
+
+    /** Train a logistic-regression quality filter on this frame and score
+      * it in place — [[graft.operators.LogisticRegression.train]] composed
+      * with [[graft.functions.Scoring.applyLinearModel]]. */
+    def trainAndScore(featureCols: Seq[String], labelCol: String,
+                      iters: Int = 50): DataFrame = {
+      val m = LogisticRegression.train(df, featureCols, labelCol, iters)
+      graft.functions.Scoring.applyLinearModel(df, m.weights, m.bias)
+    }
+
     // -- temporal joins ---------------------------------------------------
 
     /** Point-in-time join against `right` (the full pandas merge_asof

@@ -82,6 +82,20 @@ object ScaleSmoke {
     * smoke therefore runs the PRODUCTION spelling (nlist from a target cell
     * size), which is the discipline the operator's scaladoc prescribes. */
   val CustomEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // negative mining over the ANN path with PRODUCTION nlist discipline
+    // (cells sized to a target, so per-query probe work stays constant as
+    // corpus AND query set scale together — fixed nlist would be the x30
+    // quadratic trap)
+    "hard_negatives_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.Tables.table(s, dir, "embeddings")
+      val nlist = math.max(4, (e.count() / 700).toInt)
+      graft.operators.SimilaritySearch.hardNegatives(
+        graft.operators.SimilaritySearch.ivfTopK(
+          e, e.where(col("label") === 0), "vec_id", "embedding", "vec_id",
+          k = 6, nlist = nlist, nprobe = 2),
+        skipTop = 1, k = 5)
+    }),
     "semantic_dedup_auto" -> ((s, dir) =>
       graft.operators.NearDup.semanticDedupeAuto(
         graft.sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding",

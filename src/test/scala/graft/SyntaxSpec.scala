@@ -118,6 +118,20 @@ class SyntaxSpec extends AnyFunSuite {
         corp, "doc_id", "text", bench, "text", k = 5)))
   }
 
+  test("round-13 verbs delegate 1:1 (edit pairs, weighted sample, train+score)") {
+    import org.apache.spark.sql.functions.col
+    val named = docs.selectExpr("doc_id", "substring(text, 1, 12) AS nm", "n_chars")
+    assert(rows(named.graft.editDistancePairs("doc_id", "nm", 1)) ==
+      rows(graft.operators.FuzzyJoin.editDistanceSelfPairs(named, "doc_id", "nm", 1)))
+    assert(rows(named.graft.weightedSample("doc_id", col("n_chars"), 20)) ==
+      rows(graft.operators.Sampling.weightedSample(named, "doc_id", col("n_chars"), 20)))
+    val labeled = docs.selectExpr("doc_id",
+      "CAST(n_chars AS DOUBLE) AS f1",
+      "CAST(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS DOUBLE) AS y")
+    val scored = labeled.graft.trainAndScore(Seq("f1"), "y", iters = 10)
+    assert(scored.columns.contains("keep") && scored.count() == labeled.count())
+  }
+
   test("verbs chain into a pipeline and stay lazy") {
     // (not c4Filter here: the synthetic corpus has no terminal punctuation,
     // so C4's line rule correctly drops every doc — pinned in ScrubSpec)
