@@ -3867,6 +3867,84 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x59 = DeclaredQuery("x59_k_anonymity",
+    // k-anonymity suppression on (lang, source, length-bucket) quasi-
+    // identifiers: keep only rows whose cohort reaches k=3. One hash
+    // aggregation for cohort sizes + a null-safe semi join back — no
+    // windows, key-bounded shuffles. Oracled exactly: the cohort
+    // arithmetic is pure integer counting.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+      graft.operators.Privacy.suppressRareCombinations(
+          docs, Seq("lang", "source", "len_bucket"), k = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS len_bucket FROM documents),
+c AS (
+  SELECT lang, source, len_bucket, count(*) AS n
+  FROM b GROUP BY 1, 2, 3)
+SELECT b.doc_id, b.lang, b.source, b.len_bucket
+FROM b JOIN c USING (lang, source, len_bucket)
+WHERE c.n >= 3
+ORDER BY b.doc_id"""))
+
+  private val x59b = DeclaredQuery("x59b_retention_curve",
+    // the utility/privacy frontier: fraction of rows surviving suppression
+    // at each candidate k, computed from ONE cohort aggregate. Exact
+    // integer cohort arithmetic; the division is canonicalized with the
+    // engine-stable floor spelling.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+      val row = graft.operators.Privacy.retentionCurve(
+        docs, Seq("lang", "source", "len_bucket"), Seq(2L, 3L, 5L))
+      row.select(
+        (floor(col("retained_k2") * 1e6 + 0.5) / 1e6).as("retained_k2"),
+        (floor(col("retained_k3") * 1e6 + 0.5) / 1e6).as("retained_k3"),
+        (floor(col("retained_k5") * 1e6 + 0.5) / 1e6).as("retained_k5"))
+    },
+    Some("""WITH b AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket FROM documents),
+c AS (SELECT count(*) AS n FROM b GROUP BY lang, source, len_bucket),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+SELECT
+  FLOOR(COALESCE(SUM(CASE WHEN n >= 2 THEN n END), 0) / total * 1e6 + 0.5) / 1e6 AS retained_k2,
+  FLOOR(COALESCE(SUM(CASE WHEN n >= 3 THEN n END), 0) / total * 1e6 + 0.5) / 1e6 AS retained_k3,
+  FLOOR(COALESCE(SUM(CASE WHEN n >= 5 THEN n END), 0) / total * 1e6 + 0.5) / 1e6 AS retained_k5
+FROM c, t GROUP BY total"""))
+
+  private val x60 = DeclaredQuery("x60_leakage_safe_split",
+    // near-dup-cluster-aware train/val/test split: the split key is the
+    // connected component of the MinHash near-dup graph, so near-
+    // duplicates never straddle train and eval — the standard leakage
+    // vector closed structurally. Rows-only (the component fixed point
+    // has no SQL spelling); the entry is self-validating: it carries the
+    // count of near-dup pairs whose endpoints landed in different splits,
+    // which must be 0 by construction, next to the per-split doc counts.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.NearDup
+        .nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      val split = graft.operators.Sampling.leakageSafeSplit(
+        docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val labels = split.select(col("doc_id"), col("split"))
+      val straddling = pairs
+        .join(labels.withColumnRenamed("doc_id", "id_1")
+          .withColumnRenamed("split", "__s1"), "id_1")
+        .join(labels.withColumnRenamed("doc_id", "id_2")
+          .withColumnRenamed("split", "__s2"), "id_2")
+        .where(col("__s1") =!= col("__s2")).count()
+      split.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_straddling_pairs", lit(straddling))
+        .orderBy("split")
+    },
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -3879,7 +3957,8 @@ ORDER BY doc_id"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x10d, x10e, x10f)
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -165,6 +165,37 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: [[splitAssign]] keyed on the
+    * near-duplicate CLUSTER instead of the document, so a document and its
+    * near-duplicates always land in the SAME split — the standard eval sin
+    * (train/test contamination through near-dups the row-level split can't
+    * see) prevented structurally. `pairs` is any near-dup pair frame
+    * ([[NearDup.nearDuplicates]], SimHash, embedding pairs, ...); ids must
+    * be integral (the [[ConnectedComponents]] graph contract). Rows in no
+    * pair are their own singleton cluster, and for them the assignment is
+    * IDENTICAL to `splitAssign(df, idCol, splits)` — adding pair evidence
+    * never reshuffles untouched documents (spec-pinned).
+    *
+    * Scale: the component fixed point is O(log²) rounds of narrow long
+    * shuffles; the label is then one map-side hash of the cluster id —
+    * same cost shape as the fuzzy dedup this composes with. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       pairCol1: String = "id_1",
+                       pairCol2: String = "id_2"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = df.select(col(idCol)).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"leakageSafeSplit id column '$idCol' must be integral " +
+        s"(the ConnectedComponents graph contract), got ${idType.simpleString}")
+    val comp = ConnectedComponents.components(pairs, pairCol1, pairCol2)
+    val withCluster = df.join(comp,
+        col(idCol).cast("long") === col("node"), "left")
+      .withColumn("__cluster", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("node", "component")
+    splitAssign(withCluster, "__cluster", splits).drop("__cluster")
+  }
+
   /** Weighted sample WITHOUT replacement of EXACT size k — the missing
     * shape next to the Bernoulli samplers above (those draw a random-SIZE
     * sample): inclusion driven by per-row weight, result exactly k rows.

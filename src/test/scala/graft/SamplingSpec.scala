@@ -170,6 +170,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(displaced > a.length / 2)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons = splitAssign") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // planted near-dup clusters: {1,2,3}, {10,11}, {20,21,22,23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).toDF("id_1", "id_2")
+    val splits = Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15)
+    val out = Sampling.leakageSafeSplit(docs.repartition(6), "doc_id", pairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every cluster lands whole
+    for (cluster <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L)))
+      assert(cluster.map(out).distinct.size == 1, s"cluster $cluster straddles")
+    // untouched docs get exactly their splitAssign label
+    val plain = Sampling.splitAssign(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val untouched = out.keySet -- Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L)
+    assert(untouched.forall(id => out(id) == plain(id)),
+      "pair evidence must not reshuffle untouched documents")
+    // proportions stay near target
+    val trainFrac = out.values.count(_ == "train").toDouble / out.size
+    assert(trainFrac > 0.6 && trainFrac < 0.8, s"train frac $trainFrac")
+    // string ids fail loud
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(docs.select(col("text"), col("doc_id")),
+        "text", pairs, splits))
+  }
+
   test("weightedSample: exactly k rows, matches the driver-side A-ES reference") {
     import java.security.MessageDigest
     import spark.implicits._
