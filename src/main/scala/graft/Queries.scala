@@ -3867,6 +3867,91 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x61 = DeclaredQuery("x61_ccnet_pipeline",
+    // the CCNet head/middle/tail pipeline END TO END, composed from pieces
+    // that are each oracled on their own (x32 LM scoring, x36e quantile
+    // thresholds): train the stupid-backoff bigram LM on the "reference"
+    // slice (sources src0–4 stand in for the wiki-domain corpus), score
+    // EVERY document by mean log10 backoff probability, cut the scored
+    // corpus into fluency tertiles at exact interpolated quantiles, and
+    // report the per-(lang, bucket) mixture. Unscored docs (no bigrams)
+    // get their own bucket rather than vanishing. The oracle re-derives
+    // the whole composition in DuckDB SQL — train restriction, scoring,
+    // QUANTILE_CONT tertiles, bucket counts — so the hash pins the
+    // composed pipeline, not just its parts.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("__src_num",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      val lm = graft.operators.LanguageModel.trainBigram(
+        docs.where(col("__src_num") < 5), "text")
+      val scored = graft.operators.LanguageModel
+        .scoreStupidBackoff(docs, "doc_id", "text", lm)
+        .withColumn("s4", floor(col("lm_score") * 10000 + 0.5) / 10000)
+      val ts = graft.operators.Percentiles.exactGlobalValues(
+        scored.where(col("s4").isNotNull), "s4", Seq(1.0 / 3, 2.0 / 3))
+      val (t1, t2) = (ts(0).get, ts(1).get)
+      val bucketed = scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket",
+          when(col("s4").isNull, "unscored")
+            .when(col("s4") <= t1, "tail")
+            .when(col("s4") <= t2, "middle")
+            .otherwise("head"))
+      bucketed.groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH docs AS (
+  SELECT doc_id, lang, text,
+    CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) AS src_num
+  FROM documents),
+tok AS (
+  SELECT doc_id, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS ts
+  FROM docs WHERE src_num < 5),
+uni AS (SELECT t AS term, COUNT(*) AS c1
+        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM (SELECT unnest(ts) FROM tok)),
+alltok AS (
+  SELECT doc_id, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS ts
+  FROM docs),
+pos AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i+1]])) AS p
+              FROM alltok WHERE len(ts) >= 2)),
+big AS (SELECT w1, w2, COUNT(*) AS c2
+        FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2
+              FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ts)), i -> [ts[i], ts[i+1]])) AS p
+                    FROM tok WHERE len(ts) >= 2)) GROUP BY 1, 2),
+sc AS (SELECT pos.doc_id,
+         CASE WHEN b.c2 IS NOT NULL THEN b.c2 * 1.0 / u1.c1
+              WHEN u2.c1 IS NOT NULL THEN 0.4 * u2.c1 / n.n
+              ELSE 0.4 / n.n END AS p
+       FROM pos
+       LEFT JOIN big b ON pos.w1 = b.w1 AND pos.w2 = b.w2
+       LEFT JOIN uni u1 ON pos.w1 = u1.term
+       LEFT JOIN uni u2 ON pos.w2 = u2.term
+       CROSS JOIN n),
+agg AS (SELECT doc_id,
+          FLOOR(AVG(LOG10(p)) * 10000 + 0.5) / 10000 AS s4
+        FROM sc GROUP BY doc_id),
+q AS (SELECT QUANTILE_CONT(s4, 1.0/3) AS t1, QUANTILE_CONT(s4, 2.0/3) AS t2
+      FROM agg),
+bucketed AS (
+  SELECT d.lang,
+    CASE WHEN a.s4 IS NULL THEN 'unscored'
+         WHEN a.s4 <= q.t1 THEN 'tail'
+         WHEN a.s4 <= q.t2 THEN 'middle'
+         ELSE 'head' END AS bucket
+  FROM docs d LEFT JOIN agg a USING (doc_id) CROSS JOIN q)
+SELECT lang, bucket, COUNT(*) AS n_docs
+FROM bucketed GROUP BY lang, bucket
+ORDER BY lang, bucket"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -3957,7 +4042,7 @@ FROM c, t GROUP BY total"""))
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
-    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60,
+    x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
