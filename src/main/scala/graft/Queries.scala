@@ -3952,6 +3952,39 @@ SELECT lang, bucket, COUNT(*) AS n_docs
 FROM bucketed GROUP BY lang, bucket
 ORDER BY lang, bucket"""))
 
+  private val x62 = DeclaredQuery("x62_keep_cluster_best",
+    // quality-policy fuzzy dedup: from each near-dup cluster keep the row
+    // maximal under (n_chars, doc_id) — the best copy, not the arbitrary
+    // min id. Rows-only (the component fixed point has no SQL spelling);
+    // self-validating GLOBALLY: both policies keep exactly one row per
+    // cluster, so their TOTAL kept counts must agree, and the best policy
+    // can never retain fewer total chars — but per-language counts may
+    // legitimately differ, because a near-dup cluster can span languages
+    // and the chosen representative decides which language keeps the row.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.NearDup
+        .nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+      val best = graft.operators.Dedup.keepClusterBest(
+        docs, "doc_id", pairs, Seq("n_chars", "doc_id"))
+      val minId = graft.operators.Dedup.keepClusterRepresentatives(
+        docs, "doc_id", pairs)
+      val bestStats = best.agg(count(lit(1)).as("__nb"),
+        sum(col("n_chars")).as("__cb")).head()
+      val minStats = minId.agg(count(lit(1)).as("__nm"),
+        sum(col("n_chars")).as("__cm")).head()
+      best.groupBy("lang").agg(count(lit(1)).as("n_kept_best"),
+          sum(col("n_chars")).as("chars_kept_best"))
+        .withColumn("total_best", lit(bestStats.getLong(0)))
+        .withColumn("total_minid", lit(minStats.getLong(0)))
+        .withColumn("same_total_cardinality",
+          lit(bestStats.getLong(0) == minStats.getLong(0)))
+        .withColumn("best_never_fewer_chars",
+          lit(bestStats.getLong(1) >= minStats.getLong(1)))
+        .orderBy("lang")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4043,7 +4076,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x10d, x10e, x10f)
+    x62, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

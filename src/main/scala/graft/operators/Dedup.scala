@@ -254,4 +254,41 @@ object Dedup {
       df.join(drop, col(idCol) === col("__graft_drop_id"), "left_anti")
     }
   }
+
+  /** [[keepClusterRepresentatives]] with a QUALITY policy: keep, from each
+    * near-dup cluster, the row maximal under the lexicographic order of
+    * `orderCols` (ties broken toward the larger value — include the unique
+    * id last for determinism) instead of the minimum id. The "which
+    * duplicate survives" question is a curation decision — min-id is
+    * arbitrary; this keeps the best-scored copy (longest, highest quality
+    * signal, newest), the policy fuzzy dedup actually wants.
+    *
+    * Mechanism: component fixed point on the pair graph (narrow long
+    * shuffles), then ONE pass of the full-row bounded-heap aggregate
+    * ([[Selection.topKPerGroupRows]], k = 1) over the clustered rows plus
+    * a pass-through of untouched rows — no window, no sort. Ids must be
+    * integral (the graph contract). Output columns = `df`'s, order
+    * unspecified. */
+  def keepClusterBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                      orderCols: Seq[String],
+                      pairCol1: String = "id_1",
+                      pairCol2: String = "id_2"): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.select(col(idCol)).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"keepClusterBest id column '$idCol' must be integral, got " +
+        idType.simpleString)
+    val comp = ConnectedComponents.components(pairs, pairCol1, pairCol2)
+    val withComp = df.join(comp, col(idCol).cast("long") === col("node"), "left")
+    val untouched = withComp.where(col("component").isNull)
+      .drop("node", "component")
+    val clustered = withComp.where(col("component").isNotNull)
+      .drop("node")
+    val best = graft.operators.Selection.topKPerGroupRows(
+        clustered, Seq("component"), orderCols, k = 1)
+      .drop("component", "rank")
+      .select(df.columns.map(col): _*)
+    untouched.select(df.columns.map(col): _*).union(best)
+  }
 }

@@ -105,4 +105,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept == Set("1", "3"),
       s"long pair (1,2) must collapse string docs 1~2 to the min: $kept")
   }
+
+  test("keepClusterBest keeps the maximal row per cluster under orderCols") {
+    val docs = Seq(
+      (1L, "a", 0.3), (2L, "a'", 0.9), (4L, "a''", 0.9),
+      (3L, "b", 0.1), (5L, "c", 0.7))
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_1", "id_2")
+    // cluster {1,2,4}: best quality 0.9 tie between 2 and 4 -> larger id 4
+    val kept = Dedup.keepClusterBest(docs, "doc_id", pairs,
+        Seq("quality", "doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 3L, 5L), s"got $kept")
+    // with min-id-equivalent ordering (descending id impossible; use
+    // quality ordering that favors doc 1) parity check: unique docs pass
+    // through untouched under ANY ordering
+    val kept2 = Dedup.keepClusterBest(docs, "doc_id", pairs, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(4L, 3L, 5L), "max id policy keeps 4")
+    intercept[IllegalArgumentException](
+      Dedup.keepClusterBest(docs.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", pairs, Seq("quality")))
+  }
 }
