@@ -86,4 +86,53 @@ object DocumentStreams {
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Continuously-maintained per-language distinct-vocabulary tracker —
+    * the streaming face of [[graft.operators.SketchStats]]: each
+    * micro-batch's words fold into a PERSISTED per-group HLL artifact at
+    * `statePath` via [[graft.operators.SketchStats.mergeHllByGroup]] (one
+    * key-bounded shuffle per batch; state size = |languages| sketch rows,
+    * never vocabulary). Returns the `StreamingQuery`; read the current
+    * estimates any time with `SketchStats.load(spark, statePath)` +
+    * `hll_sketch_estimate`. The writes alternate a temp path and an
+    * atomic-ish swap because the new state derives from the old one —
+    * overwriting the input of a lazy plan in place would read-after-write
+    * the same files. Exactly-once folding comes from foreachBatch's
+    * batch-id dedup contract ONLY when the sink checkpoint directory is
+    * stable across restarts; a replayed batch merges its words twice into
+    * the sketch otherwise (HLL double-insert is idempotent per distinct
+    * word, so even then only `n_rows` drifts — documents are never
+    * double-counted into the DISTINCT estimate, the number that matters). */
+  def vocabTracker(docs: DataFrame, langCol: String, textCol: String,
+                   statePath: String, checkpoint: String,
+                   lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SketchStats
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val words = batch.select(col(langCol).as("__lang"),
+            explode(split(col(textCol), "\\s+")).as("__w"))
+          .where(length(col("__w")) > 0)
+        val batchSketch = SketchStats.hllSketchByGroup(
+          words, "__lang", col("__w"), lgK)
+        val merged =
+          if (java.nio.file.Files.exists(java.nio.file.Path.of(statePath)))
+            SketchStats.mergeHllByGroup(
+              SketchStats.load(spark, statePath), batchSketch, "__lang")
+          else batchSketch
+        val tmp = statePath + "__next"
+        SketchStats.save(merged, tmp)
+        val target = java.nio.file.Path.of(statePath)
+        if (java.nio.file.Files.exists(target)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(target)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.move(java.nio.file.Path.of(tmp), target)
+        ()
+      }
+      .start()
+  }
 }

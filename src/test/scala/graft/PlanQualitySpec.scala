@@ -108,6 +108,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x54 quantizer fit partial-aggregates before its exchange; encode is scan-fused") {
+    val p = plan("x54_scalar_quant")
+    // the per-dim min/max must partial-aggregate (dim × partitions shuffle
+    // rows, not corpus rows) — formatted plans show two HashAggregate
+    // nodes around each Exchange
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(!p.contains("WindowExec") && !p.contains("Window ("), p)
+  }
+
+  test("x59 k-anonymity: aggregation + semi join, no window, no cartesian") {
+    val p = plan("x59_k_anonymity")
+    assert(!p.contains("CartesianProduct") && !p.contains("WindowExec") &&
+      !p.contains("Window ("), p)
+    assert(p.contains("LeftSemi"), s"cohort survive-check must be a semi join:\n$p")
+  }
+
   test("GraftExtensions registers native functions at session build time") {
     // the shared test session predates the extensions; exercising apply()
     // against a fresh SparkSessionExtensions validates the injection wiring

@@ -697,4 +697,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.count() == 2L, "the in-window duplicate must be suppressed")
     assert(kept.select("fingerprint").distinct().count() == 2L)
   }
+
+  test("vocabTracker folds micro-batches into the persisted per-lang sketch") {
+    import spark.implicits._
+    // 2 parquet files → 2 micro-batches; tiny vocab → HLL exact regime, so
+    // the streamed fold must land on the batch-union exact distinct counts
+    val dir = Files.createTempDirectory("vocab-stream").toString
+    Seq(("en", "alpha beta gamma"), ("de", "eins zwei"))
+      .toDF("lang", "text").write.parquet(dir + "/b1")
+    Seq(("en", "beta delta"), ("fr", "un"))
+      .toDF("lang", "text").write.parquet(dir + "/b2")
+    val all = spark.read.parquet(dir + "/b1", dir + "/b2")
+    val statePath = Files.createTempDirectory("vocab-state").toString + "/state"
+    val src = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/b*")
+    val q = graft.streaming.DocumentStreams.vocabTracker(
+      src, "lang", "text", statePath,
+      Files.createTempDirectory("vocab-ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val est = graft.operators.SketchStats.load(spark, statePath)
+      .select(col("__lang"),
+        hll_sketch_estimate(col("sketch")).cast("long").as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("en" -> 4L, "de" -> 2L, "fr" -> 1L), est.toString)
+  }
 }
