@@ -3985,6 +3985,29 @@ ORDER BY lang, bucket"""))
     },
     None)
 
+  private val x63 = DeclaredQuery("x63_token_shards",
+    // training-shard assignment: reproducible sha-shuffled order + a
+    // token-budget cut every ~5000 chars — each document lands in the
+    // shard where its exclusive prefix starts. The running total is the
+    // distributed-scan recipe (range partition on the shuffle key +
+    // O(partitions) driver prefix), never a single-partition ORDER BY
+    // window; the oracle IS that windowed-SQL spelling, so the hash pins
+    // the recipe's equivalence at gate scale.
+    (s, d) => graft.operators.Packing.assignTokenShards(
+        t(s, d, "documents"), "doc_id", col("n_chars"),
+        tokensPerShard = 5000L, salt = "ep0")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n AS n_tokens,
+  CAST(FLOOR(CAST(cum - n AS DOUBLE) / 5000.0) AS BIGINT) AS shard_id
+FROM (
+  SELECT doc_id, n,
+    SUM(n) OVER (ORDER BY k, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT doc_id, COALESCE(n_chars, 0) AS n,
+          sha256(CAST(doc_id AS VARCHAR) || ':ep0') AS k
+        FROM documents))
+ORDER BY doc_id"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4076,7 +4099,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x10d, x10e, x10f)
+    x62, x63, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -103,6 +103,56 @@ object Packing {
   /** Per-bin packing summary over [[packSequences]]: how many documents START
     * in each bin and their total tokens — the shape a loader's manifest
     * needs. Straddling documents count toward the bin they start in. */
+  /** Token-budget SHARD assignment — "cut the corpus into training shards
+    * of ≈ `tokensPerShard` tokens, in reproducible shuffled order": rows
+    * are placed in the deterministic sha256(id:salt) epoch order
+    * ([[Sampling.deterministicShuffle]]'s order spec), and each row's
+    * shard is `floor(exclusive-prefix-tokens / tokensPerShard)` — a
+    * document belongs to the shard where it STARTS, so shards are
+    * contiguous spans of the shuffled order within ~one document of the
+    * budget. Output: (idCol, n_tokens, shard_id); write per-shard files
+    * with `.write.partitionBy("shard_id")`.
+    *
+    * The running total is the same distributed-scan recipe as
+    * [[packSequences]] (range partition on the SHUFFLE KEY → per-partition
+    * subtotals prefix-scanned on the driver → partition-local window) —
+    * no single-partition global window at any corpus size; NULL token
+    * counts fill as zero, matching every budget op here. */
+  def assignTokenShards(df: DataFrame, idCol: String, nTokens: Column,
+                        tokensPerShard: Long, salt: String,
+                        partitions: Int = 0): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be positive, got $tokensPerShard")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(col(idCol),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"),
+        sha2(concat_ws(":", col(idCol).cast("string"), lit(salt)), 256)
+          .as("__key"))
+      .repartitionByRange(p, col("__key"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals = base.groupBy("__pid").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + subtotals.getOrElse(i, 0L))
+    val offsetOf = element_at(
+      map(offsets.take(p).zipWithIndex
+        .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
+      col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = base
+      .withColumn("__cum", offsetOf + sum("n_tokens").over(w))
+      .withColumn("shard_id",
+        floor((col("__cum") - col("n_tokens")).cast("double")
+          / tokensPerShard).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("shard_id"))
+    CacheOps.materializeAndRelease(out, base)
+  }
+
   def packSummary(assignment: DataFrame): DataFrame =
     assignment.groupBy(col("bin_first").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))

@@ -130,4 +130,37 @@ class PackingSpec extends AnyFunSuite {
     val maxBin = asg.select(max("bin_last")).head().getLong(0)
     assert(maxBin == (totalTokens - 1) / 512L)
   }
+
+  test("assignTokenShards equals the windowed spelling; shards are budget-bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(80) + 1L))
+    val df = rows.toDF("doc_id", "n").repartition(7)
+    val got = Packing.assignTokenShards(df, "doc_id", col("n"), 500L, "s0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // reference: single global window over the same deterministic order
+    val w = Window.orderBy(col("__k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("__k", sha2(concat_ws(":", col("doc_id"), lit("s0")), 256))
+      .withColumn("__cum", sum("n").over(w))
+      .select(col("doc_id"), col("n"),
+        floor((col("__cum") - col("n")).cast("double") / 500.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want)
+    // every shard except possibly the last holds ≥ budget − max(doc) + 1
+    // tokens and < budget + max(doc): contiguous budget cuts
+    val byShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (sid, tot) =>
+      if (sid != lastShard)
+        assert(tot >= 500L - 80L + 1 && tot < 500L + 80L, s"shard $sid: $tot")
+    }
+    // partitioning invariance
+    val again = Packing.assignTokenShards(df.coalesce(1), "doc_id", col("n"), 500L, "s0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Packing.assignTokenShards(df, "doc_id", col("n"), 0L, "s0"))
+  }
 }
