@@ -3963,8 +3963,12 @@ ORDER BY lang, bucket"""))
     // and the chosen representative decides which language keeps the row.
     (s, d) => {
       val docs = t(s, d, "documents")
+      // localCheckpoint the pair list: BOTH policies below consume it (and
+      // each runs its own component fixed point) — without pinning, the
+      // LSH band join would execute twice
       val pairs = graft.operators.NearDup
         .nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+        .localCheckpoint(true)
       val best = graft.operators.Dedup.keepClusterBest(
         docs, "doc_id", pairs, Seq("n_chars", "doc_id"))
       val minId = graft.operators.Dedup.keepClusterRepresentatives(
