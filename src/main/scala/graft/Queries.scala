@@ -3782,6 +3782,9 @@ ORDER BY doc_id"""))
     // composition with applyLinearModel.
     (s, d) => {
       import graft.functions.{Scoring, Scrub}
+      // localCheckpoint: the trainer's GD passes persist their OWN narrow
+      // projection, but the final re-score below would otherwise recompute
+      // the Gopher signal expressions a second time
       val feats = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           Scrub.gopherSignals(col("text")).as("sig"))
@@ -3793,6 +3796,7 @@ ORDER BY doc_id"""))
           col("sig.stopword_hits").cast("double").as("f_stop"),
           Scrub.gopherKeep(col("sig"), minTokens = 20, minStopwordHits = 1)
             .cast("double").as("y"))
+        .localCheckpoint(true)
       val m = graft.operators.LogisticRegression.train(feats,
         Seq("f_tokens", "f_mean_len", "f_sym", "f_alpha", "f_stop"), "y",
         iters = 20)
@@ -3885,9 +3889,14 @@ ORDER BY doc_id"""))
           regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
       val lm = graft.operators.LanguageModel.trainBigram(
         docs.where(col("__src_num") < 5), "text")
+      // localCheckpoint the narrow scored frame: the tertile FIT is an
+      // action and the bucketed output is another — without pinning, the
+      // scoring explode+joins would execute twice
       val scored = graft.operators.LanguageModel
         .scoreStupidBackoff(docs, "doc_id", "text", lm)
         .withColumn("s4", floor(col("lm_score") * 10000 + 0.5) / 10000)
+        .select("doc_id", "s4")
+        .localCheckpoint(true)
       val ts = graft.operators.Percentiles.exactGlobalValues(
         scored.where(col("s4").isNotNull), "s4", Seq(1.0 / 3, 2.0 / 3))
       val (t1, t2) = (ts(0).get, ts(1).get)
