@@ -4080,12 +4080,19 @@ FROM c, t GROUP BY total"""))
     // which must be 0 by construction, next to the per-split doc counts.
     (s, d) => {
       val docs = t(s, d, "documents")
+      // pairs feed the split AND the straddle validation — pin the LSH join
       val pairs = graft.operators.NearDup
         .nearDuplicates(docs, "doc_id", "text", minJaccard = 0.8)
+        .localCheckpoint(true)
+      // localCheckpoint: the straddle validation is an action and the
+      // per-split counts another — pin the narrow labels so the pair
+      // derivation + component fixed point run once
       val split = graft.operators.Sampling.leakageSafeSplit(
         docs, "doc_id", pairs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      val labels = split.select(col("doc_id"), col("split"))
+        .select(col("doc_id"), col("split"))
+        .localCheckpoint(true)
+      val labels = split
       val straddling = pairs
         .join(labels.withColumnRenamed("doc_id", "id_1")
           .withColumnRenamed("split", "__s1"), "id_1")
