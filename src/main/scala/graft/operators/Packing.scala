@@ -103,6 +103,51 @@ object Packing {
   /** Per-bin packing summary over [[packSequences]]: how many documents START
     * in each bin and their total tokens — the shape a loader's manifest
     * needs. Straddling documents count toward the bin they start in. */
+  /** SENTENCE-aware chunking — the RAG/eval-construction sibling of the
+    * fixed-window [[chunkDocuments]]: split on terminal punctuation
+    * (`.!?` + whitespace) and GREEDILY pack consecutive sentences into
+    * chunks of at most `maxTokens` whitespace tokens, never cutting
+    * mid-sentence. A single sentence longer than the budget becomes its
+    * own (oversized) chunk — splitting it would break the invariant the
+    * caller chose this operator for. Documents with no sentences (empty /
+    * whitespace text) yield no chunks.
+    *
+    * Entirely per-row: one `aggregate` higher-order fold over the
+    * sentence array — map-only, fused with the scan, no UDF, no shuffle.
+    * Output: (idCol, chunk_id, chunk_text, n_tokens), chunk_id 0-based in
+    * document order; chunk_text joins its sentences with single spaces. */
+  def chunkSentences(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sentences = filter(
+      split(col(textCol), "(?<=[.!?])\\s+"),
+      s => length(trim(s)) > 0)
+    val counted = transform(sentences, s => struct(
+      s.as("s"),
+      size(filter(split(s, "\\s+"), w => w =!= "")).as("n")))
+    val init = struct(
+      typedLit(Seq.empty[String]).as("chunks"),
+      lit("").as("cur"), lit(0).as("n"))
+    val folded = aggregate(
+      counted, init,
+      (acc, x) => {
+        val closes = acc("n") > 0 && (acc("n") + x("n") > maxTokens)
+        when(closes, struct(
+          concat(acc("chunks"), array(acc("cur"))).as("chunks"),
+          x("s").as("cur"), x("n").as("n")))
+          .otherwise(struct(
+            acc("chunks").as("chunks"),
+            when(acc("n") === 0, x("s"))
+              .otherwise(concat_ws(" ", acc("cur"), x("s"))).as("cur"),
+            (acc("n") + x("n")).as("n")))
+      },
+      acc => when(acc("n") > 0, concat(acc("chunks"), array(acc("cur"))))
+        .otherwise(acc("chunks")))
+    df.select(col(idCol), posexplode(folded).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens",
+        size(filter(split(col("chunk_text"), "\\s+"), w => w =!= "")))
+  }
+
   /** Token-budget SHARD assignment — "cut the corpus into training shards
     * of ≈ `tokensPerShard` tokens, in reproducible shuffled order": rows
     * are placed in the deterministic sha256(id:salt) epoch order

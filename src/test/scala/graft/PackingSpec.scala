@@ -131,6 +131,46 @@ class PackingSpec extends AnyFunSuite {
     assert(maxBin == (totalTokens - 1) / 512L)
   }
 
+  test("chunkSentences: greedy packing equals the driver-side fold; never splits a sentence") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    def sentence(n: Int) = (1 to n).map(_ => words(rnd.nextInt(5))).mkString(" ") + "."
+    val texts = (1L to 60L).map { i =>
+      (i, (1 to rnd.nextInt(8) + 1).map(_ => sentence(rnd.nextInt(9) + 1)).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text").repartition(4)
+    val maxTok = 12
+    val got = Packing.chunkSentences(df, "doc_id", "text", maxTok)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // driver reference: identical split + greedy fold
+    val want = texts.flatMap { case (id, text) =>
+      val sents = text.split("(?<=[.!?])\\s+").filter(_.trim.nonEmpty)
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = ""; var n = 0
+      sents.foreach { s =>
+        val sn = s.split("\\s+").count(_.nonEmpty)
+        if (n > 0 && n + sn > maxTok) { chunks += cur; cur = s; n = sn }
+        else { cur = if (n == 0) s else cur + " " + s; n += sn }
+      }
+      if (n > 0) chunks += cur
+      chunks.zipWithIndex.map { case (c, i) =>
+        (id, i, c, c.split("\\s+").count(_.nonEmpty)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+    // chunks never exceed the budget except single-oversized-sentence chunks
+    got.foreach { case (_, _, text, n) =>
+      if (n > maxTok)
+        assert(!text.dropRight(1).exists(".!?".contains(_)),
+          s"oversized chunk must be ONE sentence: '$text'")
+    }
+    // empty / whitespace docs yield no chunks; guard fires
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(Packing.chunkSentences(empty, "doc_id", "text", 10).count() == 0)
+    intercept[IllegalArgumentException](
+      Packing.chunkSentences(df, "doc_id", "text", 0))
+  }
+
   test("assignTokenShards equals the windowed spelling; shards are budget-bounded") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(41)
