@@ -4041,6 +4041,40 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x65 = DeclaredQuery("x65_span_corruption",
+    // T5-style span-corruption pairs, content-keyed and deterministic:
+    // sentinels replace masked spans in the input, the target lists each
+    // sentinel + its hidden tokens. Rows-only (the stateful walk has no
+    // SQL spelling; SpanCorruptionSpec pins it bit-exactly against a
+    // driver reference plus the splice-back roundtrip). Self-validating
+    // output: per doc, kept + masked token counts must re-add to the
+    // original token count, and both sides must carry exactly n_spans
+    // sentinels — carried as a flag.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val out = graft.operators.SpanCorruption.corrupt(
+        docs, "doc_id", "text", salt = "ep0")
+      def words(c: org.apache.spark.sql.Column) =
+        filter(split(c, " "), w => w =!= "")
+      def nonSentinel(c: org.apache.spark.sql.Column) =
+        size(filter(words(c), w => !w.startsWith("<extra_id_")))
+      def sentinels(c: org.apache.spark.sql.Column) =
+        size(filter(words(c), w => w.startsWith("<extra_id_")))
+      out.join(docs.select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .as("n_orig")), "doc_id")
+        .select(col("doc_id"), col("n_spans"),
+          nonSentinel(col("input_text")).as("n_kept"),
+          nonSentinel(col("target_text")).as("n_masked"),
+          (nonSentinel(col("input_text")) + nonSentinel(col("target_text"))
+            === col("n_orig") &&
+            sentinels(col("input_text")) === col("n_spans") &&
+            sentinels(col("target_text")) === col("n_spans"))
+            .as("conserves_tokens"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4139,7 +4173,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x10d, x10e, x10f)
+    x62, x63, x64, x65, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
