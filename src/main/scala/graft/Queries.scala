@@ -4075,6 +4075,32 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x66 = DeclaredQuery("x66_passage_retrieval",
+    // RAG-shape passage retrieval END TO END: sentence-aware chunking
+    // (x64's construction) → Okapi BM25 over the PASSAGE corpus (chunk
+    // lengths and corpus stats re-derived at passage granularity, exactly
+    // how passage search differs from document search) → top-20 passages
+    // by (score, passage id). Rows-only (the chunker's greedy fold has no
+    // SQL spelling); the BM25 kernel itself is oracled by the x13 family
+    // and the chunker is pinned bit-exactly in PackingSpec — this entry
+    // pins the composition's plumbing (passage keys, stats at the right
+    // granularity, deterministic tie order).
+    (s, d) => {
+      val punctuated = t(s, d, "documents").withColumn("text",
+        regexp_replace(col("text"), "((?:\\S+\\s+){5}\\S+)\\s+", "$1. "))
+      val passages = graft.operators.Packing.chunkSentences(
+          punctuated, "doc_id", "text", maxTokens = 24)
+        .withColumn("passage_id",
+          col("doc_id") * 1000 + col("chunk_id"))
+      graft.operators.Relevance.bm25(
+          passages, "passage_id", "chunk_text",
+          Seq("window", "hash", "spark"))
+        .select(col("passage_id"), round2(col("score")).as("score"))
+        .orderBy(col("score").desc, col("passage_id"))
+        .limit(20)
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4173,7 +4199,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x10d, x10e, x10f)
+    x62, x63, x64, x65, x66, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

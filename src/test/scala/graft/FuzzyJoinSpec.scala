@@ -129,6 +129,30 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == Set(("az z", "zz", 2, 1L), ("kitten", "sitten", 1, 1L)))
   }
 
+  test("unicode: multibyte and supplementary (emoji) chars keep brute parity") {
+    // segment lengths/positions (length/substr) and the levenshtein kernel
+    // must agree on the same character unit — a code-unit/code-point
+    // mismatch would silently lose pairs on non-ASCII strings
+    val rows = Seq(
+      (1L, "héllo wörld"), (2L, "hèllo wörld"), (3L, "héllo wörld!"),
+      (4L, "日本語テキスト"), (5L, "日本語テキスト!"), (6L, "日本語テクスト"),
+      (7L, "a😀b😀c"), (8L, "a😀b😀d"), (9L, "a😀b😀"), (10L, "züri🎈fest"),
+      (11L, "züri🎈feste"))
+    val df = rows.toDF("id", "name").repartition(3)
+    for (d <- 1 to 2) {
+      // brute via Spark's own levenshtein (the unit the operator must match)
+      val brute = df.as("a").crossJoin(df.as("b"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .where(col("dist") <= d)
+        .as[(Long, Long, Int)].collect().toSet
+      val got = FuzzyJoin.editDistanceSelfPairs(df, "id", "name", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute, s"unicode mismatch at d=$d: $got vs $brute")
+    }
+  }
+
   test("guards: negative maxDist throws") {
     val df = Seq((1L, "a")).toDF("id", "name")
     intercept[IllegalArgumentException](
