@@ -4101,6 +4101,37 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x67 = DeclaredQuery("x67_audio_windows",
+    // audio-column plumbing with a fully REAL kernel: 16-bit PCM needs no
+    // codec, so the per-partition batch decode computes true windowed
+    // RMS/peak/zero-crossing features. Each doc synthesizes a sine at a
+    // doc-keyed frequency; the output is SELF-VALIDATING against closed
+    // form — per doc, mean RMS must sit at A/√2 and mean ZCR at 2f/sr
+    // (flags carried per row). Rows-only: per-partition iterator kernels
+    // have no SQL spelling; ExtensionsSpec pins the kernel on known
+    // waveforms incl. silence/short-window/odd-byte edges.
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val sr = 8000
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, 200.0 + (id % 40) * 20.0,
+          graft.operators.Multimodal.sinePcm(
+            200.0 + (id % 40) * 20.0, sr, 4000, amplitude = 0.5)))
+        .toDF("media_id", "freq", "content")
+      val ws = graft.operators.Multimodal
+        .pcmWindowFeatures(media, windowSamples = 2000)
+      ws.groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          avg("rms").as("__rms"), avg("zcr").as("__zcr"))
+        .join(media.select(col("media_id"), col("freq")), "media_id")
+        .select(col("media_id").as("doc_id"), col("n_windows"),
+          (abs(col("__rms") - lit(0.5 / math.sqrt(2.0))) < 0.01).as("rms_ok"),
+          (abs(col("__zcr") - col("freq") * 2 / sr) < 0.01).as("zcr_ok"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4199,7 +4230,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x66, x10d, x10e, x10f)
+    x62, x63, x64, x65, x66, x67, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -81,6 +81,79 @@ object Multimodal {
       }
   }
 
+  final case class AudioWindow(media_id: Long, window_id: Int, n_samples: Int,
+                               rms: Double, peak: Double, zcr: Double)
+
+  /** AUDIO window features over raw 16-bit little-endian PCM — the audio
+    * leg of the multimodal plumbing, and unlike image codecs it needs NO
+    * library: PCM "decoding" is two bytes → one sample, so this kernel is
+    * fully real, not a stub. Per non-overlapping window of `windowSamples`
+    * samples: RMS and peak amplitude (normalized to [0, 1] by the int16
+    * range) and zero-crossing RATE (fraction of adjacent same-window pairs
+    * that change sign — the classic cheap pitch/noisiness proxy). The last
+    * window may be short (its true `n_samples` is carried); a trailing odd
+    * byte is ignored; empty/NULL content yields no windows.
+    *
+    * Same per-partition batch shape as [[decodeFeatures]] (one iterator
+    * in/out — where a resampler or codec session would init once); output
+    * rows are windows, so downstream windowed aggregations (per-track
+    * loudness profiles, silence trimming, VAD-style gates) stay
+    * relational. */
+  def pcmWindowFeatures(media: DataFrame, windowSamples: Int)
+                       (implicit spark: SparkSession): Dataset[AudioWindow] = {
+    require(windowSamples >= 2, s"windowSamples must be >= 2, got $windowSamples")
+    import spark.implicits._
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .filter(_._2 != null)
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val n = bytes.length / 2
+          (0 until n by windowSamples).iterator.zipWithIndex.map {
+            case (start, w) =>
+              val end = math.min(start + windowSamples, n)
+              var sumSq = 0.0; var peak = 0.0; var crossings = 0
+              // crossings compare consecutive NONZERO samples' signs — an
+              // exact-zero sample (common when the sample grid hits the
+              // waveform's zeros) must neither suppress nor double-count
+              // the crossing it sits on
+              var lastSign = 0; var i = start
+              while (i < end) {
+                val s = (((bytes(2 * i + 1) & 0xFF) << 8) |
+                  (bytes(2 * i) & 0xFF)).toShort / 32768.0
+                sumSq += s * s
+                val a = math.abs(s); if (a > peak) peak = a
+                if (s != 0.0) {
+                  val sign = if (s > 0) 1 else -1
+                  if (lastSign != 0 && sign != lastSign) crossings += 1
+                  lastSign = sign
+                }
+                i += 1
+              }
+              val len = end - start
+              AudioWindow(id, w, len, math.sqrt(sumSq / len), peak,
+                if (len > 1) crossings.toDouble / (len - 1) else 0.0)
+          }
+        }
+      }
+  }
+
+  /** Synthesize 16-bit LE PCM for a sine wave — deterministic audio test
+    * signal (the audio sibling of [[synthesize]]'s GRFT blobs). */
+  def sinePcm(freqHz: Double, sampleRate: Int, nSamples: Int,
+              amplitude: Double = 0.5): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= 1.0, "amplitude in [0,1]")
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate)
+        * 32767.0).toInt
+      out(2 * i) = (v & 0xFF).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
   private def isGrft(bytes: Array[Byte]): Boolean =
     bytes.length >= 16 && bytes(0) == 'G' && bytes(1) == 'R' &&
       bytes(2) == 'F' && bytes(3) == 'T'

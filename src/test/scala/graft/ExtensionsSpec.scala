@@ -847,6 +847,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0)))
   }
 
+  // ---- audio (PCM window features) ----
+
+  test("pcmWindowFeatures: sine RMS/peak/ZCR match closed form; silence is zero") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val sr = 16000
+    val sine = Multimodal.sinePcm(440.0, sr, 16000, amplitude = 0.5) // 1 s
+    val silence = new Array[Byte](8000) // 4000 zero samples
+    val media = mediaOf(Seq(1L -> sine, 2L -> silence))
+    val ws = Multimodal.pcmWindowFeatures(media, windowSamples = 4000)
+      .collect().groupBy(_.media_id)
+    val sineW = ws(1L).sortBy(_.window_id)
+    assert(sineW.length == 4 && sineW.forall(_.n_samples == 4000))
+    // full windows of a sine: rms = A/√2, peak ≈ A, zcr ≈ 2f/sr
+    sineW.foreach { w =>
+      assert(math.abs(w.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${w.rms}")
+      assert(w.peak > 0.48 && w.peak <= 0.5001, s"peak ${w.peak}")
+      assert(math.abs(w.zcr - 2.0 * 440 / sr) < 0.01, s"zcr ${w.zcr}")
+    }
+    val silW = ws(2L)
+    assert(silW.forall(w => w.rms == 0.0 && w.peak == 0.0 && w.zcr == 0.0))
+  }
+
+  test("pcmWindowFeatures: short last window, odd trailing byte, empty content") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // 10 samples + windowSamples=4 → windows of 4,4,2; plus 1 stray byte
+    val pcm = Multimodal.sinePcm(100.0, 1000, 10) ++ Array(7.toByte)
+    val media = mediaOf(Seq(1L -> pcm, 2L -> Array.empty[Byte]))
+    val ws = Multimodal.pcmWindowFeatures(media, 4).collect()
+    val byId = ws.groupBy(_.media_id)
+    assert(byId(1L).sortBy(_.window_id).map(_.n_samples).toSeq == Seq(4, 4, 2))
+    assert(!byId.contains(2L), "empty content yields no windows")
+    intercept[IllegalArgumentException](
+      Multimodal.pcmWindowFeatures(media, 1).collect())
+  }
+
   // ---- negative mining (contrastive pairs) ----
 
   test("hardNegatives skips presumed positives and re-ranks; rides ivfTopK too") {
