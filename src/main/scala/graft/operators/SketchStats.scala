@@ -108,6 +108,25 @@ object SketchStats {
         theta_intersection(col("__a"), col("__b"))).cast("long"))
       .head().getLong(0)
 
+  /** Jaccard similarity of two key sets from their THETA artifacts alone:
+    * |A∩B| / |A∪B| — the corpus-version similarity number ("how much did
+    * this crawl really change") at sketch cost, the set-level sibling of
+    * the per-document MinHash estimate. Exact while the UNION stays below
+    * the sampling threshold — the union inherits sampling once |A∪B| > k,
+    * and with it the usual relative-error estimate regime (both
+    * spec-pinned); 0 when both sides are empty. */
+  def jaccardEstimate(a: DataFrame, b: DataFrame): Double = {
+    val row = a.select(col("sketch").as("__a"))
+      .crossJoin(b.select(col("sketch").as("__b")))
+      .select(
+        theta_sketch_estimate(theta_intersection(col("__a"), col("__b")))
+          .cast("double").as("__i"),
+        theta_sketch_estimate(theta_union(col("__a"), col("__b")))
+          .cast("double").as("__u"))
+      .head()
+    if (row.getDouble(1) == 0.0) 0.0 else row.getDouble(0) / row.getDouble(1)
+  }
+
   /** Persist / load an artifact (either family, global or per-group). */
   def save(artifact: DataFrame, path: String): Unit =
     artifact.coalesce(1).write.mode("overwrite").parquet(path)

@@ -64,6 +64,25 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(math.abs(overlap - 3000.0) / 3000.0 < 0.05, s"overlap $overlap")
   }
 
+  test("theta jaccard: exact sub-threshold, 0 on empty, 1 on identical") {
+    // exactness needs the UNION below the sampling threshold (the union
+    // inherits sampling once |A∪B| > k — with |A∪B| = 5000 the estimate
+    // is ~1% off, which is the documented estimate regime)
+    val a = SketchStats.thetaSketch(keyed(1, 2000), col("key"))
+    val b = SketchStats.thetaSketch(keyed(1501, 3500), col("key"))
+    // |A∩B| = 500, |A∪B| = 3500
+    assert(SketchStats.jaccardEstimate(a, b) == 500.0 / 3500.0)
+    assert(SketchStats.jaccardEstimate(a, a) == 1.0)
+    val big = SketchStats.thetaSketch(keyed(1, 3000), col("key"))
+    val bigB = SketchStats.thetaSketch(keyed(2001, 5000), col("key"))
+    val est = SketchStats.jaccardEstimate(big, bigB) // union 5000 > k: estimate
+    assert(math.abs(est - 0.2) < 0.01, s"super-threshold estimate $est")
+    val empty = SketchStats.thetaSketch(
+      keyed(1, 10).where(col("id") < 0), col("key"))
+    assert(SketchStats.jaccardEstimate(empty, empty) == 0.0)
+    assert(SketchStats.jaccardEstimate(a, empty) == 0.0)
+  }
+
   test("per-group fold: new groups appear, untouched survive, counts grow") {
     val state = SketchStats.hllSketchByGroup(
       Seq(("en", "a"), ("en", "b"), ("de", "x")).toDF("lang", "w"),
