@@ -4048,8 +4048,9 @@ ORDER BY doc_id"""))
     // SQL spelling; SpanCorruptionSpec pins it bit-exactly against a
     // driver reference plus the splice-back roundtrip). Self-validating
     // output: per doc, kept + masked token counts must re-add to the
-    // original token count, and both sides must carry exactly n_spans
-    // sentinels — carried as a flag.
+    // original token count, both sides must carry exactly n_spans
+    // sentinels, and sentinels never sit adjacent in the input (the
+    // cooldown invariant) — carried as a flag.
     (s, d) => {
       val docs = t(s, d, "documents")
       val out = graft.operators.SpanCorruption.corrupt(
@@ -4069,7 +4070,8 @@ ORDER BY doc_id"""))
           (nonSentinel(col("input_text")) + nonSentinel(col("target_text"))
             === col("n_orig") &&
             sentinels(col("input_text")) === col("n_spans") &&
-            sentinels(col("target_text")) === col("n_spans"))
+            sentinels(col("target_text")) === col("n_spans") &&
+            !col("input_text").rlike("<extra_id_\\d+> <extra_id_\\d+>"))
             .as("conserves_tokens"))
         .orderBy("doc_id")
     },

@@ -259,31 +259,38 @@ object NearDup {
   /** [[nearDuplicatesAgainst]] against a prebuilt [[buildNearDupIndex]]
     * artifact: identical output pairs (spec-pinned), but the seen side
     * reads signatures and shingle sets straight from the artifact —
-    * featurization parameters come FROM the index (one small distinct
-    * action, uniformity-checked), so query/index skew is impossible, the
+    * featurization parameters come FROM the index (one partial-aggregate
+    * pass, uniformity-checked), so query/index skew is impossible, the
     * same contract as the IVF index's embedded quantizer. */
   def nearDuplicatesAgainstIndex(newDf: DataFrame, index: DataFrame,
                                  idCol: String, textCol: String,
                                  minJaccard: Double = 0.8,
                                  bands: Int = 32): DataFrame = {
     graft.plans.HashExpressions.register(newDf.sparkSession)
-    // Distinct, not head(1): a union of artifacts built with different
-    // parameters would otherwise silently sign the query side with ONE
-    // row's parameters and miss pairs against the rest of the index.
-    // The distinct is over ≤|index| rows of two ints — a cheap action —
-    // and a mixed-parameter index fails loud here.
-    val params = index.select("num_hashes", "shingle_k").distinct().collect()
-    if (params.isEmpty) // empty index: no pairs, schema-faithful empty frame
+    // Uniformity check in ONE partial-agg pass (count_distinct over the
+    // param struct + first values): a union of artifacts built with
+    // different parameters must fail loud, not silently sign the query
+    // side with ONE row's parameters — but the check must not cost a
+    // full distinct-shuffle of the index on every query call. Only the
+    // already-failing path pays the distinct, to name the combinations.
+    val stats = index.agg(
+      count_distinct(struct(col("num_hashes"), col("shingle_k"))).as("__n"),
+      first(col("num_hashes")).as("__nh"),
+      first(col("shingle_k")).as("__k")).head()
+    if (stats.getLong(0) == 0L) // empty index: no pairs, schema-faithful empty frame
       return newDf.select(col(idCol).as("new_id")).limit(0)
         .crossJoin(index.select(col("id").as("seen_id")).limit(0))
         .withColumn("jaccard", lit(0.0))
-    require(params.length == 1,
-      s"mixed-parameter near-dup index: found ${params.length} distinct " +
-        s"(num_hashes, shingle_k) combinations " +
-        params.map(r => s"(${r.getInt(0)}, ${r.getInt(1)})").mkString("[", ", ", "]") +
-        " — rebuild the artifacts with one parameter set before unioning")
-    val numHashes = params(0).getInt(0)
-    val k = params(0).getInt(1)
+    if (stats.getLong(0) > 1L) {
+      val params = index.select("num_hashes", "shingle_k").distinct().collect()
+      throw new IllegalArgumentException(
+        s"requirement failed: mixed-parameter near-dup index: found " +
+          s"${params.length} distinct (num_hashes, shingle_k) combinations " +
+          params.map(r => s"(${r.getInt(0)}, ${r.getInt(1)})").mkString("[", ", ", "]") +
+          " — rebuild the artifacts with one parameter set before unioning")
+    }
+    val numHashes = stats.getInt(1)
+    val k = stats.getInt(2)
     require(numHashes % bands == 0,
       s"bands ($bands) must divide the index's num_hashes ($numHashes)")
     val hsNew = shingleHashFrame(newDf, idCol, textCol, k)

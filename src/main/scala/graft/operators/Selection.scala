@@ -89,7 +89,10 @@ object Selection {
     * own token budget" (the per-domain cap step of a mixing recipe): within
     * each `groupCol` value, rank by (`scoreCol` DESC, `idCol` ASC) and keep
     * rows whose group-local running token total fits the group's budget
-    * (`budgets(group)`, else `defaultBudget`). Output: (groupCol, idCol,
+    * (`budgets(group)`, else `defaultBudget`). Budget keys are matched via
+    * `col(groupCol) === key` — Spark's implicit cast comparison — and that
+    * ONE spelling is used by both execution regimes below, so routing can
+    * never change which budget a group gets. Output: (groupCol, idCol,
     * n_tokens, cum_tokens) with `cum_tokens` group-local.
     *
     * Unlike the GLOBAL fill — where the ORDER BY spelling would funnel the
@@ -130,20 +133,32 @@ object Selection {
           .limit(fewGroups + 1).collect().map(_.get(0))
       }
     val few = fewGroups > 0 && groups.nonEmpty && groups.length <= fewGroups
+    // ONE budget-resolution spelling for both regimes: the when-chain below
+    // (col === key with Spark's implicit cast comparison). The few-group
+    // path evaluates the SAME chain over a local one-row-per-group frame of
+    // the group column's real type, so a probe mis-route can never change
+    // which budget a group receives — it stays a perf choice only.
+    val budgetOf = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
     if (few) {
-      val parts = groups.map { g =>
+      val gType = df.schema(groupCol).dataType
+      import scala.jdk.CollectionConverters._
+      val gFrame = df.sparkSession.createDataFrame(
+        groups.map(g => org.apache.spark.sql.Row(g)).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupCol, gType, nullable = true))))
+      val resolved: Map[Int, Long] = gFrame
+        .select(budgetOf.as("__b")).collect().zipWithIndex
+        .map { case (r, i) => i -> r.getLong(0) }.toMap
+      val parts = groups.zipWithIndex.map { case (g, i) =>
         val slice = narrow.where(col(groupCol) <=> lit(g))
-        val b = Option(g).flatMap(v => budgets.get(v.toString))
-          .getOrElse(defaultBudget)
-        selectByBudget(slice, idCol, col("__s"), col("n_tokens"), b)
-          .select(lit(g).cast(df.schema(groupCol).dataType).as(groupCol),
+        selectByBudget(slice, idCol, col("__s"), col("n_tokens"), resolved(i))
+          .select(lit(g).cast(gType).as(groupCol),
             col(idCol), col("n_tokens"), col("cum_tokens"))
       }
       parts.reduce(_.union(_))
     } else {
-      val budgetOf = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
-        when(col(groupCol) === g, lit(b)).otherwise(acc)
-      }
       val w = Window.partitionBy(groupCol)
         .orderBy(col("__s").desc_nulls_last, col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * prefix arithmetic shared with [[Sampling.hashUnit]], reproducible
   * across runs, partitionings, and in the driver-side spec reference. A
   * position starts a span when its hash ≡ 0 (mod `startMod`); span length
-  * is 1 + hash' mod `maxSpanLen`. Consecutive spans never merge (a span in
-  * progress suppresses new starts), so sentinels always alternate with
-  * kept text in the input.
+  * is 1 + hash' mod `maxSpanLen`. Consecutive spans never merge: a span in
+  * progress suppresses new starts, AND the position immediately after a
+  * closed span is a one-token cooldown that cannot start either — so
+  * sentinels always alternate with at least one kept token in the input
+  * (the same invariant T5 enforces by merging adjacent spans; here the
+  * second span simply never opens). The alternation is spec-pinned.
   *
   * Entirely per-row: one `aggregate` higher-order fold over the token
   * array — map-only, scan-fused, no UDF, no shuffle. Documents with no
@@ -47,21 +50,28 @@ object SpanCorruption {
     val folded = aggregate(
       indexed, init,
       (acc, x) => {
+        // rem > 0: inside a span; rem == -1: cooldown (the token right
+        // after a span closed — kept, and barred from starting a new span
+        // so sentinels can never be adjacent); rem == 0: free position.
         val continue = struct(
           acc("inp").as("inp"),
           concat(acc("tgt"), array(x("w"))).as("tgt"),
-          (acc("rem") - 1).as("rem"), acc("k").as("k"))
+          when(acc("rem") === 1, lit(-1)).otherwise(acc("rem") - 1).as("rem"),
+          acc("k").as("k"))
         val starts = pmod(h(x("i"), "s"), lit(startMod)) === 0
         val spanLen = (pmod(h(x("i"), "l"), lit(maxSpanLen)) + 1).cast("int")
         val sentinel = concat(lit("<extra_id_"), acc("k").cast("string"), lit(">"))
         val open = struct(
           concat(acc("inp"), array(sentinel)).as("inp"),
           concat(acc("tgt"), array(sentinel, x("w"))).as("tgt"),
-          (spanLen - 1).as("rem"), (acc("k") + 1).as("k"))
+          when(spanLen === 1, lit(-1)).otherwise(spanLen - 1).as("rem"),
+          (acc("k") + 1).as("k"))
         val keep = struct(
           concat(acc("inp"), array(x("w"))).as("inp"),
-          acc("tgt").as("tgt"), acc("rem").as("rem"), acc("k").as("k"))
-        when(acc("rem") > 0, continue).otherwise(when(starts, open).otherwise(keep))
+          acc("tgt").as("tgt"), lit(0).as("rem"), acc("k").as("k"))
+        when(acc("rem") > 0, continue)
+          .otherwise(when(acc("rem") === -1, keep)
+            .otherwise(when(starts, open).otherwise(keep)))
       },
       acc => struct(
         array_join(acc("inp"), " ").as("input_text"),

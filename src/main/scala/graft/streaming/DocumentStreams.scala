@@ -94,10 +94,16 @@ object DocumentStreams {
     * key-bounded shuffle per batch; state size = |languages| sketch rows,
     * never vocabulary). Returns the `StreamingQuery`; read the current
     * estimates any time with `SketchStats.load(spark, statePath)` +
-    * `hll_sketch_estimate`. The writes alternate a temp path and an
-    * atomic-ish swap because the new state derives from the old one —
+    * `hll_sketch_estimate`. The writes alternate a temp path and a
+    * rename-based swap because the new state derives from the old one —
     * overwriting the input of a lazy plan in place would read-after-write
-    * the same files. Exactly-once folding comes from foreachBatch's
+    * the same files. All path operations go through Hadoop's `FileSystem`
+    * resolved FROM `statePath` (not `java.nio.file`), so the state may
+    * live on HDFS/S3A/local alike; the swap parks the live state at
+    * `statePath + "__old"` before renaming the new one into place, and a
+    * crash between the two renames is healed at the next batch by
+    * restoring `__old` — no window loses the state. Exactly-once folding
+    * comes from foreachBatch's
     * batch-id dedup contract ONLY when the sink checkpoint directory is
     * stable across restarts; a replayed batch merges its words twice into
     * the sketch otherwise (HLL double-insert is idempotent per distinct
@@ -111,26 +117,30 @@ object DocumentStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val state = new org.apache.hadoop.fs.Path(statePath)
+        val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parked = new org.apache.hadoop.fs.Path(statePath + "__old")
+        // crash recovery: a previous swap may have parked the live state
+        // without finishing the second rename — restore it before reading
+        if (!fs.exists(state) && fs.exists(parked)) fs.rename(parked, state)
         val words = batch.select(col(langCol).as("__lang"),
             explode(split(col(textCol), "\\s+")).as("__w"))
           .where(length(col("__w")) > 0)
         val batchSketch = SketchStats.hllSketchByGroup(
           words, "__lang", col("__w"), lgK)
         val merged =
-          if (java.nio.file.Files.exists(java.nio.file.Path.of(statePath)))
+          if (fs.exists(state))
             SketchStats.mergeHllByGroup(
               SketchStats.load(spark, statePath), batchSketch, "__lang")
           else batchSketch
-        val tmp = statePath + "__next"
-        SketchStats.save(merged, tmp)
-        val target = java.nio.file.Path.of(statePath)
-        if (java.nio.file.Files.exists(target)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(target)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        val tmp = new org.apache.hadoop.fs.Path(statePath + "__next")
+        SketchStats.save(merged, tmp.toString) // overwrite clears stale tmp
+        if (fs.exists(state)) {
+          fs.delete(parked, true) // stale leftover from a healed crash
+          fs.rename(state, parked)
         }
-        java.nio.file.Files.move(java.nio.file.Path.of(tmp), target)
+        fs.rename(tmp, state)
+        fs.delete(parked, true)
         ()
       }
       .start()

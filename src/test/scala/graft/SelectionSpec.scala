@@ -84,6 +84,30 @@ class SelectionSpec extends AnyFunSuite {
     assert(routed.nonEmpty && routed == windowed)
   }
 
+  test("selectByBudgetPerGroup: non-string groups resolve budgets " +
+    "identically in both regimes") {
+    // int group column with string budget keys: budget resolution must go
+    // through the SAME cast-compare in the few-group route and the window
+    // route — a "05" key must miss int group 5 in BOTH (falling back to the
+    // default), and a "2" key must hit int group 2 in BOTH.
+    val rows = (1L to 120L).map { i =>
+      ((i % 3 + 1).toInt, i, (i * 37 % 101).toDouble, i % 9 + 1L)
+    }
+    val df = rows.toDF("grp", "doc_id", "score", "n").repartition(4)
+    def run(few: Int) = Selection.selectByBudgetPerGroup(df, "grp", "doc_id",
+        col("score"), col("n"), defaultBudget = 200L,
+        budgets = Map("2" -> 40L, "05" -> 10L), fewGroups = few)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val routed = run(8)
+    val windowed = run(0)
+    assert(routed.nonEmpty && routed == windowed)
+    // the "2" budget actually bit (group 2 kept fewer tokens than default
+    // would allow) — otherwise this test proves nothing
+    val g2 = routed.filter(_._1 == 2).map(_._3).sum
+    assert(g2 <= 40L && g2 > 0L)
+  }
+
   test("topKPerGroup: non-integral id and non-numeric score fail loud") {
     val df = Seq(("a", "x1", 1.0), ("a", "x2", 2.0))
       .toDF("grp", "sid", "score")

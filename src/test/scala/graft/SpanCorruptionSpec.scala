@@ -24,14 +24,16 @@ class SpanCorruptionSpec extends AnyFunSuite {
     val toks = text.split("\\s+").filter(_.nonEmpty)
     val inp = scala.collection.mutable.ArrayBuffer.empty[String]
     val tgt = scala.collection.mutable.ArrayBuffer.empty[String]
+    // rem > 0: in span; rem == -1: cooldown token (kept, cannot start)
     var rem = 0; var k = 0
     toks.zipWithIndex.foreach { case (w, i) =>
-      if (rem > 0) { tgt += w; rem -= 1 }
+      if (rem > 0) { tgt += w; rem -= 1; if (rem == 0) rem = -1 }
+      else if (rem == -1) { inp += w; rem = 0 }
       else if (h("s", i) % startMod == 0) {
         val len = (h("l", i) % maxSpanLen).toInt + 1
         val sentinel = s"<extra_id_$k>"
         inp += sentinel; tgt += sentinel; tgt += w
-        rem = len - 1; k += 1
+        rem = if (len == 1) -1 else len - 1; k += 1
       } else inp += w
     }
     (inp.mkString(" "), tgt.mkString(" "), k)
@@ -55,6 +57,21 @@ class SpanCorruptionSpec extends AnyFunSuite {
     }
     assert(got == want)
     assert(got.exists(_._4 > 0), "fixture must actually mask something")
+  }
+
+  test("sentinels always alternate with kept text (no adjacent sentinels)") {
+    val rows = fixture(150, 17)
+    val df = rows.toDF("doc_id", "text")
+    val got = SpanCorruption.corrupt(df, "doc_id", "text", "alt")
+      .as[(Long, String, String, Int)].collect()
+    assert(got.map(_._4).sum > 50, "fixture must mask enough to be meaningful")
+    got.foreach { case (id, inp, _, _) =>
+      val toks = inp.split(" ").filter(_.nonEmpty)
+      toks.sliding(2).foreach { pair =>
+        assert(!(pair.length == 2 && pair.forall(_.startsWith("<extra_id_"))),
+          s"adjacent sentinels in doc $id: ${pair.mkString(" ")}")
+      }
+    }
   }
 
   test("splice-back roundtrip reproduces the original token stream") {
