@@ -4134,6 +4134,49 @@ ORDER BY doc_id"""))
     },
     None)
 
+  private val x68 = DeclaredQuery("x68_streaming_latest_replay",
+    // The streaming ingest face driven END-TO-END inside the gate: events
+    // are split into four parquet replay files, streamed one file per
+    // micro-batch through EventStreams.latestPerKey (Complete mode, so the
+    // state store carries each user's current row ACROSS micro-batches via
+    // the graft_latest aggregate's serialize/merge contract), and the
+    // query's FINAL state table is returned. keepLatest's max_by semantics
+    // are arrival-order independent — whatever order the source lists the
+    // files in, the final state must equal the batch x48 spelling
+    // bit-for-bit, so the oracle is the SAME window SQL over events. This
+    // is the one entry where a streaming regression (state-store
+    // serialization, complete-mode re-emission, file-source replay) breaks
+    // the driver gate rather than only the specs.
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x68")
+      val ingest = tmp.resolve("ingest").toString
+      // four deterministic replay units (any split works — the point is
+      // the state must fold across batch boundaries, not within one)
+      (0 until 4).foreach { i =>
+        ev.where(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(ingest)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val sink = s"x68_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.EventStreams
+        .latestPerKey(stream, Seq("user_id"), Seq("ts", "event_id"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4232,7 +4275,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x66, x67, x10d, x10e, x10f)
+    x62, x63, x64, x65, x66, x67, x68, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
