@@ -4078,15 +4078,18 @@ ORDER BY doc_id"""))
     None)
 
   private val x66 = DeclaredQuery("x66_passage_retrieval",
-    // RAG-shape passage retrieval END TO END: sentence-aware chunking
-    // (x64's construction) → Okapi BM25 over the PASSAGE corpus (chunk
-    // lengths and corpus stats re-derived at passage granularity, exactly
-    // how passage search differs from document search) → top-20 passages
-    // by (score, passage id). Rows-only (the chunker's greedy fold has no
-    // SQL spelling); the BM25 kernel itself is oracled by the x13 family
-    // and the chunker is pinned bit-exactly in PackingSpec — this entry
-    // pins the composition's plumbing (passage keys, stats at the right
-    // granularity, deterministic tie order).
+    // RAG-shape passage retrieval END TO END, ORACLED end to end (x61
+    // style): sentence-aware chunking (x64's construction) → Okapi BM25
+    // over the PASSAGE corpus (chunk lengths and corpus stats re-derived
+    // at passage granularity, exactly how passage search differs from
+    // document search) → top-20 passages by (score, passage id). The
+    // injected punctuation makes every sentence exactly 6 tokens, so the
+    // greedy fold provably reduces to "4 consecutive sentences per chunk"
+    // = contiguous 24-token runs of the punctuated text — a closed form
+    // DuckDB re-derives by token-index grouping (no lookbehind needed).
+    // The cross-term double sum uses x13b's fixed-order addition, and the
+    // oracle mirrors Spark's exact expression tree (same parenthesization,
+    // one ln per term), so the rounded scores hash-match.
     (s, d) => {
       val punctuated = t(s, d, "documents").withColumn("text",
         regexp_replace(col("text"), "((?:\\S+\\s+){5}\\S+)\\s+", "$1. "))
@@ -4094,14 +4097,45 @@ ORDER BY doc_id"""))
           punctuated, "doc_id", "text", maxTokens = 24)
         .withColumn("passage_id",
           col("doc_id") * 1000 + col("chunk_id"))
-      graft.operators.Relevance.bm25(
-          passages, "passage_id", "chunk_text",
-          Seq("window", "hash", "spark"))
-        .select(col("passage_id"), round2(col("score")).as("score"))
+      val per = graft.operators.Relevance.bm25PerTerm(
+        passages, "passage_id", "chunk_text",
+        Seq("window", "hash", "spark"))
+      per.groupBy("passage_id").agg(
+          coalesce(sum(when(col("term") === "window", col("score"))), lit(0.0)).as("v1"),
+          coalesce(sum(when(col("term") === "hash", col("score"))), lit(0.0)).as("v2"),
+          coalesce(sum(when(col("term") === "spark", col("score"))), lit(0.0)).as("v3"))
+        .select(col("passage_id"),
+          round2((col("v1") + col("v2")) + col("v3")).as("score"))
         .orderBy(col("score").desc, col("passage_id"))
         .limit(20)
     },
-    None)
+    Some("""WITH pd AS (
+  SELECT doc_id, regexp_replace(text, '((?:\S+\s+){5}\S+)\s+', '\1. ', 'g') AS ptext
+  FROM documents),
+tk AS (SELECT doc_id, toks[i] AS tok, i - 1 AS i0
+       FROM (SELECT doc_id,
+                    list_filter(regexp_split_to_array(ptext, '\s+'), x -> length(x) > 0) AS toks,
+                    unnest(range(1, len(toks) + 1)) AS i
+             FROM pd)),
+pg AS (SELECT doc_id * 1000 + CAST(FLOOR(i0 / 24) AS BIGINT) AS passage_id,
+              lower(tok) AS term
+       FROM tk),
+dl AS (SELECT passage_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM pg GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT passage_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM pg
+       WHERE term IN ('window', 'hash', 'spark') GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (SELECT passage_id, term,
+         LN(1.0 + (n - df + 0.5) / (df + 0.5)) *
+           ((tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))) AS score
+       FROM tf JOIN dfq USING (term) JOIN dl USING (passage_id) CROSS JOIN st),
+ag AS (SELECT passage_id,
+         COALESCE(SUM(CASE WHEN term = 'window' THEN score END), 0) AS v1,
+         COALESCE(SUM(CASE WHEN term = 'hash' THEN score END), 0) AS v2,
+         COALESCE(SUM(CASE WHEN term = 'spark' THEN score END), 0) AS v3
+       FROM sc GROUP BY passage_id)
+SELECT passage_id, FLOOR(((v1 + v2) + v3) * 100 + 0.5) / 100 AS score
+FROM ag ORDER BY score DESC, passage_id LIMIT 20"""))
 
   private val x67 = DeclaredQuery("x67_audio_windows",
     // audio-column plumbing with a fully REAL kernel: 16-bit PCM needs no

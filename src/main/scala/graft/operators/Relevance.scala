@@ -78,12 +78,16 @@ object Relevance {
         (col("tf") * col("__n") / col("df_docs")).as("tfidf"))
   }
 
-  /** Okapi BM25 score per document over the term set:
-    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
-    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Docs with no term hits are
-    * absent (score 0 by convention). */
-  def bm25(df: DataFrame, idCol: String, textCol: String,
-           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Per-(doc, term) Okapi BM25 contribution:
+    * idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). (doc, term) pairs with no
+    * hits are absent. The per-term frame is the DETERMINISTIC face of BM25:
+    * each value is one fixed expression tree over exact integer counts and
+    * one ln, so callers that need an oracle-able total (x66) add the terms
+    * in declared order instead of [[bm25]]'s fold-order aggregate sum. */
+  def bm25PerTerm(df: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     // tokenize the fat text column ONCE into a persisted NARROW frame
     // (id, doc length, query-term hits) — tf, doc lengths, and the corpus
@@ -107,10 +111,19 @@ object Relevance {
     val out = tf.join(broadcast(docFreq), "term")
       .join(base.select(col(idCol), col("__dl")), idCol)
       .crossJoin(broadcast(stats))
-      .select(col(idCol), (idf * termScore).as("__s"))
-      .groupBy(col(idCol)).agg(sum("__s").as("score"))
+      .select(col(idCol), col("term"), (idf * termScore).as("score"))
     CacheOps.materializeAndRelease(out, base)
   }
+
+  /** Okapi BM25 score per document over the term set: Σ_t of
+    * [[bm25PerTerm]]. Docs with no term hits are absent (score 0 by
+    * convention). The cross-term sum is an aggregate (fold-order
+    * double addition) — use [[bm25PerTerm]] + fixed-order addition when the
+    * total must be bit-reproducible. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25PerTerm(df, idCol, textCol, terms, k1, b)
+      .groupBy(col(idCol)).agg(sum("score").as("score"))
 
   /** Corpus-statistical token rarity per document: the mean corpus frequency
     * of a document's tokens (token instances weighted, so a doc full of rare
