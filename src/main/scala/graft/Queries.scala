@@ -2740,16 +2740,36 @@ SELECT doc_id, n_tokens, cum_tokens FROM ranked WHERE cum_tokens <= 10000 ORDER 
   private val x36b = DeclaredQuery("x36b_select_skip_greedy",
     // SKIP-GREEDY token-budget fill (Selection.selectByBudgetSkipGreedy):
     // an overshooting document is skipped individually and the fill keeps
-    // consuming down the ranking. The sequential recurrence is ANSI-
-    // expressible only as an O(n)-deep recursive CTE (quadratic in DuckDB),
-    // so this entry is rows-only; the exact semantics are pinned in
-    // SelectionSpec by a driver-side sequential-walk differential on
-    // multi-partition data plus the adversarial alternating-size fixture.
+    // consuming down the ranking. The sequential recurrence IS ANSI-
+    // expressible as an O(n)-deep recursive CTE — quadratic in DuckDB and
+    // unusable at production scale (which is why the OPERATOR is the
+    // Jacobi relaxation over the distributed-scan recipe), but exact and
+    // cheap at the 500-doc gate, so the oracle walks the ranking one row
+    // per recursion step and the hash match pins the full keep/skip/cum
+    // semantics. SelectionSpec additionally pins the driver-side
+    // sequential-walk differential on multi-partition data plus the
+    // adversarial alternating-size fixture.
     (s, d) => graft.operators.Selection.selectByBudgetSkipGreedy(
         t(s, d, "documents"), "doc_id", col("n_chars").cast("double"),
         size(split(col("text"), " ")).cast("long"), budget = 10000L)
       .orderBy("doc_id"),
-    None)
+    Some("""WITH RECURSIVE ranked AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS cum, FALSE AS kept
+  UNION ALL
+  SELECT r.rn,
+         CASE WHEN w.cum + r.n_tokens <= 10000
+              THEN w.cum + r.n_tokens ELSE w.cum END,
+         w.cum + r.n_tokens <= 10000
+  FROM walk w JOIN ranked r ON r.rn = w.rn + 1)
+SELECT r.doc_id, r.n_tokens, w.cum AS cum_tokens
+FROM walk w JOIN ranked r USING (rn)
+WHERE w.kept
+ORDER BY doc_id"""))
 
   private val x36c = DeclaredQuery("x36c_quantile_cut",
     // Rank cut (Selection.keepAboveQuantile): keep the top 20% of documents

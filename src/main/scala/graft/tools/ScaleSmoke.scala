@@ -73,7 +73,11 @@ object ScaleSmoke {
     // data-bound stage is the new side's featurization — must track the
     // batch scan, never the kept-corpus size
     "x10f_incremental_pipeline", "x20e_neardup_against_index",
-    "x51b_topk_rows")
+    "x51b_topk_rows",
+    // round-14: part now scales with decorrelated names (distance-3 copy
+    // codes), so the edit-distance join finally has a measured scale row —
+    // distinct strings ×copies, candidates still equi-join-bounded
+    "x53_edit_distance_join")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
@@ -128,7 +132,7 @@ object ScaleSmoke {
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     import java.nio.file.{Files, Path}
-    val marker = Path.of(outDir, s".complete_v4_${copies}x")
+    val marker = Path.of(outDir, s".complete_v5_${copies}x")
     if (Files.exists(marker)) return
     val out = Path.of(outDir)
     if (Files.exists(out)) { // stale params — rebuild from scratch
@@ -202,9 +206,35 @@ object ScaleSmoke {
     scaledLi.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
 
+    // part scales along the DISTINCT-NAME axis (the edit-distance join's
+    // real scale dimension): copy i > 0 shifts p_partkey and appends a
+    // 4-letter copy code drawn from a minimum-distance-3 linear code over
+    // Z25 (codewords (a, b, a+b, a+2b) with a=i%25, b=i/25 — any two
+    // distinct codes differ in ≥3 of the 4 letters, 2 being invertible
+    // mod 25), so cross-copy name distances are ≥3, strictly OUTSIDE the
+    // d≤2 join — never a cross-copy pair blowup — while a shared suffix
+    // leaves within-copy Levenshtein distances (and the per-name duplicate
+    // multiplicities that drive n_id_pairs) unchanged. Distinct strings
+    // grow `copies`×, which is exactly the axis PassJoin's candidate
+    // scheme must absorb.
+    val pt = spark.read.parquet(s"$baseDir/part.parquet")
+    val scaledPt = (0 until copies).map { i =>
+      if (i == 0) pt
+      else {
+        val a = i % 25; val b = i / 25
+        val code = Seq(a, b, (a + b) % 25, (a + 2 * b) % 25)
+          .map(dgt => ('a' + dgt).toChar).mkString
+        pt.withColumn("p_partkey", col("p_partkey") + lit(i * IdOffset))
+          .withColumn("p_name", concat(col("p_name"), lit(" " + code)))
+      }
+    }.reduce(_ unionByName _)
+    scaledPt.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/part.parquet")
+
     graft.sources.Tables.names
       .filterNot(n =>
-        n == "documents" || n == "embeddings" || n == "events" || n == "lineitem")
+        n == "documents" || n == "embeddings" || n == "events" ||
+          n == "lineitem" || n == "part")
       .foreach { n =>
         val link = Path.of(outDir, s"$n.parquet")
         if (!Files.exists(link))

@@ -118,6 +118,44 @@ class ScaleSmokeSpec extends AnyFunSuite {
       s"mean cross-copy Jaccard ${jac.getDouble(1)} too high")
   }
 
+  test("part copies: within-copy distances preserved, cross-copy outside d<=2") {
+    val pt = spark.read.parquet(s"$outDir/part.parquet")
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+    assert(pt.count() == copies * base.count())
+    // distinct names scale by copies: each copy's 4-letter code is unique
+    assert(pt.select("p_name").distinct().count()
+      == copies * base.select("p_name").distinct().count())
+    // a shared suffix preserves within-copy Levenshtein distances exactly:
+    // copy 1's distinct-pair distance histogram (d <= 2) equals the base's
+    def pairHist(df: org.apache.spark.sql.DataFrame): Map[Int, Long] = {
+      val n = df.select(col("p_name")).distinct()
+      n.as("a").crossJoin(n.as("b"))
+        .where(col("a.p_name") < col("b.p_name"))
+        .select(levenshtein(col("a.p_name"), col("b.p_name")).as("d"))
+        .where(col("d") <= 2)
+        .groupBy("d").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val c1 = pt.where(col("p_partkey") >= ScaleSmoke.IdOffset &&
+      col("p_partkey") < 2L * ScaleSmoke.IdOffset)
+    assert(pairHist(c1) == pairHist(base),
+      "appending the copy code must not change within-copy d<=2 structure")
+    // cross-copy: the distance-3 code keeps every cross-copy pair of the
+    // SAME base name at d >= 3 — strictly outside the join
+    val minCross = pt.select(col("p_name"),
+        pmod(col("p_partkey"), lit(ScaleSmoke.IdOffset)).as("bk"),
+        (col("p_partkey") / lit(ScaleSmoke.IdOffset)).cast("int").as("cp"))
+      .as("a")
+      .join(pt.select(col("p_name").as("nb"),
+        pmod(col("p_partkey"), lit(ScaleSmoke.IdOffset)).as("bk"),
+        (col("p_partkey") / lit(ScaleSmoke.IdOffset)).cast("int").as("cpb"))
+        .as("b"), Seq("bk"))
+      .where(col("cp") < col("cpb"))
+      .select(levenshtein(col("p_name"), col("nb")).as("d"))
+      .agg(min("d")).head().getInt(0)
+    assert(minCross >= 3, s"cross-copy min distance $minCross breaches d<=2")
+  }
+
   test("scaled dir serves a full declared entry unchanged") {
     val out = SparkEntry.queries("x12_pack_sequences")(spark, outDir)
     assert(out.limit(1).count() == 1L)
