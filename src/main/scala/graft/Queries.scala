@@ -4231,6 +4231,50 @@ FROM ag ORDER BY score DESC, passage_id LIMIT 20"""))
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id"""))
 
+  private val x69 = DeclaredQuery("x69_doremi_mixture",
+    // DoReMi-style domain reweighting (MixtureOptimization.doremiWeights):
+    // learn per-LANGUAGE mixture weights by alternating weighted proxy
+    // refits (the x57 quality classifier) with exponentiated-gradient
+    // Group-DRO updates on per-domain EXCESS loss vs the unweighted
+    // reference fit. Language is the domain with genuinely skewed shares
+    // (en ≈ 3× the rest) AND label correlation (the stopword gate is
+    // English-centric), so the uniform-target refit really moves the fit
+    // and EG really moves the weights — unlike source, whose shares are
+    // exactly equal in this corpus (the provable do-nothing fixed point,
+    // pinned as such in the spec). Rows-only by declaration (GD + EG have
+    // no SQL spelling); MixtureOptimizationSpec pins the uniform fixed
+    // point, the hard-domain upweighting direction, and determinism.
+    // SELF-VALIDATING flags: weights positive, sum exactly renormalized
+    // (1e-9), excess clamped non-negative.
+    (s, d) => {
+      import graft.functions.Scrub
+      val feats = t(s, d, "documents")
+        .select(col("lang"),
+          Scrub.gopherSignals(col("text")).as("sig"))
+        .select(col("lang"),
+          col("sig.n_tokens").cast("double").as("f_tokens"),
+          coalesce(col("sig.mean_tok_len"), lit(0.0)).as("f_mean_len"),
+          col("sig.symbol_word_ratio").as("f_sym"),
+          col("sig.alpha_token_frac").as("f_alpha"),
+          col("sig.stopword_hits").cast("double").as("f_stop"),
+          Scrub.gopherKeep(col("sig"), minTokens = 20, minStopwordHits = 1)
+            .cast("double").as("y"))
+        .localCheckpoint(true)
+      val res = graft.operators.MixtureOptimization.doremiWeights(
+        feats, "lang",
+        Seq("f_tokens", "f_mean_len", "f_sym", "f_alpha", "f_stop"), "y",
+        steps = 3, eta = 2.0, itersPerStep = 8)
+      val sumW = res.weights.map(_.weight).sum
+      res.toDF(s)
+        .select(col("domain"), col("n_docs"),
+          round4(col("weight")).as("weight"),
+          (col("weight") > 0).as("weight_pos"),
+          lit(math.abs(sumW - 1.0) < 1e-9).as("weights_sum_ok"),
+          (col("excess") >= 0).as("excess_nonneg"))
+        .orderBy("domain")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4329,7 +4373,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x66, x67, x68, x10d, x10e, x10f)
+    x62, x63, x64, x65, x66, x67, x68, x69, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -42,13 +42,28 @@ object LogisticRegression {
 
   def train(df: DataFrame, featureCols: Seq[String], labelCol: String,
             iters: Int = 50, lr: Double = 1.0, l2: Double = 0.0,
-            tol: Double = 1e-7): LogRegModel = {
+            tol: Double = 1e-7): LogRegModel =
+    trainWeighted(df, featureCols, labelCol, lit(1.0), iters, lr, l2, tol)
+
+  /** [[train]] with a per-example weight column (importance-weighted mean
+    * log-loss: L = Σ ωᵢℓᵢ / Σ ωᵢ, gradients likewise) — the primitive the
+    * DoReMi-style domain reweighting loop refits its proxy with. Weights
+    * must be positive and finite; `weight = lit(1.0)` reproduces [[train]]
+    * BIT-EXACTLY (ω·x with ω = 1.0 is exact in IEEE and Σω = n exactly for
+    * any feasible n, so every partial sum and division is unchanged).
+    * Standardization stays unweighted: it only conditions the step size,
+    * and a mixture-independent scaling keeps models comparable across
+    * reweighting steps. */
+  def trainWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                    weight: Column, iters: Int = 50, lr: Double = 1.0,
+                    l2: Double = 0.0, tol: Double = 1e-7): LogRegModel = {
     require(featureCols.nonEmpty, "featureCols must be non-empty")
     require(iters >= 1 && lr > 0 && l2 >= 0 && tol >= 0,
       s"bad hyperparameters: iters=$iters lr=$lr l2=$l2 tol=$tol")
     val f = featureCols.size
     val narrow = df
       .select(col(labelCol).cast("double").as("__y") +:
+        weight.cast("double").as("__wt") +:
         featureCols.zipWithIndex.map { case (c, j) =>
           col(c).cast("double").as(s"__x$j") }: _*)
       .where(col("__y").isNotNull)
@@ -56,18 +71,24 @@ object LogisticRegression {
     try {
       val bad = narrow.where(
         (col("__y") =!= 0.0 && col("__y") =!= 1.0) ||
+          col("__wt").isNull || isnan(col("__wt")) || col("__wt") <= 0.0 ||
           featureCols.indices.map(j =>
             col(s"__x$j").isNull || isnan(col(s"__x$j"))).reduce(_ || _))
         .count()
       require(bad == 0,
-        s"$bad rows with non-0/1 labels or NULL/NaN features — clean upstream")
+        s"$bad rows with non-0/1 labels, non-positive/NULL/NaN weights, " +
+          "or NULL/NaN features — clean upstream")
       val n = narrow.count()
       require(n > 0, "no labeled rows to train on")
 
-      // ---- standardization fit (one pass; constant columns get σ := 1)
+      // ---- standardization fit (one pass; constant columns get σ := 1);
+      // the same pass carries Σω for the weighted loss normalizer (= n
+      // exactly when ω ≡ 1.0, so the unweighted path divides by the same
+      // double as before)
       val stats = orderedPartitionSums(narrow,
         featureCols.indices.flatMap(j =>
-          Seq(col(s"__x$j"), col(s"__x$j") * col(s"__x$j"))) :+ lit(1.0))
+          Seq(col(s"__x$j"), col(s"__x$j") * col(s"__x$j"))) :+ col("__wt"))
+      val sumW = stats(2 * f)
       val mu = Array.tabulate(f)(j => stats(2 * j) / n)
       val sd = Array.tabulate(f) { j =>
         val v = stats(2 * j + 1) / n - mu(j) * mu(j)
@@ -80,7 +101,7 @@ object LogisticRegression {
       var w = Array.fill(f)(0.0)
       var b = 0.0
       var rate = lr
-      var (curLoss, curGrad, curGradB) = lossAndGrad(narrow, f, n, mu, sd, w, b, l2)
+      var (curLoss, curGrad, curGradB) = lossAndGrad(narrow, f, sumW, mu, sd, w, b, l2)
       var losses = Vector(curLoss)
       var it = 0
       var done = false
@@ -88,7 +109,7 @@ object LogisticRegression {
         val wNew = Array.tabulate(f)(j => w(j) - rate * curGrad(j))
         val bNew = b - rate * curGradB
         val (newLoss, newGrad, newGradB) =
-          lossAndGrad(narrow, f, n, mu, sd, wNew, bNew, l2)
+          lossAndGrad(narrow, f, sumW, mu, sd, wNew, bNew, l2)
         if (newLoss <= curLoss) {
           w = wNew; b = bNew
           done = curLoss - newLoss < tol
@@ -108,10 +129,10 @@ object LogisticRegression {
     } finally narrow.unpersist(false)
   }
 
-  /** Mean log-loss (+ L2) and its gradient in STANDARDIZED feature space —
-    * one aggregation pass; per-partition sums folded in partition order on
-    * the driver for a deterministic double fold. */
-  private def lossAndGrad(narrow: DataFrame, f: Int, n: Long,
+  /** Weighted mean log-loss (+ L2) and its gradient in STANDARDIZED
+    * feature space — one aggregation pass; per-partition sums folded in
+    * partition order on the driver for a deterministic double fold. */
+  private def lossAndGrad(narrow: DataFrame, f: Int, sumW: Double,
                           mu: Array[Double], sd: Array[Double],
                           w: Array[Double], b: Double,
                           l2: Double): (Double, Array[Double], Double) = {
@@ -120,13 +141,14 @@ object LogisticRegression {
       acc + lit(w(j)) * z(j))
     val p = lit(1.0) / (lit(1.0) + exp(-margin))
     // numerically stable per-row loss: max(m,0) − y·m + log1p(exp(−|m|))
-    val lossRow = greatest(margin, lit(0.0)) - col("__y") * margin +
-      log1p(exp(-abs(margin)))
-    val sums = orderedPartitionSums(narrow.withColumn("__r", p - col("__y")),
+    val lossRow = (greatest(margin, lit(0.0)) - col("__y") * margin +
+      log1p(exp(-abs(margin)))) * col("__wt")
+    val sums = orderedPartitionSums(
+      narrow.withColumn("__r", (p - col("__y")) * col("__wt")),
       (0 until f).map(j => col("__r") * z(j)) ++ Seq(col("__r"), lossRow))
-    val grad = Array.tabulate(f)(j => sums(j) / n + l2 * w(j))
-    val gradB = sums(f) / n
-    val loss = sums(f + 1) / n + 0.5 * l2 * w.map(x => x * x).sum
+    val grad = Array.tabulate(f)(j => sums(j) / sumW + l2 * w(j))
+    val gradB = sums(f) / sumW
+    val loss = sums(f + 1) / sumW + 0.5 * l2 * w.map(x => x * x).sum
     (loss, grad, gradB)
   }
 

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DoReMi-style domain reweighting — learn the MIXTURE, not just sample
+  * it: alternate (a) refitting a small linear proxy (the
+  * [[LogisticRegression]] quality classifier) under the current domain
+  * weights and (b) an exponentiated-gradient (Group-DRO) update that
+  * upweights domains where the proxy still loses vs a fixed reference
+  * model. After T steps the weights concentrate on the domains the proxy
+  * finds hard-but-learnable — the published recipe for choosing
+  * pretraining mixture proportions with a tiny model before burning
+  * compute on the big one (Xie et al., "DoReMi", NeurIPS 2023; Sagawa et
+  * al., Group DRO, ICLR 2020). The reference system has no analog
+  * (operators.py delegates everything to Postgres); this extends the X6
+  * sampling surface: [[Sampling.temperatureMixture]] reshapes counts by a
+  * FORMULA, this learns the proportions from losses.
+  *
+  * Algorithm (per-domain state only):
+  *   ref    = trainWeighted(df, ω ≡ 1)                 — fixed baseline
+  *   w⁰     = uniform over the K domains
+  *   step t = 1..steps:
+  *     θᵗ       = trainWeighted(df, ωᵢ = w(dᵢ)/share(dᵢ))   — proxy refit
+  *     excessₖ  = max(0, Lₖ(θᵗ) − Lₖ(ref))                  — per-domain
+  *     wₖ       ∝ wₖ · exp(η · excessₖ), renormalized        — driver EG
+  *
+  * Distribution: every training pass is the [[LogisticRegression]] shape
+  * (ONE partial aggregation per GD step over a cached narrow projection,
+  * driver state O(features × partitions)); the per-domain losses come
+  * from ONE (domain, partition)-keyed aggregation whose ≤ K·P rows are
+  * folded on the driver in sorted (domain, pid) order — bit-deterministic
+  * for a fixed partitioning, like every driver fold here. The per-example
+  * weight is a K-branch codegen'd when-chain (no join, no shuffle); EG
+  * state is K doubles. Nothing anywhere scales with corpus size except
+  * the scans, so the loop holds at 100 TB exactly as far as the trainer
+  * does. K is expected to be model-artifact sized (sources/languages,
+  * tens to thousands); the when-chain and the K·P driver fold both assume
+  * that.
+  *
+  * Determinism: fixed input partitioning → bit-deterministic weights (the
+  * proxy losses, the domain folds, and the EG arithmetic are all fixed
+  * finite sequences of double ops). Excess loss is clamped at 0, so
+  * weights can only move toward harder domains; a corpus the reference
+  * already fits perfectly leaves the mixture uniform. */
+object MixtureOptimization {
+
+  final case class DomainWeight(domain: String, nDocs: Long, refLoss: Double,
+                                finalLoss: Double, excess: Double,
+                                weight: Double)
+
+  final case class DoremiResult(weights: Seq[DomainWeight],
+                                refModel: LogisticRegression.LogRegModel,
+                                finalModel: LogisticRegression.LogRegModel) {
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      weights.toDF("domain", "n_docs", "ref_loss", "final_loss",
+        "excess", "weight")
+    }
+  }
+
+  /** Run the reweighting loop over `df`. `domainCol` must be a string
+    * column with model-artifact-sized cardinality; `featureCols`/`labelCol`
+    * feed the proxy exactly as [[LogisticRegression.train]]. Returns the
+    * per-domain weights (sorted by domain for a stable artifact) plus both
+    * proxy models. NULL domains fail loudly — impute upstream. */
+  def doremiWeights(df: DataFrame, domainCol: String,
+                    featureCols: Seq[String], labelCol: String,
+                    steps: Int = 3, eta: Double = 1.0,
+                    itersPerStep: Int = 10, lr: Double = 1.0,
+                    maxDomains: Int = 10000): DoremiResult = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(maxDomains >= 1, s"maxDomains must be >= 1, got $maxDomains")
+    val spark = df.sparkSession
+
+    // narrow projection cached ONCE for the whole loop: every refit and
+    // every loss pass re-projects from it instead of rescanning the corpus
+    val narrow = df.select(
+        col(domainCol).cast("string").as("__d") +:
+          col(labelCol).cast("double").as("__y") +:
+          featureCols.zipWithIndex.map { case (c, j) =>
+            col(c).cast("double").as(s"__x$j") }: _*)
+      .where(col("__y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(narrow.where(col("__d").isNull).isEmpty,
+        "NULL domain values — impute or drop upstream")
+      // domain shares: the reference mixture the weights are measured
+      // against (collect is K rows — a model artifact, same contract as
+      // the trainer's partition sums)
+      val counts = narrow.groupBy("__d").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1)
+      require(counts.length <= maxDomains,
+        s"${counts.length} domains exceeds maxDomains=$maxDomains — " +
+          "domain weights are a model artifact; coarsen the domain column")
+      val domains = counts.map(_._1)
+      val k = domains.length
+      val n = counts.map(_._2).sum.toDouble
+      val share = counts.map { case (_, c) => c / n }.toArray
+      val xCols = featureCols.indices.map(j => s"__x$j")
+
+      val ref = LogisticRegression.trainWeighted(narrow, xCols, "__y",
+        lit(1.0), iters = itersPerStep, lr = lr)
+      val refLoss = domainLosses(narrow, domains, xCols, ref)
+
+      var w = Array.fill(k)(1.0 / k)
+      var model = ref
+      var excess = Array.fill(k)(0.0)
+      var lastLoss = refLoss
+      (1 to steps).foreach { _ =>
+        // per-example importance weight w(d)/share(d), one codegen'd chain
+        val wOf = domains.zipWithIndex.foldLeft(lit(1.0): Column) {
+          case (acc, (d, i)) =>
+            when(col("__d") === d, lit(w(i) / share(i))).otherwise(acc)
+        }
+        model = LogisticRegression.trainWeighted(narrow, xCols, "__y",
+          wOf, iters = itersPerStep, lr = lr)
+        lastLoss = domainLosses(narrow, domains, xCols, model)
+        excess = Array.tabulate(k)(i => math.max(0.0, lastLoss(i) - refLoss(i)))
+        val unnorm = Array.tabulate(k)(i => w(i) * math.exp(eta * excess(i)))
+        val z = unnorm.sum
+        w = unnorm.map(_ / z)
+      }
+      DoremiResult(
+        domains.indices.map(i => DomainWeight(domains(i), counts(i)._2,
+          refLoss(i), lastLoss(i), excess(i), w(i))).toSeq,
+        ref, model)
+    } finally narrow.unpersist(false)
+  }
+
+  /** Per-domain mean log-loss of a fitted proxy over the narrow frame:
+    * ONE (domain, partition)-keyed aggregation, ≤ K·P rows collected and
+    * folded in sorted (domain, pid) order — bit-deterministic for a fixed
+    * partitioning, driver state K·P doubles. */
+  private def domainLosses(narrow: DataFrame, domains: Array[String],
+                           xCols: Seq[String],
+                           m: LogisticRegression.LogRegModel): Array[Double] = {
+    val margin = m.weights.foldLeft(lit(m.bias): Column) {
+      case (acc, (c, wj)) => acc + lit(wj) * col(c)
+    }
+    val lossRow = greatest(margin, lit(0.0)) - col("__y") * margin +
+      log1p(exp(-abs(margin)))
+    val rows = narrow
+      .groupBy(col("__d"), spark_partition_id().as("__pid"))
+      .agg(sum(lossRow).as("__l"), count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val idx = domains.zipWithIndex.toMap
+    val sums = Array.fill(domains.length)(0.0)
+    val ns = Array.fill(domains.length)(0L)
+    rows.foreach { case (d, _, l, c) =>
+      val i = idx(d); sums(i) += l; ns(i) += c
+    }
+    Array.tabulate(domains.length)(i =>
+      if (ns(i) == 0) 0.0 else sums(i) / ns(i))
+  }
+}
