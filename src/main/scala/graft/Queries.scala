@@ -4275,6 +4275,41 @@ FROM ag ORDER BY score DESC, passage_id LIMIT 20"""))
     },
     None)
 
+  private val x70 = DeclaredQuery("x70_ngram_diversity",
+    // corpus diversity per language (Relevance.ngramDiversity): the
+    // distinct-1/distinct-2 metrics — unigram and bigram type/instance
+    // ratios over lowercased tokens, the standard quick read on
+    // repetitiveness per corpus slice. One explode + count/count_distinct
+    // per order, both partial-agg map-side; the ratios are exact-integer
+    // divisions, so the doubles hash-match without rounding.
+    (s, d) => graft.operators.Relevance
+      .ngramDiversity(t(s, d, "documents"), "lang", "text")
+      .orderBy("lang"),
+    Some("""WITH base AS (
+  SELECT lang, list_transform(
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0),
+    t -> lower(t)) AS toks
+  FROM documents WHERE lang IS NOT NULL),
+uni AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types
+  FROM (SELECT lang, unnest(toks) AS g FROM base) GROUP BY lang),
+bi AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_bigram_types
+  FROM (SELECT lang, unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i + 1])) AS g FROM base)
+  GROUP BY lang)
+SELECT u.lang, n_tokens, n_types,
+       COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       COALESCE(n_bigram_types, CAST(0 AS BIGINT)) AS n_bigram_types,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_1,
+       CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN NULL
+            ELSE CAST(n_bigram_types AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       END AS distinct_2
+FROM uni u LEFT JOIN bi USING (lang)
+ORDER BY lang"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4373,7 +4408,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x66, x67, x68, x69, x10d, x10e, x10f)
+    x62, x63, x64, x65, x66, x67, x68, x69, x70, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -288,6 +288,50 @@ object Relevance {
     * over AT MOST `topN` rows, so its single-partition sort is
     * constant-bounded at any corpus size. Rank ties at the cut break
     * deterministically by term. */
+  /** Corpus diversity via distinct-n-gram ratios — the distinct-1 /
+    * distinct-2 metrics of Li et al. (NAACL 2016), the standard quick read
+    * on repetitiveness and mode collapse per corpus slice: for each
+    * `groupCol` value, the unigram and bigram TYPE counts over lowercased
+    * whitespace tokens, divided by the corresponding instance counts.
+    * A slice of boilerplate scores near 0; fully novel text scores near 1.
+    *
+    * Shape: one explode per n-gram order into a (group, gram) frame, each
+    * aggregated with count + count_distinct (both partial-aggregate
+    * map-side; the distinct shuffles on (group, gram) — vocabulary-keyed,
+    * Zipf-headed, AQE-splittable), then a |groups|-row join. The ratios
+    * are one exact-integer division each, so the doubles are bit-identical
+    * across engines — fully oracle-able, no rounding needed. Documents
+    * with < 2 tokens contribute zero bigrams (not a collapsed shingle —
+    * this counts real bigrams, unlike the near-dup featurizer's
+    * short-text fallback). NULL groups are excluded. */
+  def ngramDiversity(df: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val toks = transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+    val base = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), toks.as("__t"))
+    val uni = base.select(col("grp"), explode(col("__t")).as("g"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"), count_distinct(col("g")).as("n_types"))
+    val bi = base.select(col("grp"),
+        explode(when(size(col("__t")) < 2,
+            array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("__t")) - 1),
+            i => concat_ws(" ", element_at(col("__t"), i),
+              element_at(col("__t"), i + 1))))).as("g"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("g")).as("n_bigram_types"))
+    uni.join(bi, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_tokens"), col("n_types"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_bigram_types"), lit(0L)).as("n_bigram_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_1"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(null))
+          .otherwise(col("n_bigram_types").cast("double")
+            / col("n_bigrams").cast("double")).as("distinct_2"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
     val top = df

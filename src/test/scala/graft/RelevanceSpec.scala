@@ -191,4 +191,29 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got(("p", "r"))._1 == 0L)
     assert(math.abs(got(("p", "r"))._2 - math.log(2.0)) < 1e-12)
   }
+
+  test("ngramDiversity: hand-counted types and instances; short-doc edges") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: "the cat the cat" + "The dog" →
+      //   unigrams: [the, cat, the, cat, the, dog] = 6 inst, 3 types
+      //   bigrams: [the cat, cat the, the cat] + [the dog] = 4 inst, 3 types
+      (1L, "a", "the cat the cat"), (2L, "a", "The dog"),
+      // group b: a 1-token doc (zero bigrams) + an empty doc (nothing)
+      (3L, "b", "solo"), (4L, "b", ""),
+      // group c: NULL group — excluded entirely
+      (5L, null.asInstanceOf[String], "ghost words")).toDF("doc_id", "g", "text")
+    val got = Relevance.ngramDiversity(df, "g", "text")
+      .orderBy("g").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = got(0)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4))
+      == ((6L, 3L, 4L, 3L)))
+    assert(a.getDouble(5) == 3.0 / 6.0 && a.getDouble(6) == 3.0 / 4.0)
+    val b = got(1)
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
+      == ((1L, 1L, 0L, 0L)))
+    assert(b.getDouble(5) == 1.0 && b.isNullAt(6),
+      "zero bigrams must yield NULL distinct_2, not a division artifact")
+  }
 }
