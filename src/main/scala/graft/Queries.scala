@@ -4310,6 +4310,113 @@ SELECT u.lang, n_tokens, n_types,
 FROM uni u LEFT JOIN bi USING (lang)
 ORDER BY lang"""))
 
+  private val x71 = DeclaredQuery("x71_scd2_historize",
+    // SCD2 historization (History.historize): each user's event_type
+    // observations become validity intervals — valid_from at each state
+    // change, valid_to chained from the next change, NULL while current.
+    // The warehouse complement of x48's keepLatest (state NOW vs state
+    // WHEN); one key shuffle + one sort feeding both window passes
+    // (exchange reuse pinned in HistorySpec). The oracle is the identical
+    // LAG-change / LEAD-close window spelling.
+    (s, d) => graft.operators.History.historize(
+        t(s, d, "events").select("event_id", "ts", "user_id", "event_type"),
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+        stateCols = Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("from_event_id"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "from_event_id"),
+    Some("""WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+c AS (SELECT user_id, event_type, ts, event_id FROM o
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+s AS (SELECT user_id, event_type, ts AS valid_from, event_id AS from_event_id,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM c)
+SELECT user_id, event_type, valid_from, from_event_id, valid_to,
+       valid_to IS NULL AS is_current
+FROM s ORDER BY user_id, valid_from, from_event_id"""))
+
+  private val x72 = DeclaredQuery("x72_preference_pairs",
+    // RLHF/DPO preference-pair construction (Preferences.bestVsRest):
+    // within each source, the top-scored document against every candidate
+    // at least 50 points below it — the InstructGPT "clear winner"
+    // labeling recipe. Single window pass (the winner rides along as
+    // first_value — no self-join); the oracle is the identical
+    // FIRST_VALUE spelling. Margins are differences of integer-valued
+    // doubles, so the hash matches without rounding.
+    (s, d) => graft.operators.Preferences.bestVsRest(
+        t(s, d, "documents"), "source", "doc_id",
+        col("n_chars").cast("double"), minMargin = 50.0)
+      .orderBy("source", "rejected_id"),
+    Some("""WITH r AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS chosen_id,
+         FIRST_VALUE(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS chosen_score
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, chosen_id, doc_id AS rejected_id, chosen_score,
+       s AS rejected_score, chosen_score - s AS margin
+FROM r WHERE rk > 1 AND chosen_score - s >= 50
+ORDER BY source, rejected_id"""))
+
+  private val x72b = DeclaredQuery("x72b_adjacent_pairs",
+    // the "hardest informative pairs" policy (Preferences.adjacentPairs):
+    // consecutive candidates in (score DESC, id ASC) order with gap >= 5 —
+    // near-boundary comparisons, the pairs DPO ablations favor. A lag in
+    // the same single window; LAG is the oracle spelling too.
+    (s, d) => graft.operators.Preferences.adjacentPairs(
+        t(s, d, "documents"), "source", "doc_id",
+        col("n_chars").cast("double"), minMargin = 5.0)
+      .orderBy("source", "rejected_id"),
+    Some("""WITH r AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s,
+         LAG(doc_id) OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS chosen_id,
+         LAG(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY source
+           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS chosen_score
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, chosen_id, doc_id AS rejected_id, chosen_score,
+       s AS rejected_score, chosen_score - s AS margin
+FROM r WHERE chosen_id IS NOT NULL AND chosen_score - s >= 5
+ORDER BY source, rejected_id"""))
+
+  private val x73 = DeclaredQuery("x73_kll_quantile_sketch",
+    // per-language KLL quantile-sketch artifact over document token counts
+    // (SketchStats.kllSketchByGroup + the graft_kll_agg
+    // TypedImperativeAggregate): the DISTRIBUTIONS member of the sketch
+    // roster (HLL distinct x31b/x58, MG/CMS frequency x31c/x47, theta set
+    // algebra x58b — now quantiles). Rows-only, SELF-VALIDATING in RANK
+    // space, the actual KLL guarantee: for each group the sketch's rank of
+    // the EXACT p50/p90 (computed in-entry with the exact percentile
+    // aggregate at gate scale) must sit within 3× the k=200 normalized
+    // rank-error bound of 0.5/0.9. Sketch BYTES are not run-deterministic
+    // (random compaction bit — the HLL HIP precedent), the bound is.
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("lang"),
+        size(split(col("text"), " ")).cast("double").as("v"))
+      val sk = graft.operators.SketchStats.kllSketchByGroup(docs, "lang", col("v"))
+      val exact = docs.groupBy("lang").agg(
+        expr("percentile(v, 0.5D)").as("p50_exact"),
+        expr("percentile(v, 0.9D)").as("p90_exact"))
+      val eps = lit(3 * graft.plans.KllAggregate.normalizedRankError(200))
+      sk.join(exact, "lang")
+        .select(col("lang"), col("n_rows"),
+          round2(col("p50_exact")).as("p50_exact"),
+          round2(col("p90_exact")).as("p90_exact"),
+          (abs(graft.operators.SketchStats.kllRank(col("sketch"),
+            col("p50_exact")) - 0.5) <= eps).as("p50_rank_ok"),
+          (abs(graft.operators.SketchStats.kllRank(col("sketch"),
+            col("p90_exact")) - 0.9) <= eps).as("p90_rank_ok"))
+        .orderBy("lang")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4408,7 +4515,8 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x66, x67, x68, x69, x70, x10d, x10e, x10f)
+    x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

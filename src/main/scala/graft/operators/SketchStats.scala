@@ -128,6 +128,50 @@ object SketchStats {
   }
 
   /** Persist / load an artifact (either family, global or per-group). */
+  /** Per-group KLL quantile artifacts (one row per group, `k` the
+    * DataSketches accuracy parameter): the DISTRIBUTIONS member of the
+    * sketch roster — persist once, answer "what is p50/p99 of document
+    * length in this slice" forever without rescanning, and fold new
+    * batches in with [[mergeKllByGroup]]. Guarantee is the normalized
+    * RANK error bound `graft.plans.KllAggregate.normalizedRankError(k)`
+    * (~1.65% at k=200), not reproducible bytes — KLL compaction keeps odd
+    * or even survivors by a random bit, the same honest-nondeterminism
+    * contract as the HLL HIP estimator. */
+  def kllSketchByGroup(df: DataFrame, groupCol: String, valueExpr: Column,
+                       k: Int = 200): DataFrame = {
+    require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.groupBy(groupCol)
+      .agg(call_function("graft_kll_agg",
+          valueExpr.cast("double"), lit(k)).as("sketch"),
+        lit(k).as("kll_k"), count(valueExpr).as("n_rows"))
+  }
+
+  /** Fold a batch's per-group KLL artifacts into a persisted state — the
+    * BINARY input mode of the same aggregate (merge, not re-build), so
+    * maintenance never touches raw values. Groups new to either side pass
+    * through; `k` must match (the merge degrades to the smaller k by the
+    * DataSketches rule, surfaced via `min(kll_k)`). */
+  def mergeKllByGroup(state: DataFrame, batch: DataFrame,
+                      groupCol: String): DataFrame = {
+    graft.plans.HashExpressions.register(state.sparkSession)
+    val k = state.select(min(col("kll_k"))).head().getInt(0)
+    state.select(col(groupCol), col("sketch"), col("kll_k"), col("n_rows"))
+      .unionByName(batch.select(col(groupCol), col("sketch"), col("kll_k"),
+        col("n_rows")))
+      .groupBy(groupCol)
+      .agg(call_function("graft_kll_agg", col("sketch"), lit(k)).as("sketch"),
+        min(col("kll_k")).as("kll_k"), sum(col("n_rows")).as("n_rows"))
+  }
+
+  /** Quantile estimate column over a KLL artifact's sketch column. */
+  def kllQuantile(sketch: Column, p: Double): Column =
+    call_function("graft_kll_quantile", sketch, lit(p))
+
+  /** Normalized-rank estimate column over a KLL artifact's sketch column. */
+  def kllRank(sketch: Column, v: Column): Column =
+    call_function("graft_kll_rank", sketch, v.cast("double"))
+
   def save(artifact: DataFrame, path: String): Unit =
     artifact.coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -229,6 +229,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_topk_rows"),
       new ExpressionInfo(classOf[TopKRowsAggregate].getName, "graft_topk_rows"),
       exprs => TopKRowsAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllAggregate].getName, "graft_kll_agg"),
+      exprs => KllAggregate(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "graft_kll_quantile"),
+      exprs => KllQuantileExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_kll_rank"),
+      new ExpressionInfo(classOf[KllRankExpr].getName, "graft_kll_rank"),
+      exprs => KllRankExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -292,5 +301,11 @@ object HashExpressions {
       exprs => LatestAggregate(exprs(0), exprs(1), earliest = true), "built-in")
     reg.createOrReplaceTempFunction("graft_topk_rows",
       exprs => TopKRowsAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kll_agg",
+      exprs => KllAggregate(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kll_quantile",
+      exprs => KllQuantileExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kll_rank",
+      exprs => KllRankExpr(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -118,4 +118,65 @@ class SketchStatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SketchStats.hllSketchByGroup(df, "id", col("key"), lgK = 30))
   }
+
+  test("KLL: quantiles within the rank-error bound of exact, any partitioning") {
+    // values 1..2000 in one group, shuffled across partitions: the sketch's
+    // p-quantile must sit within ±3ε ranks of p·n (ε = the k=200 bound,
+    // ~1.65%; the contract is the bound, not reproducible bytes)
+    val df = (1L to 2000L).map(i => ("g", ((i * 977) % 2000 + 1).toDouble))
+      .toDF("grp", "v").repartition(7)
+    val sk = SketchStats.kllSketchByGroup(df, "grp", col("v"))
+    val eps = graft.plans.KllAggregate.normalizedRankError(200)
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { p =>
+      val q = sk.select(SketchStats.kllQuantile(col("sketch"), p))
+        .head().getDouble(0)
+      // true rank of the returned value is q/2000 (values are exactly 1..n)
+      assert(math.abs(q / 2000.0 - p) <= 3 * eps,
+        s"p=$p returned $q (rank ${q / 2000.0}), bound $eps")
+    }
+    assert(sk.head().getAs[Long]("n_rows") == 2000L)
+  }
+
+  test("KLL: per-group artifacts fold incrementally without raw values") {
+    val a = SketchStats.kllSketchByGroup(
+      (1L to 500L).map(i => ("x", i.toDouble)).toDF("grp", "v"), "grp", col("v"))
+    val b = SketchStats.kllSketchByGroup(
+      (501L to 1000L).map(i => ("x", i.toDouble)).toDF("grp", "v") union
+        (1L to 100L).map(i => ("y", i.toDouble)).toDF("grp", "v"),
+      "grp", col("v"))
+    val merged = SketchStats.mergeKllByGroup(a, b, "grp")
+      .orderBy("grp").collect()
+    assert(merged.map(_.getString(0)).toSeq == Seq("x", "y"),
+      "new groups must appear, existing survive")
+    val x = merged(0)
+    assert(x.getAs[Long]("n_rows") == 1000L)
+    // the merged sketch spans BOTH halves: its median must sit near 500
+    val med = SketchStats.mergeKllByGroup(a, b, "grp")
+      .where(col("grp") === "x")
+      .select(SketchStats.kllQuantile(col("sketch"), 0.5)).head().getDouble(0)
+    assert(med > 400 && med < 600, s"merged median $med not spanning halves")
+  }
+
+  test("KLL: rank probe inverts the quantile probe; empty sketch yields NULL") {
+    val df = (1L to 1000L).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val sk = SketchStats.kllSketchByGroup(df, "grp", col("v"))
+    val r = sk.select(SketchStats.kllRank(col("sketch"), lit(250.0)))
+      .head().getDouble(0)
+    assert(math.abs(r - 0.25) < 0.05, s"rank of 250/1000 read $r")
+    // a group whose values are all NULL builds an EMPTY sketch → NULL probes
+    val empty = SketchStats.kllSketchByGroup(
+      Seq(("e", null.asInstanceOf[java.lang.Double])).toDF("grp", "v"),
+      "grp", col("v"))
+    assert(empty.select(SketchStats.kllQuantile(col("sketch"), 0.5))
+      .head().isNullAt(0))
+  }
+
+  test("KLL: artifact round-trips through parquet") {
+    val df = (1L to 800L).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val p = java.nio.file.Files.createTempDirectory("kll_art").toString + "/a"
+    SketchStats.save(SketchStats.kllSketchByGroup(df, "grp", col("v")), p)
+    val q = SketchStats.load(spark, p)
+      .select(SketchStats.kllQuantile(col("sketch"), 0.5)).head().getDouble(0)
+    assert(q > 300 && q < 500, s"round-tripped median $q")
+  }
 }
