@@ -4206,12 +4206,10 @@ FROM ag ORDER BY score DESC, passage_id LIMIT 20"""))
         .select("event_id", "ts", "user_id", "event_type", "value")
       val tmp = java.nio.file.Files.createTempDirectory("graft-x68")
       val ingest = tmp.resolve("ingest").toString
-      // four deterministic replay units (any split works — the point is
-      // the state must fold across batch boundaries, not within one)
-      (0 until 4).foreach { i =>
-        ev.where(pmod(col("event_id"), lit(4)) === i)
-          .coalesce(1).write.mode("append").parquet(ingest)
-      }
+      // four replay units in ONE write job (any split works — the point is
+      // the state must fold across batch boundaries, not within one, and
+      // keepLatest semantics make the result file-order independent)
+      ev.repartition(4).write.mode("overwrite").parquet(ingest)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
       val sink = s"x68_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
