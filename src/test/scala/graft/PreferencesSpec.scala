@@ -54,6 +54,51 @@ class PreferencesSpec extends AnyFunSuite {
     assert(margin == Seq((1L, 2L), (3L, 4L), (6L, 8L)))
   }
 
+  test("rewardModelTrainingFrame: symmetrized diffs; duplicate feats fail loud") {
+    val feats = Seq((1L, 4.0, 1.0), (2L, 2.0, 3.0), (3L, 1.0, 0.0))
+      .toDF("cid", "x1", "x2")
+    val pairs = Seq(("p", 1L, 2L), ("p", 1L, 3L))
+      .toDF("prompt", "chosen_id", "rejected_id")
+    val frame = Preferences.rewardModelTrainingFrame(
+      pairs, feats, "cid", Seq("x1", "x2"))
+    val rows = frame.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    // (1,2): Δ=(2,-2); (1,3): Δ=(3,1); each symmetrized
+    assert(rows == Seq((-3.0, -1.0, 0.0), (-2.0, 2.0, 0.0),
+      (2.0, -2.0, 1.0), (3.0, 1.0, 1.0)))
+    val dup = feats.union(feats)
+    val e = intercept[IllegalArgumentException] {
+      Preferences.rewardModelTrainingFrame(pairs, dup, "cid", Seq("x1"))
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("Bradley-Terry fit recovers a separable preference rule exactly") {
+    // true score = 2*x1 - x2; pairs from bestVsRest on that score — the
+    // fitted reward model must reproduce EVERY pairwise ordering, and the
+    // symmetrized objective must keep the bias at ~0
+    val feats = (1L to 60L).map { i =>
+      val x1 = (i % 7).toDouble; val x2 = (i % 5).toDouble
+      (s"g${i % 6}", i, x1, x2, 2 * x1 - x2)
+    }.toDF("grp", "cid", "x1", "x2", "score").repartition(4)
+    val pairs = Preferences.bestVsRest(feats, "grp", "cid", col("score"),
+      minMargin = 0.5)
+    val frame = Preferences.rewardModelTrainingFrame(
+      pairs, feats.select("cid", "x1", "x2"), "cid", Seq("x1", "x2"))
+    val m = graft.operators.LogisticRegression.train(
+      frame, Seq("d_x1", "d_x2"), "y", iters = 40)
+    assert(math.abs(m.bias) < 1e-6, s"symmetry must pin the bias: ${m.bias}")
+    val wMap = m.weights.toMap
+    val scored = feats.select(col("cid"),
+      (lit(wMap("d_x1")) * col("x1") + lit(wMap("d_x2")) * col("x2")).as("r"))
+    val acc = pairs
+      .join(scored.select(col("cid").as("chosen_id"), col("r").as("rc")), "chosen_id")
+      .join(scored.select(col("cid").as("rejected_id"), col("r").as("rr")), "rejected_id")
+      .select(avg(when(col("rc") > col("rr"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc == 1.0, s"separable rule must be fully recovered, got $acc")
+  }
+
   test("single shuffle: both policies stay inside the ranking window") {
     Seq(
       Preferences.bestVsRest(cands, "prompt", "cid", col("score")),
