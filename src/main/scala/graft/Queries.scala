@@ -4476,6 +4476,32 @@ ORDER BY source, rejected_id"""))
     },
     None)
 
+  private val x75 = DeclaredQuery("x75_vocab_coverage",
+    // top-K vocabulary coverage curve (Relevance.vocabCoverage): the
+    // tokenizer-design read "how much of the corpus does a K-entry vocab
+    // cover". One vocabulary-keyed count shuffle + a TakeOrdered head;
+    // the rank window runs over <= max(K) rows only. Exact integers and
+    // one division — oracled without rounding.
+    (s, d) => graft.operators.Relevance
+      .vocabCoverage(t(s, d, "documents"), "text", Seq(10, 100, 1000))
+      .orderBy("k"),
+    Some("""WITH tok AS (
+  SELECT lower(t) AS term FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      x -> length(x) > 0)) AS t FROM documents)),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank,
+        CAST(SUM(c) OVER (ORDER BY c DESC, term
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM c),
+k(k) AS (VALUES (10), (100), (1000)),
+cov AS (SELECT k, MAX(cum) AS covered_tokens FROM k JOIN r ON r.rank <= k
+        GROUP BY k)
+SELECT k, covered_tokens, tot AS total_tokens,
+       CAST(covered_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
+FROM cov CROSS JOIN total ORDER BY k"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4575,7 +4601,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x10d, x10e, x10f)
+    x75, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

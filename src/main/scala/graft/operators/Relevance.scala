@@ -332,6 +332,49 @@ object Relevance {
             / col("n_bigrams").cast("double")).as("distinct_2"))
   }
 
+  /** Top-K vocabulary coverage curve — the tokenizer-design question "what
+    * fraction of token INSTANCES does a K-entry vocabulary cover": for each
+    * requested K, the instance count and fraction covered by the K most
+    * frequent (lowercased) tokens, ties broken lexicographically so the
+    * curve is deterministic.
+    *
+    * Shape: ONE vocabulary-keyed count shuffle (partial-agg map-side),
+    * persisted for its two consumers (the total and the top); the top-maxK
+    * extraction is a TakeOrdered (distributed heads, never a global sort),
+    * and the rank/cumulative window runs over ≤ maxK rows — a
+    * model-artifact-sized frame, the only single-partition step. K beyond
+    * the vocabulary saturates at coverage 1. */
+  def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"ks must be positive and non-empty, got $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxK = ks.max
+    val counts = df
+      .select(explode(transform(TextAnalysis.tokens(col(textCol)),
+        t => lower(t))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum("c")).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("c"), col("term"))
+    val ranked = counts.orderBy(desc("c"), col("term")).limit(maxK)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum",
+        sum("c").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val out = ks.distinct.sorted.toDF("k")
+      .join(ranked.select(col("rank"), col("cum")), col("rank") <= col("k"))
+      .groupBy("k")
+      .agg(max("cum").as("covered_tokens"))
+      .select(col("k"), col("covered_tokens"),
+        lit(total).as("total_tokens"),
+        (col("covered_tokens").cast("double") / lit(total).cast("double"))
+          .as("coverage"))
+    CacheOps.materializeAndRelease(out, counts)
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
     val top = df

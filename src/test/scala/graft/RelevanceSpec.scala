@@ -216,4 +216,20 @@ class RelevanceSpec extends AnyFunSuite {
     assert(b.getDouble(5) == 1.0 && b.isNullAt(6),
       "zero bigrams must yield NULL distinct_2, not a division artifact")
   }
+
+  test("vocabCoverage: hand-counted curve, K beyond vocab saturates at 1") {
+    import spark.implicits._
+    // counts: the=4, cat=3, dog=2, sat=1 → total 10
+    val df = Seq((1L, "the cat the dog"), (2L, "The cat sat the dog cat"))
+      .toDF("doc_id", "text")
+    val got = Relevance.vocabCoverage(df, "text", Seq(1, 2, 99))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1, 4L, 10L, 0.4), (2, 7L, 10L, 0.7), (99, 10L, 10L, 1.0)))
+    intercept[IllegalArgumentException](
+      Relevance.vocabCoverage(df, "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      Relevance.vocabCoverage(df, "text", Seq(0)))
+  }
 }
