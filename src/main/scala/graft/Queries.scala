@@ -4502,6 +4502,40 @@ SELECT k, covered_tokens, tot AS total_tokens,
        CAST(covered_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
 FROM cov CROSS JOIN total ORDER BY k"""))
 
+  private val x76 = DeclaredQuery("x76_embedding_drift",
+    // embedding-space drift (Profiling.embeddingCentroidDrift): centroid
+    // cosine / L2 / norm ratio between two corpus halves — the
+    // representation-shift alarm next to the scalar PSI (x39) and the
+    // vocabulary JSD (x43). Per side one dimension-keyed mean aggregation
+    // (D-row frames, never corpus-sized), a D-row join, a 1-row
+    // reduction; 4-decimal rounded (double sums fold in engine order —
+    // the correlation-matrix contract), oracled by the same spelling.
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Profiling.embeddingCentroidDrift(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        emb.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+    },
+    Some("""WITH a AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+am AS (SELECT dim, AVG(x) AS a FROM a GROUP BY dim),
+b AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+bm AS (SELECT dim, AVG(x) AS b FROM b GROUP BY dim),
+j AS (SELECT am.a, bm.b FROM am JOIN bm USING (dim)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims, SUM(a * b) AS dot,
+               SUM(a * a) AS na, SUM(b * b) AS nb,
+               SUM((a - b) * (a - b)) AS d2 FROM j)
+SELECT n_dims,
+       FLOOR(dot / SQRT(na * nb) * 10000 + 0.5) / 10000 AS centroid_cosine,
+       FLOOR(SQRT(d2) * 10000 + 0.5) / 10000 AS centroid_l2,
+       FLOOR(SQRT(nb / na) * 10000 + 0.5) / 10000 AS norm_ratio
+FROM agg"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4601,7 +4635,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x10d, x10e, x10f)
+    x75, x76, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

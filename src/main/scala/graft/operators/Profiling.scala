@@ -419,4 +419,39 @@ object Profiling {
     }
     row.select(explode(array(stageStructs: _*)).as("s")).select(col("s.*"))
   }
+
+  /** EMBEDDING-space drift between two corpus versions — did the
+    * representation shift, not just the scalar signals ([[distributionDrift]])
+    * or the vocabulary ([[graft.operators.Relevance.vocabJsDivergence]]):
+    * compare the two sides' centroid vectors by cosine, L2 distance, and
+    * norm ratio. A re-crawl that only adds more-of-the-same keeps cosine
+    * ≈ 1; topic or pipeline shifts (new language mix, a changed embedder)
+    * pull it down — the cheap first alarm before anything expensive like
+    * re-clustering.
+    *
+    * Shape: per side, one dimension-keyed mean aggregation (posexplode →
+    * D-row partial-agg frame — D rows per side TOTAL, never corpus-sized),
+    * a D-row join, and a 1-row reduction. The two side scans are
+    * independent jobs. Double sums fold in engine order, so values are
+    * reproducible to rounding, not bit-exact — outputs are 4-decimal
+    * rounded, the same contract as the correlation matrix. */
+  def embeddingCentroidDrift(ref: DataFrame, cur: DataFrame,
+                             vecCol: String): DataFrame = {
+    def centroid(df: DataFrame, name: String): DataFrame = df
+      .where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy("dim").agg(avg(col("__x").cast("double")).as(name))
+    val round4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    centroid(ref, "a").join(centroid(cur, "b"), Seq("dim"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("a") * col("b")).as("__dot"),
+        sum(col("a") * col("a")).as("__na"),
+        sum(col("b") * col("b")).as("__nb"),
+        sum((col("a") - col("b")) * (col("a") - col("b"))).as("__d2"))
+      .select(col("n_dims"),
+        round4(col("__dot") / sqrt(col("__na") * col("__nb")))
+          .as("centroid_cosine"),
+        round4(sqrt(col("__d2"))).as("centroid_l2"),
+        round4(sqrt(col("__nb") / col("__na"))).as("norm_ratio"))
+  }
 }

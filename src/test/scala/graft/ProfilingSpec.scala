@@ -271,6 +271,22 @@ class ProfilingSpec extends AnyFunSuite {
       && out.head.isNullAt(5))
   }
 
+  test("embeddingCentroidDrift: identical sides exact, orthogonal sides zero") {
+    val a = Seq((1L, Seq(1.0f, 0.0f, 2.0f)), (2L, Seq(3.0f, 0.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val same = Profiling.embeddingCentroidDrift(a, a, "embedding").head()
+    assert(same.getLong(0) == 3L)
+    assert(same.getDouble(1) == 1.0 && same.getDouble(2) == 0.0 &&
+      same.getDouble(3) == 1.0,
+      s"identical sides must read cosine 1, l2 0, ratio 1 EXACTLY: $same")
+    // side B lives on the dimension side A never touches → cosine 0
+    val b = Seq((3L, Seq(0.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val orth = Profiling.embeddingCentroidDrift(a, b, "embedding").head()
+    assert(orth.getDouble(1) == 0.0, s"orthogonal centroids: $orth")
+    // norm ratio = |b| / |a|: centroid a = (2, 0, 3), b = (0, 5, 0)
+    assert(math.abs(orth.getDouble(3) - 5.0 / math.sqrt(13.0)) < 1e-3)
+  }
+
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap
