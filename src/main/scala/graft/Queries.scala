@@ -4536,6 +4536,39 @@ SELECT n_dims,
        FLOOR(SQRT(nb / na) * 10000 + 0.5) / 10000 AS norm_ratio
 FROM agg"""))
 
+  private val x77 = DeclaredQuery("x77_padding_audit",
+    // padding-efficiency audit (Packing.paddingAudit): pad-to-longest
+    // waste of 32-row batches under the reproducible shuffled order
+    // (x25's sha256 spec) vs length-sorted order — the number that
+    // decides whether a length-bucketing sampler is worth its bias. The
+    // global row index is the distributed-scan recipe, never a
+    // single-partition window; the ORACLE is the ROW_NUMBER window
+    // spelling, so the hash match re-proves recipe ≡ window (the x63
+    // contract) on a second construction. Exact integers + one division.
+    (s, d) => graft.operators.Packing.paddingAudit(
+        t(s, d, "documents"), "doc_id",
+        size(split(col("text"), " ")).cast("long"),
+        batchSize = 32, salt = "b1")
+      .orderBy("ordering"),
+    Some("""WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+sh AS (SELECT n, CAST(FLOOR((ROW_NUMBER() OVER (
+         ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':b1'), doc_id) - 1)
+         / 32) AS BIGINT) AS b FROM t),
+so AS (SELECT n, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1)
+         / 32) AS BIGINT) AS b FROM t),
+per AS (
+  SELECT 'shuffled' AS ordering, b, MAX(n) AS mx, COUNT(*) AS c, SUM(n) AS s
+  FROM sh GROUP BY b
+  UNION ALL
+  SELECT 'sorted', b, MAX(n), COUNT(*), SUM(n) FROM so GROUP BY b)
+SELECT ordering, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(s) AS BIGINT) AS total_tokens,
+       CAST(SUM(mx * c) AS BIGINT) AS padded_tokens,
+       1.0 - CAST(SUM(s) AS DOUBLE) / CAST(SUM(mx * c) AS DOUBLE) AS waste_ratio
+FROM per GROUP BY ordering ORDER BY ordering"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4635,7 +4668,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x76, x10d, x10e, x10f)
+    x75, x76, x77, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

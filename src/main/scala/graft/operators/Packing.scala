@@ -201,4 +201,69 @@ object Packing {
   def packSummary(assignment: DataFrame): DataFrame =
     assignment.groupBy(col("bin_first").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+
+  /** Padding-efficiency audit — the batch-shape planning question for a
+    * pad-to-longest trainer: fill batches of `batchSize` rows under (a)
+    * the reproducible shuffled order (sha256(id:salt), the
+    * [[Sampling.deterministicShuffle]] spec) and (b) length-sorted order,
+    * and report each ordering's padded-slot waste. Sorted batching puts
+    * like-sized sequences together, so its waste is the floor the shuffle
+    * pays a premium over — the number that decides whether a length-
+    * bucketing sampler is worth its shuffle-order bias.
+    *
+    * Output one row per ordering: (ordering, n_batches, total_tokens,
+    * padded_tokens = Σ_batch max·rows, waste_ratio = 1 − total/padded) —
+    * exact integers and one division, so fully oracle-able against the
+    * ROW_NUMBER window spelling.
+    *
+    * Shape: the global row index is the distributed-scan recipe (range
+    * partition on the order key → per-partition COUNTS prefix-scanned on
+    * the driver → partition-local row_number + offset — O(partitions)
+    * driver longs, never a single-partition window), once per ordering;
+    * everything after is a batch-keyed partial aggregate. */
+  def paddingAudit(df: DataFrame, idCol: String, nTokens: Column,
+                   batchSize: Int, salt: String,
+                   partitions: Int = 0): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val narrow = df.select(col(idCol),
+      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+    def audit(name: String, orderKey: Column): DataFrame = {
+      val base = narrow
+        .select(col(idCol), col("n_tokens"), orderKey.as("__key"))
+        .repartitionByRange(p, col("__key"), col(idCol))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+        acc + counts.getOrElse(i, 0L))
+      val offsetOf = element_at(
+        map(offsets.take(p).zipWithIndex
+          .flatMap { case (o, i) => Seq(lit(i), lit(o)) }: _*),
+        col("__pid"))
+      val w = Window.partitionBy("__pid").orderBy(col("__key"), col(idCol))
+      val out = base
+        .withColumn("__b",
+          floor((offsetOf + row_number().over(w) - 1).cast("double")
+            / batchSize).cast("long"))
+        .groupBy("__b")
+        .agg(max("n_tokens").as("__mx"), count(lit(1)).as("__c"),
+          sum("n_tokens").as("__s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("__s").as("total_tokens"),
+          sum(col("__mx") * col("__c")).as("padded_tokens"))
+        .select(lit(name).as("ordering"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          (lit(1.0) - col("total_tokens").cast("double")
+            / col("padded_tokens").cast("double")).as("waste_ratio"))
+      CacheOps.materializeAndRelease(out, base)
+    }
+    audit("shuffled",
+        sha2(concat_ws(":", col(idCol).cast("string"), lit(salt)), 256))
+      .unionByName(audit("sorted", col("n_tokens")))
+  }
 }

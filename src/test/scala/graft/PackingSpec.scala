@@ -203,4 +203,39 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Packing.assignTokenShards(df, "doc_id", col("n"), 0L, "s0"))
   }
+
+  test("paddingAudit: sorted waste <= shuffled; uniform lengths waste zero; " +
+    "recipe equals the windowed spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 97L).map(i => (i, (i * 37 % 50 + 1)))
+      .toDF("doc_id", "n").repartition(5)
+    val got = Packing.paddingAudit(df, "doc_id", col("n"), batchSize = 8,
+        salt = "b1")
+      .orderBy("ordering").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val Array(sh, so) = got
+    assert(sh._1 == "shuffled" && so._1 == "sorted")
+    assert(sh._2 == 13L && so._2 == 13L, "ceil(97/8) batches each")
+    assert(sh._3 == so._3, "total tokens identical across orderings")
+    assert(so._5 <= sh._5,
+      s"sorted batching can never waste more: sorted ${so._5} vs ${sh._5}")
+    // differential vs the single-window spelling for the shuffled order
+    val w = Window.orderBy(
+      sha2(concat_ws(":", col("doc_id").cast("string"), lit("b1")), 256),
+      col("doc_id"))
+    val windowed = df
+      .withColumn("__b", floor((row_number().over(w) - 1).cast("double") / 8)
+        .cast("long"))
+      .groupBy("__b")
+      .agg(max("n").as("mx"), count(lit(1)).as("c"), sum("n").as("s"))
+      .agg(sum(col("mx") * col("c"))).head().getLong(0)
+    assert(sh._4 == windowed, "recipe must equal the windowed batching")
+    // uniform lengths: zero waste under BOTH orderings
+    val flat = (1L to 40L).map(i => (i, 7L)).toDF("doc_id", "n")
+    Packing.paddingAudit(flat, "doc_id", col("n"), 8, "z").collect()
+      .foreach(r => assert(r.getDouble(4) == 0.0, s"uniform waste: $r"))
+    intercept[IllegalArgumentException](
+      Packing.paddingAudit(df, "doc_id", col("n"), 0, "b"))
+  }
 }
