@@ -85,7 +85,8 @@ object ScaleSmoke {
     "x68_streaming_latest_replay", "x69_doremi_mixture",
     "x70_ngram_diversity", "x71_scd2_historize", "x72_preference_pairs",
     "x72b_adjacent_pairs", "x73_kll_quantile_sketch",
-    "x74_reward_model", "x75_vocab_coverage", "x76_embedding_drift")
+    "x74_reward_model", "x75_vocab_coverage", "x76_embedding_drift",
+    "x77_padding_audit")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
