@@ -369,4 +369,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"threshold application must be map-only:\n$p")
     assert(!p.contains("Window"), s"no window in the applied plan:\n$p")
   }
+
+  test("x70 diversity counts partial-aggregate before their shuffles") {
+    // both the count and the count_distinct must keep a partial_count on
+    // the map side — the shuffle carries (group, gram) partials, never
+    // raw exploded token rows
+    val p = plan("x70_ngram_diversity")
+    assert(p.contains("partial_count"),
+      s"diversity must partial-aggregate map-side:\n$p")
+  }
+
+  test("x75 vocab coverage: the top-maxK extraction plans as TakeOrdered, " +
+    "never a global vocabulary sort") {
+    // the entry's final plan is checkpoint-backed (materializeAndRelease),
+    // so pin the extraction SHAPE the operator uses: orderBy(...).limit(K)
+    // over an aggregated frame must plan as TakeOrderedAndProject
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val counts = docs
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("term")).limit(1000)
+    val p = counts.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-maxK must be a distributed head:\n$p")
+  }
+
+  test("x71 historization: the change lag and closing lead share ONE key " +
+    "exchange") {
+    val p = plan("x71_scd2_historize")
+    val keyExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(keyExchanges == 1,
+      s"lead must reuse the lag's exchange, found $keyExchanges:\n$p")
+  }
 }
