@@ -4569,6 +4569,52 @@ SELECT ordering, CAST(COUNT(*) AS BIGINT) AS n_batches,
        1.0 - CAST(SUM(s) AS DOUBLE) / CAST(SUM(mx * c) AS DOUBLE) AS waste_ratio
 FROM per GROUP BY ordering ORDER BY ordering"""))
 
+  private val x78 = DeclaredQuery("x78_streaming_vocab_replay",
+    // the OTHER streaming face in the driver gate: documents split into
+    // three replay files, streamed one per micro-batch through
+    // DocumentStreams.vocabTracker — each batch loads the persisted
+    // per-language HLL artifact, folds the batch's words in, and swaps
+    // the state via the Hadoop-FS parked-rename protocol (three swaps per
+    // run, so a regression in the crash-safe swap or the merge contract
+    // breaks this entry). Rows-only SELF-VALIDATING: the final estimates
+    // must sit within 5% of the exact per-language distinct-word counts
+    // computed in-entry (the corpus vocabulary is small enough that HLL
+    // is usually in its exact sparse regime; the flag allows the bound,
+    // not just equality — the honest HLL contract).
+    (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x78")
+      (0 until 3).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(3)) === i)
+          .select("lang", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$i")
+      }
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, text STRING"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/b*")
+      val state = s"$tmp/state"
+      val q = graft.streaming.DocumentStreams.vocabTracker(
+        src, "lang", "text", state,
+        tmp.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      val est = graft.operators.SketchStats.load(s, state)
+        .select(col("__lang").as("lang"),
+          hll_sketch_estimate(col("sketch")).cast("long").as("est_distinct"))
+      val exact = docs
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("lang").agg(count_distinct(col("w")).as("exact_distinct"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("est_distinct"), col("exact_distinct"),
+          (abs(col("est_distinct").cast("double")
+            / col("exact_distinct").cast("double") - 1.0) <= 0.05)
+            .as("within_bound"))
+        .orderBy("lang")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4668,7 +4714,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x76, x77, x10d, x10e, x10f)
+    x75, x76, x77, x78, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
