@@ -86,7 +86,7 @@ object ScaleSmoke {
     "x70_ngram_diversity", "x71_scd2_historize", "x72_preference_pairs",
     "x72b_adjacent_pairs", "x73_kll_quantile_sketch",
     "x74_reward_model", "x75_vocab_coverage", "x76_embedding_drift",
-    "x77_padding_audit")
+    "x77_padding_audit", "x78_streaming_vocab_replay")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
