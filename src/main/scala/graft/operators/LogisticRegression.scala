@@ -72,12 +72,13 @@ object LogisticRegression {
       val bad = narrow.where(
         (col("__y") =!= 0.0 && col("__y") =!= 1.0) ||
           col("__wt").isNull || isnan(col("__wt")) || col("__wt") <= 0.0 ||
+          col("__wt") === lit(Double.PositiveInfinity) ||
           featureCols.indices.map(j =>
             col(s"__x$j").isNull || isnan(col(s"__x$j"))).reduce(_ || _))
         .count()
       require(bad == 0,
-        s"$bad rows with non-0/1 labels, non-positive/NULL/NaN weights, " +
-          "or NULL/NaN features — clean upstream")
+        s"$bad rows with non-0/1 labels, non-positive/NULL/NaN/Inf " +
+          "weights, or NULL/NaN features — clean upstream")
       val n = narrow.count()
       require(n > 0, "no labeled rows to train on")
 

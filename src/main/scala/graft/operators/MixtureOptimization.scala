@@ -84,13 +84,15 @@ object MixtureOptimization {
       .where(col("__y").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(narrow.where(col("__d").isNull).isEmpty,
-        "NULL domain values — impute or drop upstream")
       // domain shares: the reference mixture the weights are measured
       // against (collect is K rows — a model artifact, same contract as
-      // the trainer's partition sums)
-      val counts = narrow.groupBy("__d").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // the trainer's partition sums). NULL domains surface as a NULL
+      // group key in the SAME pass — one scan, still fail-loud.
+      val countRows = narrow.groupBy("__d").agg(count(lit(1)).as("n"))
+        .collect()
+      require(!countRows.exists(_.isNullAt(0)),
+        "NULL domain values — impute or drop upstream")
+      val counts = countRows.map(r => r.getString(0) -> r.getLong(1))
         .sortBy(_._1)
       require(counts.length <= maxDomains,
         s"${counts.length} domains exceeds maxDomains=$maxDomains — " +
@@ -110,11 +112,17 @@ object MixtureOptimization {
       var excess = Array.fill(k)(0.0)
       var lastLoss = refLoss
       (1 to steps).foreach { _ =>
-        // per-example importance weight w(d)/share(d), one codegen'd chain
-        val wOf = domains.zipWithIndex.foldLeft(lit(1.0): Column) {
-          case (acc, (d, i)) =>
-            when(col("__d") === d, lit(w(i) / share(i))).otherwise(acc)
-        }
+        // per-example importance weight w(d)/share(d): a FLAT literal-map
+        // lookup (element_at over map_from_arrays of two array literals) —
+        // unlike a K-deep when/otherwise chain, the expression tree depth
+        // is constant in K, so Catalyst analysis never stack-overflows at
+        // the maxDomains cap. Every __d is in the map by construction
+        // (domains = the observed group keys of this same frame).
+        val wOf = element_at(
+          map_from_arrays(
+            typedlit(domains.toSeq),
+            typedlit(Array.tabulate(k)(i => w(i) / share(i)).toSeq)),
+          col("__d"))
         model = LogisticRegression.trainWeighted(narrow, xCols, "__y",
           wOf, iters = itersPerStep, lr = lr)
         lastLoss = domainLosses(narrow, domains, xCols, model)

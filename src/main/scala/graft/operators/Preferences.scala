@@ -102,8 +102,11 @@ object Preferences {
                                idCol: String,
                                featureCols: Seq[String]): DataFrame = {
     require(featureCols.nonEmpty, "featureCols must be non-empty")
-    val n = feats.count()
-    val nd = feats.select(idCol).distinct().count()
+    // uniqueness guard in ONE aggregation pass (count + count_distinct in
+    // the same job) — the two-action spelling scanned feats twice per call
+    val u = feats.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("nd")).head()
+    val (n, nd) = (u.getLong(0), u.getLong(1))
     require(n == nd,
       s"feats must be unique per $idCol: $n rows, $nd distinct ids")
     def side(prefix: String): DataFrame =

@@ -355,7 +355,15 @@ object Relevance {
         t => lower(t))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counts.agg(sum("c")).head().getLong(0)
+    // coalesce: sum over an EMPTY counts frame is NULL — surface the
+    // empty/all-null corpus as a clear error, not an NPE (and never
+    // divide by a zero total below)
+    val total = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    if (total == 0L) {
+      counts.unpersist(false)
+      throw new IllegalArgumentException(
+        s"vocabCoverage: corpus has no tokens (empty or all-null '$textCol')")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("c"), col("term"))
     val ranked = counts.orderBy(desc("c"), col("term")).limit(maxK)

@@ -155,10 +155,20 @@ object SketchStats {
   def mergeKllByGroup(state: DataFrame, batch: DataFrame,
                       groupCol: String): DataFrame = {
     graft.plans.HashExpressions.register(state.sparkSession)
-    val k = state.select(min(col("kll_k"))).head().getInt(0)
-    state.select(col(groupCol), col("sketch"), col("kll_k"), col("n_rows"))
+    val unioned = state
+      .select(col(groupCol), col("sketch"), col("kll_k"), col("n_rows"))
       .unionByName(batch.select(col(groupCol), col("sketch"), col("kll_k"),
         col("n_rows")))
+    // merge-k = min over BOTH sides (a batch built with smaller k than
+    // every state row degrades the merge by the DataSketches rule, so the
+    // lit we pass must already be that minimum); min over an empty union
+    // is NULL — fail loud instead of NPEing on getInt. The probe scans
+    // only the kilobyte-sized artifact rows, never raw values.
+    val kRow = unioned.agg(min(col("kll_k"))).head()
+    require(!kRow.isNullAt(0),
+      "mergeKllByGroup: both state and batch are empty — nothing to merge")
+    val k = kRow.getInt(0)
+    unioned
       .groupBy(groupCol)
       .agg(call_function("graft_kll_agg", col("sketch"), lit(k)).as("sketch"),
         min(col("kll_k")).as("kll_k"), sum(col("n_rows")).as("n_rows"))

@@ -120,9 +120,22 @@ object DocumentStreams {
         val state = new org.apache.hadoop.fs.Path(statePath)
         val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val parked = new org.apache.hadoop.fs.Path(statePath + "__old")
+        // Hadoop FileSystem reports rename/delete failure by RETURNING
+        // false (HDFS refuses a rename onto an existing destination), not
+        // by throwing — an unchecked false here would let foreachBatch
+        // commit the batch id while the swap silently dropped state. Throw
+        // instead, so the micro-batch fails and is retried.
+        def renameOrFail(src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(src, dst)) throw new java.io.IOException(
+            s"vocabTracker state swap: rename $src -> $dst returned false")
+        def deleteOrFail(p: org.apache.hadoop.fs.Path): Unit =
+          if (fs.exists(p) && !fs.delete(p, true))
+            throw new java.io.IOException(
+              s"vocabTracker state swap: delete $p returned false")
         // crash recovery: a previous swap may have parked the live state
         // without finishing the second rename — restore it before reading
-        if (!fs.exists(state) && fs.exists(parked)) fs.rename(parked, state)
+        if (!fs.exists(state) && fs.exists(parked)) renameOrFail(parked, state)
         val words = batch.select(col(langCol).as("__lang"),
             explode(split(col(textCol), "\\s+")).as("__w"))
           .where(length(col("__w")) > 0)
@@ -136,11 +149,11 @@ object DocumentStreams {
         val tmp = new org.apache.hadoop.fs.Path(statePath + "__next")
         SketchStats.save(merged, tmp.toString) // overwrite clears stale tmp
         if (fs.exists(state)) {
-          fs.delete(parked, true) // stale leftover from a healed crash
-          fs.rename(state, parked)
+          deleteOrFail(parked) // stale leftover from a healed crash
+          renameOrFail(state, parked)
         }
-        fs.rename(tmp, state)
-        fs.delete(parked, true)
+        renameOrFail(tmp, state)
+        deleteOrFail(parked)
         ()
       }
       .start()
