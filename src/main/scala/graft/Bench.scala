@@ -150,19 +150,30 @@ object Bench {
     def entryJson(kv: (String, Double)): String =
       "\"" + shortName(kv._1) + "\":" + fmt(kv._2)
     // Greedy ≤1300-char chunks of the extension medians, each line a valid
-    // standalone JSON object tagged with its chunk index.
-    val xChunks = xMeds.foldLeft(Vector(Vector.empty[String])) { (acc, kv) =>
-      val e = entryJson(kv)
-      if (acc.last.map(_.length + 1).sum + e.length > 1300)
-        acc :+ Vector(e)
-      else acc.init :+ (acc.last :+ e)
+    // standalone JSON object tagged with its chunk index, its own SUM and
+    // row count, and its first entry id. At 205+ entries early chunks
+    // scroll out of the 2000-char tail, so the FINAL line repeats every
+    // chunk's (first-entry, n, sum) — the driver file then pins
+    // chunk-level drift for the whole x-surface even when the per-entry
+    // medians of early chunks are lost to the window.
+    val xChunks = xMeds.foldLeft(Vector(Vector.empty[(String, Double)])) {
+      (acc, kv) =>
+        val e = entryJson(kv)
+        if (acc.last.map(entryJson(_).length + 1).sum + e.length > 1300)
+          acc :+ Vector(kv)
+        else acc.init :+ (acc.last :+ kv)
     }.filter(_.nonEmpty)
+    def chunkSum(c: Vector[(String, Double)]): String =
+      fmt(c.map(_._2).filter(_ >= 0).sum)
     xChunks.zipWithIndex.foreach { case (chunk, i) =>
       rawOut.println(
-        s"""{"medians_x${i + 1}":${chunk.mkString("{", ",", "}")},"xchunks":${xChunks.size}}""")
+        s"""{"medians_x${i + 1}":${chunk.map(entryJson).mkString("{", ",", "}")},"xchunks":${xChunks.size},"n":${chunk.size},"sum":${chunkSum(chunk)}}""")
     }
+    val xChunkMeta = xChunks.map(c =>
+      s"""{"from":"${shortName(c.head._1)}","n":${c.size},"sum":${chunkSum(c)}}""")
+      .mkString("[", ",", "]")
     val qJson = qMeds.map(entryJson).mkString("{", ",", "}")
     rawOut.println(
-      s"""{"medians":$qJson,"total":${fmt(total)},"sf":"$sfDir","xchunks":${xChunks.size},"entries":${results.size}}""")
+      s"""{"medians":$qJson,"total":${fmt(total)},"sf":"$sfDir","xchunks":${xChunks.size},"xchunk_sums":$xChunkMeta,"entries":${results.size}}""")
   }
 }
