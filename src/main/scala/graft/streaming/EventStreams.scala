@@ -163,7 +163,7 @@ object EventStreams {
                    versionCols: Seq[String]): DataFrame =
     graft.operators.Dedup.keepLatest(stream, keyCols, versionCols)
 
-  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
                                  n_events: Long)
   final case class OpenSession(start: Long, last: Long, n: Long)
   final case class OpenSessions(sessions: List[OpenSession])
@@ -186,35 +186,49 @@ object EventStreams {
     * State per user is a short list of (start, last, n) triples — more than
     * one entry only while out-of-order data is in flight inside the
     * watermark window — partitioned by key across executors; the watermark
-    * bounds state size and output latency at 100 TB-stream scale. */
+    * bounds state size and output latency at 100 TB-stream scale.
+    *
+    * Precision: session bounds are tracked in event-time MICROseconds
+    * (`start_us`/`end_us` = `unix_micros` of the first/last event) — the
+    * same precision batch `session_window` decides merges at — so the
+    * sealed sessions hash-match the batch spelling bit-for-bit on
+    * microsecond-resolution data (gated end-to-end as x79). The merge is
+    * STRICT (`start < last + gap`): an event exactly `gap` after a
+    * session's last event starts a NEW session, exactly as batch
+    * `session_window` treats non-overlapping [t, t+gap) intervals. Only
+    * the watermark itself is millisecond-grained (Spark's contract); the
+    * seal/timeout arithmetic converts conservatively. */
   def closedUserSessions(spark: SparkSession, events: DataFrame,
                          gapMs: Long = 30L * 60 * 1000,
                          watermark: String = "10 minutes"): Dataset[ClosedSession] = {
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     // the watermarked TS column must survive into the grouped Dataset — a
     // projection that drops it detaches the watermark from the stateful op
     events.withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("tms"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tus"))
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[OpenSessions]) => {
-          val wm = state.getCurrentWatermarkMs()
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val existing = state.getOption.map(_.sessions).getOrElse(Nil)
           val merged =
             if (state.hasTimedOut) existing
             else {
               // fold the batch's events in as singleton sessions, then
               // interval-merge with gap — the same merge batch
-              // session_window performs. Existing sessions are internally
-              // gap-consistent, so one sorted sweep suffices.
+              // session_window performs ([t, t+gap) intervals merge iff
+              // they OVERLAP, so the comparison is strict). Existing
+              // sessions are internally gap-consistent, so one sorted
+              // sweep suffices.
               val pts = rows.map(r => OpenSession(r._3, r._3, 1L)).toList
               val all = (existing ++ pts).sortBy(s => (s.start, s.last))
               val out = scala.collection.mutable.ListBuffer.empty[OpenSession]
               all.foreach { s =>
                 out.lastOption match {
-                  case Some(p) if s.start <= p.last + gapMs =>
+                  case Some(p) if s.start < p.last + gapUs =>
                     out(out.length - 1) = OpenSession(p.start,
                       math.max(p.last, s.last), p.n + s.n)
                   case _ => out += s
@@ -223,14 +237,17 @@ object EventStreams {
               out.toList
             }
           // close exactly the sessions the watermark has sealed: no
-          // still-admissible event (ts ≥ wm) can fall within their gap
-          val (done, open) = merged.partition(s => s.last + gapMs <= wm)
+          // still-admissible event (ts ≥ wm, ms-grained so ≥ wmUs) can
+          // fall strictly inside their gap
+          val (done, open) = merged.partition(s => s.last + gapUs <= wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
-            // next close point; the timeout timestamp must sit above the wm
+            // next close point in ms, rounded UP so the timeout never
+            // fires before the µs seal condition holds; must sit above wm
             state.setTimeoutTimestamp(
-              math.max(open.map(_.last + gapMs).min, wm + 1))
+              math.max((open.map(_.last + gapUs).min + 999L) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
           }
           done.iterator.map(s => ClosedSession(uid, s.start, s.last, s.n))
         })

@@ -341,9 +341,9 @@ class StreamingSpec extends AnyFunSuite {
           col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
           lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(dir)
-    def ms(s: String): Long =
+    def us(s: String): Long =
       java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     // batch 1: user 7 bursts at 08:00–08:05 — session stays OPEN (no output)
     write(Seq((1L, "2024-01-01 08:00:00", 7L), (2L, "2024-01-01 08:05:00", 7L)))
     val q = EventStreams.closedUserSessions(spark,
@@ -358,8 +358,8 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     val rows = spark.table("closed_sessions")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(rows.toSeq == Seq((7L, ms("2024-01-01 08:00:00"),
-      ms("2024-01-01 08:05:00"), 2L)))
+    assert(rows.toSeq == Seq((7L, us("2024-01-01 08:00:00"),
+      us("2024-01-01 08:05:00"), 2L)))
     // batch 3: a cross-batch latecomer 4 minutes BEFORE the open session's
     // start (within the gap) must extend the session start backward
     write(Seq((6L, "2024-01-01 11:56:00", 7L)))
@@ -370,7 +370,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val drained = spark.table("closed_sessions")
-      .where(col("start_ms") === ms("2024-01-01 11:56:00")).collect()
+      .where(col("start_us") === us("2024-01-01 11:56:00")).collect()
     assert(drained.length == 1 && drained.head.getLong(3) == 2L,
       "late event within gap must merge and extend the session start backward")
   }
@@ -384,9 +384,9 @@ class StreamingSpec extends AnyFunSuite {
           col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
           lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(dir)
-    def ms(s: String): Long =
+    def us(s: String): Long =
       java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     // gap 5 min, watermark 10 min: latecomers can land INSIDE the watermark
     // window yet MORE than a gap before the open session
     write(Seq((1L, "2024-01-01 20:00:00", 7L)))
@@ -410,8 +410,8 @@ class StreamingSpec extends AnyFunSuite {
     val u7 = spark.table("late_pair").where(col("user_id") === 7L)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(u7 == Set(
-      (ms("2024-01-01 19:51:00"), ms("2024-01-01 19:53:00"), 2L),
-      (ms("2024-01-01 20:00:00"), ms("2024-01-01 20:00:00"), 1L)),
+      (us("2024-01-01 19:51:00"), us("2024-01-01 19:53:00"), 2L),
+      (us("2024-01-01 20:00:00"), us("2024-01-01 20:00:00"), 1L)),
       s"latecomer pair must merge into ONE session: $u7")
   }
 
@@ -424,9 +424,9 @@ class StreamingSpec extends AnyFunSuite {
           col("user_id"), lit("a").as("event_type"), lit(1.0).as("value"),
           lit("{}").as("props"))
         .coalesce(1).write.mode("append").parquet(dir)
-    def ms(s: String): Long =
+    def us(s: String): Long =
       java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     def closedStarts(): Seq[Long] =
       spark.table("drain_order").where(col("user_id") === 9L)
         .collect().map(_.getLong(1)).sorted.toSeq
@@ -450,20 +450,20 @@ class StreamingSpec extends AnyFunSuite {
     write(Seq((3L, "2024-01-01 10:16:00", 9L)))
     q.processAllAvailable()
     // wm 10:06 seals only the 10:00 session — oldest drains first
-    assert(closedStarts() == Seq(ms("2024-01-01 10:00:00")))
+    assert(closedStarts() == Seq(us("2024-01-01 10:00:00")))
     write(Seq((4L, "2024-01-01 10:24:00", 9L)))
     q.processAllAvailable()
     // wm 10:14 seals the 10:08 session next
-    assert(closedStarts() == Seq(ms("2024-01-01 10:00:00"),
-      ms("2024-01-01 10:08:00")))
+    assert(closedStarts() == Seq(us("2024-01-01 10:00:00"),
+      us("2024-01-01 10:08:00")))
     // no more data for user 9: remaining sessions drain via event-time
     // TIMEOUT as another user pushes the watermark past both seal points
     write(Seq((5L, "2024-01-01 11:24:00", 99L)))
     q.processAllAvailable()
     q.stop()
-    assert(closedStarts() == Seq(ms("2024-01-01 10:00:00"),
-      ms("2024-01-01 10:08:00"), ms("2024-01-01 10:16:00"),
-      ms("2024-01-01 10:24:00")), "all open sessions must drain by timeout")
+    assert(closedStarts() == Seq(us("2024-01-01 10:00:00"),
+      us("2024-01-01 10:08:00"), us("2024-01-01 10:16:00"),
+      us("2024-01-01 10:24:00")), "all open sessions must drain by timeout")
   }
 
   test("streaming sessionization equals batch session_window under K micro-batch permutations") {
@@ -484,8 +484,8 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes").as("w"),
         col("user_id"))
       .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), unix_millis(col("w.start")).as("s"),
-        (unix_millis(col("w.end")) - gapMs).as("e"), col("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s"),
+        (unix_micros(col("w.end")) - gapMs * 1000L).as("e"), col("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     // K=3 different micro-batch compositions of the SAME events
