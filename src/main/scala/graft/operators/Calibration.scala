@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-calibration diagnostics for the quality-gate models a data
+  * pipeline trains ([[LogisticRegression]], the x57 face) and applies at
+  * corpus scale ([[graft.functions.Scoring]]): reliability bins and the
+  * expected-calibration-error family [Naeini et al., AAAI 2015 (ECE);
+  * Guo et al., ICML 2017 (modern-NN calibration); Brier 1950]. A gate
+  * model that says "0.9 keep" should be right 90% of the time — a
+  * miscalibrated filter silently shifts the kept-corpus distribution, so
+  * calibration belongs next to training, not in a notebook.
+  *
+  * Shape: ONE corpus pass — an equal-width bin `groupBy` carrying count /
+  * Σp / Σy / Σ(p−y)² partials (map-side combined, ≤ nBins rows out) — then
+  * pure arithmetic on the nBins-row frame; the scalar summary aggregates
+  * those rows again (≤ nBins input rows, not a second corpus scan).
+  * Nothing scales with corpus size except the one scan.
+  *
+  * Fail-loud without a second pass: probabilities outside [0,1] and labels
+  * outside {0,1} abort the SAME scan via an `assert_true` guard fused into
+  * the bin expression — the repo's one-action guard discipline
+  * (VERDICT r14) applied to a purely-lazy operator.
+  *
+  * Determinism: bin ids are exact integer arithmetic; the per-bin double
+  * sums are the only order-sensitive reductions (same contract as every
+  * sum-aggregate entry; gate canonicalizes with round4). */
+object Calibration {
+
+  /** `p` checked into its bin: aborts the scan on out-of-range rows.
+    * `assert_true` returns NULL (or throws), so the `when` collapses to
+    * the bin id and survives column pruning. */
+  private def binOf(p: Column, y: Column, nBins: Int): Column = {
+    val ok = assert_true(
+      p.isNotNull && !isnan(p) && p >= 0.0 && p <= 1.0 &&
+        y.isNotNull && (y === 0.0 || y === 1.0),
+      lit(s"calibration: probability outside [0,1] or label outside {0,1}"))
+    // p = 1.0 belongs to the last bin, not a phantom bin nBins
+    when(ok.isNull, least(floor(p * nBins).cast("int"), lit(nBins - 1)))
+  }
+
+  private def binAgg(df: DataFrame, probCol: String, labelCol: String,
+                     nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    df.select(binOf(p, y, nBins).as("bin"), p.as("__p"), y.as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__p").as("__sp"),
+        sum("__y").as("__sy"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__sq"))
+      .select(col("bin"), col("n"),
+        (col("__sp") / col("n")).as("conf"),
+        (col("__sy") / col("n")).as("acc"),
+        ((col("__sp") - col("__sy")) / col("n")).as("gap"),
+        col("__sq"))
+  }
+
+  /** Reliability diagram data: one row per non-empty equal-width bin —
+    * `bin`, `n`, `conf` (mean predicted probability), `acc` (empirical
+    * positive rate), `gap` (= conf − acc; positive = overconfident). */
+  def reliabilityBins(df: DataFrame, probCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame =
+    binAgg(df, probCol, labelCol, nBins).drop("__sq")
+
+  /** Scalar calibration summary (one row): `n`, `ece` (bin-weighted
+    * |conf−acc|), `mce` (max bin |conf−acc|), `brier` (mean (p−y)²). The
+    * two-level aggregation is the textbook ECE estimator; the second
+    * level runs over ≤ nBins rows. */
+  def summary(df: DataFrame, probCol: String, labelCol: String,
+              nBins: Int = 10): DataFrame =
+    binAgg(df, probCol, labelCol, nBins)
+      .agg(sum("n").as("n"),
+        (sum(abs(col("gap")) * col("n")) / sum("n")).as("ece"),
+        max(abs(col("gap"))).as("mce"),
+        (sum("__sq") / sum("n")).as("brier"))
+}

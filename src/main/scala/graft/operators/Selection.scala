@@ -325,8 +325,8 @@ object Selection {
     * `row_number` is offset by the rows before it. No single-partition
     * global window at any corpus size. NULL scores rank after every real
     * score (deterministically, by id). */
-  private def globalRank(df: DataFrame, idCol: String,
-                         scoreCol: Column): DataFrame = {
+  private[operators] def globalRank(df: DataFrame, idCol: String,
+                                    scoreCol: Column): DataFrame = {
     val spark = df.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val base = df.select(col(idCol), scoreCol.as("__s"))

@@ -402,4 +402,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(keyExchanges == 1,
       s"lead must reuse the lag's exchange, found $keyExchanges:\n$p")
   }
+
+  test("x81 FIM construction is map-only: no exchange, no window") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Fim.fimExamples(docs, "doc_id", "text")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"FIM must be scan-fused:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x82 calibration bins partial-aggregate before the single exchange") {
+    // the shuffle must carry <= nBins partial rows per task, never raw
+    // (p, y) rows
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val probed = docs.select(col("doc_id"),
+        graft.operators.Sampling.hashUnit(col("doc_id").cast("string")).as("p"))
+      .withColumn("y", (col("p") < 0.5).cast("double"))
+    val out = graft.operators.Calibration.reliabilityBins(probed, "p", "y")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"calibration must partial-aggregate map-side:\n$p")
+  }
+
+  test("x83 curriculum: applied plan is checkpoint-scan + id join, no global window") {
+    // the rank runs at call time through Selection.globalRank (the
+    // distributed-scan recipe — its no-SinglePartition shape is pinned by
+    // the x36 test on the same helper) and is checkpoint-pinned; the plan
+    // that runs over the corpus afterwards must be just the id-keyed join
+    // plus per-row release arithmetic — no window, no single partition
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Curriculum.competenceSchedule(
+      docs, "doc_id", "n_chars", steps = 10)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("SinglePartition"),
+      s"curriculum apply must not use a single-partition exchange:\n$p")
+    assert(!p.contains("Window"), s"rank must be pre-materialized:\n$p")
+  }
+
+  test("x84 ablation: K-row totals broadcast; no cartesian over corpus rows") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Ablation.leaveOneOut(docs, "lang", "n_chars")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
