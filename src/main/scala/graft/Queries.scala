@@ -4048,29 +4048,53 @@ ORDER BY doc_id"""))
     // terminal punctuation (every doc would be ONE oversized sentence —
     // pinned in ScrubSpec), so the entry first inserts a period after
     // every 6th word deterministically; real corpora bring their own.
-    // Rows-only (the greedy fold's reset logic has no window/SQL
-    // spelling); PackingSpec pins the fold bit-exactly against a
-    // driver-side reference on random corpora.
+    // ORACLED via the x66 construction: the injected punctuation makes
+    // every sentence exactly 6 tokens (the trailing period glues to the
+    // 6th word) except a doc's final partial sentence, so the greedy
+    // 24-token fold provably reduces to contiguous 24-token runs of the
+    // punctuated text — a final sentence of t ≤ 6 tokens always fits the
+    // open chunk (whose load is a multiple of 6 ≤ 18), preserving the
+    // alignment. DuckDB re-derives chunk_id and n_tokens by token-index
+    // grouping; the general fold (irregular sentence lengths, where no
+    // closed form exists) stays pinned bit-exactly against a driver-side
+    // reference on random corpora in PackingSpec.
     (s, d) => {
       val punctuated = t(s, d, "documents").withColumn("text",
         regexp_replace(col("text"), "((?:\\S+\\s+){5}\\S+)\\s+", "$1. "))
       graft.operators.Packing.chunkSentences(
           punctuated, "doc_id", "text", maxTokens = 24)
-        .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_tokens").cast("long").as("n_tokens"))
         .orderBy("doc_id", "chunk_id")
     },
-    None)
+    Some("""WITH pd AS (
+  SELECT doc_id, regexp_replace(text, '((?:\S+\s+){5}\S+)\s+', '\1. ', 'g') AS ptext
+  FROM documents),
+tk AS (SELECT doc_id, i - 1 AS i0
+       FROM (SELECT doc_id,
+                    list_filter(regexp_split_to_array(ptext, '\s+'), x -> length(x) > 0) AS toks,
+                    unnest(range(1, len(toks) + 1)) AS i
+             FROM pd))
+SELECT doc_id, CAST(FLOOR(i0 / 24) AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tk GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id"""))
 
   private val x65 = DeclaredQuery("x65_span_corruption",
     // T5-style span-corruption pairs, content-keyed and deterministic:
     // sentinels replace masked spans in the input, the target lists each
-    // sentinel + its hidden tokens. Rows-only (the stateful walk has no
-    // SQL spelling; SpanCorruptionSpec pins it bit-exactly against a
-    // driver reference plus the splice-back roundtrip). Self-validating
-    // output: per doc, kept + masked token counts must re-add to the
-    // original token count, both sides must carry exactly n_spans
-    // sentinels, and sentinels never sit adjacent in the input (the
-    // cooldown invariant) — carried as a flag.
+    // sentinel + its hidden tokens. ORACLED via recursive CTE (the x36b
+    // precedent): span decisions depend only on (doc_id, salt, position)
+    // — sha256 arithmetic with a known DuckDB spelling — never on token
+    // CONTENT, so DuckDB replays the exact per-token state machine
+    // (mask-continue / cooldown / hash-gated open / keep) positionally
+    // and re-derives n_spans and the kept/masked counts; the recursion
+    // is O(max tokens per doc) deep with one row per active doc per
+    // step. The string-level construction (sentinel text, splice-back
+    // roundtrip, adjacency) stays pinned bit-exactly in
+    // SpanCorruptionSpec; the gate's conserves_tokens flag carries those
+    // invariants in-entry, and the oracle checks conservation from its
+    // own replayed counts.
     (s, d) => {
       val docs = t(s, d, "documents")
       val out = graft.operators.SpanCorruption.corrupt(
@@ -4084,9 +4108,9 @@ ORDER BY doc_id"""))
       out.join(docs.select(col("doc_id"),
           size(filter(split(col("text"), "\\s+"), w => w =!= ""))
             .as("n_orig")), "doc_id")
-        .select(col("doc_id"), col("n_spans"),
-          nonSentinel(col("input_text")).as("n_kept"),
-          nonSentinel(col("target_text")).as("n_masked"),
+        .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"),
+          nonSentinel(col("input_text")).cast("long").as("n_kept"),
+          nonSentinel(col("target_text")).cast("long").as("n_masked"),
           (nonSentinel(col("input_text")) + nonSentinel(col("target_text"))
             === col("n_orig") &&
             sentinels(col("input_text")) === col("n_spans") &&
@@ -4095,7 +4119,33 @@ ORDER BY doc_id"""))
             .as("conserves_tokens"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH RECURSIVE nn AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS n
+  FROM documents),
+walk AS (
+  SELECT doc_id, 0 AS i, 0 AS rem, 0 AS k, 0 AS kept, 0 AS masked, n FROM nn
+  UNION ALL
+  SELECT doc_id, i + 1,
+         CASE WHEN d = 'c' THEN (CASE WHEN rem = 1 THEN -1 ELSE rem - 1 END)
+              WHEN d = 'o' THEN (CASE WHEN hl % 3 = 0 THEN -1 ELSE CAST(hl % 3 AS INTEGER) END)
+              ELSE 0 END AS rem,
+         CASE WHEN d = 'o' THEN k + 1 ELSE k END AS k,
+         CASE WHEN d = 'k' THEN kept + 1 ELSE kept END AS kept,
+         CASE WHEN d = 'k' THEN masked ELSE masked + 1 END AS masked,
+         n
+  FROM (
+    SELECT *, CASE WHEN rem > 0 THEN 'c' WHEN rem = -1 THEN 'k'
+                   WHEN hs % 6 = 0 THEN 'o' ELSE 'k' END AS d
+    FROM (
+      SELECT doc_id, i, rem, k, kept, masked, n,
+             ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':ep0:s:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT AS hs,
+             ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':ep0:l:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT AS hl
+      FROM walk WHERE i < n) h1) h2)
+SELECT doc_id, CAST(k AS BIGINT) AS n_spans, CAST(kept AS BIGINT) AS n_kept,
+       CAST(masked AS BIGINT) AS n_masked,
+       (kept + masked = n) AS conserves_tokens
+FROM walk WHERE i = n ORDER BY doc_id"""))
 
   private val x66 = DeclaredQuery("x66_passage_retrieval",
     // RAG-shape passage retrieval END TO END, ORACLED end to end (x61
@@ -4615,6 +4665,263 @@ FROM per GROUP BY ordering ORDER BY ordering"""))
     },
     None)
 
+  private val x79 = DeclaredQuery("x79_streaming_session_replay",
+    // sessionization driven END-TO-END through the stateful
+    // flatMapGroupsWithState path inside the gate (the x68 recipe applied
+    // to EventStreams.closedUserSessions): events replay in three
+    // micro-batches, each user's OPEN sessions live in the state store
+    // across batch boundaries, then two sentinel flush batches push the
+    // watermark past every seal point (the first advances the watermark,
+    // the no-data batch + event-time timeouts drain the remaining state).
+    // The watermark delay spans the whole event range, so no event is
+    // ever late regardless of how the files split the data — the sealed
+    // sessions must therefore equal batch session_window EXACTLY, and the
+    // oracle is x32c's gaps-and-islands spelling (strict 30-min break) at
+    // the operator's native microsecond precision. A regression in the
+    // interval-merge fold, the µs seal arithmetic, state encoding, or
+    // timeout draining breaks this entry, not just StreamingSpec.
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val span = ev.agg(
+        min(unix_millis(col("ts").cast("timestamp"))).as("lo"),
+        max(unix_millis(col("ts").cast("timestamp"))).as("hi")).head()
+      val (loMs, hiMs) = (span.getLong(0), span.getLong(1))
+      val gapMs = 30L * 60 * 1000
+      val delayMin = (hiMs - loMs) / 60000 + 60
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x79")
+      val ingest = tmp.resolve("ingest").toString
+      ev.repartition(3).write.mode("overwrite").parquet(ingest)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = s"x79_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.EventStreams
+        .closedUserSessions(s, stream, gapMs = gapMs,
+          watermark = s"$delayMin minutes")
+        .toDF()
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      val flushUser = 999999999L
+      def flush(tsMs: Long): Unit =
+        s.range(1).select(lit(0L).as("event_id"),
+            timestamp_millis(lit(tsMs)).cast("timestamp_ntz").as("ts"),
+            lit(flushUser).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(ingest)
+      try {
+        q.processAllAvailable()
+        flush(hiMs + delayMin * 60000 + gapMs + 3600000L)
+        q.processAllAvailable()
+        flush(hiMs + delayMin * 60000 + gapMs + 7200000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("user_id") =!= flushUser)
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).cast("timestamp_ntz")
+            .as("session_start"),
+          timestamp_micros(col("end_us")).cast("timestamp_ntz")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+m AS (SELECT user_id, t,
+  CASE WHEN t >= LAG(t) OVER (PARTITION BY user_id ORDER BY t) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (SELECT user_id, t,
+  SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  private val x80 = DeclaredQuery("x80_streaming_interval_join",
+    // stream-stream interval join END-TO-END in the gate: view events
+    // (impressions) and purchase events (conversions) replay as TWO
+    // watermarked file streams, three micro-batches each, through
+    // EventStreams.intervalJoin — every inner pair within [0, 6h] on the
+    // same user must emit exactly once, across whatever batch alignment
+    // the two sources happen to take. The watermark delay spans the whole
+    // event range so no buffered row is ever evicted before its matches
+    // arrive (state eviction under a TIGHT bound is pinned separately in
+    // StreamingSpec via state-store metrics); inner-join emission itself
+    // is watermark-independent, so the final pair set must equal the
+    // batch interval-overlap spelling bit-for-bit.
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val span = ev.agg(
+        min(unix_millis(col("ts").cast("timestamp"))).as("lo"),
+        max(unix_millis(col("ts").cast("timestamp"))).as("hi")).head()
+      val delayMin = (span.getLong(1) - span.getLong(0)) / 60000 + 60
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x80")
+      val lDir = tmp.resolve("views").toString
+      val rDir = tmp.resolve("purchases").toString
+      ev.where(col("event_type") === "view")
+        .repartition(3).write.mode("overwrite").parquet(lDir)
+      ev.where(col("event_type") === "purchase")
+        .repartition(3).write.mode("overwrite").parquet(rDir)
+      def rd(p: String): DataFrame = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(p)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = s"x80_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.EventStreams
+        .intervalJoin(rd(lDir), rd(rDir), "user_id",
+          maxDelay = "6 hours", watermark = s"$delayMin minutes")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          col("l_ts").cast("timestamp_ntz").as("l_ts"),
+          col("r_ts").cast("timestamp_ntz").as("r_ts"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+       CAST(l.ts AS TIMESTAMP) AS l_ts, CAST(r.ts AS TIMESTAMP) AS r_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+ORDER BY l.user_id, l_id, r_id"""))
+
+  private val x81 = DeclaredQuery("x81_fim_examples",
+    // fill-in-the-middle example construction (Fim.fimExamples, Bavarian
+    // et al. 2022): half the corpus hash-gated into PSM-order
+    // (prefix/suffix/middle) infilling examples, split points drawn
+    // content-keyed over token boundaries — map-only, scan-fused, no
+    // shuffle. ORACLED end to end including the serialized strings: the
+    // gating and both split points are the shared sha256-prefix
+    // arithmetic with its DuckDB spelling, and the slicing/joining is
+    // pure list arithmetic both engines express exactly. FimSpec pins
+    // the splice roundtrip (prefix ++ middle ++ suffix ≡ original) and
+    // driver-replay parity.
+    (s, d) => graft.operators.Fim
+      .fimExamples(t(s, d, "documents"), "doc_id", "text", fimFraction = 0.5)
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':fim:r'), 1, 8))::BIGINT / 4294967296.0 < 0.5 AS is_fim,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8))::BIGINT AS ha,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8))::BIGINT AS hb
+  FROM tk),
+ab AS (SELECT *, CAST(ha % (n + 1) AS INTEGER) AS a FROM h),
+ab2 AS (SELECT *, a + CAST(hb % (n - a + 1) AS INTEGER) AS b FROM ab),
+parts AS (
+  SELECT doc_id, is_fim, n,
+         COALESCE(array_to_string(toks[1:a], ' '), '') AS p,
+         COALESCE(array_to_string(toks[a+1:b], ' '), '') AS m,
+         COALESCE(array_to_string(toks[b+1:n], ' '), '') AS sfx,
+         COALESCE(array_to_string(toks, ' '), '') AS plain,
+         array_to_string(['<fim_pre>'] || toks[1:a] || ['<fim_suf>'] || toks[b+1:n] || ['<fim_mid>'] || toks[a+1:b], ' ') AS psm
+  FROM ab2)
+SELECT doc_id, is_fim,
+       CASE WHEN is_fim THEN p ELSE '' END AS prefix,
+       CASE WHEN is_fim THEN m ELSE '' END AS middle,
+       CASE WHEN is_fim THEN sfx ELSE '' END AS suffix,
+       CASE WHEN is_fim THEN psm ELSE plain END AS fim_text,
+       CAST(n AS BIGINT) AS n_tokens
+FROM parts ORDER BY doc_id"""))
+
+  private val x82 = DeclaredQuery("x82_calibration_bins",
+    // classifier-calibration reliability bins (Calibration, Naeini AAAI'15
+    // / Guo ICML'17): ONE corpus pass — an equal-width bin groupBy with
+    // count/Σp/Σy/Σ(p−y)² partials — then arithmetic on ≤10 rows. The
+    // probe prediction is a content-keyed uniform hash and the label a
+    // Bernoulli(p) draw from an independent hash, so the input is
+    // perfectly calibrated BY CONSTRUCTION and the bins read the
+    // estimator itself (finite-sample gaps included) in exact arithmetic
+    // both engines share; real-model usage (LR scores, Scoring margins)
+    // is spec-pinned. Double bin sums are canonicalized round4.
+    (s, d) => {
+      import graft.operators.{Calibration, Sampling}
+      val probed = t(s, d, "documents").select(col("doc_id"),
+          Sampling.hashUnit(concat_ws(":", col("doc_id"), lit("cal"), lit("p")))
+            .as("p"))
+        .withColumn("y",
+          (Sampling.hashUnit(concat_ws(":", col("doc_id"), lit("cal"), lit("y")))
+            < col("p")).cast("double"))
+      Calibration.reliabilityBins(probed, "p", "y", nBins = 10)
+        .select(col("bin").cast("long").as("bin"), col("n"),
+          round4(col("conf")).as("conf"),
+          round4(col("acc")).as("acc"), round4(col("gap")).as("gap"))
+        .orderBy("bin")
+    },
+    Some("""WITH probed AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':cal:p'), 1, 8))::BIGINT / 4294967296.0 AS p,
+         CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':cal:y'), 1, 8))::BIGINT / 4294967296.0
+                   < ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':cal:p'), 1, 8))::BIGINT / 4294967296.0
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+b AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(p) AS sp, SUM(y) AS sy
+  FROM probed GROUP BY 1)
+SELECT bin, n,
+       FLOOR(sp / n * 10000 + 0.5) / 10000 AS conf,
+       FLOOR(sy / n * 10000 + 0.5) / 10000 AS acc,
+       FLOOR((sp - sy) / n * 10000 + 0.5) / 10000 AS gap
+FROM b ORDER BY bin"""))
+
+  private val x83 = DeclaredQuery("x83_curriculum_schedule",
+    // competence-based curriculum (Curriculum.competenceSchedule,
+    // Platanios NAACL'19): global ascending-difficulty rank via the
+    // distributed-scan recipe (range partition + driver offsets +
+    // partition-local window — never a single-partition global sort,
+    // same shape the x36 family pins), then the closed-form inverse of
+    // the √-competence schedule per row. Difficulty = n_chars with id
+    // tie-breaks; ranks are exact ints and pr/release are fixed IEEE
+    // expressions of them (c0 = 0.25 so c0² and 1−c0² are exact
+    // doubles), so the entry needs no rounding. The oracle IS the
+    // single-window spelling, pinning the recipe's equivalence.
+    (s, d) => graft.operators.Curriculum
+      .competenceSchedule(t(s, d, "documents"), "doc_id", "n_chars",
+        steps = 20, c0 = 0.25)
+      .select(col("doc_id"), col("rank"), col("pr"), col("release_step"))
+      .orderBy("doc_id"),
+    Some("""WITH r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents),
+p AS (SELECT doc_id, rank, CAST(rank AS DOUBLE) / CAST(n AS DOUBLE) AS pr FROM r)
+SELECT doc_id, rank, pr,
+       GREATEST(CAST(1 AS BIGINT),
+         CAST(CEIL(20.0 * (pr * pr - 0.0625) / 0.9375) AS BIGINT)) AS release_step
+FROM p ORDER BY doc_id"""))
+
+  private val x84 = DeclaredQuery("x84_source_ablation",
+    // leave-one-group-out ablation (Ablation.leaveOneOut, the jackknife
+    // shape at group granularity): which language pulls the corpus mean
+    // document length, and which way — ONE metric-keyed aggregation pass
+    // (K rows out) + a broadcast join against its own 1-row total; every
+    // leave-one-out mean is closed-form (S−s_g)/(N−n_g), no group ever
+    // rescanned. n_chars sums are exact integers, so all the means and
+    // deltas are exact double divisions — oracled with no rounding.
+    (s, d) => graft.operators.Ablation
+      .leaveOneOut(t(s, d, "documents"), "lang", "n_chars")
+      .orderBy("lang"),
+    Some("""WITH g AS (
+  SELECT lang, CAST(COUNT(n_chars) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS s
+  FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts FROM g)
+SELECT lang, n,
+       s / n AS mean_in,
+       ts / tn AS mean_all,
+       CASE WHEN tn > n THEN (ts - s) / (tn - n) END AS mean_without,
+       CASE WHEN tn > n THEN ts / tn - (ts - s) / (tn - n) END AS delta
+FROM g CROSS JOIN t ORDER BY lang"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -4714,7 +5021,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x76, x77, x78, x10d, x10e, x10f)
+    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
