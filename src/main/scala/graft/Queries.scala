@@ -4922,6 +4922,155 @@ SELECT lang, n,
        CASE WHEN tn > n THEN ts / tn - (ts - s) / (tn - n) END AS delta
 FROM g CROSS JOIN t ORDER BY lang"""))
 
+  private val x85 = DeclaredQuery("x85_repetition_signals",
+    // the assembled ONE-PASS Gopher repetition sweep (Repetition.signals —
+    // the production face of the x04g/x38/x38b per-signal primitives):
+    // duplicate line/paragraph fractions, top-n-gram char fractions
+    // (n=2..4), and duplicate-n-gram POSITIONAL-coverage char fractions
+    // (n=5..10, each token position counted once), plus the keep
+    // conjunction at the paper's bounds — all from one shared doc-keyed
+    // lead-token window instead of one shuffle per n.
+    // The synthetic corpus has no newlines, so the entry
+    // injects structure the same way x64 injects punctuation: a paragraph
+    // break every 16 words, then a line break every 2 words — the 31-word
+    // vocabulary then yields real within-doc duplicate lines and a dense
+    // duplicated-n-gram field. Every fraction is one IEEE division of
+    // exact integer sums, so the entry is oracled with NO rounding; the
+    // oracle replays unit grouping, the deterministic top-gram argmax
+    // (count, chars, gram — ORDER BY ... DESC LIMIT 1), and the
+    // distinct-position coverage in DuckDB list arithmetic.
+    (s, d) => {
+      val structured = t(s, d, "documents").withColumn("text",
+        regexp_replace(
+          regexp_replace(col("text"), "((?:\\S+\\s+){15}\\S+)\\s+", "$1\n\n"),
+          "((?:\\S+[ ]+){1}\\S+)[ ]+", "$1\n"))
+      graft.operators.Repetition.signals(structured, "doc_id", "text")
+        .withColumn("keep", graft.operators.Repetition.keep())
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '((?:\S+\s+){15}\S+)\s+', '\1' || chr(10) || chr(10), 'g'),
+           '((?:\S+[ ]+){1}\S+)[ ]+', '\1' || chr(10), 'g') AS text
+  FROM documents),
+lu AS (SELECT doc_id, trim(u) AS u FROM
+        (SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS u FROM d)
+       WHERE length(trim(u)) > 0),
+pu AS (SELECT doc_id, trim(u) AS u FROM
+        (SELECT doc_id, unnest(regexp_split_to_array(text, '\n{2,}')) AS u FROM d)
+       WHERE length(trim(u)) > 0),
+lc AS (SELECT doc_id, u, count(*) AS c, length(u) AS len FROM lu GROUP BY 1, 2),
+pc AS (SELECT doc_id, u, count(*) AS c, length(u) AS len FROM pu GROUP BY 1, 2),
+lf AS (SELECT doc_id,
+         CASE WHEN sum(c) > 0 THEN sum(c - 1)::DOUBLE / sum(c)::DOUBLE ELSE 0 END AS dup_line_frac,
+         CASE WHEN sum(c * len) > 0 THEN sum((c - 1) * len)::DOUBLE / sum(c * len)::DOUBLE ELSE 0 END AS dup_line_char_frac
+       FROM lc GROUP BY 1),
+pf AS (SELECT doc_id,
+         CASE WHEN sum(c) > 0 THEN sum(c - 1)::DOUBLE / sum(c)::DOUBLE ELSE 0 END AS dup_para_frac,
+         CASE WHEN sum(c * len) > 0 THEN sum((c - 1) * len)::DOUBLE / sum(c * len)::DOUBLE ELSE 0 END AS dup_para_char_frac
+       FROM pc GROUP BY 1),
+tk AS (SELECT doc_id, toks, len(toks) AS nt FROM
+        (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks FROM d)),
+pos AS (SELECT doc_id, toks, nt, unnest(range(1, nt + 1)) AS i FROM tk),
+tot AS (SELECT doc_id, sum(length(toks[i])) AS tokchars FROM pos GROUP BY 1),
+ng AS (SELECT doc_id, n, i, array_to_string(toks[i:i + n - 1], ' ') AS g
+       FROM pos CROSS JOIN (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n) nn
+       WHERE i + n - 1 <= nt),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM ng GROUP BY 1, 2, 3),
+top1 AS (SELECT doc_id, n, c, chars FROM
+          (SELECT doc_id, n, c, length(g) - (n - 1) AS chars,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                    ORDER BY c DESC, length(g) - (n - 1) DESC, g DESC) AS rn
+           FROM cnt WHERE n IN (2, 3, 4))
+         WHERE rn = 1),
+topp AS (SELECT t1.doc_id,
+           MAX(CASE WHEN n = 2 THEN (c * chars)::DOUBLE / tokchars::DOUBLE END) AS top_2gram_char_frac,
+           MAX(CASE WHEN n = 3 THEN (c * chars)::DOUBLE / tokchars::DOUBLE END) AS top_3gram_char_frac,
+           MAX(CASE WHEN n = 4 THEN (c * chars)::DOUBLE / tokchars::DOUBLE END) AS top_4gram_char_frac
+         FROM top1 t1 JOIN tot USING (doc_id) GROUP BY 1),
+dupk AS (SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c > 1),
+cov AS (SELECT DISTINCT doc_id, n, p FROM
+         (SELECT ng.doc_id, ng.n, unnest(range(ng.i, ng.i + ng.n)) AS p
+          FROM ng JOIN dupk USING (doc_id, n, g))),
+covc AS (SELECT cov.doc_id, cov.n, sum(length(tk.toks[cov.p])) AS covchars
+         FROM cov JOIN tk USING (doc_id) GROUP BY 1, 2),
+dupp AS (SELECT covc.doc_id,
+           MAX(CASE WHEN n = 5 THEN covchars::DOUBLE / tokchars::DOUBLE END) AS dup_5gram_char_frac,
+           MAX(CASE WHEN n = 6 THEN covchars::DOUBLE / tokchars::DOUBLE END) AS dup_6gram_char_frac,
+           MAX(CASE WHEN n = 7 THEN covchars::DOUBLE / tokchars::DOUBLE END) AS dup_7gram_char_frac,
+           MAX(CASE WHEN n = 8 THEN covchars::DOUBLE / tokchars::DOUBLE END) AS dup_8gram_char_frac,
+           MAX(CASE WHEN n = 9 THEN covchars::DOUBLE / tokchars::DOUBLE END) AS dup_9gram_char_frac,
+           MAX(CASE WHEN n = 10 THEN covchars::DOUBLE / tokchars::DOUBLE END) AS dup_10gram_char_frac
+         FROM covc JOIN tot USING (doc_id) GROUP BY 1),
+sig AS (SELECT d.doc_id,
+         COALESCE(dup_line_frac, 0) AS dup_line_frac,
+         COALESCE(dup_line_char_frac, 0) AS dup_line_char_frac,
+         COALESCE(dup_para_frac, 0) AS dup_para_frac,
+         COALESCE(dup_para_char_frac, 0) AS dup_para_char_frac,
+         COALESCE(top_2gram_char_frac, 0) AS top_2gram_char_frac,
+         COALESCE(top_3gram_char_frac, 0) AS top_3gram_char_frac,
+         COALESCE(top_4gram_char_frac, 0) AS top_4gram_char_frac,
+         COALESCE(dup_5gram_char_frac, 0) AS dup_5gram_char_frac,
+         COALESCE(dup_6gram_char_frac, 0) AS dup_6gram_char_frac,
+         COALESCE(dup_7gram_char_frac, 0) AS dup_7gram_char_frac,
+         COALESCE(dup_8gram_char_frac, 0) AS dup_8gram_char_frac,
+         COALESCE(dup_9gram_char_frac, 0) AS dup_9gram_char_frac,
+         COALESCE(dup_10gram_char_frac, 0) AS dup_10gram_char_frac
+       FROM d LEFT JOIN lf USING (doc_id) LEFT JOIN pf USING (doc_id)
+              LEFT JOIN topp USING (doc_id) LEFT JOIN dupp USING (doc_id))
+SELECT *,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        AND top_4gram_char_frac <= 0.16
+        AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
+        AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
+        AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10) AS keep
+FROM sig ORDER BY doc_id"""))
+
+  private val x86 = DeclaredQuery("x86_streaming_dedup_replay",
+    // the FOURTH stateful streaming kernel inside the driver gate
+    // (completing x68 aggregate-state / x79 flatMapGroupsWithState / x80
+    // join-state): cross-batch DEDUP state. Events replay in three
+    // micro-batches through EventStreams.dedupEvents
+    // (dropDuplicatesWithinWatermark on (user_id, event_type)); the
+    // watermark delay spans the whole event range so no key is ever
+    // evicted mid-replay, and a duplicate arriving in a LATER micro-batch
+    // than its first copy must still be suppressed by the state store.
+    // Which physical row survives depends on arrival order, so the entry
+    // projects the KEY SET — exactly the order-independent face — which
+    // must equal batch DISTINCT bit-for-bit. A regression in dedup state
+    // retention (keys forgotten between batches → extra rows would
+    // survive and the row count changes) or in eviction arithmetic breaks
+    // the gate hash.
+    (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "ts", "user_id", "event_type")
+      val span = ev.agg(
+        min(unix_millis(col("ts").cast("timestamp"))).as("lo"),
+        max(unix_millis(col("ts").cast("timestamp"))).as("hi")).head()
+      val delayMin = (span.getLong(1) - span.getLong(0)) / 60000 + 60
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x86")
+      val ingest = tmp.resolve("ingest").toString
+      ev.repartition(3).write.mode("overwrite").parquet(ingest)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = s"x86_keys_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.EventStreams
+        .dedupEvents(stream, Seq("user_id", "event_type"),
+          watermark = s"$delayMin minutes")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5021,7 +5170,8 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x10d, x10e, x10f)
+    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

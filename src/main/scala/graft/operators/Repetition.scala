@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
@@ -140,4 +140,169 @@ object Repetition {
         (coalesce(col("__dchars"), lit(0L)).cast("double") / col("__tlen"))
           .as("dup_ngram_char_frac"))
   }
+
+  // ---- the assembled one-pass sweep ------------------------------------
+  //
+  // The per-signal primitives above are the à-la-carte faces; applying the
+  // WHOLE Table A1 filter with them costs one explode+shuffle per n (nine
+  // at the paper's n=2..10) plus two segment passes. [[signals]] is the
+  // production face: ONE doc-keyed window shuffle materializes a
+  // lead-token frame every n shares, n-gram counting runs once keyed
+  // (doc, n, gram), lines and paragraphs share one unioned unit pass, and
+  // [[keep]] is the paper-bounds conjunction over the resulting row.
+  //
+  // Semantics differ from the primitives in two deliberate ways, chosen so
+  // every output fraction is ONE IEEE division of exact integer sums
+  // (bit-identical across engines, no rounding in the gate):
+  //  - normalization is TOKEN characters (Σ token lengths; an n-gram's
+  //    chars = length of the space-joined gram minus its n−1 separators),
+  //    not raw text length — whitespace carries no repetition signal;
+  //  - documents with no units/tokens (or fewer than n tokens) report 0.0
+  //    rather than being omitted — the sweep is total, so [[keep]] can run
+  //    as a plain conjunction; token-count bounds live in the shape rules
+  //    ([[graft.functions.Scrub.gopherKeep]]), not here.
+  // Top-gram ties break deterministically toward more characters, then the
+  // lexicographically last gram (max(struct(c, chars, gram)) — the same
+  // total order an ORDER BY c DESC, chars DESC, gram DESC replay picks).
+
+  /** Gopher Table A1 duplicate-fraction bounds. */
+  val DefaultTopBounds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DefaultDupBounds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  private def units(text: Column, sep: String): Column =
+    filter(transform(split(text, sep), u => trim(u)), u => length(u) > 0)
+
+  /** The full Table A1 signal row per document, in one pass over the
+    * corpus: `dup_line_frac`, `dup_line_char_frac`, `dup_para_frac`,
+    * `dup_para_char_frac` (Σ(c−1)/Σc over per-unit occurrence counts, in
+    * units and characters), `top_{n}gram_char_frac` for n ∈ topNs, and
+    * `dup_{n}gram_char_frac` for n ∈ dupNs (positional coverage — each
+    * token position counted once, as [[dupNgramCoverage]] does). */
+  def signals(df: DataFrame, idCol: String, textCol: String,
+              topNs: Seq[Int] = DefaultTopBounds.map(_._1),
+              dupNs: Seq[Int] = DefaultDupBounds.map(_._1)): DataFrame = {
+    require(topNs.forall(_ >= 1) && dupNs.forall(_ >= 1),
+      "n-gram sizes must be >= 1")
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      "duplicate n-gram sizes")
+    val id = col(idCol)
+    val text = col(textCol)
+
+    // ---- line / paragraph duplication: one unioned explode, one
+    // (doc, kind, unit)-keyed count, conditional per-doc assembly --------
+    val unitRows = df.select(id, explode(units(text, "\n")).as("u"))
+      .withColumn("kind", lit("line"))
+      .unionByName(df.select(id, explode(units(text, "\n{2,}")).as("u"))
+        .withColumn("kind", lit("para")))
+    val unitCounts = unitRows.groupBy(id, col("kind"), col("u"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("u")).cast("long"))
+    val unitAggs = Seq("line", "para").flatMap { k =>
+      val in = col("kind") === k
+      val dupU = sum(when(in, col("c") - 1L).otherwise(0L))
+      val allU = sum(when(in, col("c")).otherwise(0L))
+      val dupCh = sum(when(in, (col("c") - 1L) * col("len")).otherwise(0L))
+      val allCh = sum(when(in, col("c") * col("len")).otherwise(0L))
+      Seq(
+        when(allU > 0, dupU.cast("double") / allU.cast("double"))
+          .otherwise(0.0).as(s"dup_${k}_frac"),
+        when(allCh > 0, dupCh.cast("double") / allCh.cast("double"))
+          .otherwise(0.0).as(s"dup_${k}_char_frac"))
+    }
+    val unitFracs =
+      unitCounts.groupBy(idCol).agg(unitAggs.head, unitAggs.tail: _*)
+
+    // ---- n-grams: one doc-keyed window shuffle builds all leads --------
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val maxN = ns.max
+    val tok = df
+      .select(id, posexplode(TextAnalysis.tokens(text)))
+      .toDF(idCol, "pos", "tok")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val leadCols = (1 until maxN).map(k => lead("tok", k).over(w).as(s"l$k"))
+    val withLeads = tok.select(id +: col("pos") +: col("tok") +: leadCols: _*)
+      .localCheckpoint(true) // one window pass feeds every n and the totals
+    val totals = withLeads.groupBy(idCol)
+      .agg(sum(length(col("tok"))).cast("long").as("tokchars"))
+    def gram(n: Int): Column =
+      if (n == 1) col("tok")
+      else concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"l$k")): _*)
+    def validFor(n: Int): Column =
+      if (n == 1) lit(true) else col(s"l${n - 1}").isNotNull
+    val ngrams = ns.map { n =>
+      withLeads.where(validFor(n))
+        .select(id, col("pos"), lit(n).as("n"), gram(n).as("g"))
+    }.reduce(_ unionByName _)
+    val counts = ngrams.groupBy(idCol, "n", "g").agg(count(lit(1)).as("c"))
+
+    // top-n-gram: deterministic argmax via max(struct(count, chars, gram))
+    val topAggs = topNs.map(n => max(when(col("n") === n,
+        col("m.c") * col("m.chars") / col("tokchars").cast("double")))
+      .as(s"top_${n}gram_char_frac"))
+    val topFracs =
+      if (topNs.isEmpty) null
+      else counts.where(col("n").isin(topNs.map(Integer.valueOf): _*))
+        .withColumn("chars", (length(col("g")) - (col("n") - 1)).cast("long"))
+        .groupBy(idCol, "n")
+        .agg(max(struct(col("c"), col("chars"), col("g"))).as("m"))
+        .join(totals, idCol)
+        .groupBy(idCol).agg(topAggs.head, topAggs.tail: _*)
+
+    // dup-n-gram coverage: positions under any occurrence of a duplicated
+    // gram, deduplicated, then token lengths summed — all doc-keyed
+    val dupFracs =
+      if (dupNs.isEmpty) null
+      else {
+        val dupKeys = counts
+          .where(col("n").isin(dupNs.map(Integer.valueOf): _*) && col("c") > 1)
+          .select(id, col("n"), col("g"))
+        val covered = ngrams
+          .where(col("n").isin(dupNs.map(Integer.valueOf): _*))
+          .join(dupKeys, Seq(idCol, "n", "g"))
+          .select(id, col("n"),
+            explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
+          .distinct()
+        val dupAggs = dupNs.map(n => max(when(col("n") === n,
+            col("cov") / col("tokchars").cast("double")))
+          .as(s"dup_${n}gram_char_frac"))
+        covered
+          .join(withLeads.select(id, col("pos").as("p"),
+            length(col("tok")).cast("long").as("plen")), Seq(idCol, "p"))
+          .groupBy(idCol, "n").agg(sum("plen").as("cov"))
+          .join(totals, idCol)
+          .groupBy(idCol).agg(dupAggs.head, dupAggs.tail: _*)
+      }
+
+    // ---- assembly: doc spine, absent signals coalesce to 0.0 -----------
+    val spine = df.select(id)
+    val joined = Seq(Option(unitFracs), Option(topFracs), Option(dupFracs))
+      .flatten.foldLeft(spine)((acc, f) => acc.join(f, Seq(idCol), "left"))
+    val sigCols =
+      Seq("line", "para").flatMap(k =>
+        Seq(s"dup_${k}_frac", s"dup_${k}_char_frac")) ++
+        topNs.map(n => s"top_${n}gram_char_frac") ++
+        dupNs.map(n => s"dup_${n}gram_char_frac")
+    joined.select(id +: sigCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+  }
+
+  /** The Gopher repetition KEEP decision over a [[signals]] row — a plain
+    * conjunction of upper bounds (signals are total: empty docs read 0.0
+    * and pass; the shape rules' token bounds drop them). Bounds for n
+    * values absent from the signals frame would make the filter lie —
+    * callers pass bounds matching the `topNs`/`dupNs` they computed. */
+  def keep(maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
+           maxDupLineCharFrac: Double = 0.20,
+           maxDupParaCharFrac: Double = 0.20,
+           topBounds: Seq[(Int, Double)] = DefaultTopBounds,
+           dupBounds: Seq[(Int, Double)] = DefaultDupBounds): Column =
+    (Seq(
+      col("dup_line_frac") <= maxDupLineFrac,
+      col("dup_para_frac") <= maxDupParaFrac,
+      col("dup_line_char_frac") <= maxDupLineCharFrac,
+      col("dup_para_char_frac") <= maxDupParaCharFrac) ++
+      topBounds.map { case (n, b) => col(s"top_${n}gram_char_frac") <= b } ++
+      dupBounds.map { case (n, b) => col(s"dup_${n}gram_char_frac") <= b })
+      .reduce(_ && _)
 }

@@ -448,4 +448,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 1-row totals side must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x85 repetition: gram counting partial-aggregates, no cartesian, no global window") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Repetition.signals(docs, "doc_id", "text")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the lead-token window is doc-keyed (pre-materialized by the
+    // checkpoint); the visible plan must never sort globally
+    assert(!p.contains("SinglePartition"),
+      s"repetition must not use a single-partition exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gram counting must partial-aggregate map-side:\n$p")
+  }
 }
