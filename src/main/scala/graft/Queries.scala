@@ -5071,6 +5071,50 @@ FROM sig ORDER BY doc_id"""))
     Some("""SELECT DISTINCT user_id, event_type FROM events
 ORDER BY user_id, event_type"""))
 
+  private val x87 = DeclaredQuery("x87_corpus_report",
+    // the one-call corpus report card (Profiling.corpusReport): the fixed
+    // (metric, value) contract a pipeline stamps on every data drop —
+    // volume, exact length quantiles (the distributed-scan recipe, never a
+    // single-partition sort), language mix + entropy, exact-dup fraction
+    // on the fingerprint normalization, source concentration. Integer-
+    // derived metrics are exact; the entropy is a k-term double sum —
+    // round4 canonicalizes uniformly. The oracle recomputes every metric
+    // independently (QUANTILE_CONT shares the h=(n-1)p interpolation).
+    (s, d) => graft.operators.Profiling
+      .corpusReport(t(s, d, "documents"), "doc_id", "text", "lang",
+        "source", "n_chars")
+      .select(col("metric"), round4(col("value")).as("value"))
+      .orderBy("metric"),
+    Some("""WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS nt,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents),
+g AS (SELECT count(*) AS n, SUM(nt) AS toks, SUM(n_chars) AS chars,
+             COUNT(DISTINCT norm) AS nd,
+             QUANTILE_CONT(nt, 0.5) AS p50, QUANTILE_CONT(nt, 0.9) AS p90
+      FROM t),
+lc AS (SELECT lang, count(*) AS c FROM t GROUP BY 1),
+e AS (SELECT COUNT(*) AS nl,
+             SUM(-(c::DOUBLE / (SELECT n FROM g))
+                 * ln(c::DOUBLE / (SELECT n FROM g))) AS ent
+      FROM lc),
+sc AS (SELECT MAX(c) AS mx FROM
+        (SELECT source, count(*) AS c FROM t GROUP BY 1))
+SELECT metric, FLOOR(value * 10000 + 0.5) / 10000 AS value FROM (
+  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM g
+  UNION ALL SELECT 'total_tokens', toks::DOUBLE FROM g
+  UNION ALL SELECT 'mean_doc_tokens', toks::DOUBLE / n FROM g
+  UNION ALL SELECT 'p50_doc_tokens', p50 FROM g
+  UNION ALL SELECT 'p90_doc_tokens', p90 FROM g
+  UNION ALL SELECT 'total_chars', chars::DOUBLE FROM g
+  UNION ALL SELECT 'mean_doc_chars', chars::DOUBLE / n FROM g
+  UNION ALL SELECT 'n_langs', nl::DOUBLE FROM e
+  UNION ALL SELECT 'lang_entropy_nats', ent FROM e
+  UNION ALL SELECT 'exact_dup_frac', 1.0 - nd::DOUBLE / n FROM g
+  UNION ALL SELECT 'top_source_share', mx::DOUBLE / (SELECT n FROM g) FROM sc)
+ORDER BY metric"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5170,7 +5214,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86,
+    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -454,4 +454,78 @@ object Profiling {
         round4(sqrt(col("__d2"))).as("centroid_l2"),
         round4(sqrt(col("__nb") / col("__na"))).as("norm_ratio"))
   }
+
+  /** One-call corpus report card — the summary a pipeline stamps on every
+    * data drop before anyone trains on it: volume, length distribution,
+    * language mix, duplication, and source concentration in a single tall
+    * (metric, value) frame. Each number is an existing primitive's shape;
+    * the value of the operator is the FIXED metric contract (downstream
+    * dashboards and drop-over-drop diffs key on metric names).
+    *
+    * Metrics: `n_docs`, `total_tokens`, `mean_doc_tokens`,
+    * `p50_doc_tokens` / `p90_doc_tokens` (EXACT corpus-wide quantiles via
+    * [[Percentiles.exactGlobalValues]]'s distributed-scan recipe — never a
+    * single-partition sort), `total_chars`, `mean_doc_chars`, `n_langs`,
+    * `lang_entropy_nats` (Shannon entropy of the language mix, folded
+    * driver-side over the ≤K language counts in sorted-key order — a fixed
+    * summation order, deterministic), `exact_dup_frac` (1 − distinct
+    * normalized texts / docs — the [[graft.functions.TextAnalysis
+    * .fingerprint]] normalization), `top_source_share`.
+    *
+    * Cost: one global aggregation pass (counts, sums, the distinct-text
+    * shuffle), one GROUPING SETS pass for the language and source mixes
+    * (collected — ≤ |langs|+|sources| rows, a model artifact), and the
+    * quantile recipe's narrow passes over the token counts. A report, not
+    * a hot path — each pass is the minimal shape for its statistic, and
+    * nothing scales with corpus size beyond the scans. Integer-derived
+    * metrics are exact; `lang_entropy_nats` carries the usual k-term
+    * double-sum contract (gate canonicalizes round4). */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String,
+                   charsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val ntok = graft.functions.TextAnalysis.tokenCount(col(textCol))
+    val g = df.agg(
+      count(lit(1)).as("n"),
+      sum(ntok.cast("long")).as("toks"),
+      sum(col(charsCol).cast("long")).as("chars"),
+      count_distinct(norm).as("nd")).head()
+    val n = g.getLong(0)
+    // n first: the sums are NULL on an empty corpus — fail with the clear
+    // message, not a NULL-read error
+    require(n > 0, "corpusReport: empty corpus")
+    val (toks, chars, nd) = (g.getLong(1), g.getLong(2), g.getLong(3))
+    // language AND source mixes from ONE (lang, source) cell pass; the
+    // collect is ≤ |langs|·|sources| rows — a model artifact
+    val cells = df.select(col(langCol).as("l"), col(sourceCol).as("s"))
+      .groupBy("l", "s").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse(""),
+        Option(r.getString(1)).getOrElse(""), r.getLong(2)))
+    val langCounts = cells.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val topSource = cells.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).values.max
+    val entropy = langCounts.foldLeft(0.0) { case (acc, (_, c)) =>
+      val p = c.toDouble / n
+      acc - p * math.log(p)
+    }
+    val qs = Percentiles.exactGlobalValues(
+      df.select(ntok.cast("double").as("__nt")), "__nt", Seq(0.5, 0.9))
+    import spark.implicits._
+    Seq(
+      "n_docs" -> n.toDouble,
+      "total_tokens" -> toks.toDouble,
+      "mean_doc_tokens" -> toks.toDouble / n,
+      "p50_doc_tokens" -> qs(0).getOrElse(Double.NaN),
+      "p90_doc_tokens" -> qs(1).getOrElse(Double.NaN),
+      "total_chars" -> chars.toDouble,
+      "mean_doc_chars" -> chars.toDouble / n,
+      "n_langs" -> langCounts.size.toDouble,
+      "lang_entropy_nats" -> entropy,
+      "exact_dup_frac" -> (1.0 - nd.toDouble / n),
+      "top_source_share" -> topSource.toDouble / n)
+      .toDF("metric", "value")
+  }
 }

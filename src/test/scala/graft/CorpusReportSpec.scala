@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Profiling
+
+/** Pins [[Profiling.corpusReport]] against hand-computed values on a
+  * crafted corpus covering duplication, language mix, and the exact
+  * quantile interpolation. */
+class CorpusReportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def report(rows: (Long, String, String, String, Long)*)
+      : Map[String, Double] =
+    Profiling.corpusReport(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("hand-computed report on a crafted corpus") {
+    // 4 docs: token counts 1,2,3,4; docs 1 and 2 are duplicates after
+    // normalization (case + whitespace); langs en,en,en,de; sources a,a,b,b
+    val m = report(
+      (1L, "Hello  World", "en", "a", 10L),
+      (2L, "hello world", "en", "a", 11L),
+      (3L, "x", "en", "b", 1L),
+      (4L, "p q r s", "de", "b", 7L))
+    assert(m("n_docs") == 4.0)
+    assert(m("total_tokens") == 2 + 2 + 1 + 4)
+    assert(m("mean_doc_tokens") == 9.0 / 4)
+    assert(m("total_chars") == 29.0)
+    assert(m("mean_doc_chars") == 29.0 / 4)
+    assert(m("n_langs") == 2.0)
+    // norm("Hello  World") == norm("hello world") -> 3 distinct of 4
+    assert(m("exact_dup_frac") == 1.0 - 3.0 / 4)
+    // sources: a=2, b=2 -> top share 0.5
+    assert(m("top_source_share") == 0.5)
+    // entropy over en=3, de=1: -(3/4)ln(3/4) - (1/4)ln(1/4)
+    val want = -(0.75 * math.log(0.75)) - (0.25 * math.log(0.25))
+    assert(math.abs(m("lang_entropy_nats") - want) < 1e-12)
+    // token counts sorted: 1,2,2,4; h=(n-1)p: p50 -> h=1.5 -> 2.0;
+    // p90 -> h=2.7 -> 2 + 0.7*(4-2) = 3.4
+    assert(m("p50_doc_tokens") == 2.0)
+    assert(math.abs(m("p90_doc_tokens") - 3.4) < 1e-12)
+  }
+
+  test("single-doc corpus and empty-corpus guard") {
+    val m = report((1L, "a b c", "en", "s", 5L))
+    assert(m("n_docs") == 1.0 && m("p50_doc_tokens") == 3.0 &&
+      m("exact_dup_frac") == 0.0 && m("lang_entropy_nats") == 0.0 &&
+      m("top_source_share") == 1.0)
+    intercept[IllegalArgumentException] {
+      Profiling.corpusReport(
+        Seq.empty[(Long, String, String, String, Long)]
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id", "text", "lang", "source", "n_chars")
+    }
+  }
+}
