@@ -5115,6 +5115,46 @@ SELECT metric, FLOOR(value * 10000 + 0.5) / 10000 AS value FROM (
   UNION ALL SELECT 'top_source_share', mx::DOUBLE / (SELECT n FROM g) FROM sc)
 ORDER BY metric"""))
 
+  private val x88 = DeclaredQuery("x88_crop_pairs",
+    // contrastive positive-pair construction (Contrastive.cropPairs,
+    // Contriever's independent cropping made content-keyed): two
+    // deterministic token crops per document — length fraction and start
+    // offset are sha256-prefix arithmetic, map-only slice/join, no
+    // shuffle. ORACLED end to end including the crop strings and the
+    // exact token-position overlap; the oracle spells the fraction band
+    // as (0.5 - 0.1), the same IEEE subtraction the operator computes, so
+    // the floor() boundary is bit-identical.
+    (s, d) => graft.operators.Contrastive
+      .cropPairs(t(s, d, "documents"), "doc_id", "text",
+        minFrac = 0.1, maxFrac = 0.5)
+      .orderBy("doc_id"),
+    Some("""WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':crop:al'), 1, 8))::BIGINT / 4294967296.0 AS ua,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':crop:bl'), 1, 8))::BIGINT / 4294967296.0 AS ub,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':crop:as'), 1, 8))::BIGINT AS ha,
+         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':crop:bs'), 1, 8))::BIGINT AS hb
+  FROM tk),
+l AS (SELECT *,
+        CASE WHEN n = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(CAST(n AS DOUBLE) * (0.1 + ua * (0.5 - 0.1))) AS INTEGER)) END AS la,
+        CASE WHEN n = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(CAST(n AS DOUBLE) * (0.1 + ub * (0.5 - 0.1))) AS INTEGER)) END AS lb
+      FROM h),
+s AS (SELECT *,
+        CASE WHEN n = 0 THEN 0 ELSE CAST(ha % (n - la + 1) AS INTEGER) END AS sa,
+        CASE WHEN n = 0 THEN 0 ELSE CAST(hb % (n - lb + 1) AS INTEGER) END AS sb
+      FROM l)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(sa AS BIGINT) AS a_start, CAST(la AS BIGINT) AS a_len,
+       CAST(sb AS BIGINT) AS b_start, CAST(lb AS BIGINT) AS b_len,
+       COALESCE(array_to_string(toks[sa + 1:sa + la], ' '), '') AS crop_a,
+       COALESCE(array_to_string(toks[sb + 1:sb + lb], ' '), '') AS crop_b,
+       CAST(GREATEST(0, LEAST(sa + la, sb + lb) - GREATEST(sa, sb)) AS BIGINT) AS overlap_tokens
+FROM s ORDER BY doc_id"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5214,7 +5254,7 @@ FROM c, t GROUP BY total"""))
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
-    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87,
+    x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -146,10 +146,13 @@ object Repetition {
   // The per-signal primitives above are the à-la-carte faces; applying the
   // WHOLE Table A1 filter with them costs one explode+shuffle per n (nine
   // at the paper's n=2..10) plus two segment passes. [[signals]] is the
-  // production face: ONE doc-keyed window shuffle materializes a
-  // lead-token frame every n shares, n-gram counting runs once keyed
-  // (doc, n, gram), lines and paragraphs share one unioned unit pass, and
-  // [[keep]] is the paper-bounds conjunction over the resulting row.
+  // production face: one map-only explode per BRANCH builds every (n, pos,
+  // gram) triple in the same pass (no per-n shuffles, no doc-keyed window,
+  // nothing pinned), counting runs as two shapes — short grams (topNs)
+  // keyed by string for the argmax, long grams (dupNs) keyed by
+  // xxhash64(n, gram) so the heavy branch shuffles 8-byte keys — lines and
+  // paragraphs share one unioned unit pass, and [[keep]] is the
+  // paper-bounds conjunction over the resulting row.
   //
   // Semantics differ from the primitives in two deliberate ways, chosen so
   // every output fraction is ONE IEEE division of exact integer sums
@@ -214,36 +217,47 @@ object Repetition {
     val unitFracs =
       unitCounts.groupBy(idCol).agg(unitAggs.head, unitAggs.tail: _*)
 
-    // ---- n-grams: one doc-keyed window shuffle builds all leads --------
-    val ns = (topNs ++ dupNs).distinct.sorted
-    val maxN = ns.max
-    val tok = df
-      .select(id, posexplode(TextAnalysis.tokens(text)))
-      .toDF(idCol, "pos", "tok")
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val leadCols = (1 until maxN).map(k => lead("tok", k).over(w).as(s"l$k"))
-    val withLeads = tok.select(id +: col("pos") +: col("tok") +: leadCols: _*)
-      .localCheckpoint(true) // one window pass feeds every n and the totals
-    val totals = withLeads.groupBy(idCol)
-      .agg(sum(length(col("tok"))).cast("long").as("tokchars"))
-    def gram(n: Int): Column =
-      if (n == 1) col("tok")
-      else concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"l$k")): _*)
-    def validFor(n: Int): Column =
-      if (n == 1) lit(true) else col(s"l${n - 1}").isNotNull
-    val ngrams = ns.map { n =>
-      withLeads.where(validFor(n))
-        .select(id, col("pos"), lit(n).as("n"), gram(n).as("g"))
-    }.reduce(_ unionByName _)
-    val counts = ngrams.groupBy(idCol, "n", "g").agg(count(lit(1)).as("c"))
+    // ---- n-grams: MAP-ONLY position/gram explodes (the primitives'
+    // proven shape — no doc-keyed window, no pinned lead frame; an earlier
+    // lead-window + localCheckpoint spelling pinned corpus-sized storage
+    // and starved execution memory at the 100x smoke). Each explode
+    // materializes ≤ |ns|·tokens structs per ROW — bounded by document
+    // length, exactly like topNgramStats/dupNgramCoverage above. --------
+    val toked = df.select(id, TextAnalysis.tokens(text).as("__toks"))
+    val totals = toked.select(id,
+      aggregate(transform(col("__toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("tokchars"))
+    // one struct per POSITION (not per position x n): the longest gram is
+    // built once and every shorter gram is substring_index'd off it — a
+    // cheap forward scan instead of |ns| array slices + joins per position
+    val maxAll = (topNs ++ dupNs).max
+    val ts = col("__toks")
+    val posed = toked.where(size(ts) > 0)
+      .select(id, explode(transform(sequence(lit(0), size(ts) - 1), i =>
+        struct(i.cast("int").as("pos"),
+          concat_ws(" ", slice(ts, i + 1, lit(maxAll))).as("gmax"),
+          (size(ts) - i).cast("int").as("avail")))).as("o"))
+      .select(id, col("o.pos").as("pos"), col("o.gmax").as("gmax"),
+        col("o.avail").as("avail"))
+    def occFor(sel: Seq[Int]): DataFrame =
+      posed
+        .select(id, col("pos"), col("avail"), col("gmax"),
+          explode(array(sel.map(lit): _*)).as("n"))
+        .where(col("n") <= col("avail"))
+        .select(id, col("n"), col("pos"),
+          expr("substring_index(gmax, ' ', n)").as("g"))
 
-    // top-n-gram: deterministic argmax via max(struct(count, chars, gram))
+    // top-n-gram: the gram STRING must survive to the argmax (chars +
+    // deterministic tie-break), but topNs are the SHORT grams (2..4) where
+    // duplication collapses the key space — strings through this shuffle
+    // are affordable. Deterministic argmax via max(struct(c, chars, g)).
     val topAggs = topNs.map(n => max(when(col("n") === n,
         col("m.c") * col("m.chars") / col("tokchars").cast("double")))
       .as(s"top_${n}gram_char_frac"))
     val topFracs =
       if (topNs.isEmpty) null
-      else counts.where(col("n").isin(topNs.map(Integer.valueOf): _*))
+      else occFor(topNs)
+        .groupBy(idCol, "n", "g").agg(count(lit(1)).as("c"))
         .withColumn("chars", (length(col("g")) - (col("n") - 1)).cast("long"))
         .groupBy(idCol, "n")
         .agg(max(struct(col("c"), col("chars"), col("g"))).as("m"))
@@ -251,25 +265,41 @@ object Repetition {
         .groupBy(idCol).agg(topAggs.head, topAggs.tail: _*)
 
     // dup-n-gram coverage: positions under any occurrence of a duplicated
-    // gram, deduplicated, then token lengths summed — all doc-keyed
+    // gram, deduplicated, then token lengths summed — all doc-keyed. The
+    // dupNs are the LONG grams (5..10) where almost every gram is unique,
+    // so this is the heavy branch: the count key is xxhash64(n, gram) — an
+    // 8-byte key projected in the SAME map stage that builds the gram, so
+    // the gram text never shuffles (the SubstringDedup discipline;
+    // measured: the string-keyed spelling exhausted the aggregation
+    // memory at the 100x smoke). A hash collision can only merge two
+    // grams WITHIN one document at the same n (the key carries idCol), so
+    // with G grams per doc the false-dup probability is ~G²/2⁶⁵ per doc —
+    // vanishing, and strictly a false POSITIVE (coverage can only
+    // over-count, never miss a real duplicate).
     val dupFracs =
       if (dupNs.isEmpty) null
       else {
-        val dupKeys = counts
-          .where(col("n").isin(dupNs.map(Integer.valueOf): _*) && col("c") > 1)
-          .select(id, col("n"), col("g"))
-        val covered = ngrams
-          .where(col("n").isin(dupNs.map(Integer.valueOf): _*))
-          .join(dupKeys, Seq(idCol, "n", "g"))
+        val occ = occFor(dupNs)
+          .select(id, col("n"), col("pos"),
+            xxhash64(col("n"), col("g")).as("gh"))
+        val dupKeys = occ.groupBy(idCol, "n", "gh")
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)
+          .select(id, col("n"), col("gh"))
+        val covered = occ
+          .join(dupKeys, Seq(idCol, "n", "gh"))
           .select(id, col("n"),
             explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("p"))
           .distinct()
         val dupAggs = dupNs.map(n => max(when(col("n") === n,
             col("cov") / col("tokchars").cast("double")))
           .as(s"dup_${n}gram_char_frac"))
+        val plens = toked.where(size(col("__toks")) > 0)
+          .select(id, posexplode(transform(col("__toks"),
+            t => length(t).cast("long"))))
+          .toDF(idCol, "p", "plen")
         covered
-          .join(withLeads.select(id, col("pos").as("p"),
-            length(col("tok")).cast("long").as("plen")), Seq(idCol, "p"))
+          .join(plens, Seq(idCol, "p"))
           .groupBy(idCol, "n").agg(sum("plen").as("cov"))
           .join(totals, idCol)
           .groupBy(idCol).agg(dupAggs.head, dupAggs.tail: _*)
