@@ -5155,6 +5155,36 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
        CAST(GREATEST(0, LEAST(sa + la, sb + lb) - GREATEST(sa, sb)) AS BIGINT) AS overlap_tokens
 FROM s ORDER BY doc_id"""))
 
+  private val x89 = DeclaredQuery("x89_ann_recall",
+    // ANN index SELF-EVALUATION (SimilaritySearch.recallAtK): per-query
+    // recall@10 of the IVF index against the brute-force ground truth —
+    // the acceptance test every deployed index owes its users, run as a
+    // pipeline operator. Rows-only (IVF probe sets aren't SQL-replayable;
+    // x03c precedent) but SELF-VALIDATING: a second search probing ALL
+    // nlist cells is exhaustive by construction, so its per-query recall
+    // must be exactly 1.0 — carried as full_probe_exact, a flag that
+    // breaks if cell assignment, probe routing, or ranking regress. The
+    // informative recall_probe3 column reports what nprobe=3 actually
+    // buys on this corpus.
+    (s, d) => {
+      import graft.operators.SimilaritySearch
+      val e = t(s, d, "embeddings")
+      val qs = e.where(col("vec_id") < 25)
+      val exact = SimilaritySearch.topKAll(e, qs, "vec_id", "embedding",
+        "vec_id", k = 10)
+      val cents = SimilaritySearch.trainIvf(e, "vec_id", "embedding",
+        nlist = 16, refineIters = 2)
+      def probe(p: Int) = SimilaritySearch.ivfSearch(cents, e, qs,
+        "vec_id", "embedding", "vec_id", k = 10, nprobe = p)
+      SimilaritySearch.recallAtK(exact, probe(3), 10)
+        .withColumnRenamed("recall", "recall_probe3")
+        .join(SimilaritySearch.recallAtK(exact, probe(16), 10)
+          .select(col("query_id"), (col("recall") === 1.0)
+            .as("full_probe_exact")), "query_id")
+        .orderBy("query_id")
+    },
+    None)
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5255,7 +5285,7 @@ FROM c, t GROUP BY total"""))
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
-    x10d, x10e, x10f)
+    x89, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

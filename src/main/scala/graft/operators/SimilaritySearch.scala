@@ -429,6 +429,34 @@ object SimilaritySearch {
       .select(col("query_id"), col("neg_id"), col("neg_rank"))
   }
 
+  /** Per-query recall@k of an approximate neighbor frame against the exact
+    * one — the self-evaluation every deployed ANN index owes its users
+    * [Jégou et al. TPAMI'11 measure recall@R this way]: both inputs are
+    * this file's shared (query_id, corpus_id, score, rank) schema
+    * ([[topKAll]] as ground truth; [[ivfTopK]]/[[lshBucketedTopK]] as the
+    * candidate). Output per query: `n_exact` (≤ k ground-truth neighbors),
+    * `n_hit` (of those, how many the approximate index returned in ITS
+    * top k), `recall` = n_hit / n_exact — exact integer arithmetic, one
+    * division. Both inputs carry deterministic total orders (score desc,
+    * corpus_id), so recall is reproducible even through score ties.
+    *
+    * Shape: two rank filters + one (query, corpus)-keyed left join + one
+    * query-keyed aggregation — the evaluation costs strictly less than
+    * either search that feeds it. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = exact.where(col("rank") <= k).select(col("query_id"), col("corpus_id"))
+    val a = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** All same-bucket pairs with exact cosine — the candidate generator for
     * embedding near-dup detection. */
   def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

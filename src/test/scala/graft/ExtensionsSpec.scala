@@ -263,6 +263,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("recallAtK: identity is 1.0, full-probe IVF is exhaustive, partial hits count exactly") {
+    val queries = embs.where(col("vec_id") < 15)
+    val exact = SimilaritySearch.topKAll(embs, queries,
+      "vec_id", "embedding", "vec_id", k = 8)
+    // ground truth against itself: every query at recall 1.0 with n_exact=8
+    val self = SimilaritySearch.recallAtK(exact, exact, 8).collect()
+    assert(self.nonEmpty && self.forall(r =>
+      r.getDouble(3) == 1.0 && r.getLong(1) == 8L))
+    // probing ALL cells is exhaustive by construction -> recall exactly 1.0
+    val cents = SimilaritySearch.trainIvf(embs, "vec_id", "embedding",
+      nlist = 8, refineIters = 2)
+    val full = SimilaritySearch.ivfSearch(cents, embs, queries,
+      "vec_id", "embedding", "vec_id", k = 8, nprobe = 8)
+    assert(SimilaritySearch.recallAtK(exact, full, 8).collect()
+      .forall(_.getDouble(3) == 1.0), "nprobe = nlist must equal exact")
+    // hand check: an approx frame missing exactly one of each query's hits
+    val crippled = exact.where(col("rank") =!= 1)
+      .withColumn("rank", col("rank") - 1)
+    val part = SimilaritySearch.recallAtK(exact, crippled, 8).collect()
+    assert(part.forall(r => r.getLong(2) == 7L && r.getDouble(3) == 7.0 / 8))
+  }
+
   test("review fixes: dim mismatch → NULL; NULL vectors don't break refinement; topKAll self-inclusion") {
     import spark.implicits._
     graft.plans.HashExpressions.register(spark)
