@@ -5185,6 +5185,39 @@ FROM s ORDER BY doc_id"""))
     },
     None)
 
+  private val x90 = DeclaredQuery("x90_tokenizer_fertility",
+    // per-language tokenizer fertility (Profiling.tokenizerFertility):
+    // subwords per word and chars per subword by language — the
+    // context-window/training-cost table a multilingual mix decision
+    // reads. Subwords are bpeishTokenCount's lookaround split, which RE2
+    // can't spell — but the count is provably (maximal alnum runs) +
+    // (non-alnum non-space chars), which DuckDB CAN spell, so the gate
+    // hash pins the two spellings' equivalence on real data. The entry
+    // injects x64's punctuation (the synthetic corpus has none), making
+    // fertility > 1. Exact integer sums, exact divisions — no rounding.
+    (s, d) => {
+      val punctuated = t(s, d, "documents").withColumn("text",
+        regexp_replace(col("text"), "((?:\\S+\\s+){5}\\S+)\\s+", "$1. "))
+      graft.operators.Profiling
+        .tokenizerFertility(punctuated, "lang", "text")
+        .orderBy("lang")
+    },
+    Some("""WITH pd AS (
+  SELECT lang, regexp_replace(text, '((?:\S+\s+){5}\S+)\s+', '\1. ', 'g') AS text
+  FROM documents),
+t AS (SELECT lang,
+        len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS w,
+        len(regexp_extract_all(text, '[\p{L}\p{N}]+'))
+          + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS sw,
+        length(text) AS ch
+      FROM pd)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(sw) AS BIGINT) AS n_subwords,
+       SUM(sw)::DOUBLE / SUM(w)::DOUBLE AS fertility,
+       SUM(ch)::DOUBLE / SUM(sw)::DOUBLE AS chars_per_subword
+FROM t GROUP BY lang ORDER BY lang"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5285,7 +5318,7 @@ FROM c, t GROUP BY total"""))
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
-    x89, x10d, x10e, x10f)
+    x89, x90, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

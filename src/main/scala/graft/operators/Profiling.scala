@@ -455,6 +455,34 @@ object Profiling {
         round4(sqrt(col("__nb") / col("__na"))).as("norm_ratio"))
   }
 
+  /** Tokenizer fertility audit per language — the multilingual-pipeline
+    * question "how many LLM tokens does a word cost in each language?"
+    * [Ács 2019; Rust et al. ACL'21 study tokenizer fertility this way]:
+    * a language whose fertility is 2-3x English effectively gets a
+    * shorter context window and a higher training cost per word, so the
+    * mix decision needs this table next to the language shares. Subword
+    * counts use [[graft.functions.TextAnalysis.bpeishTokenCount]] (the
+    * repo's deterministic BPE-pre-tokenization proxy); `fertility` =
+    * subwords per whitespace word, `chars_per_subword` = text chars per
+    * subword. One language-keyed aggregation pass, exact integer sums,
+    * every output an exact IEEE division — no rounding needed. */
+  def tokenizerFertility(df: DataFrame, langCol: String,
+                         textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = graft.functions.TextAnalysis.tokenCount(t).cast("long")
+    val subs = graft.functions.TextAnalysis.bpeishTokenCount(t).cast("long")
+    df.groupBy(langCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words).as("n_words"),
+        sum(subs).as("n_subwords"),
+        sum(length(t).cast("long")).as("n_chars"))
+      .select(col(langCol), col("n_docs"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"))
+  }
+
   /** One-call corpus report card — the summary a pipeline stamps on every
     * data drop before anyone trains on it: volume, length distribution,
     * language mix, duplication, and source concentration in a single tall

@@ -287,6 +287,40 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(orth.getDouble(3) - 5.0 / math.sqrt(13.0)) < 1e-3)
   }
 
+  test("tokenizerFertility: hand-computed counts and exact divisions") {
+    import spark.implicits._
+    // en: "ab cd. x-1" -> words 3; subwords: runs [ab, cd, x, 1] + punct
+    // [., -] = 6; chars 10. de: "oo oo" -> words 2, subwords 2, chars 5.
+    val df = Seq(("en", "ab cd. x-1"), ("de", "oo oo"))
+      .toDF("lang", "text")
+    val out = Profiling.tokenizerFertility(df, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("en") == ((1L, 3L, 6L, 2.0, 10.0 / 6)))
+    assert(out("de") == ((1L, 2L, 2L, 1.0, 2.5)))
+  }
+
+  test("bpeishTokenCount equals the RE2-spellable runs+punct formula") {
+    import spark.implicits._
+    // the x90 oracle counts (maximal alnum runs) + (non-alnum non-space
+    // chars) because RE2 has no lookarounds; this property IS the bridge
+    val texts = Seq("ab cd. x-1", "a..b", "  ", "", "tab\there\nnew",
+      "digits 123x4", "!@# $%", "word", "a b c d", "-lead trail-",
+      "mixé café 12.5%")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    import org.apache.spark.sql.functions.{col, expr, length, regexp_replace, size}
+    val both = df.select(col("id"),
+        graft.functions.TextAnalysis.bpeishTokenCount(col("text")).as("a"),
+        (size(expr("regexp_extract_all(text, '[\\\\p{L}\\\\p{N}]+', 0)")) +
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")))
+          .as("b"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"text ${texts(r.getLong(0).toInt)}: split=${r.getInt(1)} formula=${r.getInt(2)}"))
+  }
+
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap
