@@ -449,6 +449,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x88 crop pairs are map-only: no exchange, no window") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val out = graft.operators.Contrastive.cropPairs(docs, "doc_id", "text")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"crop pairs must be scan-fused:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("x85 repetition: gram counting partial-aggregates, no cartesian, no global window") {
     val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
     val out = graft.operators.Repetition.signals(docs, "doc_id", "text")
