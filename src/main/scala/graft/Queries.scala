@@ -5218,6 +5218,87 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        SUM(ch)::DOUBLE / SUM(sw)::DOUBLE AS chars_per_subword
 FROM t GROUP BY lang ORDER BY lang"""))
 
+  private val x91 = DeclaredQuery("x91_report_diff",
+    // drop-over-drop report comparison (Profiling.reportDiff over two
+    // corpusReport frames) — the diff the report card exists to feed: the
+    // corpus split into two deterministic "drops" (doc_id parity), each
+    // reported, then joined full-outer per metric with delta and ratio.
+    // The oracle recomputes BOTH reports independently and the same diff
+    // arithmetic; all four numeric columns round4-canonicalized (deltas
+    // of k-term double sums inherit the entropy contract).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def rep(par: Int) = graft.operators.Profiling.corpusReport(
+        docs.where(col("doc_id") % 2 === par),
+        "doc_id", "text", "lang", "source", "n_chars")
+      graft.operators.Profiling.reportDiff(rep(0), rep(1))
+        .select(col("metric"),
+          round4(col("prev_value")).as("prev_value"),
+          round4(col("cur_value")).as("cur_value"),
+          round4(col("delta")).as("delta"),
+          round4(col("ratio")).as("ratio"))
+        .orderBy("metric")
+    },
+    Some("""WITH
+ta AS (SELECT doc_id, lang, source, n_chars,
+        len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS nt,
+        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id % 2 = 0),
+ga AS (SELECT count(*) AS n, SUM(nt) AS toks, SUM(n_chars) AS chars,
+              COUNT(DISTINCT norm) AS nd,
+              QUANTILE_CONT(nt, 0.5) AS p50, QUANTILE_CONT(nt, 0.9) AS p90
+       FROM ta),
+la AS (SELECT lang, count(*) AS c FROM ta GROUP BY 1),
+ea AS (SELECT COUNT(*) AS nl,
+              SUM(-(c::DOUBLE / (SELECT n FROM ga)) * ln(c::DOUBLE / (SELECT n FROM ga))) AS ent
+       FROM la),
+sa AS (SELECT MAX(c) AS mx FROM (SELECT source, count(*) AS c FROM ta GROUP BY 1)),
+ra AS (
+  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM ga
+  UNION ALL SELECT 'total_tokens', toks::DOUBLE FROM ga
+  UNION ALL SELECT 'mean_doc_tokens', toks::DOUBLE / n FROM ga
+  UNION ALL SELECT 'p50_doc_tokens', p50 FROM ga
+  UNION ALL SELECT 'p90_doc_tokens', p90 FROM ga
+  UNION ALL SELECT 'total_chars', chars::DOUBLE FROM ga
+  UNION ALL SELECT 'mean_doc_chars', chars::DOUBLE / n FROM ga
+  UNION ALL SELECT 'n_langs', nl::DOUBLE FROM ea
+  UNION ALL SELECT 'lang_entropy_nats', ent FROM ea
+  UNION ALL SELECT 'exact_dup_frac', 1.0 - nd::DOUBLE / n FROM ga
+  UNION ALL SELECT 'top_source_share', mx::DOUBLE / (SELECT n FROM ga) FROM sa),
+tb AS (SELECT doc_id, lang, source, n_chars,
+        len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS nt,
+        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id % 2 = 1),
+gb AS (SELECT count(*) AS n, SUM(nt) AS toks, SUM(n_chars) AS chars,
+              COUNT(DISTINCT norm) AS nd,
+              QUANTILE_CONT(nt, 0.5) AS p50, QUANTILE_CONT(nt, 0.9) AS p90
+       FROM tb),
+lb AS (SELECT lang, count(*) AS c FROM tb GROUP BY 1),
+eb AS (SELECT COUNT(*) AS nl,
+              SUM(-(c::DOUBLE / (SELECT n FROM gb)) * ln(c::DOUBLE / (SELECT n FROM gb))) AS ent
+       FROM lb),
+sb AS (SELECT MAX(c) AS mx FROM (SELECT source, count(*) AS c FROM tb GROUP BY 1)),
+rb AS (
+  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM gb
+  UNION ALL SELECT 'total_tokens', toks::DOUBLE FROM gb
+  UNION ALL SELECT 'mean_doc_tokens', toks::DOUBLE / n FROM gb
+  UNION ALL SELECT 'p50_doc_tokens', p50 FROM gb
+  UNION ALL SELECT 'p90_doc_tokens', p90 FROM gb
+  UNION ALL SELECT 'total_chars', chars::DOUBLE FROM gb
+  UNION ALL SELECT 'mean_doc_chars', chars::DOUBLE / n FROM gb
+  UNION ALL SELECT 'n_langs', nl::DOUBLE FROM eb
+  UNION ALL SELECT 'lang_entropy_nats', ent FROM eb
+  UNION ALL SELECT 'exact_dup_frac', 1.0 - nd::DOUBLE / n FROM gb
+  UNION ALL SELECT 'top_source_share', mx::DOUBLE / (SELECT n FROM gb) FROM sb)
+SELECT metric,
+       FLOOR(ra.value * 10000 + 0.5) / 10000 AS prev_value,
+       FLOOR(rb.value * 10000 + 0.5) / 10000 AS cur_value,
+       FLOOR((rb.value - ra.value) * 10000 + 0.5) / 10000 AS delta,
+       CASE WHEN ra.value <> 0
+            THEN FLOOR(rb.value / ra.value * 10000 + 0.5) / 10000 END AS ratio
+FROM ra FULL OUTER JOIN rb USING (metric)
+ORDER BY metric"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5318,7 +5399,7 @@ FROM c, t GROUP BY total"""))
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
-    x89, x90, x10d, x10e, x10f)
+    x89, x90, x91, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

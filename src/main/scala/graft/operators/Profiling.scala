@@ -556,4 +556,20 @@ object Profiling {
       "top_source_share" -> topSource.toDouble / n)
       .toDF("metric", "value")
   }
+  /** Drop-over-drop diff of two [[corpusReport]] frames — the comparison
+    * the report card exists to feed: per metric, previous and current
+    * value, absolute delta, and ratio. A FULL OUTER join on the metric
+    * name, so a metric present in only one drop (a contract change)
+    * surfaces as a NULL-sided row instead of silently vanishing; the
+    * ratio is NULL when the previous value is 0 (never ±Infinity).
+    * Pure arithmetic on two ≤dozen-row frames — free at any corpus size;
+    * the cost lives in the two reports that feed it. */
+  def reportDiff(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.select(col("metric"), col("value").as("prev_value"))
+      .join(cur.select(col("metric"), col("value").as("cur_value")),
+        Seq("metric"), "full_outer")
+      .select(col("metric"), col("prev_value"), col("cur_value"),
+        (col("cur_value") - col("prev_value")).as("delta"),
+        when(col("prev_value") =!= 0.0, col("cur_value") / col("prev_value"))
+          .as("ratio"))
 }

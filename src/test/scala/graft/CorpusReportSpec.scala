@@ -44,6 +44,21 @@ class CorpusReportSpec extends AnyFunSuite {
     assert(math.abs(m("p90_doc_tokens") - 3.4) < 1e-12)
   }
 
+  test("reportDiff: deltas, ratios, NULL-safe zero-prev, full-outer visibility") {
+    val prev = Seq(("a", 2.0), ("b", 0.0), ("gone", 7.0)).toDF("metric", "value")
+    val cur = Seq(("a", 3.0), ("b", 5.0), ("new", 1.0)).toDF("metric", "value")
+    val out = Profiling.reportDiff(prev, cur)
+      .orderBy("metric").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out("a") == ((Some(2.0), Some(3.0), Some(1.0), Some(1.5))))
+    // prev 0 -> ratio NULL, never Infinity
+    assert(out("b") == ((Some(0.0), Some(5.0), Some(5.0), None)))
+    // contract changes surface as NULL-sided rows, not silent drops
+    assert(out("gone")._2.isEmpty && out("gone")._1.contains(7.0))
+    assert(out("new")._1.isEmpty && out("new")._2.contains(1.0))
+  }
+
   test("single-doc corpus and empty-corpus guard") {
     val m = report((1L, "a b c", "en", "s", 5L))
     assert(m("n_docs") == 1.0 && m("p50_doc_tokens") == 3.0 &&
