@@ -156,13 +156,15 @@ object Bench {
     // chunk's (first-entry, n, sum) — the driver file then pins
     // chunk-level drift for the whole x-surface even when the per-entry
     // medians of early chunks are lost to the window.
-    val xChunks = xMeds.foldLeft(Vector(Vector.empty[(String, Double)])) {
-      (acc, kv) =>
+    // fold state carries each open chunk's running char length so entries
+    // are stringified once, not re-serialized per step
+    val xChunks = xMeds.foldLeft(
+      Vector.empty[Vector[(String, Double)]] -> 0) { case ((acc, len), kv) =>
         val e = entryJson(kv)
-        if (acc.last.map(entryJson(_).length + 1).sum + e.length > 1300)
-          acc :+ Vector(kv)
-        else acc.init :+ (acc.last :+ kv)
-    }.filter(_.nonEmpty)
+        if (acc.isEmpty || len + 1 + e.length > 1300)
+          (acc :+ Vector(kv)) -> e.length
+        else (acc.init :+ (acc.last :+ kv)) -> (len + 1 + e.length)
+    }._1
     def chunkSum(c: Vector[(String, Double)]): String =
       fmt(c.map(_._2).filter(_ >= 0).sum)
     xChunks.zipWithIndex.foreach { case (chunk, i) =>

@@ -1704,7 +1704,7 @@ ORDER BY column_name"""))
   // same closure with the distributed large-star/small-star algorithm — the
   // oracle pins that an O(log n)-round shared-nothing iteration equals the
   // textbook sequential semantics.
-  private def ccOracle(tail: String) =
+  private def ccOracle(tail: String, minJ: String = "0.6") =
     s"""WITH RECURSIVE sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1716,7 +1716,7 @@ isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
 sz AS (SELECT doc_id, len(s) AS n FROM sh),
 pairs AS (SELECT id_1, id_2 FROM isect
           JOIN sz sa ON sa.doc_id = id_1 JOIN sz sb ON sb.doc_id = id_2
-          WHERE c * 1.0 / NULLIF(sa.n + sb.n - c, 0) >= 0.6),
+          WHERE c * 1.0 / NULLIF(sa.n + sb.n - c, 0) >= $minJ),
 edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs UNION SELECT id_2, id_1 FROM pairs),
 reach(n, m) AS (SELECT a, b FROM edges
   UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
@@ -3984,12 +3984,18 @@ ORDER BY lang, bucket"""))
   private val x62 = DeclaredQuery("x62_keep_cluster_best",
     // quality-policy fuzzy dedup: from each near-dup cluster keep the row
     // maximal under (n_chars, doc_id) — the best copy, not the arbitrary
-    // min id. Rows-only (the component fixed point has no SQL spelling);
-    // self-validating GLOBALLY: both policies keep exactly one row per
-    // cluster, so their TOTAL kept counts must agree, and the best policy
-    // can never retain fewer total chars — but per-language counts may
-    // legitimately differ, because a near-dup cluster can span languages
-    // and the chosen representative decides which language keeps the row.
+    // min id. ORACLED (r16): the x16 recursive-CTE closure at this
+    // entry's 0.8 threshold gives the clusters in DuckDB; the max-policy
+    // survivor is then ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+    // n_chars DESC, doc_id DESC) = 1 (TopKRowsAggregate keeps the row
+    // MAXIMAL under the (n_chars, doc_id) struct order), and the min-id
+    // policy is doc_id = cluster (the component key IS the min id). The
+    // former self-validating flags (total-cardinality parity, best never
+    // fewer chars) stay in the output but are now re-derived and
+    // hash-pinned by the oracle rather than merely asserted; per-language
+    // counts may legitimately differ between policies, because a cluster
+    // can span languages and the representative decides which language
+    // keeps the row.
     (s, d) => {
       val docs = t(s, d, "documents")
       // localCheckpoint the pair list: BOTH policies below consume it (and
@@ -4016,7 +4022,23 @@ ORDER BY lang, bucket"""))
           lit(bestStats.getLong(1) >= minStats.getLong(1)))
         .orderBy("lang")
     },
-    None)
+    Some(ccOracle(
+      """,
+cl AS (SELECT d.*, COALESCE(c.component, d.doc_id) AS cluster
+       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+best AS (SELECT * FROM (
+  SELECT cl.*, ROW_NUMBER() OVER (PARTITION BY cluster
+    ORDER BY n_chars DESC, doc_id DESC) AS rn FROM cl) WHERE rn = 1),
+minid AS (SELECT * FROM cl WHERE doc_id = cluster),
+tb AS (SELECT COUNT(*) AS nb, CAST(SUM(n_chars) AS BIGINT) AS cb FROM best),
+tm AS (SELECT COUNT(*) AS nm, CAST(SUM(n_chars) AS BIGINT) AS cm FROM minid)
+SELECT lang, COUNT(*) AS n_kept_best,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept_best,
+       (SELECT nb FROM tb) AS total_best,
+       (SELECT nm FROM tm) AS total_minid,
+       (SELECT nb FROM tb) = (SELECT nm FROM tm) AS same_total_cardinality,
+       (SELECT cb FROM tb) >= (SELECT cm FROM tm) AS best_never_fewer_chars
+FROM best GROUP BY lang ORDER BY lang""", minJ = "0.8")))
 
   private val x63 = DeclaredQuery("x63_token_shards",
     // training-shard assignment: reproducible sha-shuffled order + a
@@ -4918,8 +4940,8 @@ t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts FROM g)
 SELECT lang, n,
        s / n AS mean_in,
        ts / tn AS mean_all,
-       CASE WHEN tn > n THEN (ts - s) / (tn - n) END AS mean_without,
-       CASE WHEN tn > n THEN ts / tn - (ts - s) / (tn - n) END AS delta
+       CASE WHEN tn > n THEN (ts - COALESCE(s, 0)) / (tn - n) END AS mean_without,
+       CASE WHEN tn > n THEN ts / tn - (ts - COALESCE(s, 0)) / (tn - n) END AS delta
 FROM g CROSS JOIN t ORDER BY lang"""))
 
   private val x85 = DeclaredQuery("x85_repetition_signals",
@@ -4928,8 +4950,11 @@ FROM g CROSS JOIN t ORDER BY lang"""))
     // duplicate line/paragraph fractions, top-n-gram char fractions
     // (n=2..4), and duplicate-n-gram POSITIONAL-coverage char fractions
     // (n=5..10, each token position counted once), plus the keep
-    // conjunction at the paper's bounds — all from one shared doc-keyed
-    // lead-token window instead of one shuffle per n.
+    // conjunction at the paper's bounds — map-only per-position explodes
+    // (one max-length gram per position, shorter n substring_index'd off
+    // it) with xxhash64 8-byte keys through the heavy counting shuffle;
+    // no window, no checkpoint (the lead-window spelling OOM'd the 100×
+    // smoke — see Repetition.scala + SCALE_SMOKE.md).
     // The synthetic corpus has no newlines, so the entry
     // injects structure the same way x64 injects punctuation: a paragraph
     // break every 16 words, then a line break every 2 words — the 31-word
@@ -5299,6 +5324,80 @@ SELECT metric,
 FROM ra FULL OUTER JOIN rb USING (metric)
 ORDER BY metric"""))
 
+  private val x92 = DeclaredQuery("x92_streaming_outer_interval_join",
+    // the LEFT_OUTER face of the streaming interval join, driver-gated
+    // (x80 gates the inner face): every view must emit EXACTLY ONCE —
+    // with its purchase pairs if any arrived within [0, 6h], or ONE
+    // null-padded row after the watermark proves no match can still
+    // arrive. That sealing path (null emission only after the global
+    // watermark passes l_ts + maxDelay, driven by Spark's no-data
+    // batches) is the regression surface StreamingSpec alone guarded
+    // until r16. The x79 sentinel technique applied to TWO streams: the
+    // data replays in three micro-batches per side under a watermark
+    // delay spanning the whole event range (nothing is ever late), then
+    // two flush rows appended to EACH stream push the watermark past
+    // hi + maxDelay so every unmatched view seals and drains. Oracle:
+    // the batch LEFT JOIN with the identical interval condition
+    // (NULLS FIRST spelled to match Spark's ASC default).
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val span = ev.agg(
+        min(unix_millis(col("ts").cast("timestamp"))).as("lo"),
+        max(unix_millis(col("ts").cast("timestamp"))).as("hi")).head()
+      val (loMs, hiMs) = (span.getLong(0), span.getLong(1))
+      val delayMin = (hiMs - loMs) / 60000 + 60
+      val maxDelayMs = 6L * 3600 * 1000
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x92")
+      val lDir = tmp.resolve("views").toString
+      val rDir = tmp.resolve("purchases").toString
+      ev.where(col("event_type") === "view")
+        .repartition(3).write.mode("overwrite").parquet(lDir)
+      ev.where(col("event_type") === "purchase")
+        .repartition(3).write.mode("overwrite").parquet(rDir)
+      def rd(p: String): DataFrame = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(p)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = s"x92_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.EventStreams
+        .intervalJoin(rd(lDir), rd(rDir), "user_id",
+          maxDelay = "6 hours", watermark = s"$delayMin minutes",
+          joinType = "left_outer")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      val flushUser = 999999999L
+      def flush(dir: String, tsMs: Long): Unit =
+        s.range(1).select(lit(0L).as("event_id"),
+            timestamp_millis(lit(tsMs)).cast("timestamp_ntz").as("ts"),
+            lit(flushUser).as("user_id"), lit("flush").as("event_type"))
+          .coalesce(1).write.mode("append").parquet(dir)
+      try {
+        q.processAllAvailable()
+        // first flush advances both sides' watermarks past every seal
+        // point; the second (plus Spark's no-data batches) drains the
+        // now-provably-unmatched left state as null-padded rows
+        val seal1 = hiMs + delayMin * 60000 + maxDelayMs + 3600000L
+        flush(lDir, seal1); flush(rDir, seal1)
+        q.processAllAvailable()
+        flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("user_id") =!= flushUser)
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          col("l_ts").cast("timestamp_ntz").as("l_ts"),
+          col("r_ts").cast("timestamp_ntz").as("r_ts"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+       CAST(l.ts AS TIMESTAMP) AS l_ts, CAST(r.ts AS TIMESTAMP) AS r_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+ORDER BY l.user_id, l_id, r_id NULLS FIRST"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5352,10 +5451,19 @@ FROM c, t GROUP BY total"""))
     // near-dup-cluster-aware train/val/test split: the split key is the
     // connected component of the MinHash near-dup graph, so near-
     // duplicates never straddle train and eval — the standard leakage
-    // vector closed structurally. Rows-only (the component fixed point
-    // has no SQL spelling); the entry is self-validating: it carries the
-    // count of near-dup pairs whose endpoints landed in different splits,
-    // which must be 0 by construction, next to the per-split doc counts.
+    // vector closed structurally. ORACLED (r16) by composing two proven
+    // spellings in one WITH chain: the x16 recursive-CTE closure (exact
+    // Jaccard pairs at this entry's 0.8 over the same 3-gram shingling,
+    // min-id component key) feeding x06d's split-hash arithmetic on the
+    // cluster key. The hash match pins THREE equivalences at once: the
+    // LSH candidate path finds every exact-Jaccard-≥0.8 pair at gate
+    // scale (the banded S-curve's ≈1−1e-7 recall, made checkable), the
+    // xxhash64 shingle-hash Jaccard equals the string-shingle Jaccard
+    // (collision-free — the x04f trick), and the min-id closure matches
+    // the recursive CTE. Boundary doubles are spelled as the SAME IEEE
+    // sums both sides (h < 0.8, h < (0.8 + 0.1)) — the x88 lesson; the
+    // entry also still carries its self-validating straddle count, which
+    // the oracle re-derives (0 by construction on both engines).
     (s, d) => {
       val docs = t(s, d, "documents")
       // pairs feed the split AND the straddle validation — pin the LSH join
@@ -5382,7 +5490,23 @@ FROM c, t GROUP BY total"""))
         .withColumn("n_straddling_pairs", lit(straddling))
         .orderBy("split")
     },
-    None)
+    Some(ccOracle(
+      """,
+cl AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+lab AS (SELECT doc_id, cluster,
+  CASE WHEN h < 0.8 THEN 'train'
+       WHEN h < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster,
+          CAST(('0x' || substring(sha256(CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 AS h
+        FROM cl)),
+strad AS (SELECT COUNT(*) AS ns FROM pairs p
+  JOIN lab l1 ON l1.doc_id = p.id_1 JOIN lab l2 ON l2.doc_id = p.id_2
+  WHERE l1.split <> l2.split)
+SELECT split, COUNT(*) AS n_docs,
+       (SELECT ns FROM strad) AS n_straddling_pairs
+FROM lab GROUP BY split ORDER BY split""", minJ = "0.8")))
 
   // ---------------------------------------------------------------- registry
 
@@ -5399,7 +5523,7 @@ FROM c, t GROUP BY total"""))
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
-    x89, x90, x91, x10d, x10e, x10f)
+    x89, x90, x91, x92, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * ignore them) but the row still belongs to its group; a NULL group key
   * is its own group row (surfaced, not dropped — silently losing a
   * NULL-keyed slice would misreport every delta). `mean_without` is NULL
-  * for a group that holds ALL non-null metric rows (nothing remains).
+  * only for a group that holds ALL non-null metric rows (nothing
+  * remains); a group whose metric values are ALL NULL contributes
+  * nothing to the sum, so removing it reports `mean_without = mean_all`
+  * and `delta = 0` (its NULL sum is coalesced to 0, not propagated).
   * Exact-integer metrics (counts, byte/token lengths) make every output
   * bit-exact across engines; double metrics carry the usual sum-order
   * contract. */
@@ -45,16 +48,20 @@ object Ablation {
       .agg(count(m).as("n"), sum(m).as("__s"))
       .localCheckpoint(true)
     val totals = groups.agg(sum("n").as("__tn"), sum("__s").as("__ts"))
+    // an all-NULL-metric group has __s = NULL (sum over zero non-null
+    // rows): coalesce to 0 so removing it reports mean_without = mean_all
+    // and delta = 0, not a propagated NULL
+    val s0 = coalesce(col("__s"), lit(0.0))
     groups.crossJoin(broadcast(totals))
       .select(col(groupCol), col("n"),
         (col("__s") / col("n")).as("mean_in"),
         (col("__ts") / col("__tn")).as("mean_all"),
         when(col("__tn") > col("n"),
-          (col("__ts") - col("__s")) / (col("__tn") - col("n")))
+          (col("__ts") - s0) / (col("__tn") - col("n")))
           .as("mean_without"),
         when(col("__tn") > col("n"),
           col("__ts") / col("__tn")
-            - (col("__ts") - col("__s")) / (col("__tn") - col("n")))
+            - (col("__ts") - s0) / (col("__tn") - col("n")))
           .as("delta"))
   }
 }

@@ -465,7 +465,9 @@ object Profiling {
     * repo's deterministic BPE-pre-tokenization proxy); `fertility` =
     * subwords per whitespace word, `chars_per_subword` = text chars per
     * subword. One language-keyed aggregation pass, exact integer sums,
-    * every output an exact IEEE division — no rounding needed. */
+    * every output an exact IEEE division — no rounding needed. A group
+    * with zero words (all-empty docs) gets NULL `fertility`; zero
+    * subwords gets NULL `chars_per_subword` — never NaN/Infinity. */
   def tokenizerFertility(df: DataFrame, langCol: String,
                          textCol: String): DataFrame = {
     val t = col(textCol)
@@ -477,9 +479,13 @@ object Profiling {
         sum(subs).as("n_subwords"),
         sum(length(t).cast("long")).as("n_chars"))
       .select(col(langCol), col("n_docs"), col("n_words"), col("n_subwords"),
-        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+        // degenerate groups (all-empty/whitespace docs) report NULL, not
+        // NaN/Infinity — the ngramDiversity convention for 0-denominator
+        when(col("n_words") > 0L,
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
           .as("fertility"),
-        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+        when(col("n_subwords") > 0L,
+          col("n_chars").cast("double") / col("n_subwords").cast("double"))
           .as("chars_per_subword"))
   }
 
@@ -497,40 +503,59 @@ object Profiling {
     * `lang_entropy_nats` (Shannon entropy of the language mix, folded
     * driver-side over the ≤K language counts in sorted-key order — a fixed
     * summation order, deterministic), `exact_dup_frac` (1 − distinct
-    * normalized texts / docs — the [[graft.functions.TextAnalysis
-    * .fingerprint]] normalization), `top_source_share`.
+    * [[graft.functions.TextAnalysis.fingerprint]]s / docs — the distinct
+    * aggregate keys on the 64-bit fingerprint, NOT the normalized string,
+    * so the shuffle carries 8-byte keys instead of document text (the
+    * SubstringDedup discipline); the gate oracle keeps DuckDB's distinct
+    * on the normalized STRING, so a fingerprint collision under-counts
+    * distincts and hash-fails the gate — the x04f partition-identity
+    * trick), `top_source_share`.
     *
-    * Cost: one global aggregation pass (counts, sums, the distinct-text
-    * shuffle), one GROUPING SETS pass for the language and source mixes
+    * Cost: one global aggregation pass (counts, sums, the distinct
+    * 8-byte-key shuffle), one GROUPING SETS pass for the language and source mixes
     * (collected — ≤ |langs|+|sources| rows, a model artifact), and the
     * quantile recipe's narrow passes over the token counts. A report, not
     * a hot path — each pass is the minimal shape for its statistic, and
     * nothing scales with corpus size beyond the scans. Integer-derived
     * metrics are exact; `lang_entropy_nats` carries the usual k-term
     * double-sum contract (gate canonicalizes round4). */
+  /** The report's single global-aggregation frame, exposed for plan
+    * pinning: the distinct aggregate MUST key on the 64-bit fingerprint
+    * (8 bytes through the shuffle), never the normalized string — at
+    * 100 TB a text-keyed distinct shuffles the corpus
+    * (PlanQualitySpec asserts the shape). */
+  private[graft] def corpusGlobalAgg(df: DataFrame, textCol: String,
+                                     charsCol: String): DataFrame = {
+    val ntok = graft.functions.TextAnalysis.tokenCount(col(textCol))
+    df.agg(
+      count(lit(1)).as("n"),
+      sum(ntok.cast("long")).as("toks"),
+      sum(col(charsCol).cast("long")).as("chars"),
+      count_distinct(
+        graft.functions.TextAnalysis.fingerprint(col(textCol))).as("nd"))
+  }
+
   def corpusReport(df: DataFrame, idCol: String, textCol: String,
                    langCol: String, sourceCol: String,
                    charsCol: String): DataFrame = {
     val spark = df.sparkSession
-    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
     val ntok = graft.functions.TextAnalysis.tokenCount(col(textCol))
-    val g = df.agg(
-      count(lit(1)).as("n"),
-      sum(ntok.cast("long")).as("toks"),
-      sum(col(charsCol).cast("long")).as("chars"),
-      count_distinct(norm).as("nd")).head()
+    val g = corpusGlobalAgg(df, textCol, charsCol).head()
     val n = g.getLong(0)
     // n first: the sums are NULL on an empty corpus — fail with the clear
     // message, not a NULL-read error
     require(n > 0, "corpusReport: empty corpus")
     val (toks, chars, nd) = (g.getLong(1), g.getLong(2), g.getLong(3))
     // language AND source mixes from ONE (lang, source) cell pass; the
-    // collect is ≤ |langs|·|sources| rows — a model artifact
+    // collect is ≤ |langs|·|sources| rows — a model artifact. Keys stay
+    // Option[String]: a NULL lang/source is its own group (matching SQL
+    // GROUP BY NULL semantics and the x87 oracle), never merged with a
+    // genuine empty-string value
     val cells = df.select(col(langCol).as("l"), col(sourceCol).as("s"))
       .groupBy("l", "s").agg(count(lit(1)).as("c"))
       .collect()
-      .map(r => (Option(r.getString(0)).getOrElse(""),
-        Option(r.getString(1)).getOrElse(""), r.getLong(2)))
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2)))
     val langCounts = cells.groupBy(_._1).view
       .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
     val topSource = cells.groupBy(_._2).view

@@ -37,4 +37,18 @@ class AblationSpec extends AnyFunSuite {
     val out = Ablation.leaveOneOut(df, "g", "m").collect()
     assert(out.length == 1 && out.head.isNullAt(4) && out.head.isNullAt(5))
   }
+
+  test("an all-NULL-metric group reports mean_without = mean_all, delta = 0") {
+    // the group contributes nothing to the sum — removing it changes
+    // nothing; its NULL sum must be coalesced, never propagated
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None: Option[Double])).toDF("g", "m")
+    val out = Ablation.leaveOneOut(df, "g", "m").orderBy("g").collect()
+    val b = out(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 0)
+    assert(b.isNullAt(2))                                // mean_in: no rows
+    assert(math.abs(b.getDouble(3) - 2.0) < 1e-12)       // mean_all
+    assert(b.getDouble(4) == 2.0, "mean_without must equal mean_all")
+    assert(b.getDouble(5) == 0.0, "delta must be exactly 0")
+  }
 }

@@ -59,6 +59,25 @@ class CorpusReportSpec extends AnyFunSuite {
     assert(out("new")._1.isEmpty && out("new")._2.contains(1.0))
   }
 
+  test("NULL lang/source is its own group, never merged with empty string") {
+    // NULL lang + "" lang must be TWO groups (SQL GROUP BY semantics — the
+    // x87 oracle keeps NULL distinct); merging them would deflate n_langs
+    // and skew the entropy and top-source share
+    val rows = Seq(
+      (1L, "a b", Some("en"), Some("s1"), 3L),
+      (2L, "c d", None: Option[String], Some("s1"), 3L),
+      (3L, "e f", Some(""), None: Option[String], 3L))
+    val m = Profiling.corpusReport(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_langs") == 3.0, "en, NULL, '' are three language groups")
+    // uniform thirds -> entropy ln(3)
+    assert(math.abs(m("lang_entropy_nats") - math.log(3.0)) < 1e-12)
+    // sources: s1=2, NULL=1 -> top share 2/3
+    assert(math.abs(m("top_source_share") - 2.0 / 3) < 1e-12)
+  }
+
   test("single-doc corpus and empty-corpus guard") {
     val m = report((1L, "a b c", "en", "s", 5L))
     assert(m("n_docs") == 1.0 && m("p50_doc_tokens") == 3.0 &&

@@ -457,13 +457,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("x87 corpus report: the distinct-dup aggregate keys on the 64-bit fingerprint, not text") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val agg = graft.operators.Profiling.corpusGlobalAgg(docs, "text", "n_chars")
+    val p = agg.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the distinct keys must be the xxhash64 fingerprint — 8 bytes through
+    // the distinct shuffle; a text-keyed distinct shuffles the corpus
+    assert(p.contains("xxhash64"), s"distinct must key on the fingerprint:\n$p")
+    val distinctLine = p.linesIterator
+      .filter(l => l.contains("count(") && l.contains("distinct")).mkString("\n")
+    assert(!distinctLine.contains("text#") || distinctLine.contains("xxhash64"),
+      s"distinct aggregate must not carry raw text:\n$distinctLine")
+  }
+
   test("x85 repetition: gram counting partial-aggregates, no cartesian, no global window") {
     val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
     val out = graft.operators.Repetition.signals(docs, "doc_id", "text")
     val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
-    // the lead-token window is doc-keyed (pre-materialized by the
-    // checkpoint); the visible plan must never sort globally
+    // the gram explodes are map-only (no window, no checkpoint — counting
+    // keys are xxhash64); the visible plan must never sort globally
     assert(!p.contains("SinglePartition"),
       s"repetition must not use a single-partition exchange:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),

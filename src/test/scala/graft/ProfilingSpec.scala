@@ -301,6 +301,20 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out("de") == ((1L, 2L, 2L, 1.0, 2.5)))
   }
 
+  test("tokenizerFertility: zero-word / zero-subword groups report NULL, never NaN") {
+    import spark.implicits._
+    // 'xx' docs are all whitespace/empty: 0 words AND 0 subwords — both
+    // ratios must be NULL (the ngramDiversity degenerate-case convention)
+    val df = Seq(("xx", "   "), ("xx", ""), ("en", "a b")).toDF("lang", "text")
+    val rows = Profiling.tokenizerFertility(df, "lang", "text")
+      .orderBy("lang").collect()
+    val en = rows(0); val xx = rows(1)
+    assert(en.getString(0) == "en" && en.getDouble(4) == 1.0)
+    assert(xx.getString(0) == "xx" && xx.getLong(2) == 0L && xx.getLong(3) == 0L)
+    assert(xx.isNullAt(4), "fertility must be NULL for a zero-word group")
+    assert(xx.isNullAt(5), "chars_per_subword must be NULL for zero subwords")
+  }
+
   test("bpeishTokenCount equals the RE2-spellable runs+punct formula") {
     import spark.implicits._
     // the x90 oracle counts (maximal alnum runs) + (non-alnum non-space

@@ -82,8 +82,14 @@ class TransferOpsSpec extends AnyFunSuite {
     spark.listenerManager.register(listener)
     try {
       assert(CsvToTable.run(spark, "xfer_onejob", csv) == 2)
-      // listener events are delivered asynchronously — wait for them to settle
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      // listener events are delivered asynchronously. Two phases, both
+      // load-tolerant: (1) wait until the FIRST event lands (under a loaded
+      // window delivery can lag well past a single poll interval — exiting
+      // on "stable at 0" was the r15 737/738 flake); (2) then wait for the
+      // count to settle so a second, unexpected action is still caught.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && actions.get() == 0)
+        Thread.sleep(100)
       var last = -1
       while (System.nanoTime() < deadline && actions.get() != last) {
         last = actions.get(); Thread.sleep(300)
@@ -208,8 +214,12 @@ class TransferOpsSpec extends AnyFunSuite {
 
   test("TimeoutGuard: expired timeout cancels the job group and raises (operators.py:76)") {
     import spark.implicits._
+    // margin rationale (r15 deflake): the task sleep is the ONLY wall-clock
+    // budget the watchdog has to land its cancel — 15s vs an 800ms deadline
+    // leaves >14s of slack for a loaded window's timer/scheduler lag, and
+    // the interrupt-on-cancel means the happy path still exits in ~1s.
     val slow = spark.range(0, 64, 1, 8).mapPartitions { it =>
-      Thread.sleep(5000); it
+      Thread.sleep(15000); it
     }
     intercept[GraftTimeoutException] {
       TimeoutGuard.runMillis(spark, timeoutMs = 800) { slow.count() }
@@ -219,9 +229,13 @@ class TransferOpsSpec extends AnyFunSuite {
   test("TimeoutGuard: deadline between jobs of a multi-job body still times out") {
     import spark.implicits._
     // job 1 finishes before the deadline; job 2 starts after it fired — the
-    // re-cancel loop must catch it (previously it ran to completion uncancelled)
+    // re-cancel loop must catch it (previously it ran to completion
+    // uncancelled). Load-tolerant by construction: if a loaded window makes
+    // job 1 itself outlive the 600ms deadline, the guard cancels IT and the
+    // expected GraftTimeoutException still surfaces; the 15s task sleep
+    // gives the 100ms re-cancel loop >14s of slack to land on job 2.
     val quick = spark.range(0, 4, 1, 2)
-    val slow = spark.range(0, 64, 1, 8).mapPartitions { it => Thread.sleep(4000); it }
+    val slow = spark.range(0, 64, 1, 8).mapPartitions { it => Thread.sleep(15000); it }
     intercept[GraftTimeoutException] {
       TimeoutGuard.runMillis(spark, timeoutMs = 600) {
         quick.count()
