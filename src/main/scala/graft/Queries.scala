@@ -5398,6 +5398,160 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
 ORDER BY l.user_id, l_id, r_id NULLS FIRST"""))
 
+  private val x93 = DeclaredQuery("x93_bitext_margin_mining",
+    // margin-based bitext mining (Bitext.minePairs — Artetxe & Schwenk
+    // ACL'19, the CCMatrix scoring rule): embeddings split by vec_id
+    // parity into two "languages", exact top-4 kNN both directions
+    // (SimilaritySearch.topKAll), then each left id's best-margin partner
+    // with margin = cos / (avgTopK(a)/2 + avgTopK(b)/2). graft_cosine
+    // folds left-to-right, bit-identical to DuckDB's list_sum spelling;
+    // the top-k averages fold a SORTED (rank, id, score) list so the
+    // k-term sum is run-deterministic — engine ulps in the 4-term sum are
+    // absorbed by round4, and `accepted` is derived from the ROUNDED
+    // margin on both sides so the flag can never straddle the threshold.
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.where(col("vec_id") % 2 === 0)
+      val b = e.where(col("vec_id") % 2 === 1)
+      val ab = graft.operators.SimilaritySearch.topKAll(
+        b, a, "vec_id", "embedding", "vec_id", k = 4, excludeSelf = false)
+      val ba = graft.operators.SimilaritySearch.topKAll(
+        a, b, "vec_id", "embedding", "vec_id", k = 4, excludeSelf = false)
+      graft.operators.Bitext.minePairs(ab, ba, minMargin = 1.05)
+        .select(col("a_id"), col("b_id"),
+          round4(col("score")).as("score"),
+          round4(col("margin")).as("margin"),
+          (round4(col("margin")) >= 1.05).as("accepted"))
+        .orderBy("a_id")
+    },
+    Some("""WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+cosab AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+  / NULLIF(SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS score
+  FROM a, b),
+ab AS (SELECT a_id, b_id, score FROM
+        (SELECT a_id, b_id, score,
+                ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rn
+         FROM cosab) WHERE rn <= 4),
+ba AS (SELECT b_id, a_id, score FROM
+        (SELECT b_id, a_id, score,
+                ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY score DESC, a_id) AS rn
+         FROM cosab) WHERE rn <= 4),
+avga AS (SELECT a_id, AVG(score) AS av FROM ab GROUP BY 1),
+avgb AS (SELECT b_id, AVG(score) AS bv FROM ba GROUP BY 1),
+m AS (SELECT ab.a_id, ab.b_id, ab.score, ab.score / ((av + bv) / 2.0) AS margin
+      FROM ab JOIN avga USING (a_id) JOIN avgb USING (b_id)),
+best AS (SELECT a_id, b_id, score, margin FROM
+          (SELECT m.*, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn2
+           FROM m) WHERE rn2 = 1)
+SELECT a_id, b_id,
+       FLOOR(score * 10000 + 0.5) / 10000 AS score,
+       FLOOR(margin * 10000 + 0.5) / 10000 AS margin,
+       FLOOR(margin * 10000 + 0.5) / 10000 >= 1.05 AS accepted
+FROM best ORDER BY a_id"""))
+
+  private val x94 = DeclaredQuery("x94_sft_chat_assembly",
+    // SFT example assembly (Sft.assembleChat): conversation turns →
+    // serialized chat-template string + token-range LOSS MASKS over the
+    // assistant turns (loss only on assistant tokens — the InstructGPT
+    // SFT convention). The synthetic corpus has no dialogues, so the
+    // entry builds them the x64/x85 way: doc_id div 5 is the
+    // conversation, doc_id % 5 the turn, roles system/user/assistant by
+    // fixed rule. The template is whitespace-aligned by construction
+    // (every turn = content tokens + 2), so all offsets are exact
+    // integers; the mask covers content + <|end|>, excluding the role
+    // header. Oracle rebuilds the serialization with string_agg and the
+    // offsets with a running SUM window — integer arithmetic, no
+    // rounding. The entry explodes the mask (one row per assistant
+    // span) so the gate hashes flat scalars.
+    (s, d) => {
+      val turns = t(s, d, "documents").select(
+        expr("doc_id div 5").as("conv_id"),
+        pmod(col("doc_id"), lit(5)).cast("long").as("turn_idx"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("system"))
+          .when(pmod(col("doc_id"), lit(5)) % 2 === 1, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text").as("content"))
+      graft.operators.Sft
+        .assembleChat(turns, "conv_id", "turn_idx", "role", "content")
+        .select(col("conv_id"), col("n_turns"), col("n_tokens"), col("text"),
+          posexplode(col("mask")).as(Seq("span_idx", "span")))
+        .select(col("conv_id"), col("n_turns"), col("n_tokens"), col("text"),
+          col("span_idx").cast("long").as("span_idx"),
+          col("span.tok_start").as("tok_start"),
+          col("span.tok_end").as("tok_end"))
+        .orderBy("conv_id", "span_idx")
+    },
+    Some("""WITH t AS (
+  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn_idx,
+         CASE WHEN doc_id % 5 = 0 THEN 'system'
+              WHEN (doc_id % 5) % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text AS content,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS ntoks
+  FROM documents),
+p AS (SELECT *, '<|' || role || '|> ' || content || ' <|end|>' AS piece,
+             ntoks + 2 AS ptoks FROM t),
+o AS (SELECT *,
+        COALESCE(SUM(ptoks) OVER (PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM p),
+c AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(ptoks) AS BIGINT) AS n_tokens,
+             string_agg(piece, ' ' ORDER BY turn_idx) AS text
+      FROM o GROUP BY conv_id),
+spans AS (SELECT conv_id, off,
+            CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT) AS span_idx,
+            CAST(off + 1 AS BIGINT) AS tok_start,
+            CAST(off + ntoks + 2 AS BIGINT) AS tok_end
+          FROM o WHERE role = 'assistant')
+SELECT s.conv_id, c.n_turns, c.n_tokens, c.text, s.span_idx, s.tok_start, s.tok_end
+FROM spans s JOIN c USING (conv_id)
+ORDER BY conv_id, span_idx"""))
+
+  private val x95 = DeclaredQuery("x95_remove_duplicated_spans",
+    // the Lee et al. ACL'22 REWRITE (SubstringDedup.removeDuplicatedSpans,
+    // keepFirst): training text with duplicated ≥k-token spans deleted,
+    // keeping exactly the globally-FIRST occurrence (min (doc, pos) per
+    // gram — deterministic, partitioning-invariant) — x35 only REPORTS
+    // the spans; this is the text the paper trains on. Spark keys the
+    // counting shuffle and the first-occurrence pick by the 64-bit gram
+    // hash (one combined (count, min-struct) aggregate, map-side
+    // partial); the oracle replays the definition over LITERAL gram
+    // strings with a per-gram ROW_NUMBER, so a hash collision
+    // (over-removal only) hash-fails the gate — the x35/x04f trick.
+    (s, d) => graft.operators.SubstringDedup
+      .removeDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS tk FROM documents),
+pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, array_to_string(tk[i:i+4], ' ') AS g
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks WHERE len(tk) >= 5)),
+r AS (SELECT doc_id, p FROM
+       (SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        FROM pos) WHERE rn >= 2),
+w AS (SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+                  THEN 0 ELSE 1 END AS brk FROM r),
+isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM w),
+sp AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 5 AS e FROM isl GROUP BY doc_id, island),
+spl AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sps FROM sp GROUP BY doc_id),
+j AS (SELECT t.doc_id, t.tk, COALESCE(spl.sps, []) AS sps
+      FROM toks t LEFT JOIN spl ON spl.doc_id = t.doc_id)
+SELECT doc_id,
+       -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+       COALESCE(array_to_string(list_transform(
+         list_filter(range(0, len(tk)),
+           i -> len(list_filter(sps, x -> i >= x.s AND i < x.e)) = 0),
+         i -> tk[i + 1]), ' '), '') AS text,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk) - len(list_filter(range(0, len(tk)),
+           i -> len(list_filter(sps, x -> i >= x.s AND i < x.e)) = 0)) AS BIGINT)
+         AS removed_tokens
+FROM j ORDER BY doc_id"""))
+
   private val x59 = DeclaredQuery("x59_k_anonymity",
     // k-anonymity suppression on (lang, source, length-bucket) quasi-
     // identifiers: keep only rows whose cohort reaches k=3. One hash
@@ -5523,7 +5677,7 @@ FROM lab GROUP BY split ORDER BY split""", minJ = "0.8")))
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
-    x89, x90, x91, x92, x10d, x10e, x10f)
+    x89, x90, x91, x92, x93, x94, x95, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

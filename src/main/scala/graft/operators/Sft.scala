@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning example assembly: conversation turns serialized
+  * into ONE training string per conversation plus token-range LOSS MASKS
+  * over the assistant turns — the data-prep step every chat/SFT pipeline
+  * runs between "raw dialogues" and "token batches" (cf. the chat-template
+  * + label-mask convention of InstructGPT-style SFT [Ouyang et al. 2022]
+  * and every open chat fine-tune since: loss is computed ONLY on assistant
+  * tokens; prompts, system text, and role headers are context).
+  *
+  * Template (whitespace-tokenization-aligned by construction): each turn
+  * serializes as `<|role|> content <|end|>` and turns join with a single
+  * space, so every turn occupies exactly `tokenCount(content) + 2`
+  * whitespace tokens of the conversation string — one `<|role|>` header
+  * token, the content tokens, one `<|end|>` token. The mask of an
+  * assistant turn covers its content plus its `<|end|>` (the model must
+  * learn to stop) and EXCLUDES the role header (that token is prompt
+  * scaffolding the serving stack emits, not a prediction target).
+  *
+  * Shape: one hash aggregation keyed on the conversation id —
+  * `sort_array(collect_list(struct(...)))` makes the fold order the TURN
+  * ORDER, not arrival order, so the result is partitioning-invariant; the
+  * running token offsets and mask spans come from one `aggregate` fold
+  * over that sorted array (pure codegen-able builtins, no UDF, no window).
+  * State per conversation is the turn list — bounded by dialogue length,
+  * never by corpus size; at 100 TB the shuffle key is the conversation id
+  * and nothing wider than one conversation is ever co-resident. */
+object Sft {
+
+  /** @return one row per conversation: (convCol, n_turns, n_tokens, text,
+    *         mask) with mask = array of (tok_start, tok_end) half-open
+    *         whitespace-token ranges over `text`, one per assistant turn,
+    *         in turn order. */
+  def assembleChat(turns: DataFrame, convCol: String, turnIdxCol: String,
+                   roleCol: String, contentCol: String,
+                   assistantRole: String = "assistant"): DataFrame = {
+    val ntoks = graft.functions.TextAnalysis.tokenCount(col(contentCol))
+      .cast("long")
+    val piece = concat(lit("<|"), col(roleCol), lit("|> "),
+      col(contentCol), lit(" <|end|>"))
+    val sorted = sort_array(collect_list(struct(
+      col(turnIdxCol).cast("long").as("i"), col(roleCol).as("r"),
+      ntoks.as("n"), piece.as("p"))))
+    // fold state: running token offset + the mask spans emitted so far
+    val zero = struct(lit(0L).as("off"),
+      array().cast("array<struct<tok_start:bigint,tok_end:bigint>>")
+        .as("spans"))
+    val spans = aggregate(col("__ts"), zero,
+      (acc, t) => struct(
+        (acc("off") + t("n") + lit(2L)).as("off"),
+        when(t("r") === lit(assistantRole),
+          concat(acc("spans"), array(struct(
+            (acc("off") + lit(1L)).as("tok_start"),
+            (acc("off") + t("n") + lit(2L)).as("tok_end")))))
+          .otherwise(acc("spans")).as("spans")),
+      acc => acc("spans"))
+    turns.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(ntoks + lit(2L)).as("n_tokens"),
+        sorted.as("__ts"))
+      .select(col(convCol), col("n_turns"), col("n_tokens"),
+        array_join(transform(col("__ts"), t => t("p")), " ").as("text"),
+        spans.as("mask"))
+  }
+}

@@ -110,6 +110,104 @@ object SubstringDedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** The REWRITE the paper actually trains on: rebuild each document with
+    * its duplicated spans REMOVED (Lee et al. §4.1 delete the duplicated
+    * text before training; [[duplicatedSpans]] only reports it).
+    *
+    * Two policies:
+    *   - `keepFirst = true` (default, the paper's "remove all but one
+    *     copy"): a duplicated k-window occurrence is REDUNDANT iff it is
+    *     not its gram's globally-first occurrence (min (doc, position) —
+    *     deterministic, partitioning-invariant); only tokens covered by a
+    *     redundant window are removed, so for non-overlapping copies
+    *     exactly one copy of every duplicated stretch survives, in the
+    *     earliest document that carries it. SELF-overlapping periodic
+    *     repeats ("x x x x x x x x") collapse harder: the redundant
+    *     windows overlap the first one, so only its window-free prefix
+    *     survives — the right outcome for degenerate boilerplate.
+    *   - `keepFirst = false` (the harsher curation stance): every
+    *     occurrence of a duplicated window is removed, both copies —
+    *     boilerplate is deleted everywhere rather than attributed to a
+    *     "first" owner.
+    *
+    * Output: (idCol, text, n_tokens, removed_tokens) for EVERY input
+    * document — `text` is rebuilt by joining the surviving tokens with
+    * single spaces (original whitespace runs collapse; the tokenization
+    * this pipeline feeds is whitespace-based, so training input is
+    * unchanged by that normalization), `n_tokens` the pre-removal count.
+    *
+    * Shape: the [[duplicatedSpans]] postings pass plus ONE per-gram
+    * aggregate carrying (count, min (doc, pos)) — map-side partial, so hot
+    * boilerplate grams collapse before the shuffle and the "first
+    * occurrence" comes from the same pass as the duplicate test (no
+    * per-gram window, no skewed WindowExec task); redundant window starts
+    * then merge per document with the same gaps-and-islands window
+    * (bounded by doc length), and the rebuild is pure array builtins over
+    * a ≤spans-per-doc array joined back to the documents. Nothing wider
+    * than 8-byte gram keys crosses the counting shuffle (hash-collision
+    * bound in the object scaladoc: over-REMOVAL only, and the gate oracle
+    * keys by literal gram text so a collision hash-fails). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, minOccurrences: Long = 2L,
+                            keepFirst: Boolean = true,
+                            exactGrams: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minOccurrences >= 2L,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val gramOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (exactGrams) identity else xxhash64(_)
+    val pos = df
+      .select(col(idCol).as("__d"), toks.as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(col("__d"),
+        posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
+          i => gramOf(concat_ws(" ", slice(col("__tk"), i + 1, lit(k))))))
+          .as(Seq("__p", "__g")))
+      .select(col("__d"), col("__p").cast("long").as("__p"), col("__g"))
+    // ONE pass per gram: duplicate test + first-occurrence pick together
+    val gramStats = pos.groupBy("__g")
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("__d"), col("__p"))).as("__first"))
+      .where(col("__occ") >= minOccurrences)
+    val removable = pos.join(gramStats, Seq("__g"))
+      .where(if (keepFirst)
+        !(col("__first.__d") === col("__d") && col("__first.__p") === col("__p"))
+      else lit(true))
+      .select(col("__d"), col("__p"))
+    // merge covered window starts into disjoint spans per document
+    val byDoc = Window.partitionBy("__d").orderBy("__p")
+    val spans = removable
+      .withColumn("__brk",
+        when(col("__p") - lag("__p", 1).over(byDoc) <= k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__island", sum("__brk").over(byDoc))
+      .groupBy(col("__d"), col("__island"))
+      .agg(min("__p").as("s"), (max("__p") + k).as("e"))
+      .groupBy(col("__d"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"))
+    df.select(col(idCol), toks.as("__tk"))
+      .join(spans.withColumnRenamed("__d", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("__tk"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__spans"))
+      .select(col(idCol),
+        // empty docs guard: sequence(0, -1) DESCENDS in Spark
+        when(size(col("__tk")) > 0, filter(
+          transform(sequence(lit(0L), size(col("__tk")).cast("long") - 1L),
+            i => struct(i.as("i"), element_at(col("__tk"), (i + 1L).cast("int")).as("t"))),
+          x => !exists(col("__spans"),
+            s => x("i") >= s("s") && x("i") < s("e"))))
+          .otherwise(array().cast("array<struct<i:bigint,t:string>>"))
+          .as("__keep"),
+        size(col("__tk")).cast("long").as("n_tokens"))
+      .select(col(idCol),
+        array_join(transform(col("__keep"), x => x("t")), " ").as("text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("__keep")).cast("long"))
+          .as("removed_tokens"))
+  }
+
   /** Per-document duplicated-token coverage — the statistic the paper uses to
     * size the problem (what fraction of the corpus is duplicated text) and
     * the natural filter input (`dup_fraction > τ` → drop or trim the doc).

@@ -61,6 +61,59 @@ class SubstringDedupSpec extends AnyFunSuite {
       (1L, 10L, 7L, 0.7), (2L, 10L, 7L, 0.7), (3L, 7L, 0L, 0.0)))
   }
 
+  test("removeDuplicatedSpans keepFirst: earliest copy survives, later copies are cut") {
+    val out = SubstringDedup
+      .removeDuplicatedSpans(planted, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      // doc 1 holds the first occurrence of every shared gram → untouched
+      (1L, "a b c d e f g tail1 tail2 tail3", 10L, 0L),
+      // doc 2's copy of the 7-token run [2, 9) is redundant → removed
+      (2L, "pre1 pre2 other", 10L, 7L),
+      (3L, "nothing shared with anyone at all here", 7L, 0L)))
+  }
+
+  test("removeDuplicatedSpans keepFirst=false: boilerplate removed from every copy") {
+    val out = SubstringDedup
+      .removeDuplicatedSpans(planted, "doc_id", "text", k = 5, keepFirst = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "tail1 tail2 tail3", 7L),
+      (2L, "pre1 pre2 other", 7L),
+      (3L, "nothing shared with anyone at all here", 0L)))
+  }
+
+  test("removeDuplicatedSpans: within-document repeat keeps only the first window") {
+    // "x x x x x" at starts 0..3; start 0 is the first occurrence, so its
+    // k tokens survive and the redundant starts 1..3 cover [1, 8)
+    val out = SubstringDedup
+      .removeDuplicatedSpans(docs((9L, "x x x x x x x x")), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x", 8L, 7L)))
+  }
+
+  test("removeDuplicatedSpans: short and empty docs pass through unchanged") {
+    val out = SubstringDedup
+      .removeDuplicatedSpans(docs((1L, "a b c"), (2L, "")), "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a b c", 3L, 0L), (2L, "", 0L, 0L)))
+  }
+
+  test("plan: removal's first-occurrence pick rides the count aggregate, no gram window") {
+    // the (count, min-struct) pair must come from ONE map-side-partial hash
+    // aggregate; a ROW_NUMBER over the gram key would serialize hot grams
+    val plan = SubstringDedup
+      .removeDuplicatedSpans(planted, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(__g"),
+      "first-occurrence pick must not be a window over the gram key")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"gram stats must partial-aggregate map-side:\n$plan")
+  }
+
   test("plan: duplicate-gram count is a hash aggregate, not a gram window") {
     // the ADVICE-flagged spelling put count(...) over Window.partitionBy(__g):
     // zero partial aggregation, one WindowExec task per hot gram. Pin the
