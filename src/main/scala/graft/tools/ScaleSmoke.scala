@@ -126,7 +126,24 @@ object ScaleSmoke {
     "pctl_ranged_hotgroup" -> ((s, dir) =>
       graft.operators.Percentiles.exactByGroupRanged(
         graft.sources.Tables.table(s, dir, "lineitem"),
-        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), Seq("p50", "p90"))))
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), Seq("p50", "p90"))),
+    // bitext margin mining over the PRODUCTION kNN path: the x93 gate
+    // spelling uses brute-force topKAll (quadratic by design — the oracle
+    // needs it); at scale the margin composes over IVF searches with
+    // production nlist discipline, and the scoring stage is identical
+    "bitext_margin_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.Tables.table(s, dir, "embeddings")
+      val a = e.where(col("vec_id") % 2 === 0).localCheckpoint(true)
+      val b = e.where(col("vec_id") % 2 === 1).localCheckpoint(true)
+      val nlist = math.max(4, (e.count() / 700 / 2).toInt)
+      def knn(corpus: org.apache.spark.sql.DataFrame,
+              queries: org.apache.spark.sql.DataFrame) =
+        graft.operators.SimilaritySearch.ivfTopK(
+          corpus, queries, "vec_id", "embedding", "vec_id",
+          k = 4, nlist = nlist, nprobe = 2)
+      graft.operators.Bitext.minePairs(knn(b, a), knn(a, b), minMargin = 1.05)
+    }))
 
   final case class EntryTiming(name: String, baseSec: Double, scaledSec: Double,
       bound: Double) {
