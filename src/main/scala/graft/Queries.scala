@@ -5662,6 +5662,274 @@ SELECT split, COUNT(*) AS n_docs,
        (SELECT ns FROM strad) AS n_straddling_pairs
 FROM lab GROUP BY split ORDER BY split""", minJ = "0.8")))
 
+  private val x96 = DeclaredQuery("x96_dataset_cartography",
+    // dataset cartography (TrainingDynamics.cartography — Swayamdipta et
+    // al. EMNLP'20): per-example confidence / variability / correctness
+    // over training epochs, mapped to easy / ambiguous / hard regions.
+    // The synthetic corpus has no training logs, so the entry derives a
+    // deterministic per-(doc, epoch) probability from pure integer
+    // arithmetic — (doc_id·37 + e·17) mod 101 centi-units — identical in
+    // both engines, so the only doubles are the final divisions and the
+    // one-pass variance closed form (sqrt(Σp²/n − mean²)), spelled the
+    // same on both sides and canonicalized round4. The region label is
+    // derived from the ROUNDED statistics in the operator itself, so an
+    // ulp of sum-order drift can never flip a label (the x93 lesson).
+    (s, d) => {
+      val pe = t(s, d, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(4))).as("e"))
+        .select(col("doc_id"),
+          (pmod(col("doc_id") * 37 + col("e") * 17, lit(101))
+            .cast("double") / 100.0).as("p"))
+      graft.operators.TrainingDynamics.cartography(pe, "doc_id", "p")
+        .select(col("doc_id"), col("n_epochs"),
+          round4(col("confidence")).as("confidence"),
+          round4(col("variability")).as("variability"),
+          round4(col("correctness")).as("correctness"),
+          col("region"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pe AS (
+  SELECT doc_id, CAST((doc_id * 37 + e * 17) % 101 AS DOUBLE) / 100.0 AS p
+  FROM documents, range(0, 5) t(e)),
+a AS (SELECT doc_id, COUNT(p) AS n_epochs, SUM(p) AS s, SUM(p * p) AS s2,
+             SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS c
+      FROM pe GROUP BY doc_id),
+st AS (SELECT doc_id, n_epochs,
+         s / CAST(n_epochs AS DOUBLE) AS conf,
+         SQRT(GREATEST(s2 / CAST(n_epochs AS DOUBLE)
+           - (s / CAST(n_epochs AS DOUBLE)) * (s / CAST(n_epochs AS DOUBLE)),
+           0.0)) AS var,
+         CAST(c AS DOUBLE) / CAST(n_epochs AS DOUBLE) AS corr
+       FROM a)
+SELECT doc_id, n_epochs,
+       FLOOR(conf * 10000 + 0.5) / 10000 AS confidence,
+       FLOOR(var * 10000 + 0.5) / 10000 AS variability,
+       FLOOR(corr * 10000 + 0.5) / 10000 AS correctness,
+       CASE WHEN FLOOR(var * 10000 + 0.5) / 10000 >= 0.2 THEN 'ambiguous'
+            WHEN FLOOR(conf * 10000 + 0.5) / 10000 >= 0.5 THEN 'easy'
+            ELSE 'hard' END AS region
+FROM st ORDER BY doc_id"""))
+
+  private val x97 = DeclaredQuery("x97_rho_loss_select",
+    // reducible-holdout-loss prioritization (TrainingDynamics
+    // .rhoLossSelect — Mindermann et al. ICML'22): per language, the top-5
+    // examples by train_loss − irreducible_loss, via the bounded-heap
+    // graft_topk aggregate (shuffle ≤ groups × partitions × k, no sort,
+    // no window). Losses are deci-unit integer residues — both engines
+    // compute the identical per-row IEEE subtraction, so the ordering is
+    // bit-identical; ties break by id DESC (the heap's contract), and the
+    // oracle replays rank ≤ 5 with ROW_NUMBER.
+    (s, d) => {
+      val losses = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        (pmod(col("doc_id") * 13, lit(97)).cast("double") / 10.0)
+          .as("train_loss"),
+        (pmod(col("doc_id") * 7, lit(89)).cast("double") / 10.0)
+          .as("irr_loss"))
+      graft.operators.TrainingDynamics.rhoLossSelect(
+          losses, "doc_id", "train_loss", "irr_loss", Seq("lang"), k = 5)
+        .select(col("lang"), col("rank"),
+          round4(col("reducible_loss")).as("reducible_loss"), col("doc_id"))
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH l AS (
+  SELECT doc_id, lang,
+         CAST((doc_id * 13) % 97 AS DOUBLE) / 10.0 AS train_loss,
+         CAST((doc_id * 7) % 89 AS DOUBLE) / 10.0 AS irr_loss
+  FROM documents),
+r AS (SELECT lang, doc_id, train_loss - irr_loss AS red,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY train_loss - irr_loss DESC, doc_id DESC) AS rn
+      FROM l)
+SELECT lang, CAST(rn AS INTEGER) AS rank,
+       FLOOR(red * 10000 + 0.5) / 10000 AS reducible_loss, doc_id
+FROM r WHERE rn <= 5 ORDER BY lang, rank"""))
+
+  private val x98 = DeclaredQuery("x98_unimax_allocation",
+    // UniMax token-budget allocation (MixtureOptimization
+    // .unimaxAllocation — Chung et al. ICLR'23): waterfill a training
+    // budget across languages under a max-epochs cap, in closed form over
+    // the per-language token-count artifact (the capped set is a prefix
+    // of the cap-ascending order; the prefix invariant is pinned with a
+    // running MIN rather than assumed). Budget = the corpus's own total
+    // token count, maxEpochs = 2, so small languages cap at 2 epochs and
+    // large ones share the remainder — a guaranteed nontrivial split.
+    // Every decision is exact integer arithmetic (caps, prefix sums, the
+    // capped test); the only doubles are the final equal-share division
+    // and epochs ratio, spelled identically both sides and round4'd.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val ntok = graft.functions.TextAnalysis.tokenCount(col("text"))
+      val counts = docs.groupBy("lang")
+        .agg(sum(ntok.cast("long")).as("n_tokens"))
+      // one bounded action: the corpus total fixes the budget scalar
+      val budget = docs.agg(sum(ntok.cast("long"))).head().getLong(0)
+      graft.operators.MixtureOptimization
+        .unimaxAllocation(counts, "lang", "n_tokens", budget, maxEpochs = 2L)
+        .select(col("lang"), col("n_tokens"), col("cap"), col("capped"),
+          round4(col("allocated")).as("allocated"),
+          round4(col("epochs")).as("epochs"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+  SELECT lang, len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> length(x) > 0)) AS nt
+  FROM documents),
+c AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM toks GROUP BY lang),
+b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget FROM c),
+r AS (SELECT lang, n_tokens, n_tokens * 2 AS cap,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_tokens * 2, lang) AS BIGINT) AS i,
+        CAST(COALESCE(SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS sprev,
+        CAST(COUNT(*) OVER () AS BIGINT) AS l
+      FROM c),
+ind AS (SELECT r.*, b.budget,
+          CASE WHEN cap * (l - i + 1) <= budget - sprev THEN 1 ELSE 0 END
+            AS ind
+        FROM r, b),
+cp AS (SELECT *, MIN(ind) OVER (ORDER BY cap, lang
+         ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM ind),
+tt AS (SELECT CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+          AS scap,
+        CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS nfree
+       FROM cp),
+fin AS (SELECT cp.lang, cp.n_tokens, cp.cap, cp.capped,
+          CASE WHEN cp.capped THEN CAST(cp.cap AS DOUBLE)
+               ELSE CAST(cp.budget - tt.scap AS DOUBLE)
+                    / CAST(tt.nfree AS DOUBLE) END AS alloc
+        FROM cp, tt)
+SELECT lang, n_tokens, cap, capped,
+       FLOOR(alloc * 10000 + 0.5) / 10000 AS allocated,
+       CASE WHEN n_tokens > 0
+            THEN FLOOR(alloc / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+            END AS epochs
+FROM fin ORDER BY lang"""))
+
+  private val x99 = DeclaredQuery("x99_lsh_plan",
+    // the banding-plan table behind every MinHash LSH choice in NearDup
+    // (NearDup.lshPlan — Broder'97 / MMDS ch.3 S-curve arithmetic): one
+    // row per (bands, rowsPerBand) divisor pair of a 128-hash signature ×
+    // probe Jaccard, with the S-curve threshold (1/b)^(1/r), the
+    // candidate probability 1−(1−j^r)^b, and `recommended` on the plan
+    // whose ROUNDED threshold lands closest to 0.8 (ties → fewest bands
+    // = cheapest shuffle). Closed-form — no data scanned; the only
+    // cross-engine risk is libm pow ulps, absorbed by round4, and the
+    // recommended flag derives from the rounded threshold (straddle-proof
+    // convention) so both engines pick from identical inputs.
+    (s, d) => graft.operators.NearDup.lshPlan(s, 128, targetJaccard = 0.8)
+      .select(col("bands"), col("rows_per_band"),
+        round4(col("threshold")).as("threshold"), col("recommended"),
+        col("j"), round4(col("p_candidate")).as("p_candidate"))
+      .orderBy("bands", "j"),
+    Some("""WITH d AS (
+  SELECT b AS bands, CAST(128 // b AS BIGINT) AS rows_per_band
+  FROM range(1, 129) t(b) WHERE 128 % b = 0),
+th AS (SELECT bands, rows_per_band,
+         POWER(1.0 / bands, 1.0 / rows_per_band) AS threshold,
+         ABS(FLOOR(POWER(1.0 / bands, 1.0 / rows_per_band) * 10000 + 0.5)
+             / 10000 - CAST(0.8 AS DOUBLE)) AS dist
+       FROM d),
+best AS (SELECT dist, bands FROM th ORDER BY dist, bands LIMIT 1),
+pr AS (SELECT CAST(j AS DOUBLE) AS j
+       FROM unnest([0.5, 0.6, 0.7, 0.8, 0.9]) t(j))
+SELECT th.bands, th.rows_per_band,
+       FLOOR(th.threshold * 10000 + 0.5) / 10000 AS threshold,
+       (th.dist = best.dist AND th.bands = best.bands) AS recommended,
+       pr.j,
+       FLOOR((1 - POWER(1 - POWER(pr.j, th.rows_per_band), th.bands))
+             * 10000 + 0.5) / 10000 AS p_candidate
+FROM th, best, pr
+ORDER BY th.bands, pr.j"""))
+
+  private val x100 = DeclaredQuery("x100_matryoshka_recall",
+    // Matryoshka truncation evaluation (SimilaritySearch.matryoshkaRecall
+    // — Kusupati et al. NeurIPS'22): per-query recall@10 of searching on
+    // the first 16 of 64 embedding dims vs the full-dimension search —
+    // the table that licenses a 4× cut in index memory/bandwidth/FLOPs.
+    // Both sides are the exact topKAll baseline (quadratic by design;
+    // production swaps in two ivfTopK frames); graft_cosine folds
+    // left-to-right bit-identical to DuckDB's list_sum spelling (the x93
+    // pin), and both rank orders tie-break (score DESC, corpus_id), so
+    // the two top-k SETS — and hence the hit counts — are reproduced
+    // exactly. Recall itself is exact integer arithmetic + one division.
+    (s, d) => graft.operators.SimilaritySearch
+      .matryoshkaRecall(t(s, d, "embeddings"), "vec_id", "embedding",
+        dims = 16, k = 10)
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round4(col("recall")).as("recall"))
+      .orderBy("query_id"),
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+tr AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+cf AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+  list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+  / NULLIF(SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS score
+  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+rf AS (SELECT query_id, corpus_id FROM
+        (SELECT query_id, corpus_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, corpus_id) AS rn
+         FROM cf) WHERE rn <= 10),
+ct AS (SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+  list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+  / NULLIF(SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 0) AS score
+  FROM tr a, tr b WHERE a.vec_id <> b.vec_id),
+rt AS (SELECT query_id, corpus_id FROM
+        (SELECT query_id, corpus_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, corpus_id) AS rn
+         FROM ct) WHERE rn <= 10),
+j AS (SELECT rf.query_id, rf.corpus_id,
+             CASE WHEN rt.corpus_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM rf LEFT JOIN rt
+        ON rt.query_id = rf.query_id AND rt.corpus_id = rf.corpus_id)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       FLOOR(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS recall
+FROM j GROUP BY query_id ORDER BY query_id"""))
+
+  private val x101 = DeclaredQuery("x101_streaming_enrich",
+    // the STATELESS streaming face the stateful gates (x68/x79/x80/x86/
+    // x92) don't cover: stream-static dimension enrichment
+    // (EventStreams.enrichWithDim). Events replay in three micro-batches
+    // against a static per-user purchase-count dim; the static side is
+    // broadcast and re-planned per batch, no watermark, no join state —
+    // every event must emit EXACTLY ONCE, in its arrival batch, carrying
+    // its user's dim row (or NULL under left_outer for never-purchasing
+    // users). A regression in per-batch static re-planning, broadcast
+    // semantics, or left-preservation drops/duplicates/null-pads rows and
+    // breaks the batch LEFT JOIN hash.
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val dim = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x101")
+      val ingest = tmp.resolve("ingest").toString
+      ev.repartition(3).write.mode("overwrite").parquet(ingest)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val sink = "x101_enrich_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .enrichWithDim(stream, dim, Seq("user_id"), "left_outer")
+        .select("event_id", "user_id", "event_type", "n_purchases")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("event_id", "user_id", "event_type")
+    },
+    Some("""WITH dim AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.event_type, dim.n_purchases
+FROM events e LEFT JOIN dim USING (user_id)
+ORDER BY e.event_id, e.user_id, e.event_type"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -5677,7 +5945,8 @@ FROM lab GROUP BY split ORDER BY split""", minJ = "0.8")))
     x20, x20b, x20c, x20d, x20e, x21, x22, x22b, x23, x23b, x23c, x24, x25, x26, x27, x27b, x28, x29, x29b, x29c, x30, x31, x31c, x32, x32b, x33, x34, x35, x35b, x36, x36b, x36c, x36d, x36e, x36f, x36g, x36h, x37, x38, x38b, x39, x39b, x40, x41, x42, x42b, x42c, x43, x44, x45, x46, x47, x48, x49, x50, x51, x51b, x52, x53, x54, x55, x56, x57, x58, x58b, x59, x59b, x60, x61,
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
-    x89, x90, x91, x92, x93, x94, x95, x10d, x10e, x10f)
+    x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -165,4 +165,82 @@ object MixtureOptimization {
     Array.tabulate(domains.length)(i =>
       if (ns(i) == 0) 0.0 else sums(i) / ns(i))
   }
+
+  /** UniMax token-budget allocation (Chung et al., ICLR 2023 — "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): split a total training-token budget `B`
+    * across languages so every language trains as uniformly as possible
+    * WITHOUT repeating any language more than `maxEpochs` times. The
+    * waterfilling rule: process languages by available-token count
+    * ascending; each gets `min(cap, fairShare)` where
+    * `cap = maxEpochs · n_tokens` and `fairShare` is the remaining budget
+    * split evenly over the remaining languages. Low-resource languages hit
+    * their epoch cap and release budget to the rest; high-resource
+    * languages end at a common equal share — the UNIFORM part of UniMax.
+    *
+    * Closed form instead of a sequential loop: with languages sorted by
+    * `(cap, lang)` ascending (row i of L, exclusive prefix cap sum Sᵢ),
+    * language i is capped iff `capᵢ · (L − i + 1) ≤ B − Sᵢ` — an EXACT
+    * integer comparison, no doubles anywhere in the decision. The capped
+    * set is a prefix of the sorted order (caps ascending ⇒ once the fair
+    * share undercuts a cap it undercuts all larger ones); the code pins
+    * that invariant with a running MIN over the indicator rather than
+    * assuming it. Uncapped languages share
+    * `t = (B − Σ capped caps) / (#uncapped)` — the single double division,
+    * spelled once.
+    *
+    * Output, one row per language: `n_tokens`, `cap`, `capped`,
+    * `allocated` (double; == cap exactly when capped), `epochs`
+    * (= allocated / n_tokens). If `Σ caps ≤ B` every language is capped
+    * and `Σ allocated < B` — UniMax leaves budget on the table rather
+    * than over-repeating (the paper's choice); callers wanting full
+    * spend raise `maxEpochs`.
+    *
+    * Scale: `counts` is the PER-LANGUAGE aggregate (a model artifact,
+    * tens–thousands of rows), never the corpus — the O(L) global windows
+    * here are windows over that artifact. The corpus-sized work (counting
+    * tokens per language) happens upstream as one hash aggregation.
+    * Integer caps/prefixes are exact; `allocated`/`epochs` are fixed IEEE
+    * expressions of them. NULL or negative token counts fail loudly. */
+  def unimaxAllocation(counts: DataFrame, langCol: String, tokensCol: String,
+                       budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget > 0L, s"budget must be > 0, got $budget")
+    require(maxEpochs >= 1L, s"maxEpochs must be >= 1, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val guarded = counts.select(col(langCol),
+      when(col(tokensCol).isNull || col(tokensCol) < 0,
+        raise_error(lit("unimaxAllocation: NULL or negative token count")))
+        .otherwise(col(tokensCol).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    // O(L) frame: single-partition windows over the language artifact only
+    val w = Window.orderBy(col("cap"), col(langCol))
+    val ranked = guarded
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__sprev",
+        coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__l", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .withColumn("__ind",
+        when(col("cap") * (col("__l") - col("__i") + 1L) <=
+          lit(budget) - col("__sprev"), 1).otherwise(0))
+      // prefix invariant, pinned: capped = min(indicator) over rows ≤ i
+      .withColumn("capped",
+        min(col("__ind")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          === 1)
+    val totals = ranked.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("__scap"),
+      sum(when(col("capped"), 0L).otherwise(1L)).as("__nfree"))
+    val t = (lit(budget) - col("__scap")).cast("double") /
+      col("__nfree").cast("double")
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("allocated",
+        when(col("capped"), col("cap").cast("double")).otherwise(t))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0L,
+          col("allocated") / col("n_tokens").cast("double")))
+      .select(col(langCol), col("n_tokens"), col("cap"), col("capped"),
+        col("allocated"), col("epochs"))
+  }
 }

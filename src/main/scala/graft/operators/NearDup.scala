@@ -586,4 +586,54 @@ object NearDup {
     val nlist = math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
     semanticDedupe(df, idCol, vecCol, minCosine, nlist, refineIters, probes)
   }
+
+  /** Banding-plan table for a MinHash signature of `numHashes` hashes —
+    * the S-curve arithmetic behind every (bands, rowsPerBand) choice in
+    * this file, surfaced as data [Broder 1997; Leskovec/Rajaraman/Ullman,
+    * "Mining of Massive Datasets" ch. 3, the standard treatment; the
+    * datasketch library's `optimal_param` solves the same problem
+    * numerically]. One row per (bands b, rows r) divisor pair of
+    * `numHashes` and probe Jaccard j:
+    * `threshold` = (1/b)^(1/r) (the S-curve midpoint — pairs above it are
+    * mostly candidates), `p_candidate` = 1 − (1 − j^r)^b (the probability
+    * a pair at similarity j shares ≥1 band bucket), and `recommended` on
+    * the plan whose ROUNDED threshold sits closest to `targetJaccard`
+    * (ties → fewest bands, i.e. the cheapest shuffle). Planning the band
+    * count is a 100 TB decision: bands × corpus = the LSH shuffle's row
+    * count, so an over-banded plan multiplies the one big shuffle the
+    * pipeline has.
+    *
+    * The frame is O(divisors × probes) — a model artifact; the closed-form
+    * probabilities mean no data is scanned at all. The `recommended` flag
+    * derives from the ROUNDED threshold (the straddle-proof convention)
+    * via one lexicographic min over the tiny frame. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+              targetJaccard: Double,
+              probeJaccards: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      s"targetJaccard must be in (0, 1), got $targetJaccard")
+    require(probeJaccards.nonEmpty, "probeJaccards must be non-empty")
+    import spark.implicits._
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b.toLong, (numHashes / b).toLong))
+    val round4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val base = divisors.toDF("bands", "rows_per_band")
+      .withColumn("threshold",
+        pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")))
+      .withColumn("__dist",
+        abs(round4(col("threshold")) - lit(targetJaccard)))
+    val best = base.agg(
+      min(struct(col("__dist"), col("bands"))).as("__best"))
+    base.crossJoin(broadcast(best))
+      .withColumn("recommended",
+        col("__dist") === col("__best.__dist") &&
+          col("bands") === col("__best.bands"))
+      .withColumn("j", explode(array(probeJaccards.map(lit): _*)))
+      .select(col("bands"), col("rows_per_band"), col("threshold"),
+        col("recommended"), col("j"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("j"), col("rows_per_band")),
+          col("bands"))).as("p_candidate"))
+  }
 }

@@ -457,6 +457,29 @@ object SimilaritySearch {
           .as("recall"))
   }
 
+  /** Matryoshka truncation evaluation [Kusupati et al., NeurIPS 2022 —
+    * "Matryoshka Representation Learning"]: per-query recall@k of
+    * searching on only the FIRST `dims` embedding dimensions against the
+    * full-dimension search — the table that decides how far an MRL-style
+    * embedding can be truncated before retrieval quality pays. Truncation
+    * is `slice(vec, 1, dims)`; cosine re-normalizes inside the scorer, so
+    * no re-normalization pass is needed. Both searches here are the exact
+    * [[topKAll]] baseline (quadratic BY DESIGN — the evaluation wants
+    * ground truth on both sides); at corpus scale run the same comparison
+    * over two [[ivfTopK]] frames and feed [[recallAtK]] directly.
+    *
+    * A 4× dim truncation is a 4× cut in ANN index memory, scan bandwidth,
+    * and distance FLOPs — at 100 TB the cheapest speedup available if this
+    * table says recall holds. */
+  def matryoshkaRecall(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, k: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val full = topKAll(df, df, idCol, vecCol, idCol, k)
+    val trunc = df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val truncTop = topKAll(trunc, trunc, idCol, vecCol, idCol, k)
+    recallAtK(full, truncTop, k)
+  }
+
   /** All same-bucket pairs with exact cosine — the candidate generator for
     * embedding near-dup detection. */
   def lshSelfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

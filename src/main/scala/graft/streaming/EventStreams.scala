@@ -79,6 +79,30 @@ object EventStreams {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static dimension enrichment — the stateless workhorse of every
+    * ingest path: each streaming row joins the (slowly-changing, executor-
+    * cached) dimension frame as of THIS micro-batch; Spark re-plans the
+    * static side per batch, so a dim refresh is picked up without
+    * restarting the query. No watermark, no join state — unlike
+    * [[intervalJoin]], nothing is buffered, so this composes freely under
+    * any output mode. `broadcast()` is applied to the static side
+    * explicitly: at 100 TB of stream the dim must never become the shuffle
+    * side of a SortMergeJoin inside every micro-batch.
+    *
+    * `left_outer` (stream side preserved) keeps un-enrichable rows with
+    * NULL dim columns — the honest default for a dim that can lag the
+    * stream; `inner` drops them. Both are stateless and emit in the same
+    * micro-batch the row arrives. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keyCols: Seq[String],
+                    joinType: String = "left_outer"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      keyCols, joinType)
+  }
+
   /** Tumbling event-time window counts — the streaming form of Q32.
     * The watermark bounds both late-data acceptance and state retention. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",

@@ -89,6 +89,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("stream_sink").count() > 0)
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim, left-preserving") {
+    val dir = Files.createTempDirectory("senrich").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "user_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    write(Seq((10L, 1L), (11L, 3L)))  // user 3 has no dim row
+    val stream = spark.readStream.schema("event_id LONG, user_id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.enrichWithDim(stream, dim, Seq("user_id"))
+      .select("event_id", "user_id", "tier")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("senrich").start()
+    q.processAllAvailable()
+    write(Seq((12L, 2L)))             // later batch re-plans the same dim
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("senrich").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((10L, "gold"), (11L, null), (12L, "basic")),
+      s"each event exactly once, un-enrichable rows null-padded: $got")
+    // inner drops the un-enrichable row instead
+    val q2 = EventStreams.enrichWithDim(stream, dim, Seq("user_id"), "inner")
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("senrich_inner").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("senrich_inner").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 12L))
+    intercept[IllegalArgumentException] {
+      EventStreams.enrichWithDim(stream, dim, Seq("user_id"), "full_outer")
+    }
+  }
+
   test("streaming dedup keeps first arrival per key across micro-batches") {
     val dir = Files.createTempDirectory("sdedup").toString
     import spark.implicits._
