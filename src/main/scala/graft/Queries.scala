@@ -5930,6 +5930,334 @@ SELECT e.event_id, e.user_id, e.event_type, dim.n_purchases
 FROM events e LEFT JOIN dim USING (user_id)
 ORDER BY e.event_id, e.user_id, e.event_type"""))
 
+  private val x102 = DeclaredQuery("x102_precision_thresholds",
+    // per-source precision-calibrated score cutoffs (Selection
+    // .precisionThresholdPerGroup — the FineWeb-style per-dump
+    // thresholding step): one global classifier, each source keeps docs
+    // above its OWN threshold = the lowest observed score whose keep-set
+    // still meets 0.7 precision; unattainable sources report NULL, not a
+    // silent fallback. Scores/labels are integer residues ((id·11)%101
+    // centi-score; label = 1 iff (id·29)%101 < score-centi, so
+    // P(label|s) rises with s and thresholds are nontrivial) — both
+    // engines compute identical doubles, the prefix counts are exact
+    // ints, and precision is one division. The window input pre-
+    // aggregates to DISTINCT (source, score) pairs (the x08 discipline),
+    // never corpus rows.
+    (s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (pmod(col("doc_id") * 11, lit(101)).cast("double") / 100.0)
+          .as("score"),
+        when(pmod(col("doc_id") * 29, lit(101)) <
+          pmod(col("doc_id") * 11, lit(101)), 1L).otherwise(0L).as("label"))
+      graft.operators.Selection.precisionThresholdPerGroup(
+          scored, "source", "score", "label", targetPrecision = 0.7)
+        .select(col("source"), round4(col("threshold")).as("threshold"),
+          col("n_kept"), col("n_pos_kept"),
+          round4(col("precision")).as("precision"))
+        .orderBy("source")
+    },
+    Some("""WITH l AS (
+  SELECT doc_id, source, CAST((doc_id * 11) % 101 AS DOUBLE) / 100.0 AS score,
+         CASE WHEN (doc_id * 29) % 101 < (doc_id * 11) % 101
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT source, score, COUNT(*) AS n, SUM(y) AS p FROM l GROUP BY 1, 2),
+pr AS (SELECT source, score,
+         SUM(n) OVER (PARTITION BY source ORDER BY score DESC
+           ROWS UNBOUNDED PRECEDING) AS kn,
+         SUM(p) OVER (PARTITION BY source ORDER BY score DESC
+           ROWS UNBOUNDED PRECEDING) AS kp
+       FROM b),
+q AS (SELECT source, score, kn, kp,
+             CAST(kp AS DOUBLE) / CAST(kn AS DOUBLE) AS prec
+      FROM pr
+      WHERE CAST(kp AS DOUBLE) / CAST(kn AS DOUBLE) >= CAST(0.7 AS DOUBLE)),
+best AS (SELECT source, score, kn, kp, prec FROM
+          (SELECT q.*, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY score) AS rn FROM q) WHERE rn = 1)
+SELECT s.source, FLOOR(best.score * 10000 + 0.5) / 10000 AS threshold,
+       CAST(best.kn AS BIGINT) AS n_kept,
+       CAST(best.kp AS BIGINT) AS n_pos_kept,
+       FLOOR(best.prec * 10000 + 0.5) / 10000 AS "precision"
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN best USING (source)
+ORDER BY s.source"""))
+
+  private val x103 = DeclaredQuery("x103_label_noise_flags",
+    // confident-learning label-noise screening (TrainingDynamics
+    // .confidentLearningFlags — Northcutt et al. JAIR'21, the cleanlab
+    // method): per-class thresholds = mean predicted probability among
+    // examples labeled that class; an example is suspect when the model
+    // is opposite-class-confident at that class's threshold. The entry
+    // constructs 20% deliberate label noise from integer residues
+    // ((id·17)%101 centi-prob; (id·13)%10 < 8 keeps the prob-consistent
+    // label, else flips), so both engines see identical doubles; the
+    // class means are k-term double sums — the flags compare against the
+    // ROUND4ED thresholds (straddle-proof), and the oracle spells the
+    // identical rounding.
+    (s, d) => {
+      val pc = pmod(col("doc_id") * 17, lit(101))
+      val consistent = when(pc >= 50, 1L).otherwise(0L)
+      val labeled = t(s, d, "documents").select(col("doc_id"),
+        (pc.cast("double") / 100.0).as("p1"),
+        when(pmod(col("doc_id") * 13, lit(10)) < 8, consistent)
+          .otherwise(lit(1L) - consistent).as("label"))
+      graft.operators.TrainingDynamics.confidentLearningFlags(
+          labeled, "doc_id", "label", "p1")
+        .select(col("doc_id"), col("label"), round4(col("p1")).as("p1"),
+          col("suspect"), col("suggested_label"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH l AS (
+  SELECT doc_id, CAST((doc_id * 17) % 101 AS DOUBLE) / 100.0 AS p1,
+         CAST(CASE WHEN (doc_id * 13) % 10 < 8
+              THEN CASE WHEN (doc_id * 17) % 101 >= 50 THEN 1 ELSE 0 END
+              ELSE CASE WHEN (doc_id * 17) % 101 >= 50 THEN 0 ELSE 1 END
+              END AS BIGINT) AS label
+  FROM documents),
+t AS (SELECT
+        FLOOR(AVG(CASE WHEN label = 1 THEN p1 END) * 10000 + 0.5) / 10000
+          AS t1,
+        FLOOR(AVG(CASE WHEN label = 0 THEN 1.0 - p1 END) * 10000 + 0.5)
+          / 10000 AS t0
+      FROM l)
+SELECT doc_id, label, FLOOR(p1 * 10000 + 0.5) / 10000 AS p1,
+       CASE WHEN label = 0 THEN (t1 IS NOT NULL AND p1 >= t1)
+            ELSE (t0 IS NOT NULL AND 1.0 - p1 >= t0) END AS suspect,
+       CAST(CASE WHEN (CASE WHEN label = 0
+                       THEN (t1 IS NOT NULL AND p1 >= t1)
+                       ELSE (t0 IS NOT NULL AND 1.0 - p1 >= t0) END)
+            THEN 1 - label END AS BIGINT) AS suggested_label
+FROM l, t ORDER BY doc_id"""))
+
+  private val x104 = DeclaredQuery("x104_ranking_metrics",
+    // graded retrieval evaluation (Relevance.rankingMetrics — Järvelin &
+    // Kekäläinen NDCG + the TREC MRR/P@k/R@k conventions): per query,
+    // precision/recall@10, reciprocal rank, DCG with the exponential gain
+    // (2^rel−1)/log2(rank+1), and NDCG against the ideal (rel DESC, id)
+    // ordering — NULL when a query has no judged relevant docs. Run and
+    // qrels are integer-residue constructions (query = id mod 20, rank =
+    // id div 20 + 1 — a valid run by construction; rel graded 0/1/2 by
+    // (id·7) mod 5), so the only doubles are the shared gain spelling
+    // (ln(x)/ln 2 both engines, libm ulps absorbed by round4) and exact
+    // count divisions. DCG folds a SORTED ≤k list (the x93 discipline).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val run = docs.select(
+        pmod(col("doc_id"), lit(20)).cast("long").as("query_id"),
+        col("doc_id").as("corpus_id"),
+        (expr("doc_id div 20") + 1L).as("rank"))
+      val qrels = docs.select(
+        pmod(col("doc_id"), lit(20)).cast("long").as("query_id"),
+        col("doc_id").as("corpus_id"),
+        when(pmod(col("doc_id") * 7, lit(5)) === 0, 2L)
+          .when(pmod(col("doc_id") * 7, lit(5)) === 1, 1L)
+          .otherwise(0L).as("rel"))
+      graft.operators.Relevance.rankingMetrics(run, qrels, k = 10)
+        .select(col("query_id"), col("n_rel"), col("n_rel_ret"),
+          round4(col("precision_at_k")).as("precision_at_k"),
+          round4(col("recall_at_k")).as("recall_at_k"),
+          round4(col("rr")).as("rr"),
+          round4(col("dcg_at_k")).as("dcg_at_k"),
+          round4(col("ndcg_at_k")).as("ndcg_at_k"))
+        .orderBy("query_id")
+    },
+    Some("""WITH run AS (
+  SELECT doc_id % 20 AS query_id, doc_id AS corpus_id,
+         doc_id // 20 + 1 AS rank
+  FROM documents),
+qr AS (SELECT doc_id % 20 AS query_id, doc_id AS corpus_id,
+         CAST(CASE (doc_id * 7) % 5 WHEN 0 THEN 2 WHEN 1 THEN 1
+              ELSE 0 END AS BIGINT) AS rel
+       FROM documents),
+rel AS (SELECT query_id, corpus_id, rel FROM qr WHERE rel > 0),
+ret AS (SELECT r.query_id, r.rank, COALESCE(rel.rel, 0) AS g
+        FROM run r LEFT JOIN rel
+          ON rel.query_id = r.query_id AND rel.corpus_id = r.corpus_id
+        WHERE r.rank <= 10),
+pq AS (SELECT query_id,
+         CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_ret,
+         MIN(CASE WHEN g > 0 THEN rank END) AS first_rel,
+         SUM((POWER(2.0, g) - 1) / (LN(rank + 1) / LN(2.0))) AS dcg
+       FROM ret GROUP BY 1),
+ide AS (SELECT query_id,
+          SUM((POWER(2.0, rel) - 1) / (LN(i + 1) / LN(2.0))) AS idcg
+        FROM (SELECT query_id, rel,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, corpus_id) AS i FROM rel)
+        WHERE i <= 10 GROUP BY 1),
+nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+       FROM rel GROUP BY 1),
+base AS (SELECT DISTINCT query_id FROM run)
+SELECT b.query_id,
+       COALESCE(nr.n_rel, 0) AS n_rel,
+       COALESCE(pq.n_rel_ret, 0) AS n_rel_ret,
+       FLOOR(COALESCE(pq.n_rel_ret, 0) / 10.0 * 10000 + 0.5) / 10000
+         AS precision_at_k,
+       CASE WHEN COALESCE(nr.n_rel, 0) > 0 THEN
+         FLOOR(CAST(COALESCE(pq.n_rel_ret, 0) AS DOUBLE)
+               / CAST(nr.n_rel AS DOUBLE) * 10000 + 0.5) / 10000
+         END AS recall_at_k,
+       FLOOR(COALESCE(1.0 / pq.first_rel, 0.0) * 10000 + 0.5) / 10000
+         AS rr,
+       FLOOR(COALESCE(pq.dcg, 0.0) * 10000 + 0.5) / 10000 AS dcg_at_k,
+       CASE WHEN ide.idcg > 0 THEN
+         FLOOR(COALESCE(pq.dcg, 0.0) / ide.idcg * 10000 + 0.5) / 10000
+         END AS ndcg_at_k
+FROM base b
+LEFT JOIN pq USING (query_id)
+LEFT JOIN nr USING (query_id)
+LEFT JOIN ide USING (query_id)
+ORDER BY b.query_id"""))
+
+  private val x105 = DeclaredQuery("x105_isotonic_calibration",
+    // isotonic recalibration of the reliability diagram (Calibration
+    // .isotonicCalibrate — Zadrozny & Elkan KDD'02; PAV): the monotone
+    // least-squares fit of per-bin positive rates, computed by the driver
+    // PAV fold over the ≤nBins artifact with EXACT BigInt pooling
+    // decisions; the oracle replays it through the minimax
+    // characterization ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k) over O(B³)
+    // windows — tractable because B ≤ 10, and bit-equal because every
+    // candidate mean is ONE correctly-rounded division of exact integer
+    // prefix sums (equal rationals ⇒ identical doubles). The probe
+    // corpus is residue-labeled so P(y=1|p) ≈ p with noise — real
+    // violators for PAV to pool.
+    (s, d) => {
+      val labeled = t(s, d, "documents").select(
+        (pmod(col("doc_id") * 19, lit(101)).cast("double") / 100.0).as("p"),
+        when(pmod(col("doc_id") * 23, lit(101)) <
+          pmod(col("doc_id") * 19, lit(101)), 1L).otherwise(0L).as("y"))
+      graft.operators.Calibration.isotonicCalibrate(labeled, "p", "y",
+          nBins = 10)
+        .select(col("bin"), col("n"), round4(col("acc")).as("acc"),
+          round4(col("calibrated")).as("calibrated"))
+        .orderBy("bin")
+    },
+    Some("""WITH l AS (
+  SELECT CAST((doc_id * 19) % 101 AS DOUBLE) / 100.0 AS p,
+         CASE WHEN (doc_id * 23) % 101 < (doc_id * 19) % 101
+              THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS bin,
+             COUNT(*) AS n, SUM(y) AS pos
+      FROM l GROUP BY 1),
+o AS (SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+             ROW_NUMBER() OVER (ORDER BY bin) AS idx FROM b),
+pre AS (SELECT idx, bin, n, pos,
+          CAST(SUM(n) OVER (ORDER BY idx) AS BIGINT) AS cn,
+          CAST(SUM(pos) OVER (ORDER BY idx) AS BIGINT) AS cp
+        FROM o),
+pairs AS (SELECT pj.idx AS ji, pk.idx AS ki,
+            CAST(pk.cp - pj.cp + pj.pos AS DOUBLE)
+              / CAST(pk.cn - pj.cn + pj.n AS DOUBLE) AS av
+          FROM pre pj JOIN pre pk ON pj.idx <= pk.idx),
+mm AS (SELECT i.idx, p.ji, MIN(p.av) AS mn
+       FROM o i JOIN pairs p ON p.ji <= i.idx AND p.ki >= i.idx
+       GROUP BY 1, 2),
+fit AS (SELECT idx, MAX(mn) AS calibrated FROM mm GROUP BY 1)
+SELECT o.bin, o.n,
+       FLOOR(CAST(o.pos AS DOUBLE) / CAST(o.n AS DOUBLE) * 10000 + 0.5)
+         / 10000 AS acc,
+       FLOOR(fit.calibrated * 10000 + 0.5) / 10000 AS calibrated
+FROM o JOIN fit USING (idx) ORDER BY o.bin"""))
+
+  private val x106 = DeclaredQuery("x106_epoch_materialize",
+    // the follow-through of x98: UniMax DECIDES fractional epochs,
+    // Sampling.materializeEpochs EXECUTES them — every doc repeats
+    // floor(e) times plus once more for a deterministic hash-fraction of
+    // ids (hashUnit salted ':epoch', decorrelated from split/sample
+    // decisions on the same ids), so expected rows per language =
+    // n·epochs = the promised budget. The oracle composes the ENTIRE x98
+    // WITH chain (exact integer waterfilling) with the x06d sha256-hash
+    // arithmetic and a lateral range unnest — the x60 "compose two proven
+    // spellings" pattern. epochs is a single correctly-rounded division
+    // of exact integers, so the fractional-part comparison is
+    // bit-identical across engines, no rounding anywhere.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val ntok = graft.functions.TextAnalysis.tokenCount(col("text"))
+      val counts = docs.groupBy("lang")
+        .agg(sum(ntok.cast("long")).as("n_tokens"))
+      val budget = docs.agg(sum(ntok.cast("long"))).head().getLong(0)
+      val alloc = graft.operators.MixtureOptimization
+        .unimaxAllocation(counts, "lang", "n_tokens", budget, maxEpochs = 2L)
+        .select(col("lang"), col("epochs"))
+      graft.operators.Sampling.materializeEpochs(
+          docs.select("doc_id", "lang"), "doc_id", "lang", alloc)
+        .select(col("lang"), col("doc_id"), col("copy"))
+        .orderBy("lang", "doc_id", "copy")
+    },
+    Some("""WITH toks AS (
+  SELECT lang, len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> length(x) > 0)) AS nt
+  FROM documents),
+c AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM toks GROUP BY lang),
+b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget FROM c),
+r AS (SELECT lang, n_tokens, n_tokens * 2 AS cap,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_tokens * 2, lang) AS BIGINT) AS i,
+        CAST(COALESCE(SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS sprev,
+        CAST(COUNT(*) OVER () AS BIGINT) AS l
+      FROM c),
+ind AS (SELECT r.*, b.budget,
+          CASE WHEN cap * (l - i + 1) <= budget - sprev THEN 1 ELSE 0 END
+            AS ind
+        FROM r, b),
+cp AS (SELECT *, MIN(ind) OVER (ORDER BY cap, lang
+         ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM ind),
+tt AS (SELECT CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+          AS scap,
+        CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS nfree
+       FROM cp),
+ep AS (SELECT cp.lang,
+         CASE WHEN cp.n_tokens > 0 THEN
+           (CASE WHEN cp.capped THEN CAST(cp.cap AS DOUBLE)
+                 ELSE CAST(cp.budget - tt.scap AS DOUBLE)
+                      / CAST(tt.nfree AS DOUBLE) END)
+           / CAST(cp.n_tokens AS DOUBLE) END AS epochs
+       FROM cp, tt),
+dl AS (SELECT d.doc_id, d.lang, ep.epochs,
+         CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)
+           || ':epoch'), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+       FROM documents d JOIN ep USING (lang)),
+cnt AS (SELECT doc_id, lang,
+          CAST(FLOOR(epochs) AS BIGINT)
+            + CASE WHEN u < epochs - FLOOR(epochs) THEN 1 ELSE 0 END
+            AS copies
+        FROM dl)
+SELECT lang, doc_id, CAST(copy AS BIGINT) AS copy
+FROM (SELECT lang, doc_id, unnest(range(1, copies + 1)) AS copy FROM cnt)
+ORDER BY lang, doc_id, copy"""))
+
+  private val x107 = DeclaredQuery("x107_frame_sample",
+    // exactly-k uniform video frame sampling (Multimodal
+    // .frameSampleUniform): k=4 frames per synthetic clip at
+    // idx = ⌊j·n_frames/4⌋, deduplicated for short clips (n_frames =
+    // id mod 16 + 1, so clips with <4 frames exercise the dedup), with
+    // the documented deterministic-fake per-frame decode
+    // ((id·31 + idx·7) mod 256 — the stub tier; the sampling arithmetic
+    // and row shape are the real surface). Map-only inside the row; the
+    // oracle replays the index arithmetic with a lateral range + DISTINCT
+    // + rank — exact integers end to end, no rounding.
+    (s, d) => graft.operators.Multimodal.frameSampleUniform(
+        graft.operators.Multimodal.synthesize(
+          t(s, d, "documents").select("doc_id"), "doc_id"), k = 4)
+      .orderBy("media_id", "sample_ord"),
+    Some("""WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 16 + 1 AS nf FROM documents),
+pos AS (SELECT media_id, (j * nf) // 4 AS frame_idx
+        FROM m, range(0, 4) t(j)),
+d AS (SELECT DISTINCT media_id, frame_idx FROM pos),
+o AS (SELECT media_id, frame_idx,
+        CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+          ORDER BY frame_idx) - 1 AS BIGINT) AS sample_ord
+      FROM d)
+SELECT media_id, sample_ord, frame_idx,
+       (media_id * 31 + frame_idx * 7) % 256 AS fake_luma
+FROM o ORDER BY media_id, sample_ord"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -5946,7 +6274,7 @@ ORDER BY e.event_id, e.user_id, e.event_type"""))
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
-    x10d, x10e, x10f)
+    x102, x103, x104, x105, x106, x107, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

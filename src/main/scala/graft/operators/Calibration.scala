@@ -76,4 +76,67 @@ object Calibration {
         (sum(abs(col("gap")) * col("n")) / sum("n")).as("ece"),
         max(abs(col("gap"))).as("mce"),
         (sum("__sq") / sum("n")).as("brier"))
+
+  /** Isotonic recalibration of the reliability bins — pool-adjacent-
+    * violators (PAV) over the binned positive rates [Zadrozny & Elkan,
+    * KDD 2002 bring isotonic calibration to classifiers; Robertson,
+    * Wright & Dykstra 1988 for PAV and the minimax characterization]:
+    * the least-squares MONOTONE fit of acc-by-bin, i.e. the calibrated
+    * probability mapping a gate model should apply when its reliability
+    * diagram is non-monotone (where Platt/temperature scaling would force
+    * a parametric shape).
+    *
+    * Shape: the same ONE corpus pass as [[reliabilityBins]] (count +
+    * positive-count per occupied bin, map-side combined, EXACT integer
+    * partials), then PAV on the driver over the ≤ nBins-row artifact —
+    * the repo's bounded-driver-fold pattern. Violation tests compare
+    * pooled rates by BigInt cross-multiplication (no doubles in any
+    * pooling decision, overflow-safe at any corpus size); each fitted
+    * value is ONE division of the pooled integers, so it is bit-equal to
+    * the minimax characterization ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k)
+    * evaluated in exact arithmetic — which is how the gate oracle
+    * replays it (IEEE division is correctly rounded: equal rationals ⇒
+    * identical doubles).
+    *
+    * Output, one row per occupied bin: `bin`, `n`, `acc` (raw positive
+    * rate), `calibrated` (the monotone fit). `calibrated` is
+    * non-decreasing in `bin` and preserves the corpus positive count
+    * (Σ n·calibrated = Σ pos — the PAV invariants, spec-pinned). */
+  def isotonicCalibrate(df: DataFrame, probCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val rows = df
+      .select(binOf(p, y, nBins).as("bin"), y.cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("__pos"))
+      .orderBy("bin")
+      .collect()                       // ≤ nBins rows — a model artifact
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // PAV stack: blocks of (bins, n, pos); merge while the previous
+    // block's rate exceeds the current's (exact rational compare)
+    final case class Block(bins: List[(Int, Long)], n: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { case (b, n, pos) =>
+      var cur = Block(List(b -> n), n, pos)
+      while (stack.nonEmpty &&
+        BigInt(stack.last.pos) * cur.n > BigInt(cur.pos) * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.bins ++ cur.bins, prev.n + cur.n, prev.pos + cur.pos)
+      }
+      stack += cur
+    }
+    val out = stack.flatMap { blk =>
+      val fitted = blk.pos.toDouble / blk.n.toDouble
+      blk.bins.map { case (b, n) =>
+        // raw acc per bin needs the per-bin pos — recover from rows
+        val pos = rows.find(_._1 == b).get._3
+        (b, n, pos.toDouble / n.toDouble, fitted)
+      }
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("bin", "n", "acc", "calibrated")
+  }
 }

@@ -339,4 +339,31 @@ object Multimodal {
     media.select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyN))).as("frame_idx"))
       .select("media_id", "frame_idx")
+
+  /** EXACTLY-k uniform frame sampling — the fixed-budget sibling of
+    * [[sampleFramePlan]]'s stride (a video-text model wants k frames per
+    * clip regardless of clip length): frame indices
+    * `idx_j = ⌊j·n_frames/k⌋, j = 0..k−1`, deduplicated when a short clip
+    * makes indices coincide (each surviving frame once, `sample_ord` = its
+    * position in the deduplicated ascending list). Map-only — the
+    * transform/dedup/explode runs inside the row, no shuffle, no window.
+    *
+    * `fake_luma` is the DETERMINISTIC FAKE standing in for the per-frame
+    * decode (the container has no video codecs — the documented stub tier
+    * of this file): `(media_id·31 + frame_idx·7) mod 256`. A real
+    * deployment swaps it for a `mapPartitions` decode exactly like
+    * [[resize]]'s; the sampling arithmetic, row shape, and dedup contract
+    * — the Spark-side plumbing — are the real, tested surface. */
+  def frameSampleUniform(media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    media.select(col("media_id"),
+        posexplode(array_distinct(expr(
+          s"transform(sequence(0, ${k - 1}), " +
+            s"j -> (CAST(j AS BIGINT) * CAST(meta.n_frames AS BIGINT)) div $k)")))
+          .as(Seq("sample_ord", "frame_idx")))
+      .select(col("media_id"), col("sample_ord").cast("long").as("sample_ord"),
+        col("frame_idx"),
+        pmod(col("media_id") * 31 + col("frame_idx") * 7, lit(256))
+          .as("fake_luma"))
+  }
 }

@@ -402,4 +402,76 @@ object Relevance {
         regr_intercept(col("lf"), col("lr")).as("intercept"),
         (regr_r2(col("lf"), col("lr"))).as("r2"))
   }
+
+  /** Graded ranking-quality metrics for a retrieval run — the evaluation
+    * the RAG/retrieval side of a pipeline owes its users, next to
+    * [[SimilaritySearch.recallAtK]]'s set-overlap recall [Järvelin &
+    * Kekäläinen, TOIS 2002 (NDCG); the TREC MRR/P@k/R@k conventions]:
+    * per query — `n_rel` (graded-relevant docs judged), `n_rel_ret`
+    * (of them, retrieved in the top k), `precision_at_k` (denominator k —
+    * the TREC convention, shallow result lists are penalized),
+    * `recall_at_k`, `rr` (1/rank of the first relevant; 0 when none —
+    * the MRR convention), `dcg_at_k` with the exponential gain
+    * (2^rel − 1)/log2(rank+1), `ndcg_at_k` = dcg / idcg over the ideal
+    * (rel DESC, corpus_id) ordering, NULL when a query has no judged
+    * relevant docs (not 0 — unjudged ≠ bad).
+    *
+    * `run` is this repo's shared kNN schema (query_id, corpus_id, rank);
+    * `qrels` carries integer `rel` grades ≥ 0 (0 = judged irrelevant).
+    * Unjudged retrieved docs gain 0 — the standard honest treatment.
+    *
+    * Shape: one (query, corpus)-keyed left join of the rank-filtered run
+    * against the qrels + one query-keyed aggregation; the ideal ranking
+    * is a window over the QRELS (bounded by judgments per query, never
+    * corpus rows). DCG folds a SORTED ≤k-entry list (fixed fold order —
+    * the x93 discipline), so results are run-deterministic; the log2 is
+    * spelled ln(x)/ln(2) for cross-engine replay, with libm ulps absorbed
+    * by the gate's round4. */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = log(lit(2.0))
+    def gain(rel: Column, pos: Column): Column =
+      (pow(lit(2.0), rel.cast("double")) - 1.0) /
+        (log(pos.cast("double") + 1.0) / ln2)
+    def foldDcg(sorted: Column): Column =
+      aggregate(sorted, lit(0.0), (acc, x) => acc + x.getField("g"))
+    val rel = qrels.select(col("query_id"), col("corpus_id"),
+        col("rel").cast("long").as("__rel"))
+      .where(col("__rel") > 0L)
+    val retrieved = run.where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+      .join(rel, Seq("query_id", "corpus_id"), "left")
+      .withColumn("__g", coalesce(col("__rel"), lit(0L)))
+    val perQuery = retrieved.groupBy("query_id").agg(
+      sum(when(col("__g") > 0L, 1L).otherwise(0L)).as("n_rel_ret"),
+      min(when(col("__g") > 0L, col("rank"))).as("__first"),
+      foldDcg(sort_array(collect_list(struct(col("rank").as("r"),
+        gain(col("__g"), col("rank")).as("g"))))).as("dcg_at_k"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("__rel").desc, col("corpus_id"))
+    val ideal = rel.withColumn("__i", row_number().over(wIdeal))
+      .where(col("__i") <= k)
+      .groupBy("query_id").agg(
+        foldDcg(sort_array(collect_list(struct(col("__i").as("r"),
+          gain(col("__rel"), col("__i")).as("g"))))).as("__idcg"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    run.select("query_id").distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        (coalesce(col("n_rel_ret"), lit(0L)).cast("double") / k.toDouble)
+          .as("precision_at_k"),
+        when(col("n_rel") > 0L,
+          coalesce(col("n_rel_ret"), lit(0L)).cast("double") /
+            col("n_rel").cast("double")).as("recall_at_k"),
+        when(col("__first").isNotNull,
+          lit(1.0) / col("__first").cast("double")).otherwise(0.0).as("rr"),
+        coalesce(col("dcg_at_k"), lit(0.0)).as("dcg_at_k"),
+        when(col("__idcg") > 0.0, coalesce(col("dcg_at_k"), lit(0.0)) /
+          col("__idcg")).as("ndcg_at_k"))
+  }
 }

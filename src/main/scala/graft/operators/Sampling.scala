@@ -271,4 +271,43 @@ object Sampling {
     df.orderBy(
       sha2(concat_ws(":", col(keyCol).cast("string"), lit(salt)), 256),
       col(keyCol))
+
+  /** Materialize per-group epoch counts into a concrete repeated dataset —
+    * the follow-through of [[MixtureOptimization.unimaxAllocation]] (or any
+    * mixture recipe emitting fractional epochs): a group scheduled for
+    * 1.55 epochs emits every row once, plus a second copy for a
+    * deterministic 55% of rows — chosen by the row's own key hash
+    * ([[hashUnit]] salted with `salt`), so the materialization is
+    * reproducible, partitioning-invariant, and decorrelated from any
+    * split/sample decision keyed on the same ids. Expected output rows per
+    * group = n_g · epochs_g — the token budget the allocation promised.
+    *
+    * Output: the input rows with a `copy` column (1..n_copies); rows with
+    * 0 copies (epochs 0, or NULL epochs — an unallocated group) are
+    * absent. Negative epochs fail loudly.
+    *
+    * Shape: one broadcast join against the |groups|-row epochs artifact +
+    * a map-only explode — no shuffle. The fractional-part comparison uses
+    * the same IEEE doubles on any engine (epochs arrives as exact-integer
+    * divisions from the allocator), so a SQL replay is bit-identical. */
+  def materializeEpochs(df: DataFrame, keyCol: String, groupCol: String,
+                        epochs: DataFrame, epochsCol: String = "epochs",
+                        salt: String = "epoch"): DataFrame = {
+    val e = when(col(epochsCol) < 0,
+        raise_error(lit("materializeEpochs: negative epochs")))
+      .otherwise(col(epochsCol).cast("double"))
+    val joined = df.join(
+      broadcast(epochs.select(col(groupCol), e.as("__e"))),
+      Seq(groupCol), "left")
+    val base = floor(col("__e")).cast("long")
+    val u = hashUnit(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val copies = coalesce(
+      base + when(u < col("__e") - floor(col("__e")), 1L).otherwise(0L),
+      lit(0L))
+    joined.withColumn("__c", copies)
+      .withColumn("copy",
+        explode(when(col("__c") >= 1L, sequence(lit(1L), col("__c")))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__e", "__c")
+  }
 }

@@ -461,4 +461,64 @@ object Selection {
       .select(groupCols.map(col) ++ Seq((col("pos") + 1).cast("int").as("rank")) ++
         payloadCols.map(c => col(s"col.$c").as(c)): _*)
   }
+
+  /** Per-group score cutoffs calibrated to a target precision — the
+    * FineWeb/DataComp-style "per-dump thresholding" step [Penedo et al.,
+    * NeurIPS 2024 (FineWeb) tune per-snapshot filters; the classifier-
+    * cascade papers do the same per source]: one global classifier, but
+    * each source/snapshot keeps documents above ITS OWN threshold, chosen
+    * as the LOWEST observed score whose keep-set still meets the target
+    * precision — the deepest cut that stays clean, per group.
+    *
+    * For every group: candidate thresholds are the group's DISTINCT scores
+    * (>= t keeps every tie — identical documents never straddle a cutoff);
+    * running (kept, positives) prefixes over descending score give each
+    * candidate's precision; the chosen row is the MINIMUM qualifying
+    * score. Groups where even the top score fails the target report a NULL
+    * threshold (nothing can be kept at the target — the honest answer, not
+    * a silent max-score fallback).
+    *
+    * Output per group: `threshold` (NULL if unattainable), `n_kept`,
+    * `n_pos_kept`, `precision` at the chosen cutoff (all NULL with it).
+    *
+    * Scale: rows pre-aggregate to DISTINCT (group, score) pairs BEFORE the
+    * per-group window — the window input is bounded by distinct scores,
+    * never corpus rows (the x08 pre-aggregation discipline); one
+    * group-keyed shuffle. Precision = exact integer prefix counts and one
+    * division; label must be 0/1 (validated in-scan, fail-loud). */
+  def precisionThresholdPerGroup(df: DataFrame, groupCol: String,
+                                 scoreCol: String, labelCol: String,
+                                 targetPrecision: Double): DataFrame = {
+    require(targetPrecision > 0.0 && targetPrecision <= 1.0,
+      s"targetPrecision must be in (0, 1], got $targetPrecision")
+    val lbl = col(labelCol).cast("long")
+    val guarded = when(lbl === 0L || lbl === 1L, lbl)
+      .otherwise(raise_error(lit(
+        s"precisionThresholdPerGroup: label column '$labelCol' must be 0/1")))
+    val byScore = df.select(col(groupCol),
+        col(scoreCol).cast("double").as("__s"), guarded.as("__y"))
+      .where(col("__s").isNotNull)
+      .groupBy(groupCol, "__s")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__p"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prefixed = byScore
+      .withColumn("__kn", sum("__n").over(w))
+      .withColumn("__kp", sum("__p").over(w))
+      .withColumn("__prec",
+        col("__kp").cast("double") / col("__kn").cast("double"))
+    val qualifying = prefixed.where(col("__prec") >= targetPrecision)
+      .groupBy(groupCol)
+      .agg(min_by(
+        struct(col("__s"), col("__kn"), col("__kp"), col("__prec")),
+        col("__s")).as("__best"))
+    df.select(col(groupCol)).distinct()
+      .join(qualifying, Seq(groupCol), "left")
+      .select(col(groupCol),
+        col("__best.__s").as("threshold"),
+        col("__best.__kn").as("n_kept"),
+        col("__best.__kp").as("n_pos_kept"),
+        col("__best.__prec").as("precision"))
+  }
 }

@@ -114,4 +114,52 @@ object TrainingDynamics {
     Selection.topKPerGroup(narrow, groupCols, "__reducible", idCol, k)
       .withColumnRenamed("__reducible", "reducible_loss")
   }
+
+  /** Confident-learning label-noise flags for a binary-labeled corpus
+    * [Northcutt, Jiang & Chuang, JAIR 2021 — "Confident Learning:
+    * Estimating Uncertainty in Dataset Labels"; the cleanlab method]:
+    * per-class confidence thresholds `t_j` = mean predicted probability of
+    * class j among examples LABELED j; an example is a suspected label
+    * error when its probability of the OPPOSITE class reaches that class's
+    * threshold — the model is as confident in the other class as it
+    * typically is when the other class is the given label. The screening
+    * pass before burning annotation budget on re-labeling (or before
+    * trusting a quality-classifier's training labels at all).
+    *
+    * `probCol` is P(class 1); P(class 0) = 1 − p. Output: every input row
+    * plus `suspect` (boolean) and `suggested_label` (the opposite class
+    * when suspect, else NULL). The comparison uses the ROUNDED (round4)
+    * thresholds so an ulp of sum-order drift in the class means can never
+    * flip a flag (the straddle-proof convention). Labels must be 0/1 and
+    * probabilities in [0, 1] — validated in-scan, fail-loud; a class with
+    * no labeled examples has a NULL threshold and flags nothing as that
+    * class.
+    *
+    * Scale: ONE aggregation for the two class means (a 1-row broadcast
+    * artifact) + a map-only flag pass — nothing beyond the two scans. */
+  def confidentLearningFlags(df: DataFrame, idCol: String, labelCol: String,
+                             probCol: String): DataFrame = {
+    val p = col(probCol).cast("double")
+    val pg = when(p >= 0.0 && p <= 1.0, p)
+      .otherwise(raise_error(lit(
+        s"confidentLearningFlags: '$probCol' must be in [0, 1]")))
+    val lbl = col(labelCol).cast("long")
+    val lg = when(lbl === 0L || lbl === 1L, lbl)
+      .otherwise(raise_error(lit(
+        s"confidentLearningFlags: label column '$labelCol' must be 0/1")))
+    val round4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+    val base = df.withColumn("__p", pg).withColumn("__y", lg)
+    val thresholds = base.agg(
+      round4(avg(when(col("__y") === 1L, col("__p")))).as("__t1"),
+      round4(avg(when(col("__y") === 0L, lit(1.0) - col("__p")))).as("__t0"))
+    base.crossJoin(broadcast(thresholds))
+      .withColumn("suspect",
+        when(col("__y") === 0L,
+          col("__t1").isNotNull && col("__p") >= col("__t1"))
+          .otherwise(
+            col("__t0").isNotNull && (lit(1.0) - col("__p")) >= col("__t0")))
+      .withColumn("suggested_label",
+        when(col("suspect"), lit(1L) - col("__y")))
+      .drop("__p", "__y", "__t0", "__t1")
+  }
 }

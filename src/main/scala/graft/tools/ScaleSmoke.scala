@@ -143,6 +143,53 @@ object ScaleSmoke {
           corpus, queries, "vec_id", "embedding", "vec_id",
           k = 4, nlist = nlist, nprobe = 2)
       graft.operators.Bitext.minePairs(knn(b, a), knn(a, b), minMargin = 1.05)
+    }),
+    // Matryoshka truncation eval over the PRODUCTION ANN path: the x100
+    // gate spelling is exact topKAll on both sides (quadratic by design —
+    // the oracle wants ground truth); at scale both the full-dim and the
+    // truncated-dim searches are IVF with production nlist discipline, and
+    // recallAtK composes unchanged — the evaluation stays cheaper than
+    // either search
+    // stream-static enrichment with a PRODUCTION sink: the x101 gate
+    // entry buffers every enriched row in the driver-side memory sink so
+    // the oracle can hash it — at 100× that is 30M rows on one heap (it
+    // OOM'd the first 100× run of this smoke, recorded in SCALE_SMOKE.md).
+    // Production streams never collect their output; this spelling runs
+    // the identical stream-static join into the noop sink and returns a
+    // 1-row marker, measuring the join itself
+    "streaming_enrich_noop" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val ev = graft.sources.Tables.table(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val dim = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-senrich-smoke")
+      val ingest = tmp.resolve("ingest").toString
+      ev.repartition(3).write.mode("overwrite").parquet(ingest)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val q = graft.streaming.EventStreams
+        .enrichWithDim(stream, dim, Seq("user_id"), "left_outer")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+      s.range(1).toDF("ok")
+    }),
+    "matryoshka_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, slice}
+      val e = graft.sources.Tables.table(s, dir, "embeddings")
+      val nlist = math.max(4, (e.count() / 700).toInt)
+      val full = graft.operators.SimilaritySearch.ivfTopK(
+        e, e, "vec_id", "embedding", "vec_id", k = 10,
+        nlist = nlist, nprobe = 2)
+      val tr = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding")).localCheckpoint(true)
+      val trTop = graft.operators.SimilaritySearch.ivfTopK(
+        tr, tr, "vec_id", "embedding", "vec_id", k = 10,
+        nlist = nlist, nprobe = 2)
+      graft.operators.SimilaritySearch.recallAtK(full, trTop, 10)
     }))
 
   final case class EntryTiming(name: String, baseSec: Double, scaledSec: Double,

@@ -46,6 +46,38 @@ class CalibrationSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(1)) < 1e-12 && math.abs(s.getDouble(2)) < 1e-12)
   }
 
+  test("isotonicCalibrate pools adjacent violators to the weighted mean") {
+    // bins: 1 -> acc 1.0 (2 rows), 2 -> acc 0.0 (2 rows): violator pair
+    // pools to (2 pos)/(4 n) = 0.5; bin 8 -> acc 1.0 stays above
+    val df = (Seq.fill(2)((0.15, 1.0)) ++ Seq.fill(2)((0.25, 0.0)) ++
+      Seq((0.85, 1.0))).toDF("p", "y")
+    val out = Calibration.isotonicCalibrate(df, "p", "y")
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 8))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.5, 0.5, 1.0))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 0.0, 1.0))
+  }
+
+  test("isotonicCalibrate invariants: monotone fit, positive count preserved") {
+    // pseudo-random accs with planted non-monotonicity
+    val rows = (0 until 200).map { i =>
+      (((i * 19) % 101) / 100.0, if ((i * 23) % 101 < (i * 19) % 101) 1.0 else 0.0)
+    }
+    val out = Calibration.isotonicCalibrate(rows.toDF("p", "y"), "p", "y")
+      .orderBy("bin").collect()
+    val fit = out.map(_.getDouble(3)).toSeq
+    assert(fit == fit.sorted, s"fit must be non-decreasing: $fit")
+    val totalFit = out.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val totalPos = rows.count(_._2 == 1.0).toDouble
+    assert(math.abs(totalFit - totalPos) < 1e-9,
+      "PAV preserves the corpus positive count")
+    // an already-monotone diagram passes through unchanged
+    val mono = Seq((0.05, 0.0), (0.55, 1.0), (0.95, 1.0)).toDF("p", "y")
+    val m = Calibration.isotonicCalibrate(mono, "p", "y").orderBy("bin")
+      .collect()
+    assert(m.forall(r => r.getDouble(2) == r.getDouble(3)))
+  }
+
   test("out-of-range probabilities and non-binary labels fail the scan loudly") {
     def run(p: Double, y: Double): Unit =
       Calibration.summary(Seq((p, y)).toDF("p", "y"), "p", "y").collect()

@@ -708,6 +708,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("content"), "payload column must be pruned from the plan")
   }
 
+  test("multimodal: frameSampleUniform picks exactly-k uniform indices, dedups short clips") {
+    implicit val s = spark
+    val media = Multimodal.synthesize(docs.limit(50), "doc_id")
+    val out = Multimodal.frameSampleUniform(media, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = out.groupBy(_._1)
+    byId.foreach { case (id, rows) =>
+      val nf = id % 16 + 1
+      val want = (0L until 4L).map(j => j * nf / 4).distinct
+      val got = rows.sortBy(_._2).map(_._3).toSeq
+      assert(got == want, s"media $id (nf=$nf): $got != $want")
+      // sample_ord is the 0-based position in the deduplicated list
+      assert(rows.sortBy(_._2).map(_._2).toSeq == want.indices.map(_.toLong))
+      // the stub decode is the documented deterministic fake
+      rows.foreach { case (_, _, fi, luma) =>
+        assert(luma == (id * 31 + fi * 7) % 256 && luma >= 0 && luma < 256)
+      }
+    }
+    // a 1-frame clip yields exactly one sample despite k=4
+    val one = byId.collect { case (id, rows) if id % 16 == 0 => rows.length }
+    assert(one.forall(_ == 1))
+    intercept[IllegalArgumentException](Multimodal.frameSampleUniform(media, 0))
+  }
+
   // ---- SemDeDup: clustered semantic dedup (x30 ground truth) ----
 
   test("semanticDedupe: nlist=1 degenerates to the exact brute-force kept set") {

@@ -10,6 +10,8 @@ import org.apache.spark.sql.execution.ExplainMode
   * aggregates must partial-aggregate before the exchange. */
 class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
 
   private def plan(name: String): String = {
     val df = Queries.queries(name)(spark, TestSpark.sf0001)
@@ -481,5 +483,61 @@ class PlanQualitySpec extends AnyFunSuite {
       s"repetition must not use a single-partition exchange:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"gram counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("x97 RHO-loss selection plans the bounded heap: no sort, no window") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 97).cast("double").as("tl"),
+        (col("n_chars") % 89).cast("double").as("il"))
+    val out = graft.operators.TrainingDynamics.rhoLossSelect(
+      docs, "doc_id", "tl", "il", Seq("lang"), k = 5)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"heap top-k must not plan a window:\n$p")
+    assert(!p.contains("Sort "), s"heap top-k must not sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"graft_topk plans as ObjectHashAggregate:\n$p")
+  }
+
+  test("x96 cartography is ONE id-keyed aggregation with map-side partials") {
+    val pe = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), ((col("n_chars") % 101).cast("double") / 100.0).as("p"))
+    val out = graft.operators.TrainingDynamics.cartography(pe, "doc_id", "p")
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"cartography must partial-aggregate before its one exchange:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one shuffle (plus AQE read) expected:\n$p")
+  }
+
+  test("x102 precision thresholds: the window input is the distinct-score pre-aggregate") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        ((col("n_chars") % 101).cast("double") / 100.0).as("s"),
+        (col("n_chars") % 2).cast("long").as("y"))
+    val out = graft.operators.Selection.precisionThresholdPerGroup(
+      docs, "source", "s", "y", 0.5)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the HashAggregate on (source, score) must sit below the window sort —
+    // corpus rows never reach the window
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, p)
+    assert(p.contains("partial_count"),
+      s"distinct-(group, score) pre-agg must partial-aggregate:\n$p")
+  }
+
+  test("x106 epoch materialization: broadcast join + map-only explode, no extra shuffle") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "lang")
+    val epochs = Seq(("en", 1.5), ("de", 2.0)).toDF("lang", "epochs")
+    val out = graft.operators.Sampling.materializeEpochs(
+      docs, "doc_id", "lang", epochs)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"epochs artifact must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 }

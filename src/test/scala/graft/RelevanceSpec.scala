@@ -232,4 +232,35 @@ class RelevanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Relevance.vocabCoverage(df, "text", Seq(0)))
   }
+
+  test("rankingMetrics: hand-computed P/R@k, MRR, DCG, NDCG") {
+    import spark.implicits._
+    // query 1: retrieved ranks 1..3 = docs 10(rel 2), 11(rel 0), 12(rel 1);
+    //          one judged-relevant doc (13, rel 1) NOT retrieved
+    // query 2: retrieved rank 1 = doc 20, nothing judged relevant
+    val run = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L)).toDF("query_id", "corpus_id", "rank")
+    val qrels = Seq((1L, 10L, 2L), (1L, 12L, 1L), (1L, 13L, 1L),
+      (1L, 11L, 0L), (2L, 20L, 0L)).toDF("query_id", "corpus_id", "rel")
+    val out = Relevance.rankingMetrics(run, qrels, k = 3)
+      .orderBy("query_id").collect()
+    val q1 = out(0)
+    assert(q1.getLong(1) == 3 && q1.getLong(2) == 2)
+    assert(math.abs(q1.getDouble(3) - 2.0 / 3) < 1e-12)       // P@3
+    assert(math.abs(q1.getDouble(4) - 2.0 / 3) < 1e-12)       // R@3
+    assert(q1.getDouble(5) == 1.0)                            // first rel at 1
+    val ln2 = math.log(2.0)
+    val dcg = 3.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(4.0) / ln2)
+    assert(math.abs(q1.getDouble(6) - dcg) < 1e-12)
+    // ideal for q1 at k=3: rels 2,1,1 at positions 1,2,3
+    val idcg = 3.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(3.0) / ln2) +
+      1.0 / (math.log(4.0) / ln2)
+    assert(math.abs(q1.getDouble(7) - dcg / idcg) < 1e-12)
+    val q2 = out(1)
+    assert(q2.getLong(1) == 0 && q2.getDouble(3) == 0.0 &&
+      q2.isNullAt(4) && q2.getDouble(5) == 0.0 &&
+      q2.getDouble(6) == 0.0 && q2.isNullAt(7))
+    intercept[IllegalArgumentException](
+      Relevance.rankingMetrics(run, qrels, 0))
+  }
 }

@@ -254,4 +254,32 @@ class SamplingSpec extends AnyFunSuite {
       col("w"), 20, "t2").select("id").as[Long].collect().toSet
     assert(out.filter(_._1 == "a").map(_._2).toSet == global)
   }
+
+  test("materializeEpochs: integer epochs repeat exactly, fractional by hash, zero drops") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b"))
+      .toDF("id", "g")
+    val epochs = Seq(("a", 2.0), ("b", 0.5)).toDF("g", "epochs")
+    val out = Sampling.materializeEpochs(docs, "id", "g", epochs)
+      .select("g", "id", "copy").as[(String, Long, Long)].collect()
+    // group a: every doc exactly twice, copies 1 and 2
+    val a = out.filter(_._1 == "a")
+    assert(a.length == 200 && a.groupBy(_._2).forall(_._2.length == 2))
+    assert(a.map(_._3).toSet == Set(1L, 2L))
+    // group b: ~50% of docs exactly once — deterministic, and re-running
+    // yields the identical id set
+    val b1 = out.filter(_._1 == "b").map(_._2).toSet
+    assert(b1.size > 20 && b1.size < 80, s"~50 of 100 expected, got ${b1.size}")
+    val again = Sampling.materializeEpochs(docs, "id", "g", epochs)
+      .where(col("g") === "b").select("id").as[Long].collect().toSet
+    assert(again == b1)
+    // zero epochs -> group absent entirely; missing group (NULL) too
+    val withZero = Sampling.materializeEpochs(docs, "id", "g",
+      Seq(("a", 0.0)).toDF("g", "epochs"))
+    assert(withZero.count() == 0)
+    intercept[Exception] {
+      Sampling.materializeEpochs(docs, "id", "g",
+        Seq(("a", -1.0)).toDF("g", "epochs")).collect()
+    }
+  }
 }

@@ -397,4 +397,38 @@ class SelectionSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 3L -> 2L, 2L -> 3L, 4L -> 4L))
   }
+
+  test("precisionThresholdPerGroup picks the deepest cut meeting the target") {
+    // a: prefixes 1/1, 2/2, 2/3(.667 fails), 3/4(.75), 3/5(.6 fails)
+    //    -> qualifying scores {0.9, 0.8, 0.6}, deepest = 0.6
+    // b: all negatives -> unattainable -> NULL row
+    val df = Seq(
+      ("a", 0.9, 1L), ("a", 0.8, 1L), ("a", 0.7, 0L), ("a", 0.6, 1L),
+      ("a", 0.5, 0L), ("b", 0.9, 0L), ("b", 0.1, 0L)
+    ).toDF("g", "s", "y")
+    val out = Selection.precisionThresholdPerGroup(df, "g", "s", "y", 0.7)
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getDouble(1) == 0.6 && a.getLong(2) == 4 && a.getLong(3) == 3 &&
+      math.abs(a.getDouble(4) - 0.75) < 1e-12)
+    val b = out(1)
+    assert(b.isNullAt(1) && b.isNullAt(2) && b.isNullAt(4))
+  }
+
+  test("precisionThresholdPerGroup: score ties stay together, guards fire") {
+    // distinct-score prefix: 0.5 -> 1/2 = 0.5 qualifies at target 0.5 and
+    // keeps BOTH tied rows; the deeper cut (1/3) fails
+    val df = Seq(("c", 0.5, 1L), ("c", 0.5, 0L), ("c", 0.4, 0L))
+      .toDF("g", "s", "y")
+    val r = Selection.precisionThresholdPerGroup(df, "g", "s", "y", 0.5)
+      .head()
+    assert(r.getDouble(1) == 0.5 && r.getLong(2) == 2 && r.getLong(3) == 1)
+    intercept[IllegalArgumentException] {
+      Selection.precisionThresholdPerGroup(df, "g", "s", "y", 0.0)
+    }
+    intercept[Exception] {
+      Selection.precisionThresholdPerGroup(
+        Seq(("c", 0.5, 2L)).toDF("g", "s", "y"), "g", "s", "y", 0.5).collect()
+    }
+  }
 }

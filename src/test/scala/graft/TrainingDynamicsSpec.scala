@@ -111,6 +111,38 @@ class TrainingDynamicsSpec extends AnyFunSuite {
       z(1).isNullAt(5))
   }
 
+  test("confidentLearningFlags: thresholds from class means, opposite-class confidence flags") {
+    // labeled 1: p1 = 0.9, 0.7 -> t1 = 0.8
+    // labeled 0: p1 = 0.1, 0.3, 0.9 -> p0 = 0.9, 0.7, 0.1 -> t0 = 0.56666->0.5667
+    val df = Seq((1L, 1L, 0.9), (2L, 1L, 0.7), (3L, 0L, 0.1),
+      (4L, 0L, 0.3), (5L, 0L, 0.9)).toDF("id", "y", "p1")
+    val out = TrainingDynamics.confidentLearningFlags(df, "id", "y", "p1")
+      .orderBy("id").collect()
+    //  id 5 (labeled 0, p1 = 0.9 >= t1 = 0.8) -> suspect, suggested 1
+    //  id 2 (labeled 1, p0 = 0.3 < t0) -> clean; id 1 p0 = 0.1 -> clean
+    //  id 3/4 (labeled 0, p1 = 0.1/0.3 < 0.8) -> clean
+    val suspects = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSeq
+    assert(suspects == Seq(5L), s"only the planted error flags: $suspects")
+    assert(out(4).getLong(4) == 1L)
+    assert(out.filter(!_.getBoolean(3)).forall(_.isNullAt(4)))
+  }
+
+  test("confidentLearningFlags: single-class corpus flags nothing as the absent class") {
+    val df = Seq((1L, 0L, 0.99), (2L, 0L, 0.98)).toDF("id", "y", "p1")
+    // no labeled-1 examples -> t1 NULL -> nothing suspected despite huge p1
+    val out = TrainingDynamics.confidentLearningFlags(df, "id", "y", "p1")
+      .collect()
+    assert(out.forall(!_.getBoolean(3)))
+    intercept[Exception] {
+      TrainingDynamics.confidentLearningFlags(
+        Seq((1L, 2L, 0.5)).toDF("id", "y", "p1"), "id", "y", "p1").collect()
+    }
+    intercept[Exception] {
+      TrainingDynamics.confidentLearningFlags(
+        Seq((1L, 1L, 1.5)).toDF("id", "y", "p1"), "id", "y", "p1").collect()
+    }
+  }
+
   test("parameter and input guards fail loudly") {
     val df = Seq((1L, 0.5)).toDF("id", "p")
     intercept[IllegalArgumentException] {
