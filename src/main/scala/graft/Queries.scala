@@ -4233,11 +4233,16 @@ FROM ag ORDER BY score DESC, passage_id LIMIT 20"""))
     // audio-column plumbing with a fully REAL kernel: 16-bit PCM needs no
     // codec, so the per-partition batch decode computes true windowed
     // RMS/peak/zero-crossing features. Each doc synthesizes a sine at a
-    // doc-keyed frequency; the output is SELF-VALIDATING against closed
-    // form — per doc, mean RMS must sit at A/√2 and mean ZCR at 2f/sr
-    // (flags carried per row). Rows-only: per-partition iterator kernels
-    // have no SQL spelling; ExtensionsSpec pins the kernel on known
-    // waveforms incl. silence/short-window/odd-byte edges.
+    // doc-keyed frequency. ORACLED as of r16 (was rows-only): the PCM
+    // bytes are a pure formula — sample v = trunc(A·sin(2π·f·i/sr)·32767)
+    // — so DuckDB regenerates every int16 sample with the IDENTICAL
+    // left-associated arithmetic (trunc ↔ JVM toInt truncation) and
+    // replays windowing, RMS, and the nonzero-sign zero-crossing rule
+    // relationally; libm sin ulps only matter within ~2e-12 of a
+    // truncation boundary and the run is deterministic, so a local green
+    // is a driver green. The closed-form self-validation (mean RMS ≈
+    // A/√2, mean ZCR ≈ 2f/sr) stays as carried flags, now hash-pinned
+    // too since the oracle re-derives them from ITS samples.
     (s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -4254,11 +4259,44 @@ FROM ag ORDER BY score DESC, passage_id LIMIT 20"""))
           avg("rms").as("__rms"), avg("zcr").as("__zcr"))
         .join(media.select(col("media_id"), col("freq")), "media_id")
         .select(col("media_id").as("doc_id"), col("n_windows"),
+          round4(col("__rms")).as("mean_rms"),
+          round4(col("__zcr")).as("mean_zcr"),
           (abs(col("__rms") - lit(0.5 / math.sqrt(2.0))) < 0.01).as("rms_ok"),
           (abs(col("__zcr") - col("freq") * 2 / sr) < 0.01).as("zcr_ok"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH p AS (
+  SELECT doc_id, 200.0 + (doc_id % 40) * 20.0 AS freq FROM documents),
+s AS (SELECT doc_id, freq, i, i // 2000 AS wid,
+        CAST(trunc(0.5 * sin(2 * pi() * freq * i / 8000) * 32767.0)
+             AS INTEGER) / 32768.0 AS sv
+      FROM p, range(0, 4000) t(i)),
+nz AS (SELECT doc_id, wid, i, CASE WHEN sv > 0 THEN 1 ELSE -1 END AS sg
+       FROM s WHERE sv <> 0),
+lg AS (SELECT doc_id, wid, sg,
+         lag(sg) OVER (PARTITION BY doc_id, wid ORDER BY i) AS prev
+       FROM nz),
+cr AS (SELECT doc_id, wid,
+         SUM(CASE WHEN prev IS NOT NULL AND sg <> prev THEN 1 ELSE 0 END)
+           AS crossings
+       FROM lg GROUP BY doc_id, wid),
+feat AS (SELECT s.doc_id, s.wid,
+           SQRT(SUM(s.sv * s.sv) / COUNT(*)) AS rms,
+           COUNT(*) AS len
+         FROM s GROUP BY s.doc_id, s.wid),
+wz AS (SELECT f.doc_id, f.wid, f.rms,
+         CAST(COALESCE(cr.crossings, 0) AS DOUBLE) / (f.len - 1) AS zcr
+       FROM feat f LEFT JOIN cr ON cr.doc_id = f.doc_id AND cr.wid = f.wid),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+          AVG(rms) AS mrms, AVG(zcr) AS mzcr
+        FROM wz GROUP BY doc_id)
+SELECT a.doc_id, a.n_windows,
+       FLOOR(a.mrms * 10000 + 0.5) / 10000 AS mean_rms,
+       FLOOR(a.mzcr * 10000 + 0.5) / 10000 AS mean_zcr,
+       ABS(a.mrms - 0.35355339059327373) < 0.01 AS rms_ok,
+       ABS(a.mzcr - p.freq * 2 / 8000) < 0.01 AS zcr_ok
+FROM agg a JOIN p USING (doc_id)
+ORDER BY a.doc_id"""))
 
   private val x68 = DeclaredQuery("x68_streaming_latest_replay",
     // The streaming ingest face driven END-TO-END inside the gate: events
@@ -6258,6 +6296,49 @@ SELECT media_id, sample_ord, frame_idx,
        (media_id * 31 + frame_idx * 7) % 256 AS fake_luma
 FROM o ORDER BY media_id, sample_ord"""))
 
+  private val x108 = DeclaredQuery("x108_fightin_words",
+    // prior-shrunk log-odds vocabulary comparison (VocabComparison
+    // .fightinWords — Monroe et al. 2008): which terms distinguish the
+    // even-doc_id half of the corpus from the odd half, z-scored with the
+    // informative Dirichlet prior so rare terms need evidence. Counts are
+    // exact integers from one term-keyed aggregation; α/δ/z are spelled
+    // with the identical left-associated arithmetic in both engines
+    // (ln/sqrt libm ulps absorbed by round4). minCount=5 keeps the gate
+    // frame at the stable-vocabulary tail.
+    (s, d) => graft.operators.VocabComparison.fightinWords(
+        t(s, d, "documents"), pmod(col("doc_id"), lit(2)) === 0, "text",
+        priorScale = 1.0, minCount = 5L)
+      .select(col("term"), col("n_a"), col("n_b"),
+        round4(col("delta")).as("delta"), round4(col("z")).as("z"))
+      .orderBy("term"),
+    Some("""WITH tk AS (
+  SELECT doc_id % 2 = 0 AS a,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> length(t) > 0)) AS term
+  FROM documents),
+tc AS (SELECT term,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+       FROM tk GROUP BY term),
+tot AS (SELECT CAST(SUM(ya) AS BIGINT) AS na, CAST(SUM(yb) AS BIGINT) AS nb
+        FROM tc),
+f AS (SELECT term, ya, yb, na, nb,
+        1.0 * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS alpha
+      FROM tc, tot WHERE ya + yb >= 5),
+g AS (SELECT term, ya, yb,
+        LN((CAST(ya AS DOUBLE) + alpha)
+           / (CAST(na AS DOUBLE) + 1.0 - CAST(ya AS DOUBLE) - alpha))
+        - LN((CAST(yb AS DOUBLE) + alpha)
+             / (CAST(nb AS DOUBLE) + 1.0 - CAST(yb AS DOUBLE) - alpha))
+          AS delta,
+        SQRT(1.0 / (CAST(ya AS DOUBLE) + alpha)
+             + 1.0 / (CAST(yb AS DOUBLE) + alpha)) AS sd
+      FROM f)
+SELECT term, ya AS n_a, yb AS n_b,
+       FLOOR(delta * 10000 + 0.5) / 10000 AS delta,
+       FLOOR(delta / sd * 10000 + 0.5) / 10000 AS z
+FROM g ORDER BY term"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -6274,7 +6355,7 @@ FROM o ORDER BY media_id, sample_ord"""))
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
-    x102, x103, x104, x105, x106, x107, x10d, x10e, x10f)
+    x102, x103, x104, x105, x106, x107, x108, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -241,5 +241,33 @@ object syntax {
         case other => throw new IllegalArgumentException(
           s"direction must be backward|forward|nearest, got '$other'")
       }
+
+    /** [[graft.operators.TrainingDynamics.cartography]] on this frame. */
+    def cartography(idCol: String, probCol: String,
+                    confSplit: Double = 0.5,
+                    varSplit: Double = 0.2): DataFrame =
+      TrainingDynamics.cartography(df, idCol, probCol, confSplit, varSplit)
+
+    /** [[graft.operators.TrainingDynamics.rhoLossSelect]] on this frame. */
+    def rhoLossSelect(idCol: String, trainLossCol: String,
+                      irreducibleLossCol: String, groupCols: Seq[String],
+                      k: Int): DataFrame =
+      TrainingDynamics.rhoLossSelect(df, idCol, trainLossCol,
+        irreducibleLossCol, groupCols, k)
+
+    /** [[graft.operators.Sampling.materializeEpochs]] on this frame. */
+    def materializeEpochs(keyCol: String, groupCol: String,
+                          epochs: DataFrame,
+                          epochsCol: String = "epochs",
+                          salt: String = "epoch"): DataFrame =
+      Sampling.materializeEpochs(df, keyCol, groupCol, epochs, epochsCol, salt)
+
+    /** [[graft.operators.Selection.precisionThresholdPerGroup]] on this
+      * frame. */
+    def precisionThresholds(groupCol: String, scoreCol: String,
+                            labelCol: String,
+                            targetPrecision: Double): DataFrame =
+      Selection.precisionThresholdPerGroup(df, groupCol, scoreCol, labelCol,
+        targetPrecision)
   }
 }

@@ -132,6 +132,30 @@ class SyntaxSpec extends AnyFunSuite {
     assert(scored.columns.contains("keep") && scored.count() == labeled.count())
   }
 
+  test("round-16 verbs delegate 1:1: cartography, rhoLossSelect, materializeEpochs, precisionThresholds") {
+    val probs = docs.selectExpr("doc_id",
+      "CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 AS p")
+    assert(rows(probs.graft.cartography("doc_id", "p")) ==
+      rows(graft.operators.TrainingDynamics.cartography(probs, "doc_id", "p")))
+    val losses = docs.selectExpr("doc_id", "lang",
+      "CAST(n_chars % 97 AS DOUBLE) AS tl", "CAST(n_chars % 89 AS DOUBLE) AS il")
+    assert(rows(losses.graft.rhoLossSelect("doc_id", "tl", "il", Seq("lang"), 5)) ==
+      rows(graft.operators.TrainingDynamics.rhoLossSelect(
+        losses, "doc_id", "tl", "il", Seq("lang"), 5)))
+    import spark.implicits._
+    val eps = Seq(("en", 1.5)).toDF("lang", "epochs")
+    assert(rows(docs.select("doc_id", "lang").graft
+        .materializeEpochs("doc_id", "lang", eps)) ==
+      rows(graft.operators.Sampling.materializeEpochs(
+        docs.select("doc_id", "lang"), "doc_id", "lang", eps)))
+    val scored = docs.selectExpr("doc_id", "source",
+      "CAST((doc_id * 11) % 101 AS DOUBLE) / 100.0 AS s",
+      "CAST(CASE WHEN (doc_id * 29) % 101 < (doc_id * 11) % 101 THEN 1 ELSE 0 END AS BIGINT) AS y")
+    assert(rows(scored.graft.precisionThresholds("source", "s", "y", 0.7)) ==
+      rows(graft.operators.Selection.precisionThresholdPerGroup(
+        scored, "source", "s", "y", 0.7)))
+  }
+
   test("verbs chain into a pipeline and stay lazy") {
     // (not c4Filter here: the synthetic corpus has no terminal punctuation,
     // so C4's line rule correctly drops every doc — pinned in ScrubSpec)
