@@ -308,6 +308,55 @@ object Queries {
     },
     Some("SELECT o_orderkey, FIRST_VALUE(o_orderkey) OVER w AS cheapest, LAST_VALUE(o_orderkey) OVER w AS priciest, NTH_VALUE(o_orderkey, 2) OVER w AS second FROM orders WHERE o_orderkey < 2000 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey"))
 
+  private val q48Sql =
+    """WITH RECURSIVE ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 100
+),
+walk AS (
+  SELECT o_custkey, o_orderkey, rn, o_totalprice AS cum
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.o_custkey, r.o_orderkey, r.rn, w.cum + r.o_totalprice
+  FROM walk w JOIN ranked r
+    ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1
+)
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn,
+       FLOOR(cum * 100 + 0.5) / 100 AS cum
+FROM walk ORDER BY o_custkey, rn"""
+
+  private val q48 = DeclaredQuery("q48_recursive_cte",
+    // WITH RECURSIVE (Spark 4's recursive CTE support, shared text with
+    // DuckDB): a per-customer linked-list walk accumulating a running
+    // total along the date-ordered order chain — a genuinely iterative
+    // fixpoint the UNION ALL anchor/step spelling expresses. The chain
+    // additions happen in CHAIN ORDER on both engines (each step adds one
+    // value to the previous partial), so the doubles are bit-identical;
+    // round2 canonicalizes. Depth = max orders per customer (~tens),
+    // far under the recursion limit.
+    viaSql(q48Sql), Some(q48Sql))
+
+  private val q49Sql =
+    """SELECT c.c_custkey, t.o_orderkey,
+       FLOOR(t.o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 200
+ORDER BY c.c_custkey, t.o_orderkey"""
+
+  private val q49 = DeclaredQuery("q49_lateral_topk",
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    // "top-2 orders per customer" spelled the ANSI-lateral way rather
+    // than the q19 window way; Spark plans it as a correlated lateral
+    // join, DuckDB as a lateral unnesting — same rows). Customers with
+    // no orders drop (inner lateral on both engines); total order by
+    // (custkey, orderkey).
+    viaSql(q49Sql), Some(q49Sql))
+
   // ---------------------------------------------------------------- Q25–Q28: scalar functions
 
   private val q25 = DeclaredQuery("q25_string_funcs",
@@ -6347,7 +6396,7 @@ FROM g ORDER BY term"""))
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b, q24c,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q32b, q32c,
+    q42, q43, q44, q45, q46, q47, q48, q49, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
