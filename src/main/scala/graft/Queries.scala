@@ -6388,6 +6388,86 @@ SELECT term, ya AS n_a, yb AS n_b,
        FLOOR(delta / sd * 10000 + 0.5) / 10000 AS z
 FROM g ORDER BY term"""))
 
+  private val x109 = DeclaredQuery("x109_truncation_loss",
+    // context-window truncation audit (Profiling.truncationLoss): per
+    // source and candidate limit L ∈ {64, 256, 1024}, how many documents
+    // overflow and what token fraction a truncate-at-L policy loses — the
+    // table that prices context length against chunking. ONE aggregation
+    // pass computes every limit as conditional sums (map-side combined),
+    // then unpivots; exact integers + one division per row.
+    (s, d) => graft.operators.Profiling.truncationLoss(
+        t(s, d, "documents"), "source",
+        graft.functions.TextAnalysis.tokenCount(col("text")),
+        Seq(64L, 256L, 1024L))
+      .select(col("source"), col("limit"), col("n_docs_over"),
+        col("lost_tokens"), round4(col("lost_frac")).as("lost_frac"))
+      .orderBy("source", "limit"),
+    Some("""WITH tc AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> length(t) > 0)) AS BIGINT) AS nt
+  FROM documents),
+tot AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS total
+        FROM tc GROUP BY source),
+per AS (SELECT tc.source, CAST(lim AS BIGINT) AS lim,
+          CAST(SUM(CASE WHEN nt > lim THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_over,
+          CAST(SUM(CASE WHEN nt > lim THEN nt - lim ELSE 0 END) AS BIGINT)
+            AS lost_tokens
+        FROM tc, unnest([64, 256, 1024]) t(lim)
+        GROUP BY tc.source, lim)
+SELECT p.source, p.lim AS "limit", p.n_docs_over, p.lost_tokens,
+       CASE WHEN tot.total > 0 THEN
+         FLOOR(CAST(p.lost_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE)
+               * 10000 + 0.5) / 10000 END AS lost_frac
+FROM per p JOIN tot USING (source)
+ORDER BY p.source, p.lim"""))
+
+  private val x110 = DeclaredQuery("x110_needle_haystacks",
+    // needle-in-a-haystack synthesis (LongContext.needleHaystacks — the
+    // NIAH long-context probe protocol): real docs packed into
+    // 2048-token haystacks via the x12 prefix-sum bins, one needle token
+    // spliced at a bin-keyed depth residue ((bin·37) mod 101 / 100 — a
+    // deterministic depth sweep including the d=1.0 end-clamp). The
+    // oracle replays the packing window, the string_agg assembly, the
+    // depth arithmetic, and the list-splice; offsets/positions are exact
+    // integers and the depth multiply is one shared IEEE expression, so
+    // the full haystack TEXTS hash-match — assembly, order, and splice
+    // all pinned at once.
+    (s, d) => graft.operators.LongContext.needleHaystacks(
+        t(s, d, "documents"), "doc_id", "text",
+        graft.functions.TextAnalysis.tokenCount(col("text")),
+        capacity = 2048L, needle = "GRAFT-NEEDLE-0042",
+        depth = pmod(col("bin") * 37, lit(101)).cast("double") / 100.0)
+      .orderBy("bin"),
+    Some("""WITH tc AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> length(t) > 0)) AS BIGINT) AS nt
+  FROM documents),
+o AS (SELECT doc_id, text,
+        CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS so
+      FROM tc),
+b AS (SELECT doc_id, text, so // 2048 AS bin FROM o),
+a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        string_agg(text, ' ' ORDER BY doc_id) AS t
+      FROM b GROUP BY bin),
+tk AS (SELECT bin, n_docs,
+         list_filter(regexp_split_to_array(t, '\s+'),
+                     x -> length(x) > 0) AS l
+       FROM a),
+p AS (SELECT bin, n_docs, CAST(len(l) AS BIGINT) AS n_tokens, l,
+        LEAST(CAST(FLOOR(CAST((bin * 37) % 101 AS DOUBLE) / 100.0
+                         * CAST(len(l) AS DOUBLE)) AS BIGINT),
+              CAST(len(l) AS BIGINT)) AS pos
+      FROM tk)
+SELECT bin, n_docs, n_tokens, pos AS needle_token_pos,
+       array_to_string(list_concat(list_concat(
+         l[1:pos], ['GRAFT-NEEDLE-0042']), l[pos+1:len(l)]), ' ') AS text
+FROM p ORDER BY bin"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -6404,7 +6484,8 @@ FROM g ORDER BY term"""))
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
-    x102, x103, x104, x105, x106, x107, x108, x10d, x10e, x10f)
+    x102, x103, x104, x105, x106, x107, x108, x109, x110,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -597,4 +597,38 @@ object Profiling {
         (col("cur_value") - col("prev_value")).as("delta"),
         when(col("prev_value") =!= 0.0, col("cur_value") / col("prev_value"))
           .as("ratio"))
+
+  /** Context-window truncation audit — how many tokens a truncate-at-L
+    * policy throws away, per group and candidate limit: the table that
+    * decides between training context lengths (and whether chunking
+    * ([[Packing.chunkDocuments]]) is worth its complexity over plain
+    * truncation for this corpus). For each `groupCol` cell and each L in
+    * `limits`: `n_docs_over` (docs longer than L), `lost_tokens`
+    * (Σ max(0, n − L)), `lost_frac` (= lost/Σn, NULL on a zero-token
+    * group, never NaN).
+    *
+    * ONE aggregation pass computes every limit's sums as conditional
+    * aggregates (map-side combined); the per-(group, L) rows are unpivoted
+    * from that single pass — no per-limit rescans. Exact integer
+    * arithmetic + one division per row. */
+  def truncationLoss(df: DataFrame, groupCol: String, nTokens: Column,
+                     limits: Seq[Long]): DataFrame = {
+    require(limits.nonEmpty, "limits must be non-empty")
+    require(limits.forall(_ >= 1), s"limits must be >= 1, got $limits")
+    val n = nTokens.cast("long")
+    val aggs = sum(n).as("__total") +: limits.flatMap(l => Seq(
+      sum(when(n > l, 1L).otherwise(0L)).as(s"__over_$l"),
+      sum(when(n > l, n - l).otherwise(0L)).as(s"__lost_$l")))
+    val one = df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val rows = limits.map(l => struct(lit(l).as("limit"),
+      col(s"__over_$l").as("n_docs_over"), col(s"__lost_$l").as("lost_tokens")))
+    one.select(col(groupCol), col("__total"),
+        explode(array(rows: _*)).as("__r"))
+      .select(col(groupCol), col("__r.limit").as("limit"),
+        col("__r.n_docs_over").as("n_docs_over"),
+        col("__r.lost_tokens").as("lost_tokens"),
+        when(col("__total") > 0L,
+          col("__r.lost_tokens").cast("double") / col("__total").cast("double"))
+          .as("lost_frac"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Profiling
 
 class ProfilingSpec extends AnyFunSuite {
@@ -338,5 +339,30 @@ class ProfilingSpec extends AnyFunSuite {
   private implicit class MapOps(rows: Array[(String, String, Double)]) {
     def toMap2: Map[(String, String), Double] =
       rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
+
+  test("truncationLoss: hand-computed per-limit losses from one pass") {
+    // group a: docs of 10, 100 tokens; group b: one 5-token doc
+    val df = Seq(("a", 10L), ("a", 100L), ("b", 5L)).toDF("g", "nt")
+    val out = graft.operators.Profiling
+      .truncationLoss(df, "g", col("nt"), Seq(8L, 50L))
+      .orderBy("g", "limit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    // a@8: both over -> lost (10-8)+(100-8)=94, frac 94/110
+    // a@50: one over -> lost 50, frac 50/110; b@8/b@50: none over
+    assert(out.toSeq == Seq(
+      ("a", 8L, 2L, 94L, 94.0 / 110),
+      ("a", 50L, 1L, 50L, 50.0 / 110),
+      ("b", 8L, 0L, 0L, 0.0),
+      ("b", 50L, 0L, 0L, 0.0)))
+    // zero-token group reports NULL frac, never NaN
+    val z = graft.operators.Profiling
+      .truncationLoss(Seq(("z", 0L)).toDF("g", "nt"), "g", col("nt"), Seq(8L))
+      .head()
+    assert(z.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profiling.truncationLoss(df, "g", col("nt"), Nil)
+    }
   }
 }
