@@ -308,6 +308,43 @@ object Queries {
     },
     Some("SELECT o_orderkey, FIRST_VALUE(o_orderkey) OVER w AS cheapest, LAST_VALUE(o_orderkey) OVER w AS priciest, NTH_VALUE(o_orderkey, 2) OVER w AS second FROM orders WHERE o_orderkey < 2000 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey"))
 
+  private val q50Sql =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  private val q50 = DeclaredQuery("q50_grouping_id",
+    // GROUPING() markers over ROLLUP — the disambiguation Q7 alone can't
+    // give: a real NULL group key vs a rollup supertotal row look
+    // identical without the marker. Shared text; NULLS FIRST spelled so
+    // both engines order the super-aggregate rows identically.
+    viaSql(q50Sql), Some(q50Sql))
+
+  private val q51Sql =
+    """SELECT user_id, event_id,
+       CAST(FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+         * 100 + 0.5) AS BIGINT) AS hour_cents
+FROM events
+WHERE user_id < 50
+ORDER BY user_id, event_id"""
+
+  private val q51 = DeclaredQuery("q51_time_range_frame",
+    // event-time RANGE frame: per row, the running sum over the trailing
+    // ONE HOUR of that user's events — the per-row sliding window Q32's
+    // bucketed form can't express (every row gets its own window end).
+    // The frame is VALUE-based (RANGE on the timestamp), so ts ties share
+    // a frame regardless of row order — deterministic without a
+    // tiebreaker. value is cents-structured in the testdata, so the
+    // FLOOR(x·100 + 0.5) spelling pins each frame sum to an exact
+    // integer — and sidesteps the cast divergence (Spark's double→BIGINT
+    // cast truncates, DuckDB's rounds).
+    viaSql(q51Sql), Some(q51Sql))
+
   private val q48Sql =
     """WITH RECURSIVE ranked AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -6476,7 +6513,7 @@ FROM p ORDER BY bin"""))
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b, q24c,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q32b, q32c,
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
