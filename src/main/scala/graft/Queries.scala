@@ -6505,6 +6505,27 @@ SELECT bin, n_docs, n_tokens, pos AS needle_token_pos,
          l[1:pos], ['GRAFT-NEEDLE-0042']), l[pos+1:len(l)]), ' ') AS text
 FROM p ORDER BY bin"""))
 
+  private val x111 = DeclaredQuery("x111_orc_roundtrip",
+    // columnar-format breadth: the corpus written to ORC (zlib) and read
+    // back through Spark's native ORC source with a pushed predicate —
+    // the oracle is the PARQUET truth, so the hash pins ORC write/read
+    // fidelity end-to-end (string/long round-trip, row completeness,
+    // filter correctness on the ORC reader). PlanQualitySpec pins that
+    // the predicate reaches the ORC scan (PushedFilters), same as the
+    // parquet discipline.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x111")
+      val path = tmp.resolve("docs_orc").toString
+      docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+      s.read.orc(path)
+        .where(col("n_chars") >= 200)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+WHERE n_chars >= 200 ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -6521,7 +6542,7 @@ FROM p ORDER BY bin"""))
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
-    x102, x103, x104, x105, x106, x107, x108, x109, x110,
+    x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

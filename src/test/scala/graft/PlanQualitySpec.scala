@@ -528,6 +528,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"distinct-(group, score) pre-agg must partial-aggregate:\n$p")
   }
 
+  test("x111 ORC reads push filters and prune columns like parquet") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("orc-plan").toString
+    docs.write.mode("overwrite").orc(tmp)
+    val q = spark.read.orc(tmp).where(col("n_chars") >= 200)
+      .select("doc_id", "n_chars")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: ["), s"ORC scan must push the filter:\n$p")
+    assert(p.contains("n_chars"), p)
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schemaLine.contains("text"),
+      s"projection must prune the text column from the ORC read:\n$schemaLine")
+  }
+
   test("x106 epoch materialization: broadcast join + map-only explode, no extra shuffle") {
     val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
       .select("doc_id", "lang")
