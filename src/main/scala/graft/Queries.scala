@@ -6526,6 +6526,46 @@ FROM p ORDER BY bin"""))
     Some("""SELECT doc_id, lang, source, n_chars FROM documents
 WHERE n_chars >= 200 ORDER BY doc_id"""))
 
+  private val x112 = DeclaredQuery("x112_streaming_blocklist",
+    // the filtering face of the stream-static family (x101 gates the
+    // enrichment face): EventStreams.excludeByDim drops every event whose
+    // user sits on a static blocklist (here: users with ≥ 20 purchases),
+    // via a stateless broadcast LEFT ANTI join re-planned per
+    // micro-batch. Events replay in three micro-batches; every surviving
+    // event must emit EXACTLY ONCE and every blocklisted user's events
+    // must ALL be absent — the batch NOT-EXISTS oracle breaks on a
+    // dropped, duplicated, or leaked row.
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val block = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 20).select("user_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x112")
+      val ingest = tmp.resolve("ingest").toString
+      ev.repartition(3).write.mode("overwrite").parquet(ingest)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val sink = "x112_block_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .excludeByDim(stream, block, Seq("user_id"))
+        .select("event_id", "user_id", "event_type")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("event_id", "user_id", "event_type")
+    },
+    Some("""WITH b AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING COUNT(*) >= 20)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = e.user_id)
+ORDER BY e.event_id, e.user_id, e.event_type"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -6542,7 +6582,7 @@ WHERE n_chars >= 200 ORDER BY doc_id"""))
     x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x72b, x73, x74,
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
-    x102, x103, x104, x105, x106, x107, x108, x109, x110, x111,
+    x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

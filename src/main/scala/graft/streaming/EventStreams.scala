@@ -103,6 +103,22 @@ object EventStreams {
       keyCols, joinType)
   }
 
+  /** The filtering complement of [[enrichWithDim]]: drop every streaming
+    * row whose key appears in the static frame — blocklist filtering at
+    * ingest (banned domains, opted-out users, already-processed ids). A
+    * stream-static LEFT ANTI join: stateless, broadcast, re-planned per
+    * micro-batch so a blocklist refresh takes effect without a restart;
+    * rows emit exactly once, in their arrival batch. Unlike the stateful
+    * [[dedupEvents]] this keeps NO state — the set membership lives in
+    * the (refreshable) static side, which is the right shape when the
+    * exclusion list is maintained OUTSIDE the stream. */
+  def excludeByDim(stream: DataFrame, dim: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      keyCols, "left_anti")
+  }
+
   /** Tumbling event-time window counts — the streaming form of Q32.
     * The watermark bounds both late-data acceptance and state retention. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",

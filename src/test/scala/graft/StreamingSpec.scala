@@ -125,6 +125,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static blocklist drops listed keys in every micro-batch, keeps the rest once") {
+    val dir = Files.createTempDirectory("sblock").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "user_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val block = Seq(Tuple1(7L)).toDF("user_id")
+    write(Seq((1L, 7L), (2L, 8L)))
+    val stream = spark.readStream.schema("event_id LONG, user_id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.excludeByDim(stream, block, Seq("user_id"))
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sblock").start()
+    q.processAllAvailable()
+    write(Seq((3L, 7L), (4L, 9L)))   // listed user recurs in a later batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sblock").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 4L),
+      s"blocklisted rows absent in every batch, others exactly once: $got")
+    intercept[IllegalArgumentException] {
+      EventStreams.excludeByDim(stream, block, Nil)
+    }
+  }
+
   test("streaming dedup keeps first arrival per key across micro-batches") {
     val dir = Files.createTempDirectory("sdedup").toString
     import spark.implicits._
