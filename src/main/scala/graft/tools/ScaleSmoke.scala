@@ -177,6 +177,31 @@ object ScaleSmoke {
       try q.processAllAvailable() finally q.stop()
       s.range(1).toDF("ok")
     }),
+    // the anti face with a production sink (same rationale as
+    // streaming_enrich_noop: the x112 gate entry buffers every surviving
+    // row in the driver-side memory sink for the oracle — at 100× that is
+    // sink cost, not join cost)
+    "streaming_blocklist_noop" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val ev = graft.sources.Tables.table(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val block = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 20).select("user_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sblock-smoke")
+      val ingest = tmp.resolve("ingest").toString
+      ev.repartition(3).write.mode("overwrite").parquet(ingest)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val q = graft.streaming.EventStreams
+        .excludeByDim(stream, block, Seq("user_id"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+      s.range(1).toDF("ok")
+    }),
     "matryoshka_ivf" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, slice}
       val e = graft.sources.Tables.table(s, dir, "embeddings")
