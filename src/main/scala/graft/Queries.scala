@@ -6566,6 +6566,31 @@ FROM events e
 WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = e.user_id)
 ORDER BY e.event_id, e.user_id, e.event_type"""))
 
+  private val x113 = DeclaredQuery("x113_cross_source_dup_matrix",
+    // cross-source duplication matrix (Dedup.crossGroupDupMatrix): for
+    // every source pair, how many CCNet 80-char prefix keys they share —
+    // the provenance table behind dedup rates ("is A copying B or are
+    // both scraping the same upstream?"). Spark keys the shuffle on
+    // xxhash64(prefix) (8 bytes — the SubstringDedup discipline); the
+    // oracle groups by the LITERAL prefix, so a hash collision
+    // over-counts a pair and hash-fails (the x04f trap). Pair expansion
+    // happens inside the ≤|sources| distinct set per key, never over
+    // corpus rows; counts are exact integers.
+    (s, d) => graft.operators.Dedup.crossGroupDupMatrix(
+        t(s, d, "documents"), substring(col("text"), 1, 80), "source")
+      .orderBy("group_a", "group_b"),
+    Some("""WITH n AS (
+  SELECT substr(text, 1, 80) AS k, source FROM documents
+  WHERE source IS NOT NULL),
+g AS (SELECT k, list_sort(list_distinct(list(source))) AS s
+      FROM n GROUP BY k HAVING COUNT(DISTINCT source) >= 2),
+p AS (SELECT s[i] AS group_a, s[j] AS group_b
+      FROM g, unnest(range(1, len(s) + 1)) t1(i),
+           unnest(range(1, len(s) + 1)) t2(j)
+      WHERE i < j)
+SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS n_shared_keys
+FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -6583,7 +6608,7 @@ ORDER BY e.event_id, e.user_id, e.event_type"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x10d, x10e, x10f)
+    x113, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -290,5 +290,36 @@ object Dedup {
       .drop("component", "rank")
       .select(df.columns.map(col): _*)
     untouched.select(df.columns.map(col): _*).union(best)
+  }
+
+  /** Cross-group duplication matrix — WHO shares content with WHOM: for
+    * every unordered pair of groups (sources, crawls, drops), the number
+    * of duplicate keys present in both. The provenance question behind
+    * every dedup rate ("is source A copying source B, or are both
+    * scraping the same upstream?") stated as a ranked table; feed the
+    * CCNet prefix key, the exact-text fingerprint, or any other dup key.
+    *
+    * Shape: the key reduces to xxhash64 BEFORE the shuffle (8-byte keys —
+    * the SubstringDedup discipline; an oracle replaying the RAW key makes
+    * a collision over-count a pair and hash-fail, the x04f trap), one
+    * key-keyed aggregation collecting the ≤|groups| distinct group set,
+    * then a within-row pair expansion (bounded by |groups|², never by
+    * corpus rows) and one pair-keyed count. NULL groups are dropped (no
+    * provenance, no vote).
+    *
+    * Output: `(group_a, group_b, n_shared_keys)` with group_a < group_b
+    * (sorted within each key's distinct set). */
+  def crossGroupDupMatrix(df: DataFrame, key: Column,
+                          groupCol: String): DataFrame = {
+    val groups = df.where(col(groupCol).isNotNull)
+      .select(xxhash64(key).as("__k"), col(groupCol).as("__g"))
+      .groupBy("__k").agg(sort_array(collect_set("__g")).as("__gs"))
+      .where(size(col("__gs")) >= 2)
+    groups.select(explode(expr(
+        "flatten(transform(__gs, (a, i) -> " +
+          "transform(slice(__gs, i + 2, size(__gs) - i - 1), " +
+          "b -> named_struct('ga', a, 'gb', b))))")).as("__p"))
+      .groupBy(col("__p.ga").as("group_a"), col("__p.gb").as("group_b"))
+      .agg(count(lit(1)).as("n_shared_keys"))
   }
 }

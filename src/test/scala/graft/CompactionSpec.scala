@@ -13,6 +13,25 @@ class CompactionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("crossGroupDupMatrix: hand-computed pair counts, NULL groups dropped") {
+    import org.apache.spark.sql.functions.col
+    // key k1 in sources a,b,c -> pairs (a,b),(a,c),(b,c)
+    // key k2 in a,b (twice in a - distinct set still {a,b}) -> (a,b)
+    // key k3 only in a -> no pairs; NULL-source row ignored
+    val df = Seq(
+      ("k1", "a"), ("k1", "b"), ("k1", "c"),
+      ("k2", "a"), ("k2", "a"), ("k2", "b"),
+      ("k3", "a")
+    ).toDF("k", "src")
+      .unionByName(Seq(Tuple1("k1")).toDF("k")
+        .withColumn("src", org.apache.spark.sql.functions.lit(null)
+          .cast("string")))
+    val got = Dedup.crossGroupDupMatrix(df, col("k"), "src")
+      .orderBy("group_a", "group_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
   // ------------------------------------------------------------ keepLatest
 
   // (key, ts, seq, payload): user a has three versions incl. a ts tie broken
