@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   * steady numbers were observed drifting ±3× round-to-round on unchanged
   * code, medians are stable. Per-entry medians are re-emitted at the end of
   * stdout as multiple SHORT JSON lines (compact gate ids `q01`, `x02b`,
-  * ...): extension chunks first, then a <1k final line with the full
-  * q-surface + total, so a 2000-char log tail always captures a parseable
-  * final line (see the emission-contract comment at the bottom). */
+  * ...): extension chunks first, a q-surface line, then the FINAL line — a
+  * dense all-entry median array in sorted-entry-name order, ~1.6k chars, so
+  * the 2000-char log tail always captures EVERY per-entry median (see the
+  * emission-contract comment at the bottom). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,11 +130,12 @@ object Bench {
     // harness keeps only the LAST 2000 chars of stdout and parses the final
     // line as JSON — at 176+ entries a single compact line is ~2.9k chars,
     // so its head (and JSON validity) fell outside the window every round
-    // since r8. Emission contract, back-to-front: the FINAL line is a short
-    // (<1k) self-contained JSON object carrying the full q-surface medians
-    // + total, so it always parses; before it come extension-median chunk
-    // lines, each an independently valid JSON object ≤ ~1.3k chars, ordered
-    // so the chunks most likely to be cut are FIRST. The full single-line
+    // since r8. Emission contract, back-to-front: the FINAL line is a dense
+    // all-entry median ARRAY (sorted-entry-name order, ~1.6k chars — fits
+    // the window whole, so every per-entry median survives); before it a
+    // named q-surface line and extension-median chunk lines, each an
+    // independently valid JSON object ≤ ~1.3k chars, ordered so the lines
+    // most likely to be cut are FIRST. The full single-line
     // compact form still goes to stderr and to /tmp/bench_medians.json for
     // the committed BENCH_MEDIANS.json snapshot. build.sbt sets
     // `Global / showSuccess := false` so sbt appends no "[success] Total
@@ -177,5 +179,21 @@ object Bench {
     val qJson = qMeds.map(entryJson).mkString("{", ",", "}")
     rawOut.println(
       s"""{"medians":$qJson,"total":${fmt(total)},"sf":"$sfDir","xchunks":${xChunks.size},"xchunk_sums":$xChunkMeta,"entries":${results.size}}""")
+    // FINAL line: ALL per-entry medians as a dense array in sorted-entry-name
+    // order (`ordered` is already sorted; q-entries precede x-entries in
+    // ASCII). Named-map spellings can never fit every entry into the log
+    // harness's 2000-char tail (247 entries × ~13 chars named ≈ 3.2k — the
+    // r16 artifact lost its first x-chunk this way), but the dense array is
+    // ~6 chars/entry (trailing zeros stripped) ≈ 1.6k, so the artifact is
+    // per-entry self-sufficient: names come from "entries" + the sorted
+    // registry (BENCH_MEDIANS.json carries the same names, committed). -1
+    // marks a failed entry, matching the named lines' convention.
+    def dense(v: Double): String = {
+      val s = fmt(v)
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    }
+    rawOut.println(
+      s"""{"m":[${results.map(r => dense(r._2)).mkString(",")}],"n":${results.size},"order":"sorted_entry_names","total":${fmt(total)},"sf":"$sfDir"}""")
   }
 }

@@ -284,6 +284,58 @@ object Queries {
       .orderBy("k"),
     Some("SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier ORDER BY k"))
 
+  private val q24d = DeclaredQuery("q24d_except_all",
+    // bag-semantics difference (EXCEPT ALL): each nation key survives
+    // with multiplicity max(0, m_left − m_right) — the Postgres construct
+    // the reference forwards verbatim (operators.py:80) that Q24b's
+    // set-semantics face can't pin. Spark's exceptAll plans as an
+    // aggregate-counted anti-multiplicity join (no all-pairs); the
+    // group-and-count projection (the q24a precedent) makes the
+    // multiplicities themselves the hashed contract.
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k"),
+    Some("SELECT k, COUNT(*) AS n FROM (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier) u GROUP BY k ORDER BY k"))
+
+  private val q24e = DeclaredQuery("q24e_intersect_all",
+    // bag-semantics intersection (INTERSECT ALL): multiplicity
+    // min(m_left, m_right) per key — nontrivial here because customers
+    // outnumber suppliers per nation, so the supplier-side count is the
+    // binding one for every key (a pure set face would hide that).
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k"),
+    Some("SELECT k, COUNT(*) AS n FROM (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier) u GROUP BY k ORDER BY k"))
+
+  private val q52 = DeclaredQuery("q52_distinct_on",
+    // Postgres DISTINCT ON — each customer's most expensive order (ties
+    // broken by smallest orderkey), the most Postgres-idiomatic SELECT
+    // feature the reference forwards verbatim (operators.py:80). Spark
+    // has no DISTINCT ON; the engine spelling is Dedup.exactKeepFirst —
+    // ONE hash shuffle with map-side partial aggregation (each partition
+    // folds to one candidate row per key) instead of the ROW_NUMBER
+    // window's per-partition sort. DESC-on-price is expressed by negating
+    // the leading field of the sort-key struct (struct ordering is
+    // lexicographic). The DuckDB oracle is native DISTINCT ON, so the
+    // hash pins both spellings to the same keep-first semantics.
+    (s, d) => {
+      val ord = struct((-col("o_totalprice")).as("np"),
+        col("o_orderkey").as("ok"))
+      graft.operators.Dedup.exactKeepFirst(
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("__ord", ord),
+        Seq("o_custkey"), "__ord")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round2(col("o_totalprice")).as("top_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+FLOOR(o_totalprice * 100 + 0.5) / 100 AS top_price
+FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
+
   private val q46 = DeclaredQuery("q46_like_predicates",
     (s, d) => t(s, d, "customer")
       .select(col("c_custkey"),
@@ -4408,15 +4460,22 @@ ORDER BY a.doc_id"""))
       ev.repartition(4).write.mode("overwrite").parquet(ingest)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
-      val sink = s"x68_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // Complete mode has no file sink; foreachBatch overwrites a parquet
+      // dir per batch so the FINAL state table lands executor-side (the
+      // gate never buffers rows on the driver) and is read back as a
+      // batch frame for hashing.
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .latestPerKey(stream, Seq("user_id"), Seq("ts", "event_id"))
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .start()
       try { q.processAllAvailable() } finally { q.stop() }
-      s.table(sink)
+      s.read.parquet(out)
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     },
@@ -4841,7 +4900,10 @@ FROM per GROUP BY ordering ORDER BY ordering"""))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val sink = s"x79_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // parquet file sink, not memory: sealed sessions land executor-side
+      // per micro-batch and the dir is read back as a batch frame — same
+      // rows, no driver buffering (the shape that must survive sf1).
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .closedUserSessions(s, stream, gapMs = gapMs,
           watermark = s"$delayMin minutes")
@@ -4849,7 +4911,7 @@ FROM per GROUP BY ordering ORDER BY ordering"""))
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .format("parquet").option("path", out).start()
       val flushUser = 999999999L
       def flush(tsMs: Long): Unit =
         s.range(1).select(lit(0L).as("event_id"),
@@ -4864,7 +4926,7 @@ FROM per GROUP BY ordering ORDER BY ordering"""))
         flush(hiMs + delayMin * 60000 + gapMs + 7200000L)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).where(col("user_id") =!= flushUser)
+      s.read.parquet(out).where(col("user_id") =!= flushUser)
         .select(col("user_id"),
           timestamp_micros(col("start_us")).cast("timestamp_ntz")
             .as("session_start"),
@@ -4912,16 +4974,18 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
       def rd(p: String): DataFrame = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(p)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val sink = s"x80_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // parquet file sink, not memory: joined pairs land executor-side per
+      // micro-batch; the dir is read back for hashing (no driver buffering).
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .intervalJoin(rd(lDir), rd(rDir), "user_id",
           maxDelay = "6 hours", watermark = s"$delayMin minutes")
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .format("parquet").option("path", out).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      s.read.parquet(out)
         .select(col("user_id"), col("l_id"), col("r_id"),
           col("l_ts").cast("timestamp_ntz").as("l_ts"),
           col("r_ts").cast("timestamp_ntz").as("r_ts"))
@@ -5205,16 +5269,18 @@ FROM sig ORDER BY doc_id"""))
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val sink = s"x86_keys_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // parquet file sink, not memory: surviving first-copies land
+      // executor-side per micro-batch; read back as a batch frame.
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .dedupEvents(stream, Seq("user_id", "event_type"),
           watermark = s"$delayMin minutes")
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .format("parquet").option("path", out).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).select("user_id", "event_type")
+      s.read.parquet(out).select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -5482,7 +5548,10 @@ ORDER BY metric"""))
       def rd(p: String): DataFrame = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(p)
         .withColumn("ts", col("ts").cast("timestamp"))
-      val sink = s"x92_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // parquet file sink, not memory: matched pairs and the sealed
+      // null-padded rows land executor-side per micro-batch; the dir is
+      // read back for hashing (no driver buffering).
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .intervalJoin(rd(lDir), rd(rDir), "user_id",
           maxDelay = "6 hours", watermark = s"$delayMin minutes",
@@ -5490,7 +5559,7 @@ ORDER BY metric"""))
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .format("parquet").option("path", out).start()
       val flushUser = 999999999L
       def flush(dir: String, tsMs: Long): Unit =
         s.range(1).select(lit(0L).as("event_id"),
@@ -5508,7 +5577,7 @@ ORDER BY metric"""))
         flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).where(col("user_id") =!= flushUser)
+      s.read.parquet(out).where(col("user_id") =!= flushUser)
         .select(col("user_id"), col("l_id"), col("r_id"),
           col("l_ts").cast("timestamp_ntz").as("l_ts"),
           col("r_ts").cast("timestamp_ntz").as("r_ts"))
@@ -6035,17 +6104,20 @@ FROM j GROUP BY query_id ORDER BY query_id"""))
       ev.repartition(3).write.mode("overwrite").parquet(ingest)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
-      val sink = "x101_enrich_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      // parquet file sink, not memory: the r16 100× gate run OOM'd the
+      // driver buffering ~30M enriched rows in a memory sink — the file
+      // sink keeps every batch executor-side with identical hash
+      // semantics (SCALE_SMOKE.md x101 post-mortem).
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .enrichWithDim(stream, dim, Seq("user_id"), "left_outer")
         .select("event_id", "user_id", "event_type", "n_purchases")
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .format("parquet").option("path", out).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).orderBy("event_id", "user_id", "event_type")
+      s.read.parquet(out).orderBy("event_id", "user_id", "event_type")
     },
     Some("""WITH dim AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
@@ -6213,7 +6285,7 @@ ide AS (SELECT query_id,
         WHERE i <= 10 GROUP BY 1),
 nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
        FROM rel GROUP BY 1),
-base AS (SELECT DISTINCT query_id FROM run)
+base AS (SELECT query_id FROM run UNION SELECT query_id FROM qr)
 SELECT b.query_id,
        COALESCE(nr.n_rel, 0) AS n_rel,
        COALESCE(pq.n_rel_ret, 0) AS n_rel_ret,
@@ -6546,17 +6618,19 @@ WHERE n_chars >= 200 ORDER BY doc_id"""))
       ev.repartition(3).write.mode("overwrite").parquet(ingest)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(ingest)
-      val sink = "x112_block_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      // parquet file sink, not memory: surviving events land executor-side
+      // per micro-batch (the r16 memory-sink gate read 37.5× at 100×
+      // purely from driver-side sink cost — SCALE_SMOKE.md post-mortem).
+      val out = tmp.resolve("out").toString
       val q = graft.streaming.EventStreams
         .excludeByDim(stream, block, Seq("user_id"))
         .select("event_id", "user_id", "event_type")
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("memory").queryName(sink).start()
+        .format("parquet").option("path", out).start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).orderBy("event_id", "user_id", "event_type")
+      s.read.parquet(out).orderBy("event_id", "user_id", "event_type")
     },
     Some("""WITH b AS (
   SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -6596,10 +6670,10 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
   val all: Seq[DeclaredQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q12b, q13, q14, q15, q16,
-    q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b, q24c,
+    q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b, q24c, q24d, q24e,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q32b, q32c,
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,

@@ -307,12 +307,22 @@ object Dedup {
     * corpus rows) and one pair-keyed count. NULL groups are dropped (no
     * provenance, no vote).
     *
+    * Collision bound: with the default hashed key, two DISTINCT keys
+    * colliding in 64 bits merge and can add spurious shared-key pairs —
+    * expected collisions ≈ n²/2⁶⁵ (≈0.05 at a billion distinct keys, ≈54
+    * at 10³¹ distinct keys would still be ~10⁻⁸ of the counts). When the
+    * matrix feeds retention/licensing decisions rather than triage, pass
+    * `exact = true` to shuffle the RAW key instead — exact counts at the
+    * cost of moving full key bytes (for CCNet prefix keys, ~80 bytes vs
+    * 8) through the shuffle.
+    *
     * Output: `(group_a, group_b, n_shared_keys)` with group_a < group_b
     * (sorted within each key's distinct set). */
-  def crossGroupDupMatrix(df: DataFrame, key: Column,
-                          groupCol: String): DataFrame = {
+  def crossGroupDupMatrix(df: DataFrame, key: Column, groupCol: String,
+                          exact: Boolean = false): DataFrame = {
+    val k = if (exact) key else xxhash64(key)
     val groups = df.where(col(groupCol).isNotNull)
-      .select(xxhash64(key).as("__k"), col(groupCol).as("__g"))
+      .select(k.as("__k"), col(groupCol).as("__g"))
       .groupBy("__k").agg(sort_array(collect_set("__g")).as("__gs"))
       .where(size(col("__gs")) >= 2)
     groups.select(explode(expr(

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   * order); the splice is pure array arithmetic on the token list.
   *
   * Scale: one prefix-sum pass (packSequences), one bin-keyed aggregation
-  * whose state is the bin's own ≤capacity tokens, and a map-only splice —
-  * nothing scales beyond the corpus scan; bins are capacity-bounded by
-  * construction so no group outgrows an executor.
+  * whose state is the bin's own ~capacity tokens, and a map-only splice —
+  * nothing scales beyond the corpus scan; bins are capacity-bounded up to
+  * one straddling document (below) so no group outgrows an executor.
   *
   * Determinism: offsets/bins/positions are exact integer arithmetic; the
   * depth multiply is one fixed IEEE expression — a SQL replay is
@@ -35,7 +35,15 @@ object LongContext {
     * (pass e.g. a bin-keyed residue for a deterministic depth sweep);
     * values ≥ 1 clamp to an end-of-haystack needle. `needle` should be a
     * single whitespace-free token so `needle_token_pos` indexes it
-    * exactly in the final text. */
+    * exactly in the final text.
+    *
+    * Capacity bound: documents are never split — a document that straddles
+    * a capacity boundary belongs entirely to its `bin_first`, so a
+    * haystack can EXCEED `capacity` by up to one document's tokens
+    * (packSequences' first-fit contract). Probes built for a strict
+    * context limit should pre-split oversized documents (chunkDocuments)
+    * to the needed granularity before binning; with per-document token
+    * counts ≪ capacity the overshoot is proportionally negligible. */
   def needleHaystacks(df: DataFrame, idCol: String, textCol: String,
                       nTokens: Column, capacity: Long, needle: String,
                       depth: Column): DataFrame = {

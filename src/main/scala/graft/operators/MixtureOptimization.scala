@@ -181,7 +181,9 @@ object MixtureOptimization {
     * Closed form instead of a sequential loop: with languages sorted by
     * `(cap, lang)` ascending (row i of L, exclusive prefix cap sum Sᵢ),
     * language i is capped iff `capᵢ · (L − i + 1) ≤ B − Sᵢ` — an EXACT
-    * integer comparison, no doubles anywhere in the decision. The capped
+    * comparison evaluated in decimal(38,0), no doubles anywhere in the
+    * decision and no 64-bit wrap either (the product and the prefix sums
+    * can exceed 2⁶³ at large counts × maxEpochs × many languages). The capped
     * set is a prefix of the sorted order (caps ascending ⇒ once the fair
     * share undercuts a cap it undercuts all larger ones); the code pins
     * that invariant with a running MIN over the indicator rather than
@@ -214,26 +216,34 @@ object MixtureOptimization {
       .withColumn("cap", col("n_tokens") * maxEpochs)
     // O(L) frame: single-partition windows over the language artifact only
     val w = Window.orderBy(col("cap"), col(langCol))
+    // the capped test and the prefix sums run in decimal(38,0): cap·(L−i+1)
+    // and Σcap are products/sums of longs that can exceed 2⁶³ (huge
+    // per-language counts × maxEpochs × many languages) — Long arithmetic
+    // would silently wrap and flip a capping decision; decimal keeps the
+    // decision exact to 38 digits (the isotonicCalibrate discipline)
+    val capDec = col("cap").cast("decimal(38,0)")
     val ranked = guarded
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__sprev",
-        coalesce(sum(col("cap")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        coalesce(sum(capDec).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L).cast("decimal(38,0)")))
       .withColumn("__l", count(lit(1)).over(
         Window.partitionBy().rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).cast("long"))
       .withColumn("__ind",
-        when(col("cap") * (col("__l") - col("__i") + 1L) <=
-          lit(budget) - col("__sprev"), 1).otherwise(0))
+        when(capDec * (col("__l") - col("__i") + 1L).cast("decimal(38,0)") <=
+          lit(budget).cast("decimal(38,0)") - col("__sprev"), 1).otherwise(0))
       // prefix invariant, pinned: capped = min(indicator) over rows ≤ i
       .withColumn("capped",
         min(col("__ind")).over(w.rowsBetween(Window.unboundedPreceding, 0))
           === 1)
     val totals = ranked.agg(
-      sum(when(col("capped"), col("cap")).otherwise(0L)).as("__scap"),
+      sum(when(col("capped"), capDec)
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__scap"),
       sum(when(col("capped"), 0L).otherwise(1L)).as("__nfree"))
-    val t = (lit(budget) - col("__scap")).cast("double") /
-      col("__nfree").cast("double")
+    val t = (lit(budget).cast("decimal(38,0)") - col("__scap"))
+      .cast("double") / col("__nfree").cast("double")
     ranked.crossJoin(broadcast(totals))
       .withColumn("allocated",
         when(col("capped"), col("cap").cast("double")).otherwise(t))

@@ -418,7 +418,10 @@ object Relevance {
     *
     * `run` is this repo's shared kNN schema (query_id, corpus_id, rank);
     * `qrels` carries integer `rel` grades ≥ 0 (0 = judged irrelevant).
-    * Unjudged retrieved docs gain 0 — the standard honest treatment.
+    * Unjudged retrieved docs gain 0 — the standard honest treatment. The
+    * query universe is run ∪ qrels: judged queries with NO retrieved
+    * results score recall/RR of 0 (the trec_eval treatment) instead of
+    * silently dropping out of the averages.
     *
     * Shape: one (query, corpus)-keyed left join of the rank-filtered run
     * against the qrels + one query-keyed aggregation; the ideal ranking
@@ -456,7 +459,11 @@ object Relevance {
         foldDcg(sort_array(collect_list(struct(col("__i").as("r"),
           gain(col("__rel"), col("__i")).as("g"))))).as("__idcg"))
     val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    run.select("query_id").distinct()
+    // query universe = run ∪ qrels (the trec_eval convention): a judged
+    // query the system retrieved NOTHING for must appear with zero
+    // recall/RR, not vanish — run-side-only enumeration would overstate
+    // averaged metrics exactly where the system fails hardest
+    run.select("query_id").union(qrels.select("query_id")).distinct()
       .join(perQuery, Seq("query_id"), "left")
       .join(nRel, Seq("query_id"), "left")
       .join(ideal, Seq("query_id"), "left")

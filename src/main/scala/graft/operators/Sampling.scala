@@ -284,7 +284,9 @@ object Sampling {
     *
     * Output: the input rows with a `copy` column (1..n_copies); rows with
     * 0 copies (epochs 0, or NULL epochs — an unallocated group) are
-    * absent. Negative epochs fail loudly.
+    * absent. Negative epochs fail loudly, as does a DUPLICATE group row in
+    * the epochs artifact — a non-unique group would fan out the join and
+    * silently inflate the materialized dataset.
     *
     * Shape: one broadcast join against the |groups|-row epochs artifact +
     * a map-only explode — no shuffle. The fractional-part comparison uses
@@ -293,11 +295,19 @@ object Sampling {
   def materializeEpochs(df: DataFrame, keyCol: String, groupCol: String,
                         epochs: DataFrame, epochsCol: String = "epochs",
                         salt: String = "epoch"): DataFrame = {
-    val e = when(col(epochsCol) < 0,
+    // uniqueness guard runs on the K-row artifact itself (one tiny agg):
+    // count per group, raise_error on any duplicate at execution time —
+    // distributed fail-loud, no driver-side action
+    val one = epochs.select(col(groupCol), col(epochsCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"), first(col(epochsCol)).as("__eraw"))
+    val e = when(col("__n") > 1,
+        raise_error(lit("materializeEpochs: duplicate group rows in epochs")))
+      .when(col("__eraw") < 0,
         raise_error(lit("materializeEpochs: negative epochs")))
-      .otherwise(col(epochsCol).cast("double"))
+      .otherwise(col("__eraw").cast("double"))
     val joined = df.join(
-      broadcast(epochs.select(col(groupCol), e.as("__e"))),
+      broadcast(one.select(col(groupCol), e.as("__e"))),
       Seq(groupCol), "left")
     val base = floor(col("__e")).cast("long")
     val u = hashUnit(concat(col(keyCol).cast("string"), lit(":" + salt)))

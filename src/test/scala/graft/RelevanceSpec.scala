@@ -238,12 +238,16 @@ class RelevanceSpec extends AnyFunSuite {
     // query 1: retrieved ranks 1..3 = docs 10(rel 2), 11(rel 0), 12(rel 1);
     //          one judged-relevant doc (13, rel 1) NOT retrieved
     // query 2: retrieved rank 1 = doc 20, nothing judged relevant
+    // query 3: judged (doc 30, rel 2) but NOTHING retrieved — must appear
+    //          with zero recall/RR (trec_eval universe = run ∪ qrels)
     val run = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
       (2L, 20L, 1L)).toDF("query_id", "corpus_id", "rank")
     val qrels = Seq((1L, 10L, 2L), (1L, 12L, 1L), (1L, 13L, 1L),
-      (1L, 11L, 0L), (2L, 20L, 0L)).toDF("query_id", "corpus_id", "rel")
+      (1L, 11L, 0L), (2L, 20L, 0L), (3L, 30L, 2L))
+      .toDF("query_id", "corpus_id", "rel")
     val out = Relevance.rankingMetrics(run, qrels, k = 3)
       .orderBy("query_id").collect()
+    assert(out.length == 3)
     val q1 = out(0)
     assert(q1.getLong(1) == 3 && q1.getLong(2) == 2)
     assert(math.abs(q1.getDouble(3) - 2.0 / 3) < 1e-12)       // P@3
@@ -260,6 +264,12 @@ class RelevanceSpec extends AnyFunSuite {
     assert(q2.getLong(1) == 0 && q2.getDouble(3) == 0.0 &&
       q2.isNullAt(4) && q2.getDouble(5) == 0.0 &&
       q2.getDouble(6) == 0.0 && q2.isNullAt(7))
+    val q3 = out(2)
+    assert(q3.getLong(0) == 3L)
+    assert(q3.getLong(1) == 1 && q3.getLong(2) == 0)   // n_rel=1, none found
+    assert(q3.getDouble(3) == 0.0 && q3.getDouble(4) == 0.0) // P@3, R@3 = 0
+    assert(q3.getDouble(5) == 0.0 && q3.getDouble(6) == 0.0) // RR, DCG = 0
+    assert(q3.getDouble(7) == 0.0)                     // NDCG 0 (idcg > 0)
     intercept[IllegalArgumentException](
       Relevance.rankingMetrics(run, qrels, 0))
   }
