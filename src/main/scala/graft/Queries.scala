@@ -3929,15 +3929,335 @@ ORDER BY query_id, neg_rank"""))
   ORDER BY aes, doc_id LIMIT 100)
 ORDER BY doc_id"""))
 
+  /** x57's DuckDB oracle: the x41 gopher-feature replay + a WITH RECURSIVE
+    * replay of LogisticRegression.train's exact iterate (standardize →
+    * loss+grad at the proposed point → accept/halve → tol stop), then the
+    * 6-decimal coefficient pin and the same scoring fold. Engine-float
+    * notes: per-ROW feature doubles are bit-identical (integer-derived or
+    * single fixed-order IEEE ops); corpus-level SUMs differ in fold order
+    * (Spark: per-partition partials in partition-id order; DuckDB: global)
+    * by ~1e-15 relative per pass, which the coefficient rounding absorbs.
+    * Bullet/ellipsis line-shape bounds are omitted from the y replay (the
+    * x41 oracle precedent: they never bind on this corpus). */
+  private val X57OracleSql = """WITH t AS (
+  SELECT doc_id, lang, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS DOUBLE) AS f1,
+    COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+      / NULLIF(len(toks), 0), 0.0) AS f2,
+    CASE WHEN len(toks) > 0 THEN
+      ((length(text) - length(replace(text, '#', ''))) * 1.0
+       + (length(text) - length(replace(text, '…', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks)
+      ELSE 0.0 END AS f3,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
+      ELSE 0.0 END AS f4,
+    CAST(CAST(list_contains(list_transform(toks, x -> lower(x)), 'the') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'be') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'to') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'of') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'and') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'that') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'have') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'with') AS INT)
+      AS DOUBLE) AS f5
+  FROM t),
+lab AS (
+  SELECT doc_id, lang, f1, f2, f3, f4, f5,
+    CAST(COALESCE(f1 BETWEEN 20 AND 100000
+      AND (CASE WHEN f1 > 0 THEN f2 END) BETWEEN 3.0 AND 10.0
+      AND f3 <= 0.1 AND f4 >= 0.8 AND f5 >= 1, FALSE) AS DOUBLE) AS y
+  FROM feat),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+    SUM(f1) / COUNT(*) AS mu1, SUM(f2) / COUNT(*) AS mu2,
+    SUM(f3) / COUNT(*) AS mu3, SUM(f4) / COUNT(*) AS mu4,
+    SUM(f5) / COUNT(*) AS mu5,
+    CASE WHEN SUM(f1*f1)/COUNT(*) - (SUM(f1)/COUNT(*))*(SUM(f1)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f1*f1)/COUNT(*) - (SUM(f1)/COUNT(*))*(SUM(f1)/COUNT(*))) END AS sd1,
+    CASE WHEN SUM(f2*f2)/COUNT(*) - (SUM(f2)/COUNT(*))*(SUM(f2)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f2*f2)/COUNT(*) - (SUM(f2)/COUNT(*))*(SUM(f2)/COUNT(*))) END AS sd2,
+    CASE WHEN SUM(f3*f3)/COUNT(*) - (SUM(f3)/COUNT(*))*(SUM(f3)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f3*f3)/COUNT(*) - (SUM(f3)/COUNT(*))*(SUM(f3)/COUNT(*))) END AS sd3,
+    CASE WHEN SUM(f4*f4)/COUNT(*) - (SUM(f4)/COUNT(*))*(SUM(f4)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f4*f4)/COUNT(*) - (SUM(f4)/COUNT(*))*(SUM(f4)/COUNT(*))) END AS sd4,
+    CASE WHEN SUM(f5*f5)/COUNT(*) - (SUM(f5)/COUNT(*))*(SUM(f5)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f5*f5)/COUNT(*) - (SUM(f5)/COUNT(*))*(SUM(f5)/COUNT(*))) END AS sd5
+  FROM lab),
+gd AS (
+  WITH RECURSIVE it AS (
+    SELECT 0 AS step, FALSE AS done, CAST(1.0 AS DOUBLE) AS rate,
+      (s0).l AS loss,
+      (s0).g1 AS g1, (s0).g2 AS g2, (s0).g3 AS g3, (s0).g4 AS g4,
+      (s0).g5 AS g5, (s0).gb AS gb,
+      CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+      CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS w4,
+      CAST(0.0 AS DOUBLE) AS w5, CAST(0.0 AS DOUBLE) AS b
+    FROM (SELECT (
+      SELECT {
+        'l': SUM(GREATEST(0.0, 0.0) - y * 0.0 + LN(1.0 + EXP(-ABS(0.0)))) / MAX(st.nd),
+        'g1': SUM((1.0/(1.0+EXP(0.0)) - y) * ((f1 - st.mu1)/st.sd1)) / MAX(st.nd),
+        'g2': SUM((1.0/(1.0+EXP(0.0)) - y) * ((f2 - st.mu2)/st.sd2)) / MAX(st.nd),
+        'g3': SUM((1.0/(1.0+EXP(0.0)) - y) * ((f3 - st.mu3)/st.sd3)) / MAX(st.nd),
+        'g4': SUM((1.0/(1.0+EXP(0.0)) - y) * ((f4 - st.mu4)/st.sd4)) / MAX(st.nd),
+        'g5': SUM((1.0/(1.0+EXP(0.0)) - y) * ((f5 - st.mu5)/st.sd5)) / MAX(st.nd),
+        'gb': SUM(1.0/(1.0+EXP(0.0)) - y) / MAX(st.nd)
+      } FROM lab CROSS JOIN stats st) AS s0) z0
+    UNION ALL
+    SELECT step + 1,
+      CASE WHEN (s).l <= loss THEN loss - (s).l < 1e-7
+           ELSE rate / 2 < 1e-12 END,
+      CASE WHEN (s).l <= loss THEN rate ELSE rate / 2 END,
+      CASE WHEN (s).l <= loss THEN (s).l ELSE loss END,
+      CASE WHEN (s).l <= loss THEN (s).g1 ELSE g1 END,
+      CASE WHEN (s).l <= loss THEN (s).g2 ELSE g2 END,
+      CASE WHEN (s).l <= loss THEN (s).g3 ELSE g3 END,
+      CASE WHEN (s).l <= loss THEN (s).g4 ELSE g4 END,
+      CASE WHEN (s).l <= loss THEN (s).g5 ELSE g5 END,
+      CASE WHEN (s).l <= loss THEN (s).gb ELSE gb END,
+      CASE WHEN (s).l <= loss THEN w1 - rate * g1 ELSE w1 END,
+      CASE WHEN (s).l <= loss THEN w2 - rate * g2 ELSE w2 END,
+      CASE WHEN (s).l <= loss THEN w3 - rate * g3 ELSE w3 END,
+      CASE WHEN (s).l <= loss THEN w4 - rate * g4 ELSE w4 END,
+      CASE WHEN (s).l <= loss THEN w5 - rate * g5 ELSE w5 END,
+      CASE WHEN (s).l <= loss THEN b - rate * gb ELSE b END
+    FROM (
+      SELECT it.*, (
+        SELECT {
+          'l': SUM(GREATEST(mm, 0.0) - y * mm + LN(1.0 + EXP(-ABS(mm)))) / MAX(nd2),
+          'g1': SUM((1.0/(1.0+EXP(-mm)) - y) * z1) / MAX(nd2),
+          'g2': SUM((1.0/(1.0+EXP(-mm)) - y) * z2) / MAX(nd2),
+          'g3': SUM((1.0/(1.0+EXP(-mm)) - y) * z3) / MAX(nd2),
+          'g4': SUM((1.0/(1.0+EXP(-mm)) - y) * z4) / MAX(nd2),
+          'g5': SUM((1.0/(1.0+EXP(-mm)) - y) * z5) / MAX(nd2),
+          'gb': SUM(1.0/(1.0+EXP(-mm)) - y) / MAX(nd2)
+        } FROM (
+          SELECT y, st.nd AS nd2,
+            (f1 - st.mu1)/st.sd1 AS z1, (f2 - st.mu2)/st.sd2 AS z2,
+            (f3 - st.mu3)/st.sd3 AS z3, (f4 - st.mu4)/st.sd4 AS z4,
+            (f5 - st.mu5)/st.sd5 AS z5,
+            ((((((it.b - it.rate * it.gb)
+              + (it.w1 - it.rate * it.g1) * ((f1 - st.mu1)/st.sd1))
+              + (it.w2 - it.rate * it.g2) * ((f2 - st.mu2)/st.sd2))
+              + (it.w3 - it.rate * it.g3) * ((f3 - st.mu3)/st.sd3))
+              + (it.w4 - it.rate * it.g4) * ((f4 - st.mu4)/st.sd4))
+              + (it.w5 - it.rate * it.g5) * ((f5 - st.mu5)/st.sd5)) AS mm
+          FROM lab CROSS JOIN stats st) q) AS s
+      FROM it WHERE step < 20 AND NOT done) z
+  )
+  SELECT * FROM it ORDER BY step DESC LIMIT 1),
+model AS (
+  SELECT
+    FLOOR(g.w1 / st.sd1 * 1000000 + 0.5) / 1000000 AS rw1,
+    FLOOR(g.w2 / st.sd2 * 1000000 + 0.5) / 1000000 AS rw2,
+    FLOOR(g.w3 / st.sd3 * 1000000 + 0.5) / 1000000 AS rw3,
+    FLOOR(g.w4 / st.sd4 * 1000000 + 0.5) / 1000000 AS rw4,
+    FLOOR(g.w5 / st.sd5 * 1000000 + 0.5) / 1000000 AS rw5,
+    FLOOR((g.b - ((((g.w1 * st.mu1 / st.sd1 + g.w2 * st.mu2 / st.sd2)
+      + g.w3 * st.mu3 / st.sd3) + g.w4 * st.mu4 / st.sd4)
+      + g.w5 * st.mu5 / st.sd5)) * 1000000 + 0.5) / 1000000 AS rb
+  FROM gd g CROSS JOIN stats st)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(y) AS BIGINT) AS n_rule_keep,
+  CAST(SUM(CASE WHEN (((((m.rb + f1 * m.rw1) + f2 * m.rw2) + f3 * m.rw3)
+    + f4 * m.rw4) + f5 * m.rw5) > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_model_keep
+FROM lab CROSS JOIN model m
+GROUP BY lang ORDER BY lang"""
+
+
+  /** x74's DuckDB oracle: the x04b quality replay ranks the per-source
+    * preference pairs (bestVsRest = FIRST_VALUE over the (q DESC, id)
+    * window), the symmetrized-diff frame feeds the SAME recursive GD
+    * iterate as [[X57OracleSql]] (15 steps), and the 6-decimal
+    * coefficient pin makes every reward comparison bit-identical.
+    * bias_ok uses the RAW replayed bias (the symmetry claim, a 1e-6
+    * threshold both engines clear by ~10 orders of magnitude). */
+  private val X74OracleSql = """WITH t AS (
+  SELECT doc_id, source, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+fq AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS DOUBLE) AS f1,
+    COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+      / NULLIF(len(toks), 0), 0.0) AS f2,
+    CASE WHEN len(toks) > 0 THEN
+      ((length(text) - length(replace(text, '#', ''))) * 1.0
+       + (length(text) - length(replace(text, '…', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks)
+      ELSE 0.0 END AS f3,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
+      ELSE 0.0 END AS f4,
+    CAST(CAST(list_contains(list_transform(toks, x -> lower(x)), 'the') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'be') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'to') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'of') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'and') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'that') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'have') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'with') AS INT)
+      AS DOUBLE) AS f5,
+    LEAST(GREATEST(
+        LEAST(len(toks) / 20.0, 1.0) * 0.3
+      + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+            / NULLIF(length(text), 0)) * 4.0, 1.0)) * 0.3
+      + (CASE WHEN (list_sum(list_transform(toks, x -> length(x))) * 1.0
+                    / NULLIF(len(toks), 0)) BETWEEN 2.0 AND 12.0
+              THEN 1.0 ELSE 0.3 END) * 0.2
+      + LEAST((len(list_filter(toks, x -> list_contains(
+          ['the','of','and','a','to','in','is','it','that','for','on','with',
+           'as','was','at','by','an','be','this','are'], lower(x)))) * 1.0
+            / NULLIF(len(toks), 0)) * 5.0, 1.0) * 0.2,
+      0.0), 1.0) AS q
+  FROM t),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER w AS rk,
+    FIRST_VALUE(doc_id) OVER w AS c_id, FIRST_VALUE(q) OVER w AS c_q
+  FROM fq WINDOW w AS (PARTITION BY source ORDER BY q DESC, doc_id ASC)),
+pairs AS (
+  SELECT source, c_id AS chosen_id, doc_id AS rejected_id
+  FROM rk WHERE rk > 1 AND c_q - q >= 0.02),
+frame AS (
+  SELECT cf.f1 - rf.f1 AS d1, cf.f2 - rf.f2 AS d2, cf.f3 - rf.f3 AS d3,
+         cf.f4 - rf.f4 AS d4, cf.f5 - rf.f5 AS d5, CAST(1.0 AS DOUBLE) AS y
+  FROM pairs p JOIN fq cf ON cf.doc_id = p.chosen_id
+               JOIN fq rf ON rf.doc_id = p.rejected_id
+  UNION ALL
+  SELECT rf.f1 - cf.f1, rf.f2 - cf.f2, rf.f3 - cf.f3,
+         rf.f4 - cf.f4, rf.f5 - cf.f5, CAST(0.0 AS DOUBLE)
+  FROM pairs p JOIN fq cf ON cf.doc_id = p.chosen_id
+               JOIN fq rf ON rf.doc_id = p.rejected_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+    SUM(d1) / COUNT(*) AS mu1, SUM(d2) / COUNT(*) AS mu2,
+    SUM(d3) / COUNT(*) AS mu3, SUM(d4) / COUNT(*) AS mu4,
+    SUM(d5) / COUNT(*) AS mu5,
+    CASE WHEN SUM(d1*d1)/COUNT(*) - (SUM(d1)/COUNT(*))*(SUM(d1)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(d1*d1)/COUNT(*) - (SUM(d1)/COUNT(*))*(SUM(d1)/COUNT(*))) END AS sd1,
+    CASE WHEN SUM(d2*d2)/COUNT(*) - (SUM(d2)/COUNT(*))*(SUM(d2)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(d2*d2)/COUNT(*) - (SUM(d2)/COUNT(*))*(SUM(d2)/COUNT(*))) END AS sd2,
+    CASE WHEN SUM(d3*d3)/COUNT(*) - (SUM(d3)/COUNT(*))*(SUM(d3)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(d3*d3)/COUNT(*) - (SUM(d3)/COUNT(*))*(SUM(d3)/COUNT(*))) END AS sd3,
+    CASE WHEN SUM(d4*d4)/COUNT(*) - (SUM(d4)/COUNT(*))*(SUM(d4)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(d4*d4)/COUNT(*) - (SUM(d4)/COUNT(*))*(SUM(d4)/COUNT(*))) END AS sd4,
+    CASE WHEN SUM(d5*d5)/COUNT(*) - (SUM(d5)/COUNT(*))*(SUM(d5)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(d5*d5)/COUNT(*) - (SUM(d5)/COUNT(*))*(SUM(d5)/COUNT(*))) END AS sd5
+  FROM frame),
+gd AS (
+  WITH RECURSIVE it AS (
+    SELECT 0 AS step, FALSE AS done, CAST(1.0 AS DOUBLE) AS rate,
+      (s0).l AS loss,
+      (s0).g1 AS g1, (s0).g2 AS g2, (s0).g3 AS g3, (s0).g4 AS g4,
+      (s0).g5 AS g5, (s0).gb AS gb,
+      CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+      CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS w4,
+      CAST(0.0 AS DOUBLE) AS w5, CAST(0.0 AS DOUBLE) AS b
+    FROM (SELECT (
+      SELECT {
+        'l': SUM(GREATEST(0.0, 0.0) - y * 0.0 + LN(1.0 + EXP(-ABS(0.0)))) / MAX(st.nd),
+        'g1': SUM((1.0/(1.0+EXP(0.0)) - y) * ((d1 - st.mu1)/st.sd1)) / MAX(st.nd),
+        'g2': SUM((1.0/(1.0+EXP(0.0)) - y) * ((d2 - st.mu2)/st.sd2)) / MAX(st.nd),
+        'g3': SUM((1.0/(1.0+EXP(0.0)) - y) * ((d3 - st.mu3)/st.sd3)) / MAX(st.nd),
+        'g4': SUM((1.0/(1.0+EXP(0.0)) - y) * ((d4 - st.mu4)/st.sd4)) / MAX(st.nd),
+        'g5': SUM((1.0/(1.0+EXP(0.0)) - y) * ((d5 - st.mu5)/st.sd5)) / MAX(st.nd),
+        'gb': SUM(1.0/(1.0+EXP(0.0)) - y) / MAX(st.nd)
+      } FROM frame CROSS JOIN stats st) AS s0) z0
+    UNION ALL
+    SELECT step + 1,
+      CASE WHEN (s).l <= loss THEN loss - (s).l < 1e-7
+           ELSE rate / 2 < 1e-12 END,
+      CASE WHEN (s).l <= loss THEN rate ELSE rate / 2 END,
+      CASE WHEN (s).l <= loss THEN (s).l ELSE loss END,
+      CASE WHEN (s).l <= loss THEN (s).g1 ELSE g1 END,
+      CASE WHEN (s).l <= loss THEN (s).g2 ELSE g2 END,
+      CASE WHEN (s).l <= loss THEN (s).g3 ELSE g3 END,
+      CASE WHEN (s).l <= loss THEN (s).g4 ELSE g4 END,
+      CASE WHEN (s).l <= loss THEN (s).g5 ELSE g5 END,
+      CASE WHEN (s).l <= loss THEN (s).gb ELSE gb END,
+      CASE WHEN (s).l <= loss THEN w1 - rate * g1 ELSE w1 END,
+      CASE WHEN (s).l <= loss THEN w2 - rate * g2 ELSE w2 END,
+      CASE WHEN (s).l <= loss THEN w3 - rate * g3 ELSE w3 END,
+      CASE WHEN (s).l <= loss THEN w4 - rate * g4 ELSE w4 END,
+      CASE WHEN (s).l <= loss THEN w5 - rate * g5 ELSE w5 END,
+      CASE WHEN (s).l <= loss THEN b - rate * gb ELSE b END
+    FROM (
+      SELECT it.*, (
+        SELECT {
+          'l': SUM(GREATEST(mm, 0.0) - y * mm + LN(1.0 + EXP(-ABS(mm)))) / MAX(nd2),
+          'g1': SUM((1.0/(1.0+EXP(-mm)) - y) * z1) / MAX(nd2),
+          'g2': SUM((1.0/(1.0+EXP(-mm)) - y) * z2) / MAX(nd2),
+          'g3': SUM((1.0/(1.0+EXP(-mm)) - y) * z3) / MAX(nd2),
+          'g4': SUM((1.0/(1.0+EXP(-mm)) - y) * z4) / MAX(nd2),
+          'g5': SUM((1.0/(1.0+EXP(-mm)) - y) * z5) / MAX(nd2),
+          'gb': SUM(1.0/(1.0+EXP(-mm)) - y) / MAX(nd2)
+        } FROM (
+          SELECT y, st.nd AS nd2,
+            (d1 - st.mu1)/st.sd1 AS z1, (d2 - st.mu2)/st.sd2 AS z2,
+            (d3 - st.mu3)/st.sd3 AS z3, (d4 - st.mu4)/st.sd4 AS z4,
+            (d5 - st.mu5)/st.sd5 AS z5,
+            ((((((it.b - it.rate * it.gb)
+              + (it.w1 - it.rate * it.g1) * ((d1 - st.mu1)/st.sd1))
+              + (it.w2 - it.rate * it.g2) * ((d2 - st.mu2)/st.sd2))
+              + (it.w3 - it.rate * it.g3) * ((d3 - st.mu3)/st.sd3))
+              + (it.w4 - it.rate * it.g4) * ((d4 - st.mu4)/st.sd4))
+              + (it.w5 - it.rate * it.g5) * ((d5 - st.mu5)/st.sd5)) AS mm
+          FROM frame CROSS JOIN stats st) q2) AS s
+      FROM it WHERE step < 15 AND NOT done) z
+  )
+  SELECT * FROM it ORDER BY step DESC LIMIT 1),
+model AS (
+  SELECT g.b AS braw,
+    FLOOR(g.w1 / st.sd1 * 1000000 + 0.5) / 1000000 AS rw1,
+    FLOOR(g.w2 / st.sd2 * 1000000 + 0.5) / 1000000 AS rw2,
+    FLOOR(g.w3 / st.sd3 * 1000000 + 0.5) / 1000000 AS rw3,
+    FLOOR(g.w4 / st.sd4 * 1000000 + 0.5) / 1000000 AS rw4,
+    FLOOR(g.w5 / st.sd5 * 1000000 + 0.5) / 1000000 AS rw5,
+    FLOOR((g.b - ((((g.w1 * st.mu1 / st.sd1 + g.w2 * st.mu2 / st.sd2)
+      + g.w3 * st.mu3 / st.sd3) + g.w4 * st.mu4 / st.sd4)
+      + g.w5 * st.mu5 / st.sd5)) * 1000000 + 0.5) / 1000000 AS rb
+  FROM gd g CROSS JOIN stats st),
+rew AS (
+  SELECT doc_id, (((((m.rb + f1 * m.rw1) + f2 * m.rw2) + f3 * m.rw3)
+    + f4 * m.rw4) + f5 * m.rw5) AS r
+  FROM fq CROSS JOIN model m),
+evals AS (
+  SELECT p.source, CASE WHEN rc.r > rr.r THEN 1.0 ELSE 0.0 END AS c
+  FROM pairs p JOIN rew rc ON rc.doc_id = p.chosen_id
+               JOIN rew rr ON rr.doc_id = p.rejected_id),
+ov AS (SELECT SUM(c) / COUNT(*) AS o FROM evals)
+SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  FLOOR(SUM(e.c) / COUNT(*) * 10000 + 0.5) / 10000 AS accuracy,
+  (FLOOR(SUM(e.c) / COUNT(*) * 10000 + 0.5) / 10000 >= 0.5) AS beats_chance,
+  FLOOR(ov.o * 10000 + 0.5) / 10000 AS overall_accuracy,
+  (ov.o >= 0.85) AS overall_ok,
+  (ABS(m.braw) < 1e-6) AS bias_ok
+FROM evals e CROSS JOIN ov CROSS JOIN model m
+GROUP BY e.source, ov.o, m.braw ORDER BY e.source"""
+
   private val x57 = DeclaredQuery("x57_train_quality_classifier",
     // the CCNet/GPT-3-style quality-filter loop end to end, trained ON the
     // corpus instead of imported: Gopher-rule weak labels → distributed
     // logistic regression on the signal columns (one partial-agg pass per
     // GD step, driver state = coefficients) → smooth re-score of every
-    // document, reported as per-lang rule-vs-model keep counts. Rows-only
-    // by declaration: GD has no SQL spelling; LogisticRegressionSpec pins
-    // the trainer against a driver-side reference to 1e-6 and the
-    // composition with applyLinearModel.
+    // document, reported as per-lang rule-vs-model keep counts.
+    // ORACLED (r17, the x65 recursion technique): the GD trajectory IS
+    // SQL-expressible — a WITH RECURSIVE iterate carrying
+    // (w, b, rate, loss, grad) replays the exact update rule
+    // (standardized features, one loss+grad aggregation per step,
+    // rate-halving on a failed step, tol stop) against the x41 oracle's
+    // feature replay. Spark folds per-partition partials in partition
+    // order where DuckDB sums globally — a ~1e-10 coefficient divergence —
+    // so the learned coefficients are rounded to 6 decimals on BOTH sides
+    // before the scoring pass: the engines then score with bit-identical
+    // weights and the keep counts are exact integers.
+    // LogisticRegressionSpec still pins the trainer against a driver-side
+    // reference to 1e-6 and the composition with applyLinearModel.
     (s, d) => {
       import graft.functions.{Scoring, Scrub}
       // localCheckpoint: the trainer's GD passes persist their OWN narrow
@@ -3958,14 +4278,19 @@ ORDER BY doc_id"""))
       val m = graft.operators.LogisticRegression.train(feats,
         Seq("f_tokens", "f_mean_len", "f_sym", "f_alpha", "f_stop"), "y",
         iters = 20)
-      Scoring.applyLinearModel(feats, m.weights, m.bias)
+      // round4-style 6-decimal pin (FLOOR(x·1e6+0.5)/1e6, driver-side):
+      // absorbs the cross-engine float-fold divergence of the trajectory
+      // so both engines score with the SAME coefficient doubles
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      Scoring.applyLinearModel(feats,
+          m.weights.map { case (c, w) => c -> r6(w) }, r6(m.bias))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("y")).cast("long").as("n_rule_keep"),
           sum(col("keep").cast("long")).as("n_model_keep"))
         .orderBy("lang")
     },
-    None)
+    Some(X57OracleSql))
 
   private val x58 = DeclaredQuery("x58_sketch_vocab",
     // per-language distinct-vocabulary tracking via mergeable HLL
@@ -4676,14 +5001,17 @@ ORDER BY source, rejected_id"""))
     // source (x72's bestVsRest) → Bradley–Terry training frame
     // (symmetrized feature differences, Preferences.rewardModelTrainingFrame)
     // → logistic fit (x57's trainer) → score EVERY candidate and report
-    // per-source pairwise accuracy. Rows-only (GD has no SQL spelling);
-    // SELF-VALIDATING, stated honestly: the quality target is NOT linear
-    // in the signals, so per-source accuracy is flagged at
-    // better-than-chance (≥ 0.5), the corpus-wide accuracy at ≥ 0.85
-    // (measured ~0.92 — the linear reward model recovers most of the
-    // ordering), and the bias pinned ≈ 0 by the symmetrized objective.
-    // PreferencesSpec pins the frame's symmetry and a SEPARABLE fixture
-    // at accuracy exactly 1.0 — the clean-room version of the same claim.
+    // per-source pairwise accuracy. ORACLED (r17, the x57 recursion
+    // technique): the whole chain is SQL-expressible — the x04b quality
+    // replay ranks the pairs, a symmetrized-diff frame feeds the same
+    // WITH RECURSIVE GD iterate, and the 6-decimal coefficient pin makes
+    // the reward comparisons bit-identical. The flags stay SELF-VALIDATING
+    // and honestly stated: the quality target is NOT linear in the
+    // signals, so per-source accuracy is flagged at better-than-chance
+    // (≥ 0.5), the corpus-wide accuracy at ≥ 0.85 (measured ~0.92), and
+    // the bias pinned ≈ 0 by the symmetrized objective. PreferencesSpec
+    // pins the frame's symmetry and a SEPARABLE fixture at accuracy
+    // exactly 1.0 — the clean-room version of the same claim.
     (s, d) => {
       import graft.functions.{Scrub, TextAnalysis}
       val feats = t(s, d, "documents")
@@ -4706,8 +5034,11 @@ ORDER BY source, rejected_id"""))
         pairs, feats, "doc_id", fcols)
       val m = graft.operators.LogisticRegression.train(
         frame, fcols.map("d_" + _), "y", iters = 15)
-      val reward = m.weights.foldLeft(lit(m.bias): org.apache.spark.sql.Column) {
-        case (acc, (c, wj)) => acc + lit(wj) * col(c.stripPrefix("d_"))
+      // the x57 coefficient pin: 6-decimal rounding on both engines makes
+      // the reward margins (and so every rc > rr comparison) bit-identical
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val reward = m.weights.foldLeft(lit(r6(m.bias)): org.apache.spark.sql.Column) {
+        case (acc, (c, wj)) => acc + lit(r6(wj)) * col(c.stripPrefix("d_"))
       }
       val scored = feats.select(col("doc_id"), reward.as("__r"))
       val evals = pairs
@@ -4729,7 +5060,7 @@ ORDER BY source, rejected_id"""))
           lit(math.abs(m.bias) < 1e-6).as("bias_ok"))
         .orderBy("source")
     },
-    None)
+    Some(X74OracleSql))
 
   private val x75 = DeclaredQuery("x75_vocab_coverage",
     // top-K vocabulary coverage curve (Relevance.vocabCoverage): the
@@ -6665,6 +6996,131 @@ p AS (SELECT s[i] AS group_a, s[j] AS group_b
 SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS n_shared_keys
 FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** x114's DuckDB oracle: the x113 matrix replay (literal prefixes)
+    * symmetrized into shares, then the PageRank update UNROLLED as ten
+    * chained CTEs — no recursion needed because the iteration count is
+    * fixed and branch-free (unlike x57's rate-halving GD, which needs
+    * WITH RECURSIVE). (1.0 - 0.85) is spelled as the subtraction, not
+    * 0.15: the two literals are DIFFERENT doubles and the Spark side
+    * computes the base via the subtraction. The update is branch-free so
+    * cross-engine float-fold divergence (~1e-15/iter) never compounds
+    * into a different trajectory; round4 canonicalizes. The symmetrized
+    * graph has no dangling nodes (every vertex appears as src), so the
+    * teleport term is exactly 0.0 on both engines. */
+  private val X114OracleSql: String = {
+    val head = """WITH n AS (
+  SELECT substr(text, 1, 80) AS k, source FROM documents
+  WHERE source IS NOT NULL),
+g AS (SELECT k, list_sort(list_distinct(list(source))) AS s
+      FROM n GROUP BY k HAVING COUNT(DISTINCT source) >= 2),
+p AS (SELECT s[i] AS ga, s[j] AS gb
+      FROM g, unnest(range(1, len(s) + 1)) t1(i),
+           unnest(range(1, len(s) + 1)) t2(j)
+      WHERE i < j),
+m AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS w FROM p GROUP BY 1, 2),
+eall AS (SELECT ga AS src, gb AS dst, w FROM m
+         UNION ALL SELECT gb, ga, w FROM m),
+ow AS (SELECT src, SUM(CAST(w AS DOUBLE)) AS tw FROM eall GROUP BY src),
+ed AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / ow.tw AS share
+       FROM eall e JOIN ow USING (src)),
+verts AS (SELECT DISTINCT src AS node FROM eall),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+r0 AS (SELECT node, 1.0 / nd.n AS r FROM verts CROSS JOIN nd)"""
+    val steps = (1 to 10).map { k =>
+      s""",
+r$k AS (
+  SELECT v.node, (1.0 - 0.85) / nd.n + 0.85 * COALESCE(sm.s, 0.0) AS r
+  FROM verts v CROSS JOIN nd
+  LEFT JOIN (SELECT e.dst AS node, SUM(e.share * p.r) AS s
+             FROM ed e JOIN r${k - 1} p ON p.node = e.src
+             GROUP BY e.dst) sm ON sm.node = v.node)"""
+    }.mkString
+    head + steps + """
+SELECT node AS source, FLOOR(r * 10000 + 0.5) / 10000 AS rank
+FROM r10 ORDER BY source"""
+  }
+
+  private val x114 = DeclaredQuery("x114_source_pagerank",
+    // source-authority PageRank (Graph.pagerank) over the x113 provenance
+    // graph: sources are nodes, shared CCNet-prefix counts are symmetric
+    // weighted edges, ten damped iterations rank "who is the upstream" —
+    // the crawl-seed-prioritization read (Common Crawl host-ranking
+    // style) composed from the dup matrix the pipeline already computes.
+    // Each iteration is one |V|-row join + one partial-agg shuffle of
+    // narrow (node, double) rows; edge shares are checkpointed once.
+    // Branch-free float iterate → round4 oracles it exactly (see
+    // X114OracleSql's notes).
+    (s, d) => {
+      val m = graft.operators.Dedup.crossGroupDupMatrix(
+          t(s, d, "documents"), substring(col("text"), 1, 80), "source")
+        .localCheckpoint(true) // consumed twice: both edge directions
+      val edges = m.select(col("group_a").as("src"),
+          col("group_b").as("dst"), col("n_shared_keys"))
+        .unionByName(m.select(col("group_b").as("src"),
+          col("group_a").as("dst"), col("n_shared_keys")))
+      graft.operators.Graph.pagerank(edges, "src", "dst",
+          col("n_shared_keys"), iters = 10, damping = 0.85)
+        .select(col("node").as("source"), round4(col("rank")).as("rank"))
+        .orderBy("source")
+    },
+    Some(X114OracleSql))
+
+  private val x115 = DeclaredQuery("x115_containment_pairs",
+    // asymmetric containment dedup (NearDup.containmentPairs — Broder's
+    // containment, the subset/quotation face resemblance misses; the
+    // dedup action differs too: keep the SUPERSET). The corpus' organic
+    // near-dups are same-length mutations (containment ≡ Jaccard there),
+    // so the entry CONSTRUCTS the asymmetric case the x110 way: every 5
+    // consecutive docs concatenate into a synthetic "quoting article" in
+    // doc_id order, and each original must surface inside its article at
+    // containment EXACTLY 1.0 (subset ⇒ every shingle present) while
+    // their Jaccard sits near 1/5 — invisible to x02d's threshold. The
+    // oracle replays the article construction (string_agg in id order)
+    // and the shingle-set arithmetic literally (the x04f collision trap:
+    // Spark joins on shingle HASHES, the oracle on shingle STRINGS).
+    // Counts/sizes are exact integers; the 0.9 cut compares exact-int
+    // divisions, bit-identical cross-engine.
+    (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val articles = docs
+        .groupBy(expr("doc_id div 5").as("bin"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("doc_id").as("k"),
+            col("text").as("t")))),
+          x => x.getField("t")), " ").as("text"))
+        .select((col("bin") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.NearDup.containmentPairs(
+          docs.unionByName(articles), "doc_id", "text", minContainment = 0.9)
+        .select(col("id_1"), col("id_2"),
+          round2(col("containment_1_in_2")).as("containment_1_in_2"),
+          round2(col("containment_2_in_1")).as("containment_2_in_1"))
+        .orderBy("id_1", "id_2")
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text FROM documents),
+art AS (SELECT doc_id // 5 + 1000000 AS doc_id,
+          string_agg(text, ' ' ORDER BY doc_id) AS text
+        FROM d0 GROUP BY doc_id // 5),
+corpus AS (SELECT * FROM d0 UNION ALL SELECT * FROM art),
+sh AS (SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1),
+                          i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)
+            AS toks FROM corpus)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM ex a JOIN ex b USING (g)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+p AS (SELECT id_1, id_2, c * 1.0 / sa.n AS c12, c * 1.0 / sb.n AS c21
+      FROM isect JOIN sz sa ON sa.doc_id = id_1
+                 JOIN sz sb ON sb.doc_id = id_2)
+SELECT id_1, id_2,
+  FLOOR(c12 * 100 + 0.5) / 100 AS containment_1_in_2,
+  FLOOR(c21 * 100 + 0.5) / 100 AS containment_2_in_1
+FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -6682,7 +7138,7 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x10d, x10e, x10f)
+    x113, x114, x115, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -357,6 +357,57 @@ object NearDup {
     materializeAndRelease(out, hs)
   }
 
+  /** Asymmetric CONTAINMENT pairs over exact shingle sets:
+    * `cont(A→B) = |S_A ∩ S_B| / |S_A|` — the fraction of A's shingles
+    * living inside B. The subset/quotation detector Jaccard structurally
+    * misses: a short document quoted whole inside a long one has
+    * containment 1.0 but Jaccard ≈ |short|/|long|, far below any sane
+    * pair threshold (Broder's original resemblance/containment split).
+    * The dedup action differs too — containment says KEEP THE SUPERSET,
+    * where symmetric near-dup says keep either.
+    *
+    * Same inverted-index shape as [[jaccardPairsExact]]: one posting
+    * self-join bounded by shared shingles, `dfCap` stop-shingle pruning
+    * (capped shingles leave the intersection but not the set sizes, so
+    * both ratios only UNDERESTIMATE — conservative for a ≥ threshold).
+    * Each unordered pair emits ONCE with both directions' ratios,
+    * filtered on the larger. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double, k: Int = 3,
+                       dfCap: Option[Long] = None): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val hs = df.select(col(idCol).as("__id"),
+      array_distinct(call_function("graft_shingle_hashes", col(textCol), lit(k)))
+        .as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = hs.select(col("__id"), size(col("__sh")).as("__n"))
+    val postings0 = hs.select(col("__id"), explode(col("__sh")).as("__h"))
+    val postings = dfCap match {
+      case Some(cap) =>
+        val hot = postings0.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select("__h")
+        postings0.join(broadcast(hot), Seq("__h"), "left_anti")
+      case None => postings0
+    }
+    val isect = postings.select(col("__h"), col("__id").as("id_1"))
+      .join(postings.select(col("__h"), col("__id").as("id_2")), Seq("__h"))
+      .where(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("__c"))
+    val out = isect
+      .join(sizes.select(col("__id").as("id_1"), col("__n").as("__n1")), "id_1")
+      .join(sizes.select(col("__id").as("id_2"), col("__n").as("__n2")), "id_2")
+      .withColumn("containment_1_in_2",
+        col("__c").cast("double") / col("__n1").cast("double"))
+      .withColumn("containment_2_in_1",
+        col("__c").cast("double") / col("__n2").cast("double"))
+      .where(greatest(col("containment_1_in_2"), col("containment_2_in_1"))
+        >= minContainment)
+      .select("id_1", "id_2", "containment_1_in_2", "containment_2_in_1")
+    materializeAndRelease(out, hs)
+  }
+
   /** Partial-overlap candidate pairs via winnowing fingerprints (MOSS):
     * documents sharing ≥ `minShared` selected rolling-hash k-grams — the
     * detector for SHARED PASSAGES between documents whose full-document

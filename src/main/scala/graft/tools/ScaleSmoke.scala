@@ -202,6 +202,65 @@ object ScaleSmoke {
       try q.processAllAvailable() finally q.stop()
       s.range(1).toDF("ok")
     }),
+    // the q48/q49 shapes UNFILTERED (gate spellings pin o_custkey/c_custkey
+    // to a fixed range so the oracle stays cheap; production runs the whole
+    // table): the recursive fixpoint's round count is the max per-customer
+    // chain depth (invariant under key-axis scaling — buildScaledDir
+    // preserves chain lengths), so its cost model is rounds × per-round
+    // join rows, which must scale like the corpus
+    "recursive_cte_full" -> ((s, dir) => {
+      graft.sources.Tables.registerAll(s, dir)
+      // Spark 4 guards runaway recursion at 1M total emitted rows
+      // (spark.sql.cteRecursionRowLimit); a fixpoint that legitimately
+      // walks EVERY row needs the limit sized to the data — this is a real
+      // 100 TB deployment knob, not a smoke artifact (the level limit,
+      // max chain depth, stays at its default ~100)
+      s.conf.set("spark.sql.cteRecursionRowLimit", 200000000)
+      s.sql("""WITH RECURSIVE ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+walk AS (
+  SELECT o_custkey, o_orderkey, rn, o_totalprice AS cum
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.o_custkey, r.o_orderkey, r.rn, w.cum + r.o_totalprice
+  FROM walk w JOIN ranked r
+    ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1
+)
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn,
+       FLOOR(cum * 100 + 0.5) / 100 AS cum
+FROM walk""")
+    }),
+    "lateral_topk_full" -> ((s, dir) => {
+      graft.sources.Tables.registerAll(s, dir)
+      s.sql("""SELECT c.c_custkey, t.o_orderkey,
+       FLOOR(t.o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    }),
+    // PageRank on a corpus-scaled graph: the x114 gate runs on the
+    // |sources|-node provenance graph (fixed size at any corpus scale),
+    // so the smoke drives the operator over an events-derived random
+    // graph instead — |V| = users ×copies, |E| = events ×copies, hashed
+    // destinations. Measures the real scale axis: 10 × (|V|-row join +
+    // dst-keyed partial agg) over a corpus-sized edge list.
+    "pagerank_events" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val ev = graft.sources.Tables.table(s, dir, "events")
+        .select("event_id", "user_id")
+      val maxUser = ev.agg(org.apache.spark.sql.functions.max("user_id"))
+        .head().getLong(0) + 1
+      val edges = ev.select(col("user_id").as("src"),
+        pmod(xxhash64(col("event_id")), lit(maxUser)).as("dst"),
+        lit(1L).as("w"))
+      graft.operators.Graph.pagerank(edges, "src", "dst", col("w"),
+        iters = 10, damping = 0.85)
+    }),
     "matryoshka_ivf" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, slice}
       val e = graft.sources.Tables.table(s, dir, "embeddings")
@@ -230,7 +289,7 @@ object ScaleSmoke {
   def buildScaledDir(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
     import java.nio.file.{Files, Path}
-    val marker = Path.of(outDir, s".complete_v5_${copies}x")
+    val marker = Path.of(outDir, s".complete_v6_${copies}x")
     if (Files.exists(marker)) return
     val out = Path.of(outDir)
     if (Files.exists(out)) { // stale params — rebuild from scratch
@@ -329,10 +388,36 @@ object ScaleSmoke {
     scaledPt.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/part.parquet")
 
+    // orders + customer scale along the KEY axis together: copy i shifts
+    // o_orderkey/o_custkey/c_custkey into a fresh id universe, so each
+    // customer's order-chain LENGTH (the recursive fixpoint's round count
+    // and the lateral top-k's per-key heap) is preserved while customer
+    // cardinality grows `copies`× — the realistic scale dimension for the
+    // q48/q49 shapes (whose gate spellings filter to a fixed custkey range
+    // precisely so the GATE cost stays bounded; the smoke-only unfiltered
+    // runners below measure the production shape).
+    val od = spark.read.parquet(s"$baseDir/orders.parquet")
+    val scaledOd = (0 until copies).map { i =>
+      if (i == 0) od
+      else od
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * IdOffset))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+    scaledOd.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+
+    val cu = spark.read.parquet(s"$baseDir/customer.parquet")
+    val scaledCu = (0 until copies).map { i =>
+      if (i == 0) cu
+      else cu.withColumn("c_custkey", col("c_custkey") + lit(i * IdOffset))
+    }.reduce(_ unionByName _)
+    scaledCu.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
+
     graft.sources.Tables.names
       .filterNot(n =>
         n == "documents" || n == "embeddings" || n == "events" ||
-          n == "lineitem" || n == "part")
+          n == "lineitem" || n == "part" || n == "orders" || n == "customer")
       .foreach { n =>
         val link = Path.of(outDir, s"$n.parquet")
         if (!Files.exists(link))

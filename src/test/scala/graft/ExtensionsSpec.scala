@@ -171,6 +171,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.subsetOf(got.map(t => (t._1, t._2))))
   }
 
+  test("containmentPairs: quoted-subset docs score 1.0 where Jaccard misses them") {
+    import spark.implicits._
+    val tweet = "the quick brown fox jumps over the lazy dog every single morning"
+    val article = "breaking news coverage begins here with context " + tweet +
+      " and then continues with extended analysis commentary reactions and a " +
+      "long closing section about entirely different subjects and themes"
+    val df = Seq((1L, tweet), (2L, article),
+      (3L, "an unrelated document about completely different things altogether"))
+      .toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(df, "doc_id", "text", minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (i1, i2, c12, c21) = got.head
+    assert(i1 == 1L && i2 == 2L)
+    assert(c12 == 1.0, s"tweet fully contained, got $c12") // every shingle present
+    assert(c21 < 0.6, s"article mostly NOT in tweet, got $c21")
+    // the symmetric detector misses exactly this pair
+    val jac = NearDup.jaccardPairsExact(df, "doc_id", "text", minJaccard = 0.5)
+    assert(jac.count() == 0)
+  }
+
+  test("containmentPairs: ratios equal the cross-join ground truth; dfCap is conservative") {
+    val got = NearDup.containmentPairs(docs, "doc_id", "text", minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val sh = docs.select(col("doc_id"),
+      array_distinct(NearDup.shingles(col("text"))).as("sh")).cache()
+    val a = sh.select(col("doc_id").as("id_1"), col("sh").as("s1"))
+    val b = sh.select(col("doc_id").as("id_2"), col("sh").as("s2"))
+    val want = a.crossJoin(b).where(col("id_1") < col("id_2"))
+      .withColumn("c", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+      .withColumn("c12", col("c") / size(col("s1")).cast("double"))
+      .withColumn("c21", col("c") / size(col("s2")).cast("double"))
+      .where(greatest(col("c12"), col("c21")) >= 0.5)
+      .select("id_1", "id_2", "c12", "c21")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    sh.unpersist()
+    assert(got.nonEmpty && got == want)
+    val capped = NearDup.containmentPairs(docs, "doc_id", "text",
+        minContainment = 0.5, dfCap = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(got.map(t => (t._1, t._2))))
+  }
+
   test("winnowOverlapPairs finds shared-passage pairs, not disjoint docs") {
     import spark.implicits._
     val passage = "the shared middle section of these two documents goes on " +

@@ -554,4 +554,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q48 recursive CTE executes as a UnionLoop of per-round equi-joins, " +
+    "no driver row loop, no cartesian") {
+    val p = plan("q48_recursive_cte")
+    // Spark 4 plans WITH RECURSIVE as UnionLoop/UnionLoopRef: the fixpoint
+    // is an EXECUTOR-side iterate (each round joins the previous frontier
+    // against the ranked base), never a driver-side collect-and-resubmit
+    assert(p.contains("UnionLoop"), s"expected UnionLoop fixpoint:\n$p")
+    // the step is the (custkey, rn+1) chain walk — an equi-join, so each
+    // round is a hash join of frontier × ranked, bounded by chain fan-out
+    assert(p.contains("(rn"), s"chain-step join condition missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the o_custkey bound reaches the base scans inside the loop body, so
+    // recursion never walks unfiltered orders
+    assert(p.contains("o_custkey") && p.contains("< 100"), p)
+  }
 }
