@@ -336,6 +336,59 @@ object Queries {
 FLOOR(o_totalprice * 100 + 0.5) / 100 AS top_price
 FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
 
+  private val q53 = DeclaredQuery("q53_date_spine",
+    // the generate_series gap-fill idiom (the most common Postgres
+    // time-series pattern the reference forwards verbatim): a complete
+    // month spine over 2001, LEFT JOIN monthly order counts, zero-filled —
+    // months with no orders MUST appear with n = 0, which a plain GROUP BY
+    // can never produce. The data ends 2001-08 at every scale factor, so
+    // months 01-08 exercise the join-and-count path and 09-12 the
+    // zero-fill path — both faces fire in one entry. Spark spells the spine sequence()+explode (a
+    // 12-row local relation — no scan, no shuffle); DuckDB spells it
+    // generate_series (per-engine spelling, the Q29/Q30a precedent; the
+    // join/fill semantics are the shared contract).
+    (s, d) => {
+      val spine = t(s, d, "orders").sparkSession.sql(
+        """SELECT explode(sequence(DATE'2001-01-01', DATE'2001-12-01',
+          INTERVAL '1' MONTH)) AS mo""")
+      val counts = t(s, d, "orders")
+        .where(year(col("o_orderdate")) === 2001)
+        .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("date").as("mo"))
+        .agg(count(lit(1)).as("n0"))
+      spine.join(counts, Seq("mo"), "left")
+        .select(col("mo"), coalesce(col("n0"), lit(0L)).as("n"))
+        .orderBy("mo")
+    },
+    Some("""WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '2001-01-01', DATE '2001-12-01',
+    INTERVAL 1 MONTH)) AS DATE) AS mo),
+c AS (SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mo,
+        CAST(COUNT(*) AS BIGINT) AS n0
+      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2001 GROUP BY 1)
+SELECT spine.mo, COALESCE(c.n0, 0) AS n
+FROM spine LEFT JOIN c USING (mo) ORDER BY mo"""))
+
+  private val q54 = DeclaredQuery("q54_ordinal_unnest",
+    // ordinality-preserving unnest (Postgres `unnest ... WITH ORDINALITY`):
+    // token position survives the explode — the construct every
+    // position-aware text pipeline leans on (and the one plain UNNEST
+    // loses). Spark spells it posexplode (0-based, so +1 aligns with
+    // WITH ORDINALITY's 1-based counter; DuckDB spells the counter
+    // generate_subscripts). Filtered to short docs for a bounded gate.
+    (s, d) => t(s, d, "documents")
+      .where(col("n_chars") < 120)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .where(length(col("col")) > 0)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"),
+        col("col").as("token"))
+      .orderBy("doc_id", "ord"),
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+  FROM documents WHERE n_chars < 120)
+SELECT doc_id, CAST(i AS BIGINT) AS ord, toks[i] AS token
+FROM t, unnest(generate_series(1, len(toks))) u(i)
+WHERE length(toks[i]) > 0 ORDER BY doc_id, ord"""))
+
   private val q46 = DeclaredQuery("q46_like_predicates",
     (s, d) => t(s, d, "customer")
       .select(col("c_custkey"),
@@ -7129,7 +7182,8 @@ FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
     q17, q18, q19, q20, q21, q22, q23, q24, q24a, q24b, q24c, q24d, q24e,
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q32b, q32c,
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
     x13, x13b, x14, x14b, x14c, x15, x6d, x16, x16b, x16c, x17, x17b, x18, x19, x10c,
