@@ -7174,6 +7174,113 @@ SELECT id_1, id_2,
   FLOOR(c21 * 100 + 0.5) / 100 AS containment_2_in_1
 FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
 
+  private val x116 = DeclaredQuery("x116_streaming_full_outer_interval_join",
+    // the FULL_OUTER face completing the streaming interval-join family
+    // (x80 inner, x92 left_outer): every view emits once — paired or
+    // null-padded after its seal — AND every purchase no view can claim
+    // (the attribution hole) emits once with null left columns, after the
+    // watermark proves no impression can still pair with it (its
+    // candidate window is [r_ts − 6h, r_ts], so the right row seals at
+    // its OWN timestamp + the delay). Same x92 sentinel-flush replay on
+    // both streams; oracle is the batch FULL JOIN with the identical
+    // interval condition (user_id coalesced across sides, NULLS FIRST
+    // spelled to match Spark's ASC default).
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val span = ev.agg(
+        min(unix_millis(col("ts").cast("timestamp"))).as("lo"),
+        max(unix_millis(col("ts").cast("timestamp"))).as("hi")).head()
+      val (loMs, hiMs) = (span.getLong(0), span.getLong(1))
+      val delayMin = (hiMs - loMs) / 60000 + 60
+      val maxDelayMs = 6L * 3600 * 1000
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x116")
+      val lDir = tmp.resolve("views").toString
+      val rDir = tmp.resolve("purchases").toString
+      ev.where(col("event_type") === "view")
+        .repartition(3).write.mode("overwrite").parquet(lDir)
+      ev.where(col("event_type") === "purchase")
+        .repartition(3).write.mode("overwrite").parquet(rDir)
+      def rd(p: String): DataFrame = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(p)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val out = tmp.resolve("out").toString
+      val q = graft.streaming.EventStreams
+        .intervalJoin(rd(lDir), rd(rDir), "user_id",
+          maxDelay = "6 hours", watermark = s"$delayMin minutes",
+          joinType = "full_outer")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("parquet").option("path", out).start()
+      val flushUser = 999999999L
+      def flush(dir: String, tsMs: Long): Unit =
+        s.range(1).select(lit(0L).as("event_id"),
+            timestamp_millis(lit(tsMs)).cast("timestamp_ntz").as("ts"),
+            lit(flushUser).as("user_id"), lit("flush").as("event_type"))
+          .coalesce(1).write.mode("append").parquet(dir)
+      try {
+        q.processAllAvailable()
+        val seal1 = hiMs + delayMin * 60000 + maxDelayMs + 3600000L
+        flush(lDir, seal1); flush(rDir, seal1)
+        q.processAllAvailable()
+        flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).where(col("user_id") =!= flushUser)
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          col("l_ts").cast("timestamp_ntz").as("l_ts"),
+          col("r_ts").cast("timestamp_ntz").as("r_ts"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       l.event_id AS l_id, r.event_id AS r_id,
+       CAST(l.ts AS TIMESTAMP) AS l_ts, CAST(r.ts AS TIMESTAMP) AS r_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+ORDER BY user_id, l_id NULLS FIRST, r_id NULLS FIRST"""))
+
+  private val x117 = DeclaredQuery("x117_robust_outliers",
+    // MAD-based robust outlier flags (Profiling.robustOutliers — Hampel /
+    // Iglewicz–Hoaglin): per event_type, |x − median| / (1.4826·MAD) > 3.5
+    // — the data-quality screen whose scale estimate the outliers
+    // themselves can't inflate (unlike σ). Flags genuinely fire on this
+    // corpus (~4% of events). Both medians ride the distributed
+    // exact-percentile recipe, whose (1−d)·lo + d·hi interpolation DuckDB's
+    // QUANTILE_CONT shares (the x87 parity), so dev/mad/z are
+    // bit-identical and the 3.5 cut compares identical doubles — the flag
+    // needs no rounding tolerance.
+    (s, d) => graft.operators.Profiling.robustOutliers(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        "event_type", "value")
+      .select(col("event_id"), col("event_type"),
+        round2(col("value")).as("value"),
+        round4(col("group_median")).as("group_median"),
+        round4(col("group_mad")).as("group_mad"),
+        round4(col("robust_z")).as("robust_z"),
+        col("is_outlier"))
+      .orderBy("event_id", "event_type"),
+    Some("""WITH m AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+d AS (SELECT e.event_id, e.event_type, e.value,
+        ABS(e.value - m.med) AS dev, m.med
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, QUANTILE_CONT(dev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT event_id, event_type,
+  FLOOR(value * 100 + 0.5) / 100 AS value,
+  FLOOR(med * 10000 + 0.5) / 10000 AS group_median,
+  FLOOR(mad * 10000 + 0.5) / 10000 AS group_mad,
+  CASE WHEN mad > 0 THEN
+    FLOOR(dev / (1.4826 * mad) * 10000 + 0.5) / 10000 END AS robust_z,
+  COALESCE(CASE WHEN mad > 0 THEN dev / (1.4826 * mad) END > 3.5, FALSE)
+    AS is_outlier
+FROM d JOIN md USING (event_type)
+ORDER BY event_id, event_type"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -7192,7 +7299,7 @@ FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x10d, x10e, x10f)
+    x113, x114, x115, x116, x117, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -631,4 +631,46 @@ object Profiling {
           col("__r.lost_tokens").cast("double") / col("__total").cast("double"))
           .as("lost_frac"))
   }
+
+  /** Robust per-group outlier flags via MAD (median absolute deviation) —
+    * the data-quality screen that survives the contamination it hunts:
+    * mean/stddev z-scores move WITH the outliers (one 10 GB document
+    * inflates σ enough to hide itself), medians don't. Per group:
+    * `m = median(x)`, `MAD = median(|x − m|)`,
+    * `robust_z = |x − m| / (1.4826·MAD)` (the Gaussian consistency
+    * constant, Hampel's convention), flagged above `cutoff` (3.5 — the
+    * Iglewicz–Hoaglin recommendation).
+    *
+    * Shape: TWO passes of the distributed exact-median recipe
+    * ([[Percentiles.exactByGroupRanged]] — range partition + O(partitions)
+    * driver prefix scan, never a per-group single-task sort) + broadcast
+    * joins of the |groups|-row median artifacts; the flagging itself is
+    * map-only. A constant group (MAD 0) yields NULL robust_z and a false
+    * flag for every member except exact-median breakers — degenerate
+    * spread means no robust scale exists, and silently dividing by an
+    * epsilon would flag EVERY row; NULL is the honest answer. NULL values
+    * keep NULL z and flag false (excluded from both medians, the
+    * QUANTILE_CONT convention). */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0.0, s"cutoff must be > 0, got $cutoff")
+    val v = col(valueCol).cast("double")
+    val med = Percentiles.exactByGroupRanged(
+      df.select(col(groupCol), v.as("__v")), groupCol, "__v",
+      Seq(0.5), Seq("__med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = Percentiles.exactByGroupRanged(
+      dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
+      Seq(0.5), Seq("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("__mad") > 0.0,
+          col("__dev") / (lit(1.4826) * col("__mad"))))
+      .withColumn("is_outlier",
+        coalesce(col("robust_z") > cutoff, lit(false)))
+      .withColumnRenamed("__med", "group_median")
+      .withColumnRenamed("__mad", "group_mad")
+      .drop("__dev")
+  }
 }

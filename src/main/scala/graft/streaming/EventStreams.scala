@@ -54,16 +54,21 @@ object EventStreams {
     * (impressions that never converted). The emission is watermark-driven:
     * it appears only once the watermark passes `l_ts + maxDelay`, the
     * earliest moment absence is decidable on an unbounded stream.
+    * "full_outer" seals BOTH sides: unmatched rights (conversions with no
+    * impression — attribution holes) additionally emit once with null left
+    * columns, after the watermark proves no left row can still pair (its
+    * candidate window is `[r_ts − maxDelay, r_ts]`, so the seal point is
+    * the right row's own timestamp plus the watermark delay).
     *
     * Output: one row per (left, right) pair within `[0, maxDelay]` of each
-    * other on the same `keyCol` (plus the null-padded unmatched-left rows
-    * under "left_outer"). */
+    * other on the same `keyCol` (plus the null-padded unmatched rows the
+    * outer variants seal). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    maxDelay: String = "10 minutes",
                    watermark: String = "10 minutes",
                    joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"joinType must be inner, left_outer, or full_outer, got $joinType")
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("k"), col("ts").as("l_ts"),
         col("event_id").as("l_id"), col("event_type").as("l_type"))
@@ -75,8 +80,11 @@ object EventStreams {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
       joinType)
-      .select(col("k").as(keyCol), col("l_id"), col("r_id"),
-        col("l_ts"), col("r_ts"))
+      // full_outer's sealed unmatched-RIGHT rows carry their key only in
+      // r_k (the left side is all-null) — coalesce is the identity for
+      // the inner/left_outer faces
+      .select(coalesce(col("k"), col("r_k")).as(keyCol),
+        col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
   /** Stream-static dimension enrichment — the stateless workhorse of every

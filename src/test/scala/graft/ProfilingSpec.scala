@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{avg, col, stddev_pop}
 import graft.operators.Profiling
 
 class ProfilingSpec extends AnyFunSuite {
@@ -364,5 +364,32 @@ class ProfilingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.Profiling.truncationLoss(df, "g", col("nt"), Nil)
     }
+  }
+
+  test("robustOutliers: hand-computed MAD flags; constant group NULLs; σ would hide the spike") {
+    import spark.implicits._
+    // group a: values 1..9 plus one 1000 spike.
+    // median of {1..9, 1000} = 5.5; deviations {4.5,3.5,...,0.5,0.5,...,994.5}
+    // MAD = median(devs) = 2.5; spike z = 994.5/(1.4826*2.5) ≈ 268 — flagged.
+    // The classical z-score would NOT flag at 3.5: σ ≈ 297 with the spike in,
+    // so spike z_σ ≈ (1000-104.5)/297 ≈ 3.0 — masked by its own inflation.
+    val a = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+    val c = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)) // constant: MAD 0
+    val df = (a ++ c).toDF("g", "v")
+    val out = graft.operators.Profiling.robustOutliers(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4), r.getBoolean(5)))
+    val spike = out.find(t => t._1 == "a" && t._2 == 1000.0).get
+    assert(math.abs(spike._3 - 994.5 / (1.4826 * 2.5)) < 1e-9)
+    assert(spike._4, "the spike must flag")
+    assert(out.count(t => t._1 == "a" && t._4) == 1, "only the spike flags")
+    // classical z-score comparison: the spike sits ~3.0 sigma — under 3.5
+    val stats = df.where(col("g") === "a")
+      .agg(avg(col("v")), stddev_pop(col("v"))).head()
+    assert((1000.0 - stats.getDouble(0)) / stats.getDouble(1) < 3.5,
+      "sigma z-score is masked by the outlier's own variance inflation")
+    // constant group: MAD 0 ⇒ NULL z, false flags — never divide-by-epsilon
+    val cRows = out.filter(_._1 == "c")
+    assert(cRows.length == 3 && cRows.forall(t => t._3.isNaN && !t._4))
   }
 }

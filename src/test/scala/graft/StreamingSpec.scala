@@ -354,6 +354,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.toSeq == Seq((1L, 101L)), s"matched pair must stay a plain pair: ${u1.toSeq}")
   }
 
+  test("full-outer interval join: BOTH sides' never-matched rows null-pad exactly once") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("ssjfo-l").toString
+    val rdir = Files.createTempDirectory("ssjfo-r").toString
+    def write(dir: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // user 1 matched; user 2 views but never converts (unmatched LEFT);
+    // user 3 converts with no view at all (unmatched RIGHT — the
+    // attribution hole only full_outer surfaces)
+    write(ldir, Seq((1L, "2024-01-01 08:00:00", 1L), (2L, "2024-01-01 08:00:00", 2L)))
+    write(rdir, Seq((101L, "2024-01-01 08:05:00", 1L), (102L, "2024-01-01 08:05:00", 3L)))
+    val joined = EventStreams.intervalJoin(
+      EventStreams.readEvents(spark, ldir), EventStreams.readEvents(spark, rdir),
+      "user_id", maxDelay = "10 minutes", joinType = "full_outer")
+    val q = joined.select("user_id", "l_id", "r_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_fo").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssj_fo").where(col("l_id").isNull ||
+        col("r_id").isNull).count() == 0L,
+        "outer rows must not emit before the watermark seals them")
+      write(ldir, Seq((3L, "2024-01-01 10:00:00", 9L)))
+      write(rdir, Seq((103L, "2024-01-01 10:00:00", 9L)))
+      q.processAllAvailable()
+      write(ldir, Seq((4L, "2024-01-01 12:00:00", 9L)))
+      write(rdir, Seq((104L, "2024-01-01 12:00:00", 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(u: Long): Seq[(Long, Long)] =
+      spark.table("ssj_fo").where(col("user_id") === u).collect().toSeq
+        .map(r => (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows(1L) == Seq((1L, 101L)), s"matched pair: ${rows(1L)}")
+    assert(rows(2L) == Seq((2L, -1L)), s"unmatched left, once: ${rows(2L)}")
+    assert(rows(3L) == Seq((-1L, 102L)),
+      s"unmatched right must surface with its own key, once: ${rows(3L)}")
+  }
+
   test("interval-join state is evicted as the watermark advances (long replay plateaus)") {
     import spark.implicits._
     val ldir = Files.createTempDirectory("ssjst-l").toString
