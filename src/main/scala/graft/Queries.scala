@@ -343,10 +343,11 @@ FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
     // months with no orders MUST appear with n = 0, which a plain GROUP BY
     // can never produce. The data ends 2001-08 at every scale factor, so
     // months 01-08 exercise the join-and-count path and 09-12 the
-    // zero-fill path — both faces fire in one entry. Spark spells the spine sequence()+explode (a
-    // 12-row local relation — no scan, no shuffle); DuckDB spells it
-    // generate_series (per-engine spelling, the Q29/Q30a precedent; the
-    // join/fill semantics are the shared contract).
+    // zero-fill path — both faces fire in one entry. Spark spells the
+    // spine sequence()+explode (a 12-row local relation — no scan, no
+    // shuffle); DuckDB spells it generate_series (per-engine spelling,
+    // the Q29/Q30a precedent; the join/fill semantics are the shared
+    // contract).
     (s, d) => {
       val spine = t(s, d, "orders").sparkSession.sql(
         """SELECT explode(sequence(DATE'2001-01-01', DATE'2001-12-01',
