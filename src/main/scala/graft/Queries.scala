@@ -7282,6 +7282,54 @@ SELECT event_id, event_type,
 FROM d JOIN md USING (event_type)
 ORDER BY event_id, event_type"""))
 
+  private val x118 = DeclaredQuery("x118_event_funnel",
+    // ordered funnel progression (Funnel.funnelSteps): per user, how far
+    // the view → click → purchase funnel closed as a time-ordered
+    // subsequence — earliest-completion greedy (exact for subsequence
+    // existence), strict inequality so same-timestamp events never
+    // advance two steps. One filtered min-ts aggregation per step plus a
+    // key join against the previous step's |users|-row frame; no windows,
+    // no per-user timeline buffering. The gate runs on the deterministic
+    // 1-in-7 event sample (event_id % 7 = 0): at ~67 events/user the FULL
+    // stream trivially converts every user (150/150 — no partial faces to
+    // pin), while the sample spreads users across ALL FOUR progression
+    // levels at every scale factor, so drop-offs, order violations, and
+    // conversions each exercise the hash. The oracle replays the
+    // identical chained-MIN construction — exact µs timestamps, integer
+    // counts, nothing to round.
+    (s, d) => graft.operators.Funnel.funnelSteps(
+        t(s, d, "events").where(pmod(col("event_id"), lit(7)) === 0)
+          .select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id"),
+    Some("""WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_id % 7 = 0),
+t1 AS (
+  SELECT user_id, MIN(ts) AS ts1
+  FROM ev WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2
+  FROM ev e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts3
+  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+  GROUP BY e.user_id)
+SELECT u.user_id,
+  CAST(CASE WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN ts2 IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN ts3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS steps_completed,
+  (ts3 IS NOT NULL) AS converted
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -7300,7 +7348,7 @@ ORDER BY event_id, event_type"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x116, x117, x10d, x10e, x10f)
+    x113, x114, x115, x116, x117, x118, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
