@@ -339,34 +339,50 @@ FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
   private val q53 = DeclaredQuery("q53_date_spine",
     // the generate_series gap-fill idiom (the most common Postgres
     // time-series pattern the reference forwards verbatim): a complete
-    // month spine over 2001, LEFT JOIN monthly order counts, zero-filled —
-    // months with no orders MUST appear with n = 0, which a plain GROUP BY
-    // can never produce. The data ends 2001-08 at every scale factor, so
-    // months 01-08 exercise the join-and-count path and 09-12 the
-    // zero-fill path — both faces fire in one entry. Spark spells the
-    // spine sequence()+explode (a 12-row local relation — no scan, no
-    // shuffle); DuckDB spells it generate_series (per-engine spelling,
-    // the Q29/Q30a precedent; the join/fill semantics are the shared
-    // contract).
+    // month spine, LEFT JOIN monthly order counts, zero-filled — months
+    // with no orders MUST appear with n = 0, which a plain GROUP BY can
+    // never produce. The spine bounds are FIXTURE-DERIVED (r18): month of
+    // MIN(o_orderdate) through month of MAX(o_orderdate) + 4 — the pad
+    // structurally guarantees ≥4 zero-filled months no matter what date
+    // range the generator emits, and the `zero_months` flag column (a
+    // constant O(spine)-window count, compared by the oracle) pins that
+    // the zero-fill face actually fired. The bounds pass is one min/max
+    // partial aggregation (parquet-stats cheap at any scale); the spine
+    // itself is a ~tens-of-rows exploded sequence — no scan, no shuffle.
+    // Spark spells the spine sequence()+explode; DuckDB generate_series
+    // (per-engine spelling, the Q29/Q30a precedent; the join/fill
+    // semantics are the shared contract).
     (s, d) => {
-      val spine = t(s, d, "orders").sparkSession.sql(
-        """SELECT explode(sequence(DATE'2001-01-01', DATE'2001-12-01',
-          INTERVAL '1' MONTH)) AS mo""")
+      val b = t(s, d, "orders").agg(
+        date_trunc("MONTH", min(col("o_orderdate"))).cast("date").as("lo"),
+        add_months(date_trunc("MONTH", max(col("o_orderdate"))).cast("date"),
+          4).as("hi"))
+      val spine = b.select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL '1' MONTH"))).as("mo"))
       val counts = t(s, d, "orders")
-        .where(year(col("o_orderdate")) === 2001)
         .groupBy(date_trunc("MONTH", col("o_orderdate")).cast("date").as("mo"))
         .agg(count(lit(1)).as("n0"))
       spine.join(counts, Seq("mo"), "left")
         .select(col("mo"), coalesce(col("n0"), lit(0L)).as("n"))
+        .withColumn("zero_months",
+          sum(when(col("n") === 0L, 1L).otherwise(0L))
+            .over(Window.partitionBy()))
         .orderBy("mo")
     },
-    Some("""WITH spine AS (
-  SELECT CAST(unnest(generate_series(DATE '2001-01-01', DATE '2001-12-01',
-    INTERVAL 1 MONTH)) AS DATE) AS mo),
+    Some("""WITH b AS (
+  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(CAST(DATE_TRUNC('MONTH', MAX(o_orderdate)) AS DATE)
+              + INTERVAL 4 MONTH AS DATE) AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS mo
+  FROM b),
 c AS (SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mo,
         CAST(COUNT(*) AS BIGINT) AS n0
-      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2001 GROUP BY 1)
-SELECT spine.mo, COALESCE(c.n0, 0) AS n
+      FROM orders GROUP BY 1)
+SELECT spine.mo, COALESCE(c.n0, 0) AS n,
+       CAST(SUM(CASE WHEN COALESCE(c.n0, 0) = 0 THEN 1 ELSE 0 END) OVER ()
+            AS BIGINT) AS zero_months
 FROM spine LEFT JOIN c USING (mo) ORDER BY mo"""))
 
   private val q54 = DeclaredQuery("q54_ordinal_unnest",
@@ -389,6 +405,62 @@ FROM spine LEFT JOIN c USING (mo) ORDER BY mo"""))
 SELECT doc_id, CAST(i AS BIGINT) AS ord, toks[i] AS token
 FROM t, unnest(generate_series(1, len(toks))) u(i)
 WHERE length(toks[i]) > 0 ORDER BY doc_id, ord"""))
+
+  private val q55 = DeclaredQuery("q55_tablesample",
+    // TABLESAMPLE BERNOULLI semantics (Postgres forwards `SELECT ... FROM t
+    // TABLESAMPLE BERNOULLI(10)` verbatim; Spark spells it
+    // `TABLESAMPLE (10 PERCENT)`): each row kept independently with
+    // probability p. Both engines' NATIVE spellings are seed-and-
+    // partitioning-dependent — unpinnable across engines by construction —
+    // so the gate uses the repo's deterministic contract for the same
+    // semantics (Sampling.bernoulliByKey, the proven x06b spelling): keep
+    // iff sha256(key)'s first 8 hex chars / 2^32 < p. The sampled SET is
+    // then the hashed contract, identical across engines, partitionings,
+    // and cluster sizes — the property that makes 100 TB sample reruns
+    // converge. One map-only pass, no shuffle, filter fully codegen'd.
+    (s, d) => graft.operators.Sampling
+      .bernoulliByKey(t(s, d, "orders"), "o_orderkey", 0.10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < 0.10
+ORDER BY o_orderkey"""))
+
+  private val q56 = DeclaredQuery("q56_mode_agg",
+    // mode() — the ordered-set aggregate face beyond percentiles (Postgres
+    // `mode() WITHIN GROUP (ORDER BY x)`: the FIRST value in the ORDER BY
+    // among maximal counts, i.e. the LOWEST for ascending). Spark ≥ 3.4
+    // has a native deterministic spelling: mode(col, deterministic=true)
+    // returns exactly that lowest-among-ties value — a real ObjectHashAgg,
+    // one shuffle on the group key. DuckDB's mode() leaves ties
+    // UNSPECIFIED, so the oracle spells the documented Postgres tie rule
+    // explicitly (count desc, value asc, row 1) — the contract under
+    // test, not the engine's arbitrary pick. One numeric and one string
+    // mode per group exercise both comparator paths.
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(mode(col("l_quantity"), deterministic = true).as("mode_qty"),
+        mode(col("l_linestatus"), deterministic = true).as("mode_status"))
+      .orderBy("l_returnflag"),
+    Some("""WITH qc AS (
+  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+qm AS (SELECT l_returnflag, v AS mode_qty FROM (
+  SELECT l_returnflag, v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c DESC, v ASC) AS rn
+  FROM qc) WHERE rn = 1),
+sc AS (
+  SELECT l_returnflag, l_linestatus AS v, COUNT(*) AS c
+  FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1, 2),
+sm AS (SELECT l_returnflag, v AS mode_status FROM (
+  SELECT l_returnflag, v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c DESC, v ASC) AS rn
+  FROM sc) WHERE rn = 1)
+SELECT qm.l_returnflag, qm.mode_qty, sm.mode_status
+FROM qm JOIN sm USING (l_returnflag) ORDER BY l_returnflag"""))
 
   private val q46 = DeclaredQuery("q46_like_predicates",
     (s, d) => t(s, d, "customer")
@@ -4294,6 +4366,197 @@ SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM evals e CROSS JOIN ov CROSS JOIN model m
 GROUP BY e.source, ov.o, m.braw ORDER BY e.source"""
 
+  /** x69's DuckDB oracle: the ENTIRE DoReMi loop as one WITH RECURSIVE
+    * state machine. State per row: (ph, step, gdone, rate, loss, grad,
+    * w, b) — the [[X57OracleSql]] GD iterate — plus the K-element EG
+    * weight list `wl` and the per-domain loss lists (refl/lastl/exc).
+    * `step = -1` is "init pending": with w = g = 0 the proposed-point
+    * aggregate evaluates at the zero point, exactly trainWeighted's
+    * pre-loop pass. `trans` (step ≥ 8 or converged) computes the
+    * per-domain mean losses of the un-standardized model (the
+    * domainLosses fold order: b − Σ wⱼμⱼ/σⱼ left-assoc, then margin
+    * left-assoc over raw features) and applies the EG update
+    * wᵢ ∝ wᵢ·exp(2·max(0, lastᵢ − refᵢ)) inline. The per-example weight
+    * replays the Scala two-step division (wl[d] / (count_d / n)) — NOT
+    * the algebraically-equal wl[d]·n/count_d, which differs in IEEE.
+    * Phase 0 trains with weight 1.0 exactly (not the uniform ratio).
+    * 6-decimal FLOOR pins on all four double columns absorb the
+    * cross-engine fold divergence, the x57/x74 precedent. */
+  private val X69OracleSql = """WITH t AS (
+  SELECT doc_id, lang, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS DOUBLE) AS f1,
+    COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+      / NULLIF(len(toks), 0), 0.0) AS f2,
+    CASE WHEN len(toks) > 0 THEN
+      ((length(text) - length(replace(text, '#', ''))) * 1.0
+       + (length(text) - length(replace(text, '…', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks)
+      ELSE 0.0 END AS f3,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
+      ELSE 0.0 END AS f4,
+    CAST(CAST(list_contains(list_transform(toks, x -> lower(x)), 'the') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'be') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'to') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'of') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'and') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'that') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'have') AS INT)
+      + CAST(list_contains(list_transform(toks, x -> lower(x)), 'with') AS INT)
+      AS DOUBLE) AS f5
+  FROM t),
+lab AS (
+  SELECT lang, f1, f2, f3, f4, f5,
+    CAST(COALESCE(f1 BETWEEN 20 AND 100000
+      AND (CASE WHEN f1 > 0 THEN f2 END) BETWEEN 3.0 AND 10.0
+      AND f3 <= 0.1 AND f4 >= 0.8 AND f5 >= 1, FALSE) AS DOUBLE) AS y
+  FROM feat),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+    SUM(f1) / COUNT(*) AS mu1, SUM(f2) / COUNT(*) AS mu2,
+    SUM(f3) / COUNT(*) AS mu3, SUM(f4) / COUNT(*) AS mu4,
+    SUM(f5) / COUNT(*) AS mu5,
+    CASE WHEN SUM(f1*f1)/COUNT(*) - (SUM(f1)/COUNT(*))*(SUM(f1)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f1*f1)/COUNT(*) - (SUM(f1)/COUNT(*))*(SUM(f1)/COUNT(*))) END AS sd1,
+    CASE WHEN SUM(f2*f2)/COUNT(*) - (SUM(f2)/COUNT(*))*(SUM(f2)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f2*f2)/COUNT(*) - (SUM(f2)/COUNT(*))*(SUM(f2)/COUNT(*))) END AS sd2,
+    CASE WHEN SUM(f3*f3)/COUNT(*) - (SUM(f3)/COUNT(*))*(SUM(f3)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f3*f3)/COUNT(*) - (SUM(f3)/COUNT(*))*(SUM(f3)/COUNT(*))) END AS sd3,
+    CASE WHEN SUM(f4*f4)/COUNT(*) - (SUM(f4)/COUNT(*))*(SUM(f4)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f4*f4)/COUNT(*) - (SUM(f4)/COUNT(*))*(SUM(f4)/COUNT(*))) END AS sd4,
+    CASE WHEN SUM(f5*f5)/COUNT(*) - (SUM(f5)/COUNT(*))*(SUM(f5)/COUNT(*)) <= 1e-300
+      THEN 1.0 ELSE SQRT(SUM(f5*f5)/COUNT(*) - (SUM(f5)/COUNT(*))*(SUM(f5)/COUNT(*))) END AS sd5
+  FROM lab),
+doms AS (
+  SELECT list(lang ORDER BY lang) AS dl,
+         list(cnt ORDER BY lang) AS cl,
+         list(CAST(cnt AS DOUBLE) / CAST(nn AS DOUBLE) ORDER BY lang) AS shl,
+         CAST(COUNT(*) AS BIGINT) AS kk
+  FROM (SELECT lang, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS nn
+        FROM lab GROUP BY lang) g),
+doremi AS (
+  WITH RECURSIVE it AS (
+    SELECT 0 AS ph, CAST(-1 AS INT) AS step, FALSE AS gdone,
+      CAST(1.0 AS DOUBLE) AS rate, CAST(0.0 AS DOUBLE) AS loss,
+      CAST(0.0 AS DOUBLE) AS g1, CAST(0.0 AS DOUBLE) AS g2,
+      CAST(0.0 AS DOUBLE) AS g3, CAST(0.0 AS DOUBLE) AS g4,
+      CAST(0.0 AS DOUBLE) AS g5, CAST(0.0 AS DOUBLE) AS gb,
+      CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+      CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS w4,
+      CAST(0.0 AS DOUBLE) AS w5, CAST(0.0 AS DOUBLE) AS b,
+      list_transform(range(1, d.kk + 1), i -> 1.0 / d.kk) AS wl,
+      CAST(NULL AS DOUBLE[]) AS refl,
+      CAST(NULL AS DOUBLE[]) AS lastl,
+      CAST(NULL AS DOUBLE[]) AS exc,
+      FALSE AS fin
+    FROM doms d
+    UNION ALL
+    SELECT
+      CASE WHEN trans AND ph < 3 THEN ph + 1 ELSE ph END,
+      CASE WHEN trans THEN -1 WHEN step = -1 THEN 0 ELSE step + 1 END,
+      CASE WHEN trans OR step = -1 THEN FALSE
+           WHEN (s).l <= loss THEN loss - (s).l < 1e-7
+           ELSE rate / 2 < 1e-12 END,
+      CASE WHEN trans THEN 1.0 WHEN step = -1 THEN rate
+           WHEN (s).l <= loss THEN rate ELSE rate / 2 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).l
+           WHEN (s).l <= loss THEN (s).l ELSE loss END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).g1
+           WHEN (s).l <= loss THEN (s).g1 ELSE g1 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).g2
+           WHEN (s).l <= loss THEN (s).g2 ELSE g2 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).g3
+           WHEN (s).l <= loss THEN (s).g3 ELSE g3 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).g4
+           WHEN (s).l <= loss THEN (s).g4 ELSE g4 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).g5
+           WHEN (s).l <= loss THEN (s).g5 ELSE g5 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN (s).gb
+           WHEN (s).l <= loss THEN (s).gb ELSE gb END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN w1
+           WHEN (s).l <= loss THEN w1 - rate * g1 ELSE w1 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN w2
+           WHEN (s).l <= loss THEN w2 - rate * g2 ELSE w2 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN w3
+           WHEN (s).l <= loss THEN w3 - rate * g3 ELSE w3 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN w4
+           WHEN (s).l <= loss THEN w4 - rate * g4 ELSE w4 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN w5
+           WHEN (s).l <= loss THEN w5 - rate * g5 ELSE w5 END,
+      CASE WHEN trans THEN 0.0 WHEN step = -1 THEN b
+           WHEN (s).l <= loss THEN b - rate * gb ELSE b END,
+      CASE WHEN trans AND ph >= 1 THEN
+        list_transform(range(1, len(wl) + 1), i ->
+          (wl[i] * EXP(2.0 * GREATEST((ds)[i] - refl[i], 0.0))) /
+          list_sum(list_transform(range(1, len(wl) + 1), j ->
+            wl[j] * EXP(2.0 * GREATEST((ds)[j] - refl[j], 0.0)))))
+        ELSE wl END,
+      CASE WHEN trans AND ph = 0 THEN ds ELSE refl END,
+      CASE WHEN trans THEN ds ELSE lastl END,
+      CASE WHEN trans AND ph >= 1 THEN
+        list_transform(range(1, len(wl) + 1), i ->
+          GREATEST((ds)[i] - refl[i], 0.0))
+        WHEN trans AND ph = 0 THEN
+        list_transform(range(1, len(wl) + 1), i -> 0.0)
+        ELSE exc END,
+      trans AND ph = 3
+    FROM (
+      SELECT it.*, d.dl AS ddl, d.shl AS dshl,
+        (step >= 8 OR gdone) AND step >= 0 AS trans,
+        (SELECT {
+          'l': SUM((GREATEST(mm, 0.0) - y * mm + LN(1.0 + EXP(-ABS(mm)))) * wt)
+               / SUM(wt),
+          'g1': SUM((1.0/(1.0+EXP(-mm)) - y) * wt * z1) / SUM(wt),
+          'g2': SUM((1.0/(1.0+EXP(-mm)) - y) * wt * z2) / SUM(wt),
+          'g3': SUM((1.0/(1.0+EXP(-mm)) - y) * wt * z3) / SUM(wt),
+          'g4': SUM((1.0/(1.0+EXP(-mm)) - y) * wt * z4) / SUM(wt),
+          'g5': SUM((1.0/(1.0+EXP(-mm)) - y) * wt * z5) / SUM(wt),
+          'gb': SUM((1.0/(1.0+EXP(-mm)) - y) * wt) / SUM(wt)
+        } FROM (
+          SELECT y,
+            CASE WHEN it.ph = 0 THEN 1.0
+                 ELSE it.wl[list_position(d.dl, lang)]
+                      / d.shl[list_position(d.dl, lang)] END AS wt,
+            (f1 - st.mu1)/st.sd1 AS z1, (f2 - st.mu2)/st.sd2 AS z2,
+            (f3 - st.mu3)/st.sd3 AS z3, (f4 - st.mu4)/st.sd4 AS z4,
+            (f5 - st.mu5)/st.sd5 AS z5,
+            ((((((it.b - it.rate * it.gb)
+              + (it.w1 - it.rate * it.g1) * ((f1 - st.mu1)/st.sd1))
+              + (it.w2 - it.rate * it.g2) * ((f2 - st.mu2)/st.sd2))
+              + (it.w3 - it.rate * it.g3) * ((f3 - st.mu3)/st.sd3))
+              + (it.w4 - it.rate * it.g4) * ((f4 - st.mu4)/st.sd4))
+              + (it.w5 - it.rate * it.g5) * ((f5 - st.mu5)/st.sd5)) AS mm
+          FROM lab CROSS JOIN stats st) q) AS s,
+        (SELECT list(sl / cnt2 ORDER BY lng) FROM (
+          SELECT lang AS lng,
+            SUM(GREATEST(mm2, 0.0) - y * mm2 + LN(1.0 + EXP(-ABS(mm2)))) AS sl,
+            COUNT(*) AS cnt2
+          FROM (
+            SELECT lang, y,
+              ((((((it.b - (((((it.w1 * st.mu1 / st.sd1)
+                    + it.w2 * st.mu2 / st.sd2) + it.w3 * st.mu3 / st.sd3)
+                    + it.w4 * st.mu4 / st.sd4) + it.w5 * st.mu5 / st.sd5))
+                + (it.w1 / st.sd1) * f1) + (it.w2 / st.sd2) * f2)
+                + (it.w3 / st.sd3) * f3) + (it.w4 / st.sd4) * f4)
+                + (it.w5 / st.sd5) * f5) AS mm2
+            FROM lab CROSS JOIN stats st) q2 GROUP BY lang)) AS ds
+      FROM it, doms d WHERE NOT fin) z
+  )
+  SELECT * FROM it WHERE fin)
+SELECT * FROM (
+  SELECT unnest(d.dl) AS domain,
+         unnest(d.cl) AS n_docs,
+         unnest(list_transform(f.refl,  v -> FLOOR(v * 1000000 + 0.5) / 1000000)) AS ref_loss,
+         unnest(list_transform(f.lastl, v -> FLOOR(v * 1000000 + 0.5) / 1000000)) AS final_loss,
+         unnest(list_transform(f.exc,   v -> FLOOR(v * 1000000 + 0.5) / 1000000)) AS excess,
+         unnest(list_transform(f.wl,    v -> FLOOR(v * 1000000 + 0.5) / 1000000)) AS weight
+  FROM doremi f, doms d) u
+ORDER BY domain"""
+
   private val x57 = DeclaredQuery("x57_train_quality_classifier",
     // the CCNet/GPT-3-style quality-filter loop end to end, trained ON the
     // corpus instead of imported: Gopher-rule weak labels → distributed
@@ -4873,12 +5136,26 @@ ORDER BY a.doc_id"""))
     // English-centric), so the uniform-target refit really moves the fit
     // and EG really moves the weights — unlike source, whose shares are
     // exactly equal in this corpus (the provable do-nothing fixed point,
-    // pinned as such in the spec). Rows-only by declaration (GD + EG have
-    // no SQL spelling); MixtureOptimizationSpec pins the uniform fixed
-    // point, the hard-domain upweighting direction, and determinism.
-    // SELF-VALIDATING flags: weights positive, sum exactly renormalized
-    // (1e-9), excess clamped non-negative.
+    // pinned as such in the spec). ORACLED (r18, the x57 recipe one level
+    // up): the WHOLE loop is a single WITH RECURSIVE state machine —
+    // 4 phases (ref fit + 3 DoReMi steps) × (init + ≤8 GD iterations +
+    // transition) — carrying the GD state (w, b, rate, loss, grad), the
+    // K-element EG weight LIST, and the per-domain loss lists. Each
+    // recursion row evaluates ONE weighted loss+grad aggregate at the
+    // proposed point (per-example weight w_d/share_d from the carried
+    // list; the init row evaluates at the zero point because w = g = 0
+    // makes the proposed point 0); phase transitions compute the
+    // per-domain mean-loss list of the un-standardized model and apply
+    // the closed-form EG update inline. Standardization is unweighted and
+    // shared across phases (trainWeighted's contract), so stats is the
+    // same CTE as x57's. The 6-decimal pin on all four reported loss /
+    // weight columns absorbs the cross-engine float-fold divergence
+    // (~1e-15 relative; excess values sit at 1e-4..1e-3, 10+ orders from
+    // a rounding boundary). MixtureOptimizationSpec still pins the
+    // uniform fixed point, the hard-domain upweighting direction, and
+    // determinism.
     (s, d) => {
+      import s.implicits._
       import graft.functions.Scrub
       val feats = t(s, d, "documents")
         .select(col("lang"),
@@ -4896,16 +5173,16 @@ ORDER BY a.doc_id"""))
         feats, "lang",
         Seq("f_tokens", "f_mean_len", "f_sym", "f_alpha", "f_stop"), "y",
         steps = 3, eta = 2.0, itersPerStep = 8)
-      val sumW = res.weights.map(_.weight).sum
-      res.toDF(s)
-        .select(col("domain"), col("n_docs"),
-          round4(col("weight")).as("weight"),
-          (col("weight") > 0).as("weight_pos"),
-          lit(math.abs(sumW - 1.0) < 1e-9).as("weights_sum_ok"),
-          (col("excess") >= 0).as("excess_nonneg"))
+      // x57's 6-decimal pin, driver-side: the weights frame is a K-row
+      // model artifact, so the rounding happens on the case-class values
+      def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      res.weights.map(dw => (dw.domain, dw.nDocs, r6(dw.refLoss),
+          r6(dw.finalLoss), r6(dw.excess), r6(dw.weight)))
+        .toDF("domain", "n_docs", "ref_loss", "final_loss", "excess",
+          "weight")
         .orderBy("domain")
     },
-    None)
+    Some(X69OracleSql))
 
   private val x70 = DeclaredQuery("x70_ngram_diversity",
     // corpus diversity per language (Relevance.ngramDiversity): the
@@ -7175,6 +7452,65 @@ SELECT id_1, id_2,
   FLOOR(c21 * 100 + 0.5) / 100 AS containment_2_in_1
 FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
 
+  private val x115b = DeclaredQuery("x115b_containment_pairs_capped",
+    // the dfCap stop-shingle face of containment (r18): the 100 TB knob —
+    // shingles in more than `cap` documents leave the POSTING join (the
+    // boilerplate bound that keeps the inverted index output-bound) while
+    // set SIZES stay full, so both containment ratios can only
+    // UNDERESTIMATE — conservative for the ≥ threshold, exactly the x02e
+    // contract one operator over. Same synthetic quoting-article corpus
+    // as x115; cap=8 genuinely prunes (~170 shingles capped, 575→532
+    // surviving pairs at sf0.01) while ~150 subset pairs keep containment
+    // EXACTLY 1.0 (none of their shingles capped) — both the pruned face
+    // and the exact-subset face fire. The oracle replays the cap
+    // literally: df>8 shingles dropped from the intersection, sizes full,
+    // shingle STRINGS vs Spark's shingle HASHES (the x04f collision
+    // trap). Counts/sizes exact integers; the 0.9 cut compares
+    // exact-int divisions, bit-identical cross-engine.
+    (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val articles = docs
+        .groupBy(expr("doc_id div 5").as("bin"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("doc_id").as("k"),
+            col("text").as("t")))),
+          x => x.getField("t")), " ").as("text"))
+        .select((col("bin") + 1000000L).as("doc_id"), col("text"))
+      graft.operators.NearDup.containmentPairs(
+          docs.unionByName(articles), "doc_id", "text", minContainment = 0.9,
+          dfCap = Some(8L))
+        .select(col("id_1"), col("id_2"),
+          round2(col("containment_1_in_2")).as("containment_1_in_2"),
+          round2(col("containment_2_in_1")).as("containment_2_in_1"))
+        .orderBy("id_1", "id_2")
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text FROM documents),
+art AS (SELECT doc_id // 5 + 1000000 AS doc_id,
+          string_agg(text, ' ' ORDER BY doc_id) AS text
+        FROM d0 GROUP BY doc_id // 5),
+corpus AS (SELECT * FROM d0 UNION ALL SELECT * FROM art),
+sh AS (SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks)-1),
+                          i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)
+            AS toks FROM corpus)),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 8),
+pex AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+isect AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+          FROM pex a JOIN pex b USING (g)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+p AS (SELECT id_1, id_2, c * 1.0 / sa.n AS c12, c * 1.0 / sb.n AS c21
+      FROM isect JOIN sz sa ON sa.doc_id = id_1
+                 JOIN sz sb ON sb.doc_id = id_2)
+SELECT id_1, id_2,
+  FLOOR(c12 * 100 + 0.5) / 100 AS containment_1_in_2,
+  FLOOR(c21 * 100 + 0.5) / 100 AS containment_2_in_1
+FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
+
   private val x116 = DeclaredQuery("x116_streaming_full_outer_interval_join",
     // the FULL_OUTER face completing the streaming interval-join family
     // (x80 inner, x92 left_outer): every view emits once — paired or
@@ -7339,6 +7675,7 @@ ORDER BY user_id"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q55, q56,
     q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,
@@ -7348,7 +7685,7 @@ ORDER BY user_id"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x116, x117, x118, x10d, x10e, x10f)
+    x113, x114, x115, x115b, x116, x117, x118, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

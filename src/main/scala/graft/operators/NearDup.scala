@@ -375,6 +375,19 @@ object NearDup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        minContainment: Double, k: Int = 3,
                        dfCap: Option[Long] = None): DataFrame = {
+    val (out, hs) = containmentPairsFrame(df, idCol, textCol, minContainment,
+      k, dfCap)
+    materializeAndRelease(out, hs)
+  }
+
+  /** [[containmentPairs]] before its eager materialization: the live
+    * (result, persisted-signatures) pair, exposed so PlanQualitySpec can
+    * pin the join shape (equi-joins only, never CartesianProduct) — the
+    * checkpointed public frame plans as an opaque LogicalRDD. Callers own
+    * unpersisting the signature frame. */
+  private[graft] def containmentPairsFrame(
+      df: DataFrame, idCol: String, textCol: String, minContainment: Double,
+      k: Int = 3, dfCap: Option[Long] = None): (DataFrame, DataFrame) = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1], got $minContainment")
     graft.plans.HashExpressions.register(df.sparkSession)
@@ -405,7 +418,7 @@ object NearDup {
       .where(greatest(col("containment_1_in_2"), col("containment_2_in_1"))
         >= minContainment)
       .select("id_1", "id_2", "containment_1_in_2", "containment_2_in_1")
-    materializeAndRelease(out, hs)
+    (out, hs)
   }
 
   /** Partial-overlap candidate pairs via winnowing fingerprints (MOSS):
