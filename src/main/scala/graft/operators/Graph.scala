@@ -29,11 +29,13 @@ object Graph {
     * never rescan the raw edges); each of the `iters` fixed iterations is
     * one hash join of the |V|-row rank frame against the shares + one
     * dst-keyed partial aggregation — narrow (node, double) rows through
-    * every shuffle, never edge payloads. The dangling mass is a 1-row
-    * aggregate per iteration (driver state: one double — model-artifact
-    * sized, the [[ConnectedComponents]] contract). Rank lineage is cut
-    * per iteration with an eager localCheckpoint, so the plan stays
-    * iteration-depth-independent.
+    * every shuffle, never edge payloads — and exactly ONE driver action
+    * (the eager checkpoint). The dangling mass rides the SAME job as a
+    * broadcast 1-row aggregate crossed into the update (no per-iteration
+    * `head()` round-trip); when the dangling set is empty — checked once
+    * before the loop — the term is the literal 0.0 and the semi-join is
+    * skipped entirely. Rank lineage is cut per iteration with an eager
+    * localCheckpoint, so the plan stays iteration-depth-independent.
     *
     * Determinism: per-edge shares are exact divisions of engine-identical
     * doubles; per-node contribution sums are float aggregates whose fold
@@ -76,22 +78,36 @@ object Graph {
         Seq("node"), "left_anti")
       .localCheckpoint(true)
     val base = (1.0 - damping) / n
+    // one count up front decides whether any iteration ever needs the
+    // dangling-mass term; a graph where every node has out-edges (the
+    // common symmetrized case) pays nothing per iteration
+    val nDangling = dangling.count()
     var ranks = verts.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     var k = 0
     while (k < iters) {
-      val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      val dangShare = dangMass / n
       val sums = shares.join(ranks, shares("__src") === ranks("node"))
         .select(col("__dst").as("node"),
           (col("__share") * col("rank")).as("__c"))
         .groupBy("node").agg(sum("__c").as("__s"))
-      ranks = verts.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) *
-            (coalesce(col("__s"), lit(0.0)) + lit(dangShare))).as("rank"))
-        .localCheckpoint(true)
+      val next =
+        if (nDangling == 0L)
+          verts.join(sums, Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + lit(damping) *
+                (coalesce(col("__s"), lit(0.0)) + lit(0.0))).as("rank"))
+        else {
+          // same aggregate the old per-iteration head() ran, now a
+          // broadcast 1-row frame in the SAME job as the update
+          val dang = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg((coalesce(sum("rank"), lit(0.0)) / n).as("__dshare"))
+          verts.join(sums, Seq("node"), "left")
+            .crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit(base) + lit(damping) *
+                (coalesce(col("__s"), lit(0.0)) + col("__dshare"))).as("rank"))
+        }
+      ranks = next.localCheckpoint(true)
       k += 1
     }
     ranks

@@ -571,4 +571,79 @@ class PlanQualitySpec extends AnyFunSuite {
     // recursion never walks unfiltered orders
     assert(p.contains("o_custkey") && p.contains("< 100"), p)
   }
+
+  test("x115 containment: inverted-index equi-joins only, never all-pairs") {
+    // the posting self-join is bounded by shared shingles and the size
+    // joins are key lookups — a CartesianProduct or BNLJ anywhere means
+    // the operator degraded to all-pairs (the x53 contract). Pinned on the
+    // live pre-checkpoint frame (the public result is an opaque
+    // LogicalRDD), with the dfCap path engaged as in the x115b gate.
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "text")
+    val (out, hs) = graft.operators.NearDup.containmentPairsFrame(
+      docs, "doc_id", "text", minContainment = 0.9, dfCap = Some(8L))
+    try {
+      val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      val hashJoins = p.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+          l.contains("ShuffledHashJoin"))
+      assert(hashJoins >= 3,
+        s"posting self-join + size joins must all be equi-joins:\n$p")
+    } finally hs.unpersist(false)
+  }
+
+  test("x114 pagerank: constant per-iteration work, ONE action per iteration " +
+    "on a dangling-free graph") {
+    // the r18 fold: no per-iteration dangling-mass head() — on a graph
+    // where every node has out-edges, each iteration is exactly one eager
+    // checkpoint materialization. AQE splits one materialization into one
+    // DAG job per query stage (~5 here), so it is disabled for the
+    // measurement. Even without AQE one materialization reads as TWO DAG
+    // jobs — the main action plus the broadcast-exchange build for the
+    // verts left-join (executor-side, launched inside the same action,
+    // never a driver round-trip) — so the DELTA per added iteration
+    // (which cancels setup) must be exactly 2; the old loop's separate
+    // dangling-mass head() added a third-plus per iteration. Job counts
+    // are listener-fed, so poll until stable.
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+      (2L, 1L, 2.0)).toDF("src", "dst", "w")
+    def jobsFor(iters: Int, group: String): Int = {
+      sc.setJobGroup(group, "x114 pin", false)
+      try graft.operators.Graph.pagerank(edges, "src", "dst", col("w"),
+        iters = iters).count()
+      finally sc.clearJobGroup()
+      var last = -1; var same = 0; var waited = 0
+      while (same < 3 && waited < 10000) {
+        val n = sc.statusTracker.getJobIdsForGroup(group).length
+        if (n == last) same += 1 else { same = 0; last = n }
+        Thread.sleep(100); waited += 100
+      }
+      last
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (j2, j5) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      (jobsFor(2, "x114pin2"), jobsFor(5, "x114pin5"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(j5 - j2 == 6,
+      s"an iteration must be exactly ONE materialization (main job + its " +
+        s"broadcast build; the old loop paid a separate dangling-mass " +
+        s"action per iteration on top): j2=$j2 j5=$j5")
+  }
+
+  test("x118 funnel: k filtered aggregations + key joins — no window, nothing quadratic") {
+    val p = plan("x118_event_funnel")
+    // no per-key timeline state: the operator is min-ts aggregates chained
+    // by equi-joins, so a WindowExec means the shape regressed to a sorted
+    // per-key walk and a CartesianProduct to all-pairs
+    assert(!p.contains("WindowExec") && !p.contains("Window ("), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // step timestamps combine map-side before their shuffles
+    assert(p.contains("partial_min"),
+      s"step min-ts aggregates must be partial:\n$p")
+  }
 }
