@@ -27,16 +27,22 @@ object Funnel {
     * |keys|-row frame — k scan-bound passes, no windows, no per-key event
     * buffering (unlike the sessionization fold, state never holds a
     * timeline). Keys with zero step-1 events report 0, not absence —
-    * funnel DENOMINATORS are the point, so every key in `events`
-    * surfaces. */
+    * funnel DENOMINATORS are the point, so every non-NULL key in `events`
+    * surfaces. NULL keys are DROPPED from both the stages and the
+    * universe (the [[graft.operators.NearDup]] crossGroupDupMatrix
+    * convention): NULL never equi-joins, so a NULL-key row could only
+    * ever report steps_completed = 0 even when its events complete the
+    * funnel — a silently wrong row, where exclusion is at least honest.
+    * Attribute keys upstream if NULL-key events must count. */
   def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"steps must be distinct, got $steps")
+    val keyed = events.where(col(keyCol).isNotNull)
     val stages = steps.zipWithIndex
       .foldLeft(List.empty[DataFrame]) { case (acc, (st, i)) =>
-        val base = events.where(col(typeCol) === lit(st))
+        val base = keyed.where(col(typeCol) === lit(st))
           .select(col(keyCol), col(tsCol).as("__ts"))
         val eligible = acc.headOption match {
           case None => base
@@ -47,7 +53,7 @@ object Funnel {
         }
         eligible.groupBy(keyCol).agg(min("__ts").as(s"__t$i")) :: acc
       }.reverse
-    val assembled = stages.foldLeft(events.select(col(keyCol)).distinct()) {
+    val assembled = stages.foldLeft(keyed.select(col(keyCol)).distinct()) {
       (acc, m) => acc.join(m, Seq(keyCol), "left")
     }
     assembled

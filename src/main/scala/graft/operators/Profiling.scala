@@ -650,20 +650,26 @@ object Profiling {
     * spread means no robust scale exists, and silently dividing by an
     * epsilon would flag EVERY row; NULL is the honest answer. NULL values
     * keep NULL z and flag false (excluded from both medians, the
-    * QUANTILE_CONT convention). */
+    * QUANTILE_CONT convention). NULL GROUP rows likewise SURVIVE — NULL
+    * group_median/group_mad/robust_z and a false flag (they belong to no
+    * group, so no robust scale exists for them; the median artifacts are
+    * fitted on non-NULL groups and LEFT-joined back, because an equi-join
+    * would silently drop them instead). */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      cutoff: Double = 3.5): DataFrame = {
     require(cutoff > 0.0, s"cutoff must be > 0, got $cutoff")
     val v = col(valueCol).cast("double")
     val med = Percentiles.exactByGroupRanged(
-      df.select(col(groupCol), v.as("__v")), groupCol, "__v",
+      df.where(col(groupCol).isNotNull)
+        .select(col(groupCol), v.as("__v")), groupCol, "__v",
       Seq(0.5), Seq("__med"))
-    val dev = df.join(broadcast(med), Seq(groupCol))
+    val dev = df.join(broadcast(med), Seq(groupCol), "left")
       .withColumn("__dev", abs(v - col("__med")))
     val mad = Percentiles.exactByGroupRanged(
-      dev.select(col(groupCol), col("__dev")), groupCol, "__dev",
+      dev.where(col(groupCol).isNotNull)
+        .select(col(groupCol), col("__dev")), groupCol, "__dev",
       Seq(0.5), Seq("__mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+    dev.join(broadcast(mad), Seq(groupCol), "left")
       .withColumn("robust_z",
         when(col("__mad") > 0.0,
           col("__dev") / (lit(1.4826) * col("__mad"))))

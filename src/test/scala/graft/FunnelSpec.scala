@@ -53,4 +53,23 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.funnelSteps(ev, "user_id", "ts", "event_type",
         Seq("view", "view")))
   }
+
+  test("funnelSteps: NULL keys are dropped, never reported as zero-progress") {
+    // a NULL key never equi-joins, so before the r18 fix a NULL-key user
+    // with a complete ordered funnel would report steps_completed = 0 — a
+    // silently WRONG row; the documented convention now excludes it
+    val ev = Seq(
+      (Some(1L), "2024-01-01 08:00:00", "view"),
+      (Some(1L), "2024-01-01 08:01:00", "click"),
+      (None, "2024-01-01 08:00:00", "view"),
+      (None, "2024-01-01 08:01:00", "click"),
+      (None, "2024-01-01 08:02:00", "purchase"))
+      .toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_type"))
+    val got = Funnel.funnelSteps(ev, "user_id", "ts", "event_type", steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"only the non-NULL key may surface: ${got.toSeq}")
+  }
 }

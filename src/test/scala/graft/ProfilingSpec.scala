@@ -392,4 +392,27 @@ class ProfilingSpec extends AnyFunSuite {
     val cRows = out.filter(_._1 == "c")
     assert(cRows.length == 3 && cRows.forall(t => t._3.isNaN && !t._4))
   }
+
+  test("robustOutliers: NULL-group rows survive with NULL artifacts and a false flag") {
+    import spark.implicits._
+    // before the r18 fix the inner join on the group key silently DROPPED
+    // NULL-group rows; the documented convention now keeps them — no group
+    // means no robust scale, so median/MAD/z are NULL and the flag false —
+    // while non-NULL groups are untouched
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 99.0)).toDF("g", "v")
+    val out = graft.operators.Profiling.robustOutliers(df, "g", "v")
+    assert(out.count() == 4, "NULL-group rows must not vanish")
+    val r = out.where(col("g").isNull).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def i(c: String): Int = row.fieldIndex(c)
+    assert(row.isNullAt(i("group_median")) && row.isNullAt(i("group_mad")) &&
+      row.isNullAt(i("robust_z")))
+    assert(!row.getBoolean(i("is_outlier")))
+    // the fitted groups keep their exact medians
+    val a = out.where(col("g") === "a").select("group_median").distinct()
+      .collect()
+    assert(a.length == 1 && a.head.getDouble(0) == 2.0)
+  }
 }
