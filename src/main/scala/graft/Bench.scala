@@ -193,7 +193,17 @@ object Bench {
       if (!s.contains('.')) s
       else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
     }
+    // names_sha pins the POSITIONAL name mapping: the dense array is only
+    // decodable against the sorted entry-name list, and a bare "n" count
+    // can't catch a same-size rename/replace — consumers must check this
+    // 8-hex sha256 prefix of the comma-joined sorted names against the one
+    // they derive from their name snapshot (BENCH_MEDIANS.json / the
+    // registry) and fail loudly on mismatch instead of misattributing
+    // every median after the first drifted index.
+    val namesSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(results.map(_._1).mkString(",").getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     rawOut.println(
-      s"""{"m":[${results.map(r => dense(r._2)).mkString(",")}],"n":${results.size},"order":"sorted_entry_names","total":${fmt(total)},"sf":"$sfDir"}""")
+      s"""{"m":[${results.map(r => dense(r._2)).mkString(",")}],"n":${results.size},"names_sha":"$namesSha","order":"sorted_entry_names","total":${fmt(total)},"sf":"$sfDir"}""")
   }
 }
