@@ -1264,16 +1264,61 @@ FROM documents ORDER BY media_id"""))
   FLOOR(((SELECT SUM(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), CAST(i*8+1 AS INT), 2)) AS INT)) FROM range(8) t(i)) / 32.0) * 100 + 0.5)/100 AS f0
 FROM documents ORDER BY media_id"""))
 
+  /** x04e's DuckDB oracle (r18): the winnow fingerprint IS SQL-replayable.
+    * Key identity: the paper's stateful "record when the selection
+    * changes" loop keeps minPos = the rightmost argmin of the current
+    * window (induction on the three branches), so the DISTINCT recorded
+    * VALUES equal the distinct per-window MINIMA — a pure relational
+    * sliding-window min over the gram-hash list. The Rabin–Karp gram hash
+    * is wrapping 64-bit arithmetic: each gram is Σ code(cᵢ₊ⱼ)·(257^(15−j)
+    * mod 2⁶⁴) evaluated in HUGEINT (terms < 2⁸⁰, sum < 2⁸⁴ — no overflow),
+    * reduced mod 2⁶⁴ and mapped to SIGNED BIGINT because the JVM compares
+    * signed longs. Normalization parity: the corpus is BMP-only with
+    * 0x20 as its ONLY whitespace (verified at both gate SFs), so
+    * trim+collapse+lower() matches the JVM per-char fold exactly; a
+    * corpus with exotic whitespace / non-BMP text would need the
+    * normalization revisited (documented assumption, the x67 class).
+    * df-cap prune, ≥3-shared cut, and counts are exact integers. */
+  private val X04eOracleSql = """WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text, ' '), ' +', ' ', 'g')) AS s
+  FROM documents),
+cs AS (
+  SELECT doc_id,
+    list_transform(string_split(s, ''), ch -> CAST(unicode(ch) AS HUGEINT)) AS c
+  FROM norm),
+gr AS (
+  SELECT doc_id,
+    CASE WHEN len(c) < 16 THEN CAST([] AS BIGINT[]) ELSE
+      list_transform(range(1, len(c) - 14), i ->
+        CAST(CASE WHEN (c[i+0] * 3934105753453399809::HUGEINT + c[i+1] * 8341464662660550145::HUGEINT + c[i+2] * 13454796134032477441::HUGEINT + c[i+3] * 1990338078304242689::HUGEINT + c[i+4] * 5462812792530078465::HUGEINT + c[i+5] * 8706299010550139393::HUGEINT + c[i+6] * 2617856364451727617::HUGEINT + c[i+7] * 584403925891549185::HUGEINT + c[i+8] * 74051159531521793::HUGEINT + c[i+9] * 288136807515649::HUGEINT + c[i+10] * 1121154893057::HUGEINT + c[i+11] * 4362470401::HUGEINT + c[i+12] * 16974593::HUGEINT + c[i+13] * 66049::HUGEINT + c[i+14] * 257::HUGEINT + c[i+15] * 1::HUGEINT) % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+             THEN (c[i+0] * 3934105753453399809::HUGEINT + c[i+1] * 8341464662660550145::HUGEINT + c[i+2] * 13454796134032477441::HUGEINT + c[i+3] * 1990338078304242689::HUGEINT + c[i+4] * 5462812792530078465::HUGEINT + c[i+5] * 8706299010550139393::HUGEINT + c[i+6] * 2617856364451727617::HUGEINT + c[i+7] * 584403925891549185::HUGEINT + c[i+8] * 74051159531521793::HUGEINT + c[i+9] * 288136807515649::HUGEINT + c[i+10] * 1121154893057::HUGEINT + c[i+11] * 4362470401::HUGEINT + c[i+12] * 16974593::HUGEINT + c[i+13] * 66049::HUGEINT + c[i+14] * 257::HUGEINT + c[i+15] * 1::HUGEINT) % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT
+             ELSE (c[i+0] * 3934105753453399809::HUGEINT + c[i+1] * 8341464662660550145::HUGEINT + c[i+2] * 13454796134032477441::HUGEINT + c[i+3] * 1990338078304242689::HUGEINT + c[i+4] * 5462812792530078465::HUGEINT + c[i+5] * 8706299010550139393::HUGEINT + c[i+6] * 2617856364451727617::HUGEINT + c[i+7] * 584403925891549185::HUGEINT + c[i+8] * 74051159531521793::HUGEINT + c[i+9] * 288136807515649::HUGEINT + c[i+10] * 1121154893057::HUGEINT + c[i+11] * 4362470401::HUGEINT + c[i+12] * 16974593::HUGEINT + c[i+13] * 66049::HUGEINT + c[i+14] * 257::HUGEINT + c[i+15] * 1::HUGEINT) % 18446744073709551616::HUGEINT END AS BIGINT))
+    END AS g
+  FROM cs),
+fp AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(g) < 32 THEN CAST([] AS BIGINT[])
+      ELSE list_transform(range(32, len(g) + 1), i -> list_min(g[i-31:i])) END) AS f
+  FROM gr),
+ex AS (SELECT doc_id, unnest(f) AS fh FROM fp),
+keep AS (SELECT fh FROM ex GROUP BY fh HAVING COUNT(*) <= 10),
+pex AS (SELECT ex.doc_id, ex.fh FROM ex JOIN keep USING (fh))
+SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pex a JOIN pex b USING (fh) WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_1, id_2"""
+
   private val x4e = DeclaredQuery("x04e_winnow_overlaps",
     // partial-overlap candidate pairs via winnowing (MOSS): docs sharing ≥3
     // selected rolling-hash fingerprints. Detects SHARED PASSAGES — pairs
-    // whose whole-document hashes (x04d) differ. Rows-only: the wrapping
-    // 64-bit Rabin–Karp + window-min has no tractable DuckDB spelling;
-    // NativeTextSpec pins the winnowing guarantee itself.
+    // whose whole-document hashes (x04d) differ. ORACLED (r18): the
+    // selection-change recording reduces to distinct sliding-window
+    // minima, and the wrapping 64-bit Rabin–Karp replays in HUGEINT
+    // mod-2⁶⁴ arithmetic — see [[X04eOracleSql]]. NativeTextSpec still
+    // pins the winnowing guarantee itself.
     (s, d) => graft.operators.NearDup
       .winnowOverlapPairs(t(s, d, "documents"), "doc_id", "text")
       .orderBy("id_1", "id_2"),
-    None)
+    Some(X04eOracleSql))
 
   private val x4f = DeclaredQuery("x04f_fingerprint_groups",
     // The fingerprint VALUE is xxhash64 — no DuckDB spelling — but its
