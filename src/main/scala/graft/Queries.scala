@@ -7711,6 +7711,78 @@ LEFT JOIN t2 USING (user_id)
 LEFT JOIN t3 USING (user_id)
 ORDER BY user_id"""))
 
+  private val x119 = DeclaredQuery("x119_mojibake_flags",
+    // encoding-corruption detection + repair (Scrub.mojibakeSignals /
+    // fixMojibake — the ftfy-style screen every corpus build runs): text
+    // that was UTF-8 on disk but decoded through Latin-1 somewhere
+    // upstream carries lead+continuation artifacts ("cafÃ©", "ä¸­æ–‡"),
+    // map-only regexp counts fused with the scan. The fixture corpus is
+    // pure ASCII (corruption is a no-op on it), so the entry SEEDS
+    // deterministic non-ASCII content — 1 + doc_id % 4 repeats of an
+    // accented+CJK marker — and unions each seeded doc with its
+    // UTF-8-bytes-read-as-Latin-1 corruption (the x67/x115 synthesize
+    // discipline; the oracle regenerates the corruption per codepoint
+    // from the UTF-8 byte formula). Faces: clean seeded rows read ratio
+    // exactly 0.0 (a real é is not a lead byte); corrupted rows split
+    // across the 0.02 flag cut by doc length vs seed repeats (both flag
+    // faces fire at every SF); fix_restores pins the repair — Spark
+    // re-encodes through Latin-1 and compares against the original
+    // seeded text by id, the oracle asserts the construction inverse.
+    // Ratios are ONE division of exact integer counts — the cut and the
+    // round4 compare bit-identical doubles, no tolerance anywhere.
+    (s, d) => {
+      import graft.functions.Scrub
+      val seeded = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(' caf\u00e9 na\u00efve \u4e2d\u6587', " +
+            "CAST(doc_id % 4 + 1 AS INT))")).as("text"))
+      val corrupted = seeded.select((col("doc_id") + 1000000L).as("doc_id"),
+        decode(encode(col("text"), "UTF-8"), "ISO-8859-1").as("text"))
+      val uni = seeded.unionByName(corrupted)
+      val sig = Scrub.mojibakeSignals(col("text"))
+      val orig = seeded.select(col("doc_id").as("__bid"),
+        col("text").as("__orig"))
+      uni.select(col("doc_id"), sig.as("sig"),
+          Scrub.fixMojibake(col("text")).as("__fixed"))
+        .join(orig, pmod(col("doc_id"), lit(1000000L)) === col("__bid"))
+        .select(col("doc_id"),
+          col("sig.n_chars").as("n_chars"),
+          col("sig.n_2byte").as("n_2byte"),
+          col("sig.n_3byte").as("n_3byte"),
+          round4(col("sig.artifact_ratio")).as("artifact_ratio"),
+          (col("sig.artifact_ratio") > 0.02).as("is_mojibake"),
+          (col("__fixed") === col("__orig")).as("fix_restores"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH seeded AS (
+  SELECT doc_id,
+    text || repeat(' café naïve 中文', CAST(doc_id % 4 + 1 AS INT)) AS text
+  FROM documents),
+corrupted AS (
+  SELECT doc_id + 1000000 AS doc_id,
+    array_to_string(list_transform(string_split(text, ''), c ->
+      CASE WHEN unicode(c) < 128 THEN c
+           WHEN unicode(c) < 2048 THEN
+             chr(192 + unicode(c) // 64) || chr(128 + unicode(c) % 64)
+           ELSE chr(224 + unicode(c) // 4096)
+             || chr(128 + (unicode(c) // 64) % 64)
+             || chr(128 + unicode(c) % 64) END), '') AS text
+  FROM seeded),
+uni AS (SELECT * FROM seeded UNION ALL SELECT * FROM corrupted),
+sig AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[\xC2-\xDF][\x80-\xBF]')) AS BIGINT) AS n_2byte,
+    CAST(len(regexp_extract_all(text, '[\xE0-\xEF][\x80-\xBF]{2}')) AS BIGINT) AS n_3byte,
+    CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_repl
+  FROM uni)
+SELECT doc_id, n_chars, n_2byte, n_3byte,
+  FLOOR((n_2byte * 2 + n_3byte * 3 + n_repl) * 1.0
+        / NULLIF(n_chars, 0) * 10000 + 0.5) / 10000 AS artifact_ratio,
+  (n_2byte * 2 + n_3byte * 3 + n_repl) * 1.0 / NULLIF(n_chars, 0) > 0.02
+    AS is_mojibake,
+  TRUE AS fix_restores
+FROM sig ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -7730,7 +7802,7 @@ ORDER BY user_id"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x115b, x116, x117, x118, x10d, x10e, x10f)
+    x113, x114, x115, x115b, x116, x117, x118, x119, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -195,4 +195,58 @@ object Scrub {
       (text.contains("{") || text.contains("}")).as("has_brace"),
       lower(text).contains("lorem ipsum").as("has_lorem"))
   }
+
+  /** UTF-8-read-as-Latin-1 lead+continuation pairs ("Ã©" where "é" was
+    * meant): a 2-byte UTF-8 sequence mis-decoded single-byte becomes a
+    * lead char U+00C2–U+00DF followed by a continuation char U+0080–U+00BF.
+    * Codepoint classes, identical in Java regex and RE2. */
+  val Mojibake2Re = "[\\xC2-\\xDF][\\x80-\\xBF]"
+  /** 3-byte leads U+00E0–U+00EF + two continuations ("ä¸­" for "中",
+    * "â€™" for "'", "ï»¿" for a BOM). */
+  val Mojibake3Re = "[\\xE0-\\xEF][\\x80-\\xBF]{2}"
+
+  /** Encoding-corruption (mojibake) signals — the ftfy-style screen every
+    * corpus build runs before quality filtering: text that was UTF-8 on
+    * disk but decoded through Latin-1/Windows-1252 somewhere upstream
+    * carries unmistakable lead+continuation artifacts ("cafÃ©",
+    * "ä¸­æ–‡", "â€œ"), and decode failures leave U+FFFD replacement
+    * chars. Struct per row: `n_chars`, `n_2byte` / `n_3byte`
+    * (non-overlapping artifact matches, leftmost-first in both engines),
+    * `n_replacement`, and `artifact_ratio` — the fraction of characters
+    * consumed by artifacts (2·n₂ + 3·n₃ + n_repl) / n_chars, ONE division
+    * of exact integers so the flag threshold compares bit-identical
+    * doubles cross-engine. Map-only, codegen'd, fused with the scan. */
+  def mojibakeSignals(text: Column): Column = {
+    val n = length(text)
+    val n2 = regexp_count(text, lit(Mojibake2Re))
+    val n3 = regexp_count(text, lit(Mojibake3Re))
+    val nr = regexp_count(text, lit("\\x{FFFD}"))
+    struct(
+      n.cast("long").as("n_chars"),
+      n2.cast("long").as("n_2byte"),
+      n3.cast("long").as("n_3byte"),
+      nr.cast("long").as("n_replacement"),
+      ((n2 * 2 + n3 * 3 + nr).cast("double")
+        / nullif(n, lit(0)).cast("double")).as("artifact_ratio"))
+  }
+
+  /** Single-pass mojibake repair: re-encode through Latin-1 and decode the
+    * recovered bytes as UTF-8 — the exact inverse of the corruption, so a
+    * string that WAS UTF-8-read-as-Latin-1 comes back verbatim. Applied
+    * only when (a) artifacts are actually present (clean "café" is never
+    * touched — its é is a real é, not a lead byte) and (b) every char is
+    * < U+0100 so the Latin-1 re-encode is lossless; anything else passes
+    * through unchanged. Bytes that still fail UTF-8 validation decode to
+    * U+FFFD (the JVM REPLACE action — deterministic), where they are
+    * counted by [[mojibakeSignals]] rather than hidden. Single-pass by
+    * design (double-mojibake needs a second application — document, don't
+    * guess); map-only like the detector. */
+  def fixMojibake(text: Column): Column = {
+    val sig = mojibakeSignals(text)
+    val hasArtifacts = sig.getField("n_2byte") + sig.getField("n_3byte") > 0L
+    val latin1Only = !text.rlike("[^\\x00-\\xFF]")
+    when(hasArtifacts && latin1Only,
+      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+  }
 }

@@ -143,4 +143,47 @@ class ScrubSpec extends AnyFunSuite {
     assert(!keep("quick brown foxes jump high", minStopwordHits = 2),
       "required-stopword floor")
   }
+  test("mojibakeSignals: artifact counts, ratio arithmetic, clean accents score zero") {
+    def sig(s: String): (Long, Long, Long, Long, Double) = {
+      val r = Seq(s).toDF("t")
+        .select(Scrub.mojibakeSignals(col("t")).as("g"))
+        .select("g.n_chars", "g.n_2byte", "g.n_3byte", "g.n_replacement",
+          "g.artifact_ratio").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    def corrupt(s: String): String =
+      new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    // 2-byte artifact: café -> cafÃ© (one lead+continuation pair)
+    val c1 = sig(corrupt("café"))
+    assert(c1 == ((5L, 1L, 0L, 0L, 2.0 / 5.0)), c1)
+    // 3-byte artifact: one CJK char -> three Latin-1 chars, one match
+    val c2 = sig(corrupt("中"))
+    assert(c2 == ((3L, 0L, 1L, 0L, 3.0 / 3.0)), c2)
+    // a REAL é is not a lead byte: clean accented text scores zero
+    val clean = sig("café naïve 中文")
+    assert(clean._2 == 0L && clean._3 == 0L && clean._5 == 0.0, clean)
+    // replacement chars from decode failures are counted, weight 1
+    val repl = sig("ab�")
+    assert(repl == ((3L, 0L, 0L, 1L, 1.0 / 3.0)), repl)
+    // pure ASCII is silent
+    assert(sig("plain ascii text")._5 == 0.0)
+  }
+
+  test("fixMojibake: exact inverse of the corruption, never touches clean text") {
+    def corrupt(s: String): String =
+      new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    def fix(s: String): String =
+      Seq(s).toDF("t").select(Scrub.fixMojibake(col("t"))).head().getString(0)
+    val original = "café au lait, naïve 中文 text"
+    assert(fix(corrupt(original)) == original, "repair inverts the corruption")
+    // clean text — accented or ASCII — passes through untouched
+    assert(fix(original) == original)
+    assert(fix("plain ascii") == "plain ascii")
+    // artifacts next to chars >= U+0100: Latin-1 re-encode would be lossy,
+    // so the fixer refuses (fail-honest passthrough)
+    val mixed = corrupt("café") + " 中"
+    assert(fix(mixed) == mixed, "non-Latin-1 text is never re-encoded")
+    // idempotent on its own output here: the repaired text has no artifacts
+    assert(fix(fix(corrupt(original))) == original)
+  }
 }
