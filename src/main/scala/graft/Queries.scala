@@ -7783,6 +7783,103 @@ SELECT doc_id, n_chars, n_2byte, n_3byte,
   TRUE AS fix_restores
 FROM sig ORDER BY doc_id"""))
 
+  private val x120 = DeclaredQuery("x120_sft_validation",
+    // conversation-schema validation (Sft.validateChat) — the QA gate
+    // every SFT build runs BEFORE assembly: contiguous turn indexes,
+    // known roles, system|user start, strict user/assistant alternation
+    // after at most one leading system, non-blank content, assistant
+    // final turn — plus the FIRST violation in fixed priority order.
+    // The x94 synthetic dialogues (doc_id div 5 = conversation, roles by
+    // fixed rule) are all VALID, so the entry mutates each conversation
+    // by bin % 7 to exercise every violation face: 1 drops turn 3
+    // (idx_gap), 2 renames turn 0's role to 'tool' (unknown_role),
+    // 3 swaps the roles of turns 1 and 2 (broken_alternation), 4 blanks
+    // turn 2's content (empty_content), 5 drops the final assistant turn
+    // (no_assistant_end — indexes stay contiguous), 6 makes turn 0 an
+    // assistant turn (bad_start), 0 stays valid. Every output column is
+    // a boolean/string of exact comparisons folded in TURN order
+    // (sort_array; partitioning-invariant) — nothing to round; the
+    // oracle replays the checks with the identical list fold.
+    (s, d) => {
+      val base = t(s, d, "documents").select(
+        expr("doc_id div 5").as("conv_id"),
+        pmod(col("doc_id"), lit(5)).cast("long").as("turn_idx"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("system"))
+          .when(pmod(col("doc_id"), lit(5)) % 2 === 1, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text").as("content"))
+      val m = pmod(col("conv_id"), lit(7L))
+      val turns = base
+        .where(!((m === 1 && col("turn_idx") === 3) ||
+                 (m === 5 && col("turn_idx") === 4)))
+        .select(col("conv_id"), col("turn_idx"),
+          when(m === 2 && col("turn_idx") === 0, lit("tool"))
+            .when(m === 3 && col("turn_idx") === 1, lit("assistant"))
+            .when(m === 3 && col("turn_idx") === 2, lit("user"))
+            .when(m === 6 && col("turn_idx") === 0, lit("assistant"))
+            .otherwise(col("role")).as("role"),
+          when(m === 4 && col("turn_idx") === 2, lit("   "))
+            .otherwise(col("content")).as("content"))
+      graft.operators.Sft
+        .validateChat(turns, "conv_id", "turn_idx", "role", "content")
+        .orderBy("conv_id")
+    },
+    Some("""WITH base AS (
+  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn_idx,
+         CASE WHEN doc_id % 5 = 0 THEN 'system'
+              WHEN (doc_id % 5) % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text AS content
+  FROM documents),
+turns AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN conv_id % 7 = 2 AND turn_idx = 0 THEN 'tool'
+         WHEN conv_id % 7 = 3 AND turn_idx = 1 THEN 'assistant'
+         WHEN conv_id % 7 = 3 AND turn_idx = 2 THEN 'user'
+         WHEN conv_id % 7 = 6 AND turn_idx = 0 THEN 'assistant'
+         ELSE role END AS role,
+    CASE WHEN conv_id % 7 = 4 AND turn_idx = 2 THEN '   '
+         ELSE content END AS content
+  FROM base
+  WHERE NOT ((conv_id % 7 = 1 AND turn_idx = 3)
+          OR (conv_id % 7 = 5 AND turn_idx = 4))),
+conv AS (
+  SELECT conv_id,
+    list({'i': CAST(turn_idx AS BIGINT), 'r': role, 'c': content}
+         ORDER BY turn_idx) AS l,
+    list(role ORDER BY turn_idx) AS ra
+  FROM turns GROUP BY conv_id),
+body AS (
+  SELECT *, CASE WHEN ra[1] = 'system' THEN ra[2:] ELSE ra END AS b
+  FROM conv),
+checks AS (
+  SELECT conv_id, CAST(len(l) AS BIGINT) AS n_turns,
+    list_transform(l, t -> t.i) = range(0, len(l)) AS idx_contiguous,
+    list_aggregate(list_transform(ra, r ->
+      r IN ('system', 'user', 'assistant')), 'bool_and') AS roles_known,
+    ra[1] IN ('system', 'user') AS starts_ok,
+    CASE WHEN len(b) = 0 THEN TRUE
+      ELSE list_aggregate(list_transform(range(1, len(b) + 1),
+        i -> b[i] = CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END),
+        'bool_and') END AS alternates_ok,
+    list_aggregate(list_transform(l, t ->
+      COALESCE(length(trim(t.c)) > 0, FALSE)), 'bool_and')
+      AS content_nonempty,
+    ra[-1] = 'assistant' AS ends_assistant
+  FROM body)
+SELECT conv_id, n_turns, idx_contiguous, roles_known, starts_ok,
+  alternates_ok, content_nonempty, ends_assistant,
+  (idx_contiguous AND roles_known AND starts_ok AND alternates_ok
+   AND content_nonempty AND ends_assistant) AS is_valid,
+  CASE WHEN NOT idx_contiguous THEN 'idx_gap'
+       WHEN NOT roles_known THEN 'unknown_role'
+       WHEN NOT starts_ok THEN 'bad_start'
+       WHEN NOT alternates_ok THEN 'broken_alternation'
+       WHEN NOT content_nonempty THEN 'empty_content'
+       WHEN NOT ends_assistant THEN 'no_assistant_end'
+  END AS first_violation
+FROM checks ORDER BY conv_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -7802,7 +7899,7 @@ FROM sig ORDER BY doc_id"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x115b, x116, x117, x118, x119, x10d, x10e, x10f)
+    x113, x114, x115, x115b, x116, x117, x118, x119, x120, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

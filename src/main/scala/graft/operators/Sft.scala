@@ -65,4 +65,78 @@ object Sft {
         array_join(transform(col("__ts"), t => t("p")), " ").as("text"),
         spans.as("mask"))
   }
+
+  /** Conversation-schema validation — the QA gate every SFT data build
+    * runs BEFORE [[assembleChat]] (the fine-tune-upload validator
+    * convention: broken role alternation or empty turns silently poison
+    * loss masks downstream, so they must be rejected loudly upstream).
+    * One row per conversation with independent checks plus the FIRST
+    * violation in a fixed priority order:
+    *
+    *  - `idx_contiguous` — sorted turn indexes are exactly 0..n−1
+    *    (a gap or duplicate means turns were lost or double-loaded)
+    *  - `roles_known`    — every role ∈ `roles`
+    *  - `starts_ok`      — the first role is `system` or `user`
+    *  - `alternates_ok`  — after at most one leading `system`, roles
+    *    strictly alternate user/assistant starting with `user`
+    *    (vacuously true for a system-only conversation)
+    *  - `content_nonempty` — every turn's content is non-blank after
+    *    trimming (NULL counts as blank)
+    *  - `ends_assistant` — the last turn is an `assistant` turn (a
+    *    training example must end on a prediction target)
+    *  - `is_valid` = all of the above; `first_violation` names the
+    *    highest-priority failed check (idx_gap > unknown_role >
+    *    bad_start > broken_alternation > empty_content >
+    *    no_assistant_end), NULL when valid.
+    *
+    * Shape: the [[assembleChat]] discipline — one hash aggregation keyed
+    * on the conversation id, `sort_array(collect_list(...))` so every
+    * check folds the TURN order (partitioning-invariant), then pure
+    * array builtins; state per conversation is the turn list, bounded by
+    * dialogue length, never corpus size. */
+  def validateChat(turns: DataFrame, convCol: String, turnIdxCol: String,
+                   roleCol: String, contentCol: String,
+                   roles: Seq[String] = Seq("system", "user", "assistant"))
+    : DataFrame = {
+    require(roles.contains("system") && roles.contains("user") &&
+      roles.contains("assistant"),
+      s"roles must include system/user/assistant, got $roles")
+    val sorted = sort_array(collect_list(struct(
+      col(turnIdxCol).cast("long").as("i"),
+      col(roleCol).as("r"),
+      col(contentCol).as("c"))))
+    val l = col("__ts")
+    val n = size(l)
+    val idxs = transform(l, t => t("i"))
+    val idxOk = idxs === sequence(lit(0L), (n - 1).cast("long"))
+    val rolesArr = transform(l, t => t("r"))
+    val known = forall(rolesArr, r => r.isInCollection(roles))
+    val startsOk = element_at(rolesArr, 1)
+      .isInCollection(Seq("system", "user"))
+    val body = when(element_at(rolesArr, 1) === "system",
+      slice(rolesArr, lit(2), n - 1)).otherwise(rolesArr)
+    val altOk = when(size(body) === 0, lit(true)).otherwise(
+      forall(zip_with(body, sequence(lit(1L), size(body).cast("long")),
+        (r, i) => r === when(i % 2 === 1, lit("user"))
+          .otherwise(lit("assistant"))),
+        x => x))
+    val endsOk = element_at(rolesArr, -1) === "assistant"
+    val nonEmpty = forall(l,
+      t => coalesce(length(trim(t("c"))) > 0, lit(false)))
+    turns.groupBy(col(convCol))
+      .agg(sorted.as("__ts"))
+      .select(col(convCol), n.cast("long").as("n_turns"),
+        idxOk.as("idx_contiguous"), known.as("roles_known"),
+        startsOk.as("starts_ok"), altOk.as("alternates_ok"),
+        nonEmpty.as("content_nonempty"), endsOk.as("ends_assistant"),
+        (idxOk && known && startsOk && altOk && nonEmpty && endsOk)
+          .as("is_valid"),
+        when(!idxOk, lit("idx_gap"))
+          .when(!known, lit("unknown_role"))
+          .when(!startsOk, lit("bad_start"))
+          .when(!altOk, lit("broken_alternation"))
+          .when(!nonEmpty, lit("empty_content"))
+          .when(!endsOk, lit("no_assistant_end"))
+          .as("first_violation"))
+  }
 }

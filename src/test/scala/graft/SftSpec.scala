@@ -75,4 +75,60 @@ class SftSpec extends AnyFunSuite {
       .map(m => (m.getLong(0), m.getLong(1)))
     assert(mask == Seq((4L, 5L)))
   }
+  test("validateChat: every check fires independently, priority picks the first") {
+    def validate(rows: Seq[(Long, Long, String, String)]) = {
+      val r = Sft.validateChat(
+        rows.toDF("conv_id", "turn_idx", "role", "content"),
+        "conv_id", "turn_idx", "role", "content").collect().head
+      (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        if (r.isNullAt(9)) null else r.getString(9))
+    }
+    // clean conversation: system, user, assistant
+    val ok = validate(Seq((1L, 0L, "system", "be nice"),
+      (1L, 1L, "user", "hi"), (1L, 2L, "assistant", "hello")))
+    assert(ok == ((true, true, true, true, true, true, true, null)), ok)
+    // user-start without system is equally valid
+    val ok2 = validate(Seq((1L, 0L, "user", "hi"),
+      (1L, 1L, "assistant", "hello")))
+    assert(ok2._7 && ok2._8 == null, ok2)
+    // index gap outranks the alternation break it causes
+    val gap = validate(Seq((1L, 0L, "user", "hi"),
+      (1L, 2L, "assistant", "hello")))
+    assert(!gap._1 && gap._8 == "idx_gap", gap)
+    // unknown role
+    val unk = validate(Seq((1L, 0L, "tool", "hi"),
+      (1L, 1L, "assistant", "hello")))
+    assert(!unk._2 && unk._8 == "unknown_role", unk)
+    // assistant-first: bad_start outranks broken_alternation
+    val bad = validate(Seq((1L, 0L, "assistant", "hi"),
+      (1L, 1L, "user", "yo"), (1L, 2L, "assistant", "hello")))
+    assert(!bad._3 && bad._8 == "bad_start", bad)
+    // two users in a row
+    val alt = validate(Seq((1L, 0L, "user", "hi"),
+      (1L, 1L, "user", "again"), (1L, 2L, "assistant", "hello")))
+    assert(!alt._4 && alt._8 == "broken_alternation", alt)
+    // blank and NULL content both count as empty
+    val emp = validate(Seq((1L, 0L, "user", "hi"),
+      (1L, 1L, "assistant", "   ")))
+    assert(!emp._5 && emp._8 == "empty_content", emp)
+    val nul = validate(Seq((1L, 0L, "user", "hi"),
+      (1L, 1L, "assistant", null)))
+    assert(!nul._5 && nul._8 == "empty_content", nul)
+    // ends on a user turn
+    val end = validate(Seq((1L, 0L, "user", "hi"),
+      (1L, 1L, "assistant", "hello"), (1L, 2L, "user", "thanks")))
+    assert(!end._6 && end._8 == "no_assistant_end", end)
+    // system-only conversation: alternation is vacuous, the end check fires
+    val sys = validate(Seq((1L, 0L, "system", "be nice")))
+    assert(sys._4 && !sys._6 && sys._8 == "no_assistant_end", sys)
+    // a SECOND system turn mid-conversation breaks alternation
+    val sys2 = validate(Seq((1L, 0L, "system", "a"), (1L, 1L, "user", "b"),
+      (1L, 2L, "system", "c"), (1L, 3L, "assistant", "d")))
+    assert(!sys2._4 && sys2._8 == "broken_alternation", sys2)
+    // roles parameter must cover the convention
+    intercept[IllegalArgumentException](Sft.validateChat(
+      Seq((1L, 0L, "user", "hi")).toDF("conv_id", "turn_idx", "role", "content"),
+      "conv_id", "turn_idx", "role", "content", roles = Seq("user")))
+  }
 }
