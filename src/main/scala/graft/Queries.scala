@@ -7880,6 +7880,93 @@ SELECT conv_id, n_turns, idx_contiguous, roles_known, starts_ok,
   END AS first_violation
 FROM checks ORDER BY conv_id"""))
 
+  private val x121 = DeclaredQuery("x121_annotator_agreement",
+    // inter-annotator agreement (Agreement.cohenKappaPairs + fleissKappa) —
+    // the label-QA gate run before any human-annotated SFT/preference/eval
+    // set is trusted. A deterministic 3-rater panel over documents: the
+    // latent label is n_chars parity and rater r flips it on docs where
+    // (doc_id*3 + r) % 11 = 0 — three overlapping 1-in-11 noise patterns,
+    // so agreement is high but imperfect and every κ lands strictly in
+    // (0, 1). Output = one row per rater pair (Cohen κ over the co-rated
+    // items) with the panel-wide Fleiss κ crossed in as a constant column.
+    // ORACLED with NO rounding pin: every statistic is a ratio of integer
+    // aggregates (agreement counts, marginal-count products, squared
+    // category counts) — integer sums are fold-order-free and the final
+    // IEEE divisions/subtractions are spelled identically in both engines,
+    // so the kappas are bit-identical doubles.
+    (s, d) => {
+      val ann = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array(lit(1), lit(2), lit(3))).as("rater"),
+          col("n_chars"))
+        .select(col("doc_id").as("item"), col("rater"),
+          when((col("doc_id") * 3 + col("rater")) % 11 === 0,
+            when(col("n_chars") % 2 === 0, lit("drop")).otherwise(lit("keep")))
+            .otherwise(
+              when(col("n_chars") % 2 === 0, lit("keep")).otherwise(lit("drop")))
+            .as("label"))
+      val cohen = graft.operators.Agreement
+        .cohenKappaPairs(ann, "item", "rater", "label")
+      val fl = graft.operators.Agreement
+        .fleissKappa(ann, "item", "rater", "label")
+        .select(col("kappa").as("fleiss_kappa"))
+      cohen.crossJoin(broadcast(fl)).orderBy("rater_a", "rater_b")
+    },
+    Some("""WITH ann AS (
+  SELECT d.doc_id AS item, r.r AS rater,
+    CASE WHEN (d.doc_id * 3 + r.r) % 11 = 0
+      THEN (CASE WHEN d.n_chars % 2 = 0 THEN 'drop' ELSE 'keep' END)
+      ELSE (CASE WHEN d.n_chars % 2 = 0 THEN 'keep' ELSE 'drop' END)
+    END AS label
+  FROM documents d CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS r) r),
+pairs AS (
+  SELECT a.rater AS rater_a, b.rater AS rater_b,
+         a.label AS la, b.label AS lb
+  FROM ann a JOIN ann b ON a.item = b.item AND a.rater < b.rater),
+agree AS (
+  SELECT rater_a, rater_b, COUNT(*) AS n_items,
+    SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agr
+  FROM pairs GROUP BY rater_a, rater_b),
+ma AS (SELECT rater_a, rater_b, la, COUNT(*) AS ca
+       FROM pairs GROUP BY rater_a, rater_b, la),
+mb AS (SELECT rater_a, rater_b, lb, COUNT(*) AS cb
+       FROM pairs GROUP BY rater_a, rater_b, lb),
+pe AS (
+  SELECT ma.rater_a, ma.rater_b, SUM(ca * cb) AS pe_num
+  FROM ma JOIN mb ON ma.rater_a = mb.rater_a AND ma.rater_b = mb.rater_b
+    AND ma.la = mb.lb
+  GROUP BY ma.rater_a, ma.rater_b),
+cohen AS (
+  SELECT g.rater_a, g.rater_b, g.n_items,
+    CAST(agr AS DOUBLE) / g.n_items AS po,
+    CAST(pe_num AS DOUBLE) / (g.n_items * g.n_items) AS pe
+  FROM agree g JOIN pe p
+    ON g.rater_a = p.rater_a AND g.rater_b = p.rater_b),
+cells AS (SELECT item, label, COUNT(*) AS n_ic FROM ann GROUP BY item, label),
+peritem AS (
+  SELECT item, SUM(n_ic) AS r, SUM(n_ic * n_ic) AS sumsq
+  FROM cells GROUP BY item),
+fl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(MAX(r) AS BIGINT) AS n_raters,
+    CAST(SUM(sumsq) AS BIGINT) AS tot_sumsq
+  FROM peritem),
+cat AS (
+  SELECT CAST(SUM(n_c * n_c) AS BIGINT) AS tot_catsq FROM (
+    SELECT CAST(SUM(n_ic) AS BIGINT) AS n_c FROM cells GROUP BY label) z),
+fk AS (
+  SELECT
+    CAST(tot_sumsq - n_items * n_raters AS DOUBLE)
+      / (n_items * n_raters * (n_raters - 1)) AS p_bar,
+    CAST(tot_catsq AS DOUBLE)
+      / ((n_items * n_raters) * (n_items * n_raters)) AS p_e
+  FROM fl CROSS JOIN cat)
+SELECT c.rater_a, c.rater_b, c.n_items, c.po, c.pe,
+  (c.po - c.pe) / (1.0 - c.pe) AS kappa,
+  (f.p_bar - f.p_e) / (1.0 - f.p_e) AS fleiss_kappa
+FROM cohen c CROSS JOIN fk f
+ORDER BY rater_a, rater_b"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -7899,7 +7986,8 @@ FROM checks ORDER BY conv_id"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x115b, x116, x117, x118, x119, x120, x10d, x10e, x10f)
+    x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
