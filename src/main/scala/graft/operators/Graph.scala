@@ -34,8 +34,13 @@ object Graph {
     * broadcast 1-row aggregate crossed into the update (no per-iteration
     * `head()` round-trip); when the dangling set is empty — checked once
     * before the loop — the term is the literal 0.0 and the semi-join is
-    * skipped entirely. Rank lineage is cut per iteration with an eager
-    * localCheckpoint, so the plan stays iteration-depth-independent.
+    * skipped entirely. Rank state is cut per iteration with
+    * [[Iteration.cut]] (eager localCheckpoint + a fresh statistics leaf),
+    * so plans stay iteration-depth-independent in size AND in the
+    * magnitude of Catalyst's multiplicative size stats — a bare
+    * localCheckpoint inherits them, and the dangling-path crossJoin would
+    * compound the stat into planner-stalling BigIntegers past ~20
+    * iterations.
     *
     * Determinism: per-edge shares are exact divisions of engine-identical
     * doubles; per-node contribution sums are float aggregates whose fold
@@ -82,8 +87,8 @@ object Graph {
     // dangling-mass term; a graph where every node has out-edges (the
     // common symmetrized case) pays nothing per iteration
     val nDangling = dangling.count()
-    var ranks = verts.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
+    var ranks = Iteration.cut(
+      verts.select(col("node"), lit(1.0 / n).as("rank")))
     var k = 0
     while (k < iters) {
       val sums = shares.join(ranks, shares("__src") === ranks("node"))
@@ -107,7 +112,7 @@ object Graph {
               (lit(base) + lit(damping) *
                 (coalesce(col("__s"), lit(0.0)) + col("__dshare"))).as("rank"))
         }
-      ranks = next.localCheckpoint(true)
+      ranks = Iteration.cut(next)
       k += 1
     }
     ranks
