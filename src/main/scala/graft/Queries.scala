@@ -7967,6 +7967,105 @@ SELECT c.rater_a, c.rater_b, c.n_items, c.po, c.pe,
 FROM cohen c CROSS JOIN fk f
 ORDER BY rater_a, rater_b"""))
 
+  /** x122's DuckDB oracle: the identical match derivation (block-partitioned
+    * LAG chain, longer-doc-wins with a lexicographic tie rule), the identical
+    * smoothed pair/wins frames, and the 15 MM iterations UNROLLED as chained
+    * CTEs (the x114 technique — branch-free float iterate, so cross-engine
+    * fold divergence never compounds; round6 pins the result). */
+  private val X122OracleSql: String = {
+    val base = """WITH m0 AS (
+  SELECT source, n_chars,
+    LAG(source) OVER (PARTITION BY doc_id // 1000 ORDER BY doc_id) AS psrc,
+    LAG(n_chars) OVER (PARTITION BY doc_id // 1000 ORDER BY doc_id) AS pn
+  FROM documents),
+g AS (
+  SELECT CASE WHEN n_chars > pn THEN source
+              WHEN n_chars < pn THEN psrc
+              ELSE LEAST(source, psrc) END AS w,
+         CASE WHEN n_chars > pn THEN psrc
+              WHEN n_chars < pn THEN source
+              ELSE GREATEST(source, psrc) END AS l
+  FROM m0 WHERE psrc IS NOT NULL AND psrc <> source),
+pairs AS (
+  SELECT LEAST(w, l) AS i, GREATEST(w, l) AS j, COUNT(*) AS n,
+    SUM(CASE WHEN w < l THEN 1 ELSE 0 END) AS wins_i
+  FROM g GROUP BY LEAST(w, l), GREATEST(w, l)),
+sp AS MATERIALIZED (
+  SELECT i, j, CAST(n + 1 AS DOUBLE) AS ns,
+    wins_i + 0.5 AS wsi, (n - wins_i) + 0.5 AS wsj, n, wins_i
+  FROM pairs),
+directed AS MATERIALIZED (
+  SELECT i AS a, j AS b, ns FROM sp
+  UNION ALL SELECT j AS a, i AS b, ns FROM sp),
+wins AS MATERIALIZED (
+  SELECT item, SUM(ww) AS W, CAST(SUM(n) AS BIGINT) AS n_games,
+    CAST(SUM(nw) AS BIGINT) AS n_wins
+  FROM (
+    SELECT i AS item, wsi AS ww, n, wins_i AS nw FROM sp
+    UNION ALL SELECT j AS item, wsj AS ww, n, n - wins_i AS nw FROM sp) z
+  GROUP BY item),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM wins),
+it0 AS MATERIALIZED (SELECT item, 1.0 AS s FROM wins)"""
+    val iters = (1 to 15).map { t =>
+      s""",
+it$t AS MATERIALIZED (
+  SELECT d.item, w.W / d.dn AS s FROM (
+    SELECT m.a AS item, SUM(m.ns / (ia.s + ib.s)) AS dn
+    FROM directed m
+    JOIN it${t - 1} ia ON m.a = ia.item
+    JOIN it${t - 1} ib ON m.b = ib.item
+    GROUP BY m.a) d JOIN wins w ON d.item = w.item)"""
+    }.mkString
+    base + iters + """,
+fin AS (
+  SELECT w.item, w.n_games, w.n_wins,
+    FLOOR(f.s * (SELECT k FROM kk) / (SELECT SUM(s) FROM it15)
+      * 1000000 + 0.5) / 1000000 AS strength
+  FROM wins w JOIN it15 f ON w.item = f.item)
+SELECT item, n_games, n_wins, strength,
+  CAST(DENSE_RANK() OVER (ORDER BY strength DESC, item) AS BIGINT) AS rk
+FROM fin ORDER BY rk, item"""
+  }
+
+  private val x122 = DeclaredQuery("x122_bradley_terry",
+    // Bradley–Terry strength ranking (BradleyTerry.fit) — the arena/
+    // leaderboard aggregation: which SOURCE wins head-to-head document
+    // matchups once strength of schedule is accounted for. Matches are a
+    // deterministic chain: consecutive docs within each 1000-doc block
+    // (block-partitioned LAG — no global-order window), longer doc wins,
+    // ties to the lexicographically smaller source, self-matches dropped.
+    // 15 MM iterations (Hunter 2004) with 0.5 phantom wins per observed
+    // pair direction; Σ strength = |sources|. ORACLED via 15 UNROLLED
+    // CTE iterations (the x114 PageRank technique): the iterate is
+    // branch-free float arithmetic, so the ~1e-15 per-pass fold
+    // divergence never compounds into a different trajectory and the
+    // 6-decimal FLOOR pin makes strengths AND the dense rank exact.
+    (s, d) => {
+      val blockW = Window.partitionBy(expr("doc_id div 1000"))
+        .orderBy("doc_id")
+      val m0 = t(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          lag("source", 1).over(blockW).as("psrc"),
+          lag("n_chars", 1).over(blockW).as("pn"))
+      val g = m0
+        .where(col("psrc").isNotNull && col("psrc") =!= col("source"))
+        .select(
+          when(col("n_chars") > col("pn"), col("source"))
+            .when(col("n_chars") < col("pn"), col("psrc"))
+            .otherwise(least(col("source"), col("psrc"))).as("w"),
+          when(col("n_chars") > col("pn"), col("psrc"))
+            .when(col("n_chars") < col("pn"), col("source"))
+            .otherwise(greatest(col("source"), col("psrc"))).as("l"))
+      val fitted = graft.operators.BradleyTerry.fit(g, "w", "l", iters = 15)
+      val pinned = fitted.select(col("item"), col("n_games"), col("n_wins"),
+        (floor(col("strength") * 1000000 + 0.5) / 1000000).as("strength"))
+      pinned
+        .withColumn("rk", dense_rank().over(
+          Window.orderBy(col("strength").desc, col("item"))).cast("long"))
+        .orderBy("rk", "item")
+    },
+    Some(X122OracleSql))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -7986,7 +8085,7 @@ ORDER BY rater_a, rater_b"""))
     x75, x76, x77, x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88,
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
-    x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121,
+    x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
