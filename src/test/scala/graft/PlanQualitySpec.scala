@@ -646,4 +646,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       s"step min-ts aggregates must be partial:\n$p")
   }
+
+  test("iteration boundaries keep Catalyst size stats bounded (BT + pagerank)") {
+    // localCheckpoint inherits plan statistics and the size-only join
+    // estimate MULTIPLIES children — a state ⋈ edges ⋈ state iteration
+    // doubles the stat's bit-length every pass, and past ~20 iterations
+    // the planner stalls for minutes multiplying multi-megabit
+    // BigIntegers. Iteration.cut re-roots each pass as a fresh stats
+    // leaf; this pin fails if anyone reverts to a bare localCheckpoint.
+    import org.apache.spark.sql.functions.col
+    val m = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"))
+      .toDF("w", "l")
+    val bt = graft.operators.BradleyTerry.fit(m, "w", "l", iters = 12)
+    val btBits = bt.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(btBits < 1000,
+      s"BT 12-iteration plan stat is $btBits bits — stats are compounding")
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val pr = graft.operators.Graph.pagerank(edges, "src", "dst", col("w"),
+      iters = 12)
+    val prBits = pr.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(prBits < 1000,
+      s"pagerank 12-iteration plan stat is $prBits bits — stats are compounding")
+  }
+
+  test("x122 bradley-terry: equi-joins only on the iterate, no cartesian blowup") {
+    val p = plan("x122_bradley_terry")
+    // the pair collapse and every iteration join are key-equi; the ONLY
+    // nested-loop join allowed is the final broadcast of the 1-row
+    // normalization aggregate
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted explain lists an operator in the tree AND its detail
+    // section — count the "(n) Op" detail headers, one per instance
+    val nested = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nested <= 1,
+      s"only the 1-row Σw normalization may be nested-loop ($nested):\n$p")
+    // (the corpus-sized pair-count pass sits behind the iteration
+    // checkpoints, so its partial-agg shape is pinned by the iterate's
+    // stats/job pins above rather than this final-segment plan)
+  }
 }
