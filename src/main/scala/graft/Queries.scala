@@ -8066,6 +8066,42 @@ FROM fin ORDER BY rk, item"""
     },
     Some(X122OracleSql))
 
+  private val x123 = DeclaredQuery("x123_vocab_richness",
+    // vocabulary-richness estimators (Relevance.vocabRichness) — the
+    // under-sampling read before trusting "vocab size" from a finite
+    // corpus: per language, Chao1's bias-corrected lower bound on the
+    // TRUE type count (V + F1(F1−1)/(2(F2+1))), the Good–Turing unseen
+    // mass F1/N (probability the next token is a new type), and Simpson
+    // repetition concentration Σn(n−1)/(N(N−1)). One (lang, token) count
+    // shuffle + one lang aggregate. ORACLED with NO rounding pin: all
+    // integer-ratio statistics; the pair sum folds in decimal(38,0) ↔
+    // HUGEINT so it is exact on both engines, and the final IEEE
+    // divisions are spelled identically.
+    (s, d) => graft.operators.Relevance
+      .vocabRichness(t(s, d, "documents"), "lang", "text")
+      .orderBy("lang"),
+    Some("""WITH toks AS (
+  SELECT lang AS g,
+    UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+      x -> length(x) > 0)) AS w
+  FROM documents),
+cnt AS (SELECT g, w, COUNT(*) AS n_w FROM toks GROUP BY g, w),
+agg AS (
+  SELECT g, CAST(SUM(n_w) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS vocab,
+    CAST(SUM(CASE WHEN n_w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(SUM(CASE WHEN n_w = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+    SUM(n_w * (n_w - 1)) AS pairs
+  FROM cnt GROUP BY g)
+SELECT g AS lang, n_tokens, vocab, f1, f2,
+  CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1,
+  CAST(f1 AS DOUBLE) / n_tokens AS gt_unseen_mass,
+  CASE WHEN n_tokens > 1 THEN CAST(pairs AS DOUBLE)
+    / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+  END AS simpson
+FROM agg ORDER BY lang"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8086,7 +8122,7 @@ FROM fin ORDER BY rk, item"""
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
-    x10d, x10e, x10f)
+    x123, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -383,6 +383,54 @@ object Relevance {
     CacheOps.materializeAndRelease(out, counts)
   }
 
+  /** Per-group vocabulary-richness estimators — the corpus-diversity read a
+    * tokenizer or mixture designer takes before trusting "vocab size" from a
+    * finite sample (Chao 1984; Good 1953; Simpson 1949):
+    *
+    *  - `chao1`  = V + F1·(F1−1) / (2·(F2+1)) — bias-corrected lower-bound
+    *    estimate of the TRUE type count, from the observed vocabulary V and
+    *    the hapax/dis-legomena counts F1/F2 (defined even when F2 = 0);
+    *  - `gt_unseen_mass` = F1/N — the Good–Turing probability that the NEXT
+    *    token is an unseen type (how under-sampled the group still is);
+    *  - `simpson` = Σ n_w(n_w−1) / (N(N−1)) — the probability two randomly
+    *    drawn tokens are the same type (repetition concentration; NULL for
+    *    single-token groups where it is undefined).
+    *
+    * Shape: one (group, token) count shuffle with map-side partials, then
+    * one group-keyed aggregate — nothing driver-side, nothing quadratic.
+    * Tokens are whitespace-split non-empties (the x58 spelling), CASE-
+    * SENSITIVE (types, not folded terms).
+    *
+    * Determinism: every statistic is a ratio of exact integer aggregates —
+    * the pair sum Σ n_w(n_w−1) folds in decimal(38,0) (Spark) / HUGEINT
+    * (DuckDB) so it is overflow-safe and fold-order-free; the final IEEE
+    * divisions are spelled identically cross-engine, so no rounding pin is
+    * needed. (Per-type products stay in 64-bit: a single type with more
+    * than ~3·10⁹ occurrences in one group would overflow — shard or window
+    * the corpus before that point.) */
+  def vocabRichness(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("__g"),
+      explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+        .as("__w"))
+    toks.groupBy("__g", "__w").agg(count(lit(1)).as("__n_w"))
+      .groupBy("__g")
+      .agg(sum("__n_w").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__n_w") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__n_w") === 2, 1L).otherwise(0L)).as("f2"),
+        sum((col("__n_w") * (col("__n_w") - 1)).cast("decimal(38,0)"))
+          .as("__pairs"))
+      .select(col("__g").as(groupCol), col("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        (col("vocab").cast("double")
+          + col("f1").cast("double") * (col("f1") - 1).cast("double")
+            / (lit(2.0) * (col("f2").cast("double") + 1.0))).as("chao1"),
+        (col("f1").cast("double") / col("n_tokens")).as("gt_unseen_mass"),
+        when(col("n_tokens") > 1, col("__pairs").cast("double")
+          / (col("n_tokens").cast("double")
+            * (col("n_tokens").cast("double") - 1.0))).as("simpson"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
     val top = df

@@ -273,4 +273,56 @@ class RelevanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Relevance.rankingMetrics(run, qrels, 0))
   }
+
+  test("vocabRichness: hand-computed Chao1 / Good-Turing / Simpson") {
+    // group g1 tokens: a a b c → V=3, N=4, F1=2 (b,c), F2=1 (a)
+    // chao1 = 3 + 2·1/(2·2) = 3.5; GT = 2/4 = 0.5
+    // simpson = Σ n(n−1) / (N(N−1)) = 2 / 12 = 1/6
+    val df = Seq(("g1", "a a"), ("g1", "b c")).toDF("g", "text")
+    val r = Relevance.vocabRichness(df, "g", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 1L)
+    assert(math.abs(r.getAs[Double]("chao1") - 3.5) < 1e-15)
+    assert(math.abs(r.getAs[Double]("gt_unseen_mass") - 0.5) < 1e-15)
+    assert(math.abs(r.getAs[Double]("simpson") - 1.0 / 6) < 1e-15)
+  }
+
+  test("vocabRichness: all-hapax vs single-type extremes") {
+    val df = Seq(("hapax", "a b c"), ("mono", "z z z")).toDF("g", "text")
+    val got = Relevance.vocabRichness(df, "g", "text").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    // all hapax: chao1 = 3 + 3·2/2 = 6 (heavy unseen mass), simpson = 0
+    val h = got("hapax")
+    assert(math.abs(h.getAs[Double]("chao1") - 6.0) < 1e-15)
+    assert(h.getAs[Double]("gt_unseen_mass") == 1.0)
+    assert(h.getAs[Double]("simpson") == 0.0)
+    // one repeated type: chao1 = V = 1 (F1 = 0), GT = 0, simpson = 1
+    val m = got("mono")
+    assert(m.getAs[Double]("chao1") == 1.0)
+    assert(m.getAs[Double]("gt_unseen_mass") == 0.0)
+    assert(m.getAs[Double]("simpson") == 1.0)
+  }
+
+  test("vocabRichness: single-token group has undefined (NULL) simpson") {
+    val df = Seq(("g", "only")).toDF("g", "text")
+    val r = Relevance.vocabRichness(df, "g", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 1L)
+    assert(r.isNullAt(r.fieldIndex("simpson")))
+    assert(math.abs(r.getAs[Double]("gt_unseen_mass") - 1.0) < 1e-15)
+  }
+
+  test("vocabRichness: chao1 never undershoots the observed vocabulary and is partitioning-invariant") {
+    val rows = (1 to 300).map(i => ("g", s"t${i % 37} t${i % 11} filler"))
+    val a = Relevance.vocabRichness(rows.toDF("g", "text"), "g", "text")
+      .collect().head
+    val b = Relevance.vocabRichness(
+        rows.toDF("g", "text").repartition(13), "g", "text")
+      .collect().head
+    assert(a.getAs[Double]("chao1") >= a.getAs[Long]("vocab").toDouble)
+    // exact equality: every statistic is integer-ratio, fold-order-free
+    assert(a.getAs[Double]("chao1") == b.getAs[Double]("chao1"))
+    assert(a.getAs[Double]("simpson") == b.getAs[Double]("simpson"))
+    assert(a.getAs[Double]("gt_unseen_mass") == b.getAs[Double]("gt_unseen_mass"))
+  }
 }
