@@ -8102,6 +8102,62 @@ SELECT g AS lang, n_tokens, vocab, f1, f2,
   END AS simpson
 FROM agg ORDER BY lang"""))
 
+  private val x124 = DeclaredQuery("x124_conformal_threshold",
+    // split-conformal selection thresholds (Conformal.quantileThresholds +
+    // coverage) — the distribution-free filter-calibration gate: the
+    // ⌈(n+1)(1−α)⌉-th smallest calibration score guarantees
+    // P(s_new ≤ q̂) ≥ 1−α for exchangeable scores, no model assumption.
+    // Calibration/test split is the x06d sha256 hash at the exact-binary
+    // 0.5 boundary (hash-random ⇒ exchangeable); scores are n_chars.
+    // ORACLED with NO rounding pin: thresholds are DATA VALUES picked by
+    // integer-rank comparison, coverage is an exact integer ratio, and
+    // the only float ops (the ceil rank formula, the 3σ binomial slack)
+    // are single IEEE expressions spelled identically. At this n every
+    // α's rank is attainable; the NULL-threshold fail-honest face is
+    // spec-pinned (ConformalSpec) rather than gate-exercised.
+    (s, d) => {
+      val withS = graft.operators.Sampling
+        .splitAssign(t(s, d, "documents"), "doc_id",
+          Seq("cal" -> 0.5, "test" -> 0.5))
+        .select(col("split"), col("n_chars").cast("double").as("s"))
+      val thr = graft.operators.Conformal.quantileThresholds(
+        withS.where(col("split") === "cal"), "s", Seq(0.2, 0.1, 0.05))
+      graft.operators.Conformal.coverage(
+          withS.where(col("split") === "test"), "s", thr)
+        .orderBy("alpha")
+    },
+    Some("""WITH u AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s,
+    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS h
+  FROM documents),
+cal AS (SELECT s FROM u WHERE h < 0.5),
+test AS (SELECT s FROM u WHERE h >= 0.5),
+cum AS (
+  SELECT s, SUM(c) OVER (ORDER BY s) AS cum FROM (
+    SELECT s, COUNT(*) AS c FROM cal GROUP BY s) z),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+ks AS (
+  SELECT alpha, n_cal,
+    CAST(CEIL((n_cal + 1) * (1.0 - alpha)) AS BIGINT) AS k
+  FROM (SELECT UNNEST([0.2, 0.1, 0.05]) AS alpha) a CROSS JOIN n),
+thr AS (
+  SELECT alpha, n_cal, k, MIN(s) AS threshold
+  FROM ks LEFT JOIN cum ON cum.cum >= ks.k
+  GROUP BY alpha, n_cal, k),
+cov AS (
+  SELECT alpha, n_cal, k, threshold,
+    CAST(COUNT(*) AS BIGINT) AS n_test,
+    SUM(CASE WHEN threshold IS NOT NULL AND t.s <= threshold THEN 1
+             WHEN threshold IS NOT NULL THEN 0 END) AS c
+  FROM test t CROSS JOIN thr
+  GROUP BY alpha, n_cal, k, threshold)
+SELECT alpha, n_cal, k, threshold, n_test,
+  CAST(c AS DOUBLE) / n_test AS test_coverage,
+  CAST(c AS DOUBLE) / n_test >= 1.0 - alpha
+    - 3.0 * SQRT(alpha * (1.0 - alpha) / n_test) AS meets_guarantee
+FROM cov ORDER BY alpha"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8122,7 +8178,7 @@ FROM agg ORDER BY lang"""))
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
-    x123, x10d, x10e, x10f)
+    x123, x124, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
