@@ -8158,6 +8158,65 @@ SELECT alpha, n_cal, k, threshold, n_test,
     - 3.0 * SQRT(alpha * (1.0 - alpha) / n_test) AS meets_guarantee
 FROM cov ORDER BY alpha"""))
 
+  private val x125 = DeclaredQuery("x125_spearman",
+    // Spearman rank correlation (Profiling.spearman) — the scorer-
+    // comparison read: do two signals agree on ORDER (what selection and
+    // ranking actually consume) regardless of scale. Two faces: length in
+    // chars vs length in tokens (strongly monotone, ρ→1 territory) and
+    // length vs doc_id (independent, ρ≈0). Average-of-ties fractional
+    // ranks via the distinct-value cumulative trick — no row-level
+    // global window; ORACLED with the round6 pin (rank sums are exact
+    // halves at gate scale, the pin covers the final float fold).
+    (s, d) => {
+      val v = t(s, d, "documents").select(
+        col("doc_id").cast("double").as("id"),
+        col("n_chars").cast("double").as("nc"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("double").as("nt"))
+      def face(name: String, a: String, b: String) =
+        graft.operators.Profiling.spearman(v, a, b)
+          .select(lit(name).as("pair"), col("n"),
+            (floor(col("rho") * 1000000 + 0.5) / 1000000).as("rho"))
+      face("n_chars~n_tokens", "nc", "nt")
+        .unionAll(face("n_chars~doc_id", "nc", "id"))
+        .orderBy("pair")
+    },
+    Some("""WITH v AS (
+  SELECT CAST(doc_id AS DOUBLE) AS id, CAST(n_chars AS DOUBLE) AS nc,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      x -> length(x) > 0)) AS DOUBLE) AS nt
+  FROM documents),
+ra AS (SELECT nc, COALESCE(SUM(c) OVER (ORDER BY nc
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + CAST(c + 1 AS DOUBLE) / 2.0 AS r
+       FROM (SELECT nc, COUNT(*) AS c FROM v GROUP BY nc) z),
+rb AS (SELECT nt, COALESCE(SUM(c) OVER (ORDER BY nt
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + CAST(c + 1 AS DOUBLE) / 2.0 AS r
+       FROM (SELECT nt, COUNT(*) AS c FROM v GROUP BY nt) z),
+rc AS (SELECT id, COALESCE(SUM(c) OVER (ORDER BY id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + CAST(c + 1 AS DOUBLE) / 2.0 AS r
+       FROM (SELECT id, COUNT(*) AS c FROM v GROUP BY id) z),
+m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM (SELECT ra.r AS x, rb.r AS y
+        FROM v JOIN ra USING (nc) JOIN rb USING (nt)) j),
+m2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM (SELECT ra.r AS x, rc.r AS y
+        FROM v JOIN ra USING (nc) JOIN rc USING (id)) j)
+SELECT pair, n,
+  FLOOR((n * sxy - sx * sy)
+    / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+    * 1000000 + 0.5) / 1000000 AS rho
+FROM (
+  SELECT 'n_chars~n_tokens' AS pair, * FROM m1
+  UNION ALL SELECT 'n_chars~doc_id' AS pair, * FROM m2) u
+ORDER BY pair"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8178,7 +8237,7 @@ FROM cov ORDER BY alpha"""))
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
-    x123, x124, x10d, x10e, x10f)
+    x123, x124, x125, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -91,6 +91,58 @@ object Profiling {
     out.toDF("col_1", "col_2", "corr")
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * scorer-comparison read Pearson gets wrong on monotone-but-nonlinear
+    * relationships (two quality scorers can agree on ORDER while
+    * disagreeing on scale): ρ_s = Pearson on fractional (average-of-ties)
+    * ranks.
+    *
+    * Shape: per column, ranks come from the DISTINCT-VALUE cumulative
+    * trick — one value-keyed count shuffle, a cumulative window over
+    * distinct values (value cardinality bounds it, not corpus size), then
+    * an equi-join back on the value; the Pearson moments are one aggregate
+    * pass. No row-level global-order window anywhere.
+    *
+    * Determinism: average ranks are exact halves and their sums/products
+    * stay exactly representable well past gate scale (~2^52 mass), so the
+    * moment sums are fold-order-free there; consumers at extreme n should
+    * still canonicalize (the gate pins round6). NULLs in either column
+    * fail loudly (rank semantics under NULL are a policy choice — decide
+    * upstream). ρ_s is NULL when either column is constant (zero rank
+    * variance). Output: one row (n, rho). */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    def guard(c: String, n: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"spearman: NULL in $c — drop or impute upstream")))
+        .otherwise(col(c).cast("double")).as(n)
+    val v = df.select(guard(colA, "__a"), guard(colB, "__b"))
+    def ranks(c: String, rk: String): DataFrame =
+      v.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .select(col(c),
+          (coalesce(sum("__c").over(
+              org.apache.spark.sql.expressions.Window.orderBy(c)
+                .rowsBetween(Long.MinValue, -1)), lit(0L))
+            + (col("__c") + 1).cast("double") / 2.0).as(rk))
+    val ranked = v
+      .join(ranks("__a", "__ra"), Seq("__a"))
+      .join(ranks("__b", "__rb"), Seq("__b"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum("__ra").as("__sx"), sum("__rb").as("__sy"),
+      sum(col("__ra") * col("__ra")).as("__sxx"),
+      sum(col("__rb") * col("__rb")).as("__syy"),
+      sum(col("__ra") * col("__rb")).as("__sxy"))
+    m.select(col("n"),
+      (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+      (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("__vx"),
+      (col("n") * col("__syy") - col("__sy") * col("__sy")).as("__vy"))
+      .select(col("n"),
+        when(col("__vx") === 0.0 || col("__vy") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(col("__num") / sqrt(col("__vx") * col("__vy")))
+          .as("rho"))
+  }
+
   /** Per-pair moments from ONE Gramian pass over the 3D-wide packed array
     * [v_1..v_D (null→0), m_1..m_D (null masks), v_1²..v_D²]: for pair
     * (i, j), n = Σm_i·m_j, the sums are Σv·m cross-terms, the second

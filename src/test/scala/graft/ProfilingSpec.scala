@@ -415,4 +415,55 @@ class ProfilingSpec extends AnyFunSuite {
       .collect()
     assert(a.length == 1 && a.head.getDouble(0) == 2.0)
   }
+
+  test("spearman: rank-perfect on a monotone nonlinear map where Pearson is not") {
+    val df = (1 to 50).map(i => (i.toDouble, (i.toDouble * i * i)))
+      .toDF("x", "y")
+    val r = graft.operators.Profiling.spearman(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Double]("rho") == 1.0)
+    val pearson = df.stat.corr("x", "y")
+    assert(pearson < 0.95, s"cubic map must not be Pearson-linear: $pearson")
+    val rev = graft.operators.Profiling
+      .spearman(df.withColumn("y", -col("y")), "x", "y").collect().head
+    assert(rev.getAs[Double]("rho") == -1.0)
+  }
+
+  test("spearman: hand-computed with a swap and with ties") {
+    // x = 1..4, y = 1,3,2,4 → ranks are the values; ρ = 16/20 = 0.8
+    val swap = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0))
+      .toDF("x", "y")
+    val r1 = graft.operators.Profiling.spearman(swap, "x", "y")
+      .collect().head
+    assert(math.abs(r1.getAs[Double]("rho") - 0.8) < 1e-15)
+    // tied pair gets the average rank on both sides → still ρ = 1
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val r2 = graft.operators.Profiling.spearman(ties, "x", "y")
+      .collect().head
+    assert(r2.getAs[Double]("rho") == 1.0)
+  }
+
+  test("spearman: constant column -> NULL rho; NULL value fails loudly") {
+    val const = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "y")
+    val r = graft.operators.Profiling.spearman(const, "x", "y")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("rho")))
+    val withNull = Seq((Some(1.0), Some(1.0)), (Some(2.0), None))
+      .toDF("x", "y")
+    val ex = intercept[Exception] {
+      graft.operators.Profiling.spearman(withNull, "x", "y").collect()
+    }
+    assert(ex.getMessage.contains("NULL in y"))
+  }
+
+  test("spearman: exactly reproducible across partitionings (rank sums are exact halves)") {
+    val rows = (1 to 400).map(i => ((i % 53).toDouble, ((i * 7) % 31).toDouble))
+    val a = graft.operators.Profiling
+      .spearman(rows.toDF("x", "y"), "x", "y").collect().head.getAs[Double]("rho")
+    val b = graft.operators.Profiling
+      .spearman(rows.toDF("x", "y").repartition(19), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(a == b)
+  }
 }
