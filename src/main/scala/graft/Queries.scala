@@ -8217,6 +8217,450 @@ FROM (
   UNION ALL SELECT 'n_chars~doc_id' AS pair, * FROM m2) u
 ORDER BY pair"""))
 
+  private val x126 = DeclaredQuery("x126_cusum_drift",
+    // Two-sided CUSUM drift monitor (ChangePoint.cusum) over per-type
+    // daily event counts — "when did this source leave its in-control
+    // level?". In-control target = per-type integer mean (div — truncating
+    // on these positive counts, = DuckDB's flooring // there), allowance
+    // k = max(1, target div 20), decision interval h = 5k — all exact
+    // BIGINTs, so every prefix sum is an exact integer in a double and the
+    // statistics are fold-order-free (hash-safe raw, no rounding pin).
+    // Oracle replays Page's closed form (P_i − min(0, min_j P_j)) with the
+    // same window spelling.
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val levels = daily.groupBy("event_type")
+        .agg(sum("cnt").as("__sc"), count(lit(1)).as("__nd"))
+        .select(col("event_type"), expr("__sc div __nd").as("target"))
+        .withColumn("k", greatest(lit(1L), expr("target div 20")))
+        .withColumn("h", col("k") * 5)
+      graft.operators.ChangePoint.cusum(
+          daily.join(levels, Seq("event_type")),
+          "event_type", "day", "cnt", col("target"), col("k"), col("h"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("cusum_up"), col("cusum_dn"), col("alarm_up"), col("alarm_dn"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+lv AS (
+  SELECT event_type,
+    CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS target,
+    CAST(GREATEST(1, (SUM(cnt) // COUNT(*)) // 20) AS BIGINT) AS k
+  FROM d GROUP BY 1),
+j AS (
+  SELECT d.event_type, d.day, d.cnt,
+    CAST(lv.target AS DOUBLE) AS t, CAST(lv.k AS DOUBLE) AS kk,
+    CAST(lv.k * 5 AS DOUBLE) AS h
+  FROM d JOIN lv USING (event_type)),
+p AS (
+  SELECT *,
+    SUM(CAST(cnt AS DOUBLE) - t - kk) OVER w AS p_up,
+    SUM(t - CAST(cnt AS DOUBLE) - kk) OVER w AS p_dn
+  FROM j
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT *,
+    p_up - LEAST(MIN(p_up) OVER w, 0) AS cusum_up,
+    p_dn - LEAST(MIN(p_dn) OVER w, 0) AS cusum_dn
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, cnt, cusum_up, cusum_dn,
+  cusum_up > h AS alarm_up, cusum_dn > h AS alarm_dn
+FROM c ORDER BY event_type, day"""))
+
+  private val x127 = DeclaredQuery("x127_mann_whitney",
+    // Mann-Whitney U (TwoSample.mannWhitneyU) — the nonparametric "does
+    // source A stochastically dominate source B?" read over n_chars. Two
+    // faces: de~fr languages (the one generator pair with a real rank
+    // shift — z ≈ −2.0, significant at 0.05) and src0~src1 sources (same
+    // generator, z near 0 — the null face). Ranks are exact
+    // halves via the distinct-value trick (the x125 machinery), U and the
+    // tie term exact; round6 pins the final sqrt+division fold.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def face(name: String, gc: String, a: String, b: String) =
+        graft.operators.TwoSample.mannWhitneyU(docs, gc, "n_chars", a, b)
+          .select(lit(name).as("pair"), col("n_a"), col("n_b"), col("u_a"),
+            (floor(col("z") * 1000000 + 0.5) / 1000000).as("z"))
+      face("lang:de~fr", "lang", "de", "fr")
+        .unionAll(face("source:src0~src1", "source", "src0", "src1"))
+        .orderBy("pair")
+    },
+    Some("""WITH face AS (
+  SELECT 'lang:de~fr' AS pair, lang AS g, 'de' AS ga, 'fr' AS gb,
+    CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang IN ('de', 'fr')
+  UNION ALL
+  SELECT 'source:src0~src1', source, 'src0', 'src1',
+    CAST(n_chars AS DOUBLE) FROM documents WHERE source IN ('src0', 'src1')),
+c AS (
+  SELECT pair, ga, gb, v,
+    SUM(CASE WHEN g = ga THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN g = gb THEN 1 ELSE 0 END) AS cb
+  FROM face GROUP BY pair, ga, gb, v),
+r AS (
+  SELECT *,
+    CAST(COALESCE(SUM(ca + cb) OVER (PARTITION BY pair ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      + CAST(ca + cb + 1 AS DOUBLE) / 2.0 AS rk
+  FROM c),
+m AS (
+  SELECT pair,
+    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+    SUM(CAST(ca AS DOUBLE) * rk) AS ra,
+    CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS DOUBLE)
+      AS ties
+  FROM r GROUP BY pair),
+u AS (
+  SELECT pair, n_a, n_b,
+    ra - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0 AS u_a,
+    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      * (CAST(n_a + n_b + 1 AS DOUBLE)
+        - ties / (CAST(n_a + n_b AS DOUBLE)
+          * CAST(n_a + n_b - 1 AS DOUBLE))) AS vr
+  FROM m)
+SELECT pair, n_a, n_b, u_a,
+  CASE WHEN vr <= 0.0 THEN NULL ELSE
+    FLOOR((u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+      / SQRT(vr) * 1000000 + 0.5) / 1000000 END AS z
+FROM u ORDER BY pair"""))
+
+  private val x128 = DeclaredQuery("x128_ks_test",
+    // Two-sample Kolmogorov-Smirnov (TwoSample.ksTest) — the largest ECDF
+    // gap and WHERE it sits, same signal/null face pair as x127. The gap is the exact
+    // integer |cum_a·n_b − cum_b·n_a| divided ONCE at the end, so d is one
+    // correctly-rounded division — no pin; ks_at is a data value with the
+    // documented leftmost tie rule.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def face(name: String, gc: String, a: String, b: String) =
+        graft.operators.TwoSample.ksTest(docs, gc, "n_chars", a, b)
+          .select(lit(name).as("pair"), col("n_a"), col("n_b"),
+            col("d"), col("ks_at"))
+      face("lang:de~fr", "lang", "de", "fr")
+        .unionAll(face("source:src0~src1", "source", "src0", "src1"))
+        .orderBy("pair")
+    },
+    Some("""WITH face AS (
+  SELECT 'lang:de~fr' AS pair, lang AS g, 'de' AS ga, 'fr' AS gb,
+    CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang IN ('de', 'fr')
+  UNION ALL
+  SELECT 'source:src0~src1', source, 'src0', 'src1',
+    CAST(n_chars AS DOUBLE) FROM documents WHERE source IN ('src0', 'src1')),
+c AS (
+  SELECT pair, v,
+    SUM(CASE WHEN g = ga THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN g = gb THEN 1 ELSE 0 END) AS cb
+  FROM face GROUP BY pair, v),
+cum AS (
+  SELECT pair, v,
+    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+  FROM c
+  WINDOW w AS (PARTITION BY pair ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT pair, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM c GROUP BY pair),
+g AS (
+  SELECT cum.pair, cum.v, tot.n_a, tot.n_b,
+    ABS(cum_a * tot.n_b - cum_b * tot.n_a) AS gap
+  FROM cum JOIN tot ON cum.pair = tot.pair)
+SELECT pair, n_a, n_b,
+  CAST(MAX(gap) AS DOUBLE)
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+  FIRST(v ORDER BY gap DESC, v) AS ks_at
+FROM g GROUP BY pair, n_a, n_b ORDER BY pair"""))
+
+  private val x129 = DeclaredQuery("x129_bh_fdr",
+    // Benjamini-Hochberg FDR selection (MultipleTesting.benjaminiHochberg)
+    // at α=0.1 over a deterministically constructed p-value column:
+    // hash-uniform u = (((doc_id mod 1000003)·2654435761) mod 1000003)
+    // / 1000003 — the doc_id reduces mod-first so the product stays ≤
+    // 2.7e15 at ANY id universe (the raw product overflows BIGINT once
+    // ids carry 1e8-scale copy offsets — measured at the 100× smoke), scaled
+    // ×0.002 for zh docs (the planted signal). The step-up threshold then
+    // rejects the zh block PLUS the step-up tail of small non-zh p's —
+    // both procedure faces fire. p is pure identical-IEEE arithmetic
+    // (BIGINT mod, one division, one multiply), threshold a data value,
+    // flags booleans — hash-safe raw.
+    (s, d) => {
+      val p = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((((col("doc_id") % lit(1000003L)) * lit(2654435761L))
+            % lit(1000003L))
+            .cast("double") / lit(1000003.0)).as("__u"))
+        .withColumn("p",
+          when(col("lang") === "zh", col("__u") * lit(0.002))
+            .otherwise(col("__u")))
+      graft.operators.MultipleTesting.benjaminiHochberg(p, "p", 0.1)
+        .select(col("doc_id"), col("p"), col("bh_keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+  SELECT doc_id,
+    CASE WHEN lang = 'zh' THEN u * 0.002 ELSE u END AS p
+  FROM (
+    SELECT doc_id, lang,
+      CAST(((doc_id % 1000003) * 2654435761) % 1000003 AS DOUBLE)
+        / 1000003.0 AS u
+    FROM documents) z),
+c AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+r AS (
+  SELECT p, c, SUM(c) OVER (ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+  FROM c),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM b),
+thr AS (
+  SELECT MAX(CASE WHEN p * CAST(m.m AS DOUBLE)
+      <= CAST(rk AS DOUBLE) * 0.1 THEN p END) AS threshold
+  FROM r, m)
+SELECT doc_id, p,
+  threshold IS NOT NULL AND p <= threshold AS bh_keep
+FROM b, thr ORDER BY doc_id"""))
+
+  private val x130 = DeclaredQuery("x130_welch_t",
+    // Welch's unequal-variance t (TwoSample.welchT) — the parametric mean
+    // comparison next to x127's rank read, same signal/null face pair.
+    // ONE conditional-moments aggregate (map-side partials, no window, no
+    // distinct-value frame); n_chars is integer-valued so the moment sums
+    // are exact and fold-order-free; means are single divisions of exact
+    // integers (raw), t/df carry the sqrt+division folds (round6 pin).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def face(name: String, gc: String, a: String, b: String) =
+        graft.operators.TwoSample.welchT(docs, gc, "n_chars", a, b)
+          .select(lit(name).as("pair"), col("n_a"), col("n_b"),
+            col("mean_a"), col("mean_b"),
+            r6(col("t")).as("t"), r6(col("df")).as("df"))
+      face("lang:de~fr", "lang", "de", "fr")
+        .unionAll(face("source:src0~src1", "source", "src0", "src1"))
+        .orderBy("pair")
+    },
+    Some("""WITH face AS (
+  SELECT 'lang:de~fr' AS pair, lang AS g, 'de' AS ga, 'fr' AS gb,
+    CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang IN ('de', 'fr')
+  UNION ALL
+  SELECT 'source:src0~src1', source, 'src0', 'src1',
+    CAST(n_chars AS DOUBLE) FROM documents WHERE source IN ('src0', 'src1')),
+m AS (
+  SELECT pair,
+    CAST(SUM(CASE WHEN g = ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = gb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN g = ga THEN v ELSE 0.0 END) AS sa,
+    SUM(CASE WHEN g = gb THEN v ELSE 0.0 END) AS sb,
+    SUM(CASE WHEN g = ga THEN v * v ELSE 0.0 END) AS qa,
+    SUM(CASE WHEN g = gb THEN v * v ELSE 0.0 END) AS qb
+  FROM face GROUP BY pair),
+w AS (
+  SELECT pair, n_a, n_b,
+    sa / CAST(n_a AS DOUBLE) AS mean_a, sb / CAST(n_b AS DOUBLE) AS mean_b,
+    ((qa - sa * sa / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
+      / CAST(n_a AS DOUBLE) AS ea,
+    ((qb - sb * sb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
+      / CAST(n_b AS DOUBLE) AS eb
+  FROM m)
+SELECT pair, n_a, n_b, mean_a, mean_b,
+  CASE WHEN n_a < 2 OR n_b < 2 OR ea + eb <= 0.0 THEN NULL ELSE
+    FLOOR((mean_a - mean_b) / SQRT(ea + eb) * 1000000 + 0.5) / 1000000
+    END AS t,
+  CASE WHEN n_a < 2 OR n_b < 2 OR ea + eb <= 0.0 THEN NULL ELSE
+    FLOOR((ea + eb) * (ea + eb)
+      / (ea * ea / CAST(n_a - 1 AS DOUBLE)
+        + eb * eb / CAST(n_b - 1 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+    END AS df
+FROM w ORDER BY pair"""))
+
+  private val x131 = DeclaredQuery("x131_permutation_test",
+    // Hash-randomization permutation test (TwoSample.permutationTest) on
+    // the x127 signal face (de~fr mean n_chars difference), 64
+    // pseudo-permutations by the x06d sha256 unit hash of id:perm:j —
+    // fully replayable in DuckDB, so the ENTIRE null distribution sweep
+    // is oracled: per-j pseudo-side sums are exact integers, the
+    // exceedance comparison is identical-IEEE, and the add-one p is an
+    // exact integer ratio. No rounding pin anywhere.
+    (s, d) => graft.operators.TwoSample.permutationTest(
+        t(s, d, "documents"), "doc_id", "lang", "n_chars", "de", "fr", 64)
+      .select(col("n_a"), col("n_b"), col("obs_diff"),
+        col("n_perms"), col("p_value")),
+    Some("""WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, lang AS g,
+    CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE lang IN ('de', 'fr')),
+o AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN g = 'de' THEN v ELSE 0.0 END) AS sa,
+    SUM(CASE WHEN g = 'fr' THEN v ELSE 0.0 END) AS sb
+  FROM f),
+od AS (
+  SELECT n_a, n_b,
+    sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE) AS obs_diff
+  FROM o),
+sw AS (
+  SELECT t.j, v,
+    CASE WHEN CAST(('0x' || substring(
+        sha256(id || ':perm:' || CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0
+      < CAST(od.n_a AS DOUBLE) / CAST(od.n_a + od.n_b AS DOUBLE)
+    THEN 1 ELSE 0 END AS toa
+  FROM f, range(64) t(j), od),
+agg AS (
+  SELECT j, SUM(toa) AS na,
+    SUM(CASE WHEN toa = 1 THEN v ELSE 0.0 END) AS psa,
+    SUM(1 - toa) AS nb,
+    SUM(CASE WHEN toa = 0 THEN v ELSE 0.0 END) AS psb
+  FROM sw GROUP BY j),
+diffs AS (
+  SELECT j, CASE WHEN na = 0 OR nb = 0 THEN NULL
+    ELSE psa / CAST(na AS DOUBLE) - psb / CAST(nb AS DOUBLE) END AS dj
+  FROM agg)
+SELECT od.n_a, od.n_b, od.obs_diff,
+  CAST(COUNT(*) AS BIGINT) AS n_perms,
+  CAST(SUM(CASE WHEN dj IS NULL OR ABS(dj) >= ABS(od.obs_diff)
+    THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+    / CAST(COUNT(*) + 1 AS DOUBLE) AS p_value
+FROM diffs, od GROUP BY od.n_a, od.n_b, od.obs_diff"""))
+
+  private val x132 = DeclaredQuery("x132_chi2_independence",
+    // Pearson chi-squared independence + Cramér's V
+    // (Contingency.chi2Independence) over two metadata facet pairs:
+    // lang × source on documents (the mixture-skew screen) and
+    // event_type × value band on events. Counts/margins exact integers;
+    // zero cells enter via the no-spine identity χ² = n + Σ((o−e)²/e − e);
+    // the final Σ over occupied cells is the one cross-engine fold
+    // (contributions O(1..n) doubles, divergence ~1e-10) — round6 pins
+    // chi2 and V.
+    (s, d) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def shape(name: String, df: DataFrame, a: String, b: String) =
+        graft.operators.Contingency.chi2Independence(df, a, b)
+          .select(lit(name).as("pair"), col("n"), col("r"), col("c"),
+            col("dof"), r6(col("chi2")).as("chi2"),
+            r6(col("cramers_v")).as("cramers_v"))
+      val docs = t(s, d, "documents")
+      val ev = t(s, d, "events")
+        .withColumn("band",
+          when(col("value") >= 50.0, "hi").otherwise("lo"))
+      shape("docs:lang~source", docs, "lang", "source")
+        .unionAll(shape("events:type~band", ev, "event_type", "band"))
+        .orderBy("pair")
+    },
+    Some("""WITH side AS (
+  SELECT 'docs:lang~source' AS pair, lang AS a, source AS b FROM documents
+  UNION ALL
+  SELECT 'events:type~band', event_type,
+    CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END
+  FROM events),
+cells AS (SELECT pair, a, b, COUNT(*) AS o FROM side GROUP BY 1, 2, 3),
+rm AS (SELECT pair, a, SUM(o) AS ra FROM cells GROUP BY 1, 2),
+cm AS (SELECT pair, b, SUM(o) AS cb FROM cells GROUP BY 1, 2),
+tt AS (
+  SELECT pair, CAST(SUM(o) AS BIGINT) AS n,
+    CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+    CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+  FROM cells GROUP BY 1),
+e AS (
+  SELECT cells.pair, tt.n, tt.r, tt.c,
+    CAST(rm.ra AS DOUBLE) * CAST(cm.cb AS DOUBLE)
+      / CAST(tt.n AS DOUBLE) AS ee,
+    CAST(cells.o AS DOUBLE) AS od
+  FROM cells
+  JOIN rm ON cells.pair = rm.pair AND cells.a = rm.a
+  JOIN cm ON cells.pair = cm.pair AND cells.b = cm.b
+  JOIN tt ON cells.pair = tt.pair),
+s AS (
+  SELECT pair, n, r, c, (r - 1) * (c - 1) AS dof,
+    CAST(n AS DOUBLE) + SUM((od - ee) * (od - ee) / ee - ee) AS chi2
+  FROM e GROUP BY pair, n, r, c)
+SELECT pair, n, r, c, dof,
+  CASE WHEN dof = 0 THEN NULL
+    ELSE FLOOR(chi2 * 1000000 + 0.5) / 1000000 END AS chi2,
+  CASE WHEN dof = 0 THEN NULL
+    ELSE FLOOR(SQRT(chi2 / (CAST(n AS DOUBLE)
+      * CAST(LEAST(r, c) - 1 AS DOUBLE))) * 1000000 + 0.5) / 1000000
+    END AS cramers_v
+FROM s ORDER BY pair"""))
+
+  private val x133 = DeclaredQuery("x133_mutual_information",
+    // Mutual information + entropies + arithmetic-mean NMI
+    // (Contingency.mutualInformation) over the same facet pairs as x132 —
+    // the association-STRENGTH read next to chi2's significance read
+    // (chi2 grows with n at fixed association; MI measures the
+    // association). Every p is an exact-integer ratio; ln is libm (ulps
+    // differ cross-engine) and the final Σ a cross-engine fold — round6
+    // pins mi/h/nmi.
+    (s, d) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def shape(name: String, df: DataFrame, a: String, b: String) =
+        graft.operators.Contingency.mutualInformation(df, a, b)
+          .select(lit(name).as("pair"), col("n"), col("r"), col("c"),
+            r6(col("h_a")).as("h_a"), r6(col("h_b")).as("h_b"),
+            r6(col("mi")).as("mi"), r6(col("nmi")).as("nmi"))
+      val docs = t(s, d, "documents")
+      val ev = t(s, d, "events")
+        .withColumn("band",
+          when(col("value") >= 50.0, "hi").otherwise("lo"))
+      shape("docs:lang~source", docs, "lang", "source")
+        .unionAll(shape("events:type~band", ev, "event_type", "band"))
+        .orderBy("pair")
+    },
+    Some("""WITH side AS (
+  SELECT 'docs:lang~source' AS pair, lang AS a, source AS b FROM documents
+  UNION ALL
+  SELECT 'events:type~band', event_type,
+    CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END
+  FROM events),
+cells AS (SELECT pair, a, b, COUNT(*) AS o FROM side GROUP BY 1, 2, 3),
+rm AS (SELECT pair, a, SUM(o) AS ra FROM cells GROUP BY 1, 2),
+cm AS (SELECT pair, b, SUM(o) AS cb FROM cells GROUP BY 1, 2),
+tt AS (
+  SELECT pair, CAST(SUM(o) AS BIGINT) AS n,
+    CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+    CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+  FROM cells GROUP BY 1),
+mi AS (
+  SELECT cells.pair,
+    SUM((CAST(cells.o AS DOUBLE) / CAST(tt.n AS DOUBLE))
+      * LN(CAST(cells.o AS DOUBLE) * CAST(tt.n AS DOUBLE)
+        / (CAST(rm.ra AS DOUBLE) * CAST(cm.cb AS DOUBLE)))) AS mi
+  FROM cells
+  JOIN rm ON cells.pair = rm.pair AND cells.a = rm.a
+  JOIN cm ON cells.pair = cm.pair AND cells.b = cm.b
+  JOIN tt ON cells.pair = tt.pair
+  GROUP BY cells.pair),
+ha AS (
+  SELECT rm.pair,
+    SUM((CAST(rm.ra AS DOUBLE) / CAST(tt.n AS DOUBLE))
+      * LN(CAST(tt.n AS DOUBLE) / CAST(rm.ra AS DOUBLE))) AS h_a
+  FROM rm JOIN tt ON rm.pair = tt.pair GROUP BY rm.pair),
+hb AS (
+  SELECT cm.pair,
+    SUM((CAST(cm.cb AS DOUBLE) / CAST(tt.n AS DOUBLE))
+      * LN(CAST(tt.n AS DOUBLE) / CAST(cm.cb AS DOUBLE))) AS h_b
+  FROM cm JOIN tt ON cm.pair = tt.pair GROUP BY cm.pair)
+SELECT tt.pair, tt.n, tt.r, tt.c,
+  FLOOR(ha.h_a * 1000000 + 0.5) / 1000000 AS h_a,
+  FLOOR(hb.h_b * 1000000 + 0.5) / 1000000 AS h_b,
+  FLOOR(mi.mi * 1000000 + 0.5) / 1000000 AS mi,
+  CASE WHEN tt.r = 1 OR tt.c = 1 THEN NULL
+    ELSE FLOOR(mi.mi / ((ha.h_a + hb.h_b) / 2.0) * 1000000 + 0.5) / 1000000
+    END AS nmi
+FROM tt
+JOIN mi ON tt.pair = mi.pair
+JOIN ha ON tt.pair = ha.pair
+JOIN hb ON tt.pair = hb.pair
+ORDER BY tt.pair"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8237,7 +8681,8 @@ ORDER BY pair"""))
     x89, x90, x91, x92, x93, x94, x95, x96, x97, x98, x99, x100, x101,
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
-    x123, x124, x125, x10d, x10e, x10f)
+    x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample tests (Mann & Whitney 1947, Ann. Math. Stat. 18; Kolmogorov
+  * 1933 / Smirnov 1939; Welch 1947, Biometrika 34; Fisher 1935) — the
+  * source-comparison reads a curation pipeline runs before mixing: "does
+  * source A's length / quality / loss distribution differ from source B's,
+  * and by how much?" Complements the drift family (x39 PSI needs binning;
+  * x76 embedding drift is mean-vector-level): rank-based (MWU: does one
+  * source stochastically dominate?), ECDF-based (KS: largest CDF gap and
+  * where it sits), parametric (Welch t: mean difference under unequal
+  * variances), and assumption-free (randomization test: the permutation
+  * null made deterministic by hash). No reference analog (`operators.py:80`
+  * delegates to Postgres); SURVEY §2c extensions, siblings of x125
+  * Spearman (same distinct-value rank machinery).
+  *
+  * Shape (MWU/KS): one value-keyed count shuffle collapses the corpus to
+  * (value, count_a, count_b) — cardinality-bounded, NOT row-bounded —
+  * then a cumulative window over distinct values and a single global
+  * aggregate. No row-level global window, no join back to rows: the rank
+  * sum Σ count_a(v)·avgrank(v) and the ECDF gap both live entirely on the
+  * distinct-value frame. Welch is one conditional-moments pass; the
+  * randomization sweep is one explode pass with perms-bounded partials.
+  */
+object TwoSample {
+
+  private def counts(df: DataFrame, groupCol: String, valueCol: String,
+                     groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, s"two-sample groups must differ, got $groupA")
+    val g = when(col(groupCol).isNull || col(valueCol).isNull,
+        raise_error(lit(s"two-sample: NULL $groupCol/$valueCol — drop or " +
+          "impute upstream")))
+      .otherwise(col(groupCol))
+    df.select(g.as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB))
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+           sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb"))
+  }
+
+  /** Mann-Whitney U with the normal approximation, tie-corrected: one row
+    * `(n_a, n_b, u_a, z)`. `u_a` counts (A, B) pairs where A wins (ties
+    * half) — `u_a / (n_a·n_b)` is the common-language effect size;
+    * `z = (U_A − n_a·n_b/2) / σ` with the tie-corrected variance
+    * `σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))` over tie-group sizes
+    * t. z is NULL when σ = 0 (every value tied — no ordering information),
+    * and the test fails loudly when either sample is empty.
+    *
+    * Determinism: average ranks are exact halves (the [[graft.operators
+    * .Profiling.spearman]] discipline), so R_A, U_A, and both variance
+    * terms are exact integer-or-half sums at any realistic scale; the only
+    * libm ops are the final sqrt + division — consumers hash-pinning
+    * should canonicalize z (the gate pins round6). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val c = counts(df, groupCol, valueCol, groupA, groupB)
+    val ranked = c.withColumn("__rank",
+      coalesce(sum(col("__ca") + col("__cb")).over(
+          Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("double")
+        + (col("__ca") + col("__cb") + 1).cast("double") / 2.0)
+    // tie term in exact BIGINT (t³ as a double drifts past 2^53; BIGINT is
+    // exact to t ≈ 2.1M per tie group — quantize upstream beyond that)
+    val t = col("__ca") + col("__cb")
+    val m = ranked.agg(
+      sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+      sum(col("__ca").cast("double") * col("__rank")).as("__ra"),
+      sum(t * t * t - t).cast("double").as("__ties"))
+    m.select(
+        when(col("n_a").isNull || col("n_b").isNull
+            || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "mannWhitneyU: empty sample — both groups need rows")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"),
+        (col("__ra") - col("n_a").cast("double")
+          * (col("n_a") + 1).cast("double") / 2.0).as("u_a"),
+        col("__ties"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__var",
+        col("n_a").cast("double") * col("n_b").cast("double") / 12.0
+          * ((col("__n") + 1).cast("double")
+            - col("__ties") / (col("__n").cast("double")
+              * (col("__n") - 1).cast("double"))))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        when(col("__var") <= 0.0, lit(null).cast("double"))
+          .otherwise((col("u_a")
+            - col("n_a").cast("double") * col("n_b").cast("double") / 2.0)
+            / sqrt(col("__var"))).as("z"))
+  }
+
+  /** Welch's unequal-variance t statistic (Welch 1947, Biometrika 34):
+    * one row `(n_a, n_b, mean_a, mean_b, t, df)` with the
+    * Welch–Satterthwaite degrees of freedom. The parametric
+    * mean-difference read next to [[mannWhitneyU]]'s rank read — ONE
+    * conditional-moments aggregate pass, map-side partials, no window and
+    * no distinct-value frame at all (the lightest test here; use it when
+    * the mean is the quantity of interest and outliers are controlled).
+    *
+    * Determinism: the moment sums are exact for integer-valued metrics;
+    * means/variances/t/df are fixed IEEE expression trees spelled
+    * identically cross-engine (consumers hash-pinning should canonicalize
+    * t and df — the gate pins round6). `t`/`df` are NULL when either
+    * sample has n < 2 or both variances are zero (no scale information);
+    * empty samples fail loudly. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, s"two-sample groups must differ, got $groupA")
+    val g = when(col(groupCol).isNull || col(valueCol).isNull,
+        raise_error(lit(s"two-sample: NULL $groupCol/$valueCol — drop or " +
+          "impute upstream")))
+      .otherwise(col(groupCol))
+    val v = col(valueCol).cast("double")
+    def side(grp: String, tag: String) = Seq(
+      sum(when(g === grp, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(g === grp, v).otherwise(0.0)).as(s"__s$tag"),
+      sum(when(g === grp, v * v).otherwise(0.0)).as(s"__q$tag"))
+    val cols = side(groupA, "a") ++ side(groupB, "b")
+    val m = df.agg(cols.head, cols.tail: _*)
+    // divisions live INSIDE lazy CaseWhen branches: under ANSI mode an
+    // eagerly-projected s/(n−1) column would throw DIVIDE_BY_ZERO for
+    // n < 2 before any NULL guard could apply
+    def mean(tag: String) =
+      when(col(s"n_$tag") >= 1,
+        col(s"__s$tag") / col(s"n_$tag").cast("double"))
+    def errVar(tag: String) = // var/n, the per-side standard-error term
+      when(col(s"n_$tag") >= 2,
+        (col(s"__q$tag") - col(s"__s$tag") * col(s"__s$tag")
+          / col(s"n_$tag").cast("double")) /
+          (col(s"n_$tag") - 1).cast("double")
+          / col(s"n_$tag").cast("double"))
+    m.select(
+        when(col("n_a").isNull || col("n_b").isNull
+            || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "welchT: empty sample — both groups need rows")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        errVar("a").as("__ea"), errVar("b").as("__eb"))
+      .withColumn("__se2", col("__ea") + col("__eb")) // NULL-propagating
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        when(col("__se2").isNull || col("__se2") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("mean_a") - col("mean_b")) / sqrt(col("__se2")))
+          .as("t"),
+        when(col("__se2").isNull || col("__se2") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(col("__se2") * col("__se2")
+            / (col("__ea") * col("__ea") / (col("n_a") - 1).cast("double")
+              + col("__eb") * col("__eb")
+                / (col("n_b") - 1).cast("double")))
+          .as("df"))
+  }
+
+  /** Approximate (randomization) permutation test for the mean difference
+    * `mean_A − mean_B` (Fisher 1935; add-one estimator per Phipson & Smyth
+    * 2010): one row `(n_a, n_b, obs_diff, n_perms, p_value)`. Each of the
+    * `perms` pseudo-permutations reassigns every row to pseudo-A with
+    * probability n_a/n by the DETERMINISTIC sha256 unit hash of
+    * `id:perm:j` — the Bernoulli approximation to exact label shuffling
+    * (group sizes vary binomially around n_a; standard at corpus scale,
+    * where hypergeometric vs binomial is negligible). p two-sided:
+    * `(1 + #{j : |diff_j| ≥ |obs|}) / (perms + 1)`; a degenerate
+    * pseudo-permutation (either side empty — only plausible at toy n)
+    * counts as exceeding, the conservative direction.
+    *
+    * Shape: the observed stat is one conditional-moments pass; the
+    * permutation sweep is ONE `explode(sequence(0, perms−1))` pass whose
+    * aggregate partials are `perms`-bounded (map-side combine collapses
+    * the ×perms row inflation to `perms` rows per partition before the
+    * shuffle) and whose final frame is `perms` rows. Work scales as
+    * corpus × perms, embarrassingly parallel — bound `perms`, not the
+    * corpus.
+    *
+    * Determinism: the unit hash is the x06d sha256 spelling (exactly
+    * replayable in DuckDB); moment sums per pseudo-side are exact for
+    * integer metrics, the comparison is identical-IEEE, and p is an exact
+    * integer ratio. */
+  def permutationTest(df: DataFrame, idCol: String, groupCol: String,
+                      valueCol: String, groupA: String, groupB: String,
+                      perms: Int): DataFrame = {
+    require(perms > 0, s"perms must be positive: $perms")
+    val base = df.select(
+      when(col(groupCol).isNull || col(valueCol).isNull
+          || col(idCol).isNull,
+        raise_error(lit(s"two-sample: NULL $idCol/$groupCol/$valueCol — " +
+          "drop or impute upstream")))
+        .otherwise(col(groupCol)).as("__g"),
+      col(idCol).cast("string").as("__id"),
+      col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isin(groupA, groupB))
+    val obs = base.agg(
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__g") === groupA, col("__v")).otherwise(0.0))
+          .as("__sa"),
+        sum(when(col("__g") === groupB, col("__v")).otherwise(0.0))
+          .as("__sb"))
+      .select(
+        when(col("n_a").isNull || col("n_b").isNull
+            || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "permutationTest: empty sample — both groups need rows")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"),
+        (col("__sa") / col("n_a").cast("double")
+          - col("__sb") / col("n_b").cast("double")).as("obs_diff"))
+    val swept = base.crossJoin(broadcast(obs))
+      .withColumn("__j", explode(sequence(lit(0), lit(perms - 1))))
+      .withColumn("__u", Sampling.hashUnit(
+        concat_ws(":", col("__id"), lit("perm"),
+          col("__j").cast("string"))))
+      .withColumn("__toA", col("__u")
+        < col("n_a").cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))
+      .groupBy("__j")
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        first("obs_diff").as("obs_diff"),
+        sum(when(col("__toA"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__toA"), col("__v")).otherwise(0.0)).as("__sa"),
+        sum(when(!col("__toA"), 1L).otherwise(0L)).as("__nb"),
+        sum(when(!col("__toA"), col("__v")).otherwise(0.0)).as("__sb"))
+      .withColumn("__diff",
+        when(col("__na") === 0 || col("__nb") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("__sa") / col("__na").cast("double")
+            - col("__sb") / col("__nb").cast("double")))
+      // NULL diff (degenerate pseudo-split) counts as exceeding —
+      // conservative
+      .withColumn("__hit",
+        when(col("__diff").isNull, 1L)
+          .otherwise(when(abs(col("__diff")) >= abs(col("obs_diff")), 1L)
+            .otherwise(0L)))
+    swept.groupBy("n_a", "n_b", "obs_diff")
+      .agg(count(lit(1)).as("n_perms"), sum("__hit").as("__exceed"))
+      .select(col("n_a"), col("n_b"), col("obs_diff"),
+        col("n_perms"),
+        ((col("__exceed") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double")).as("p_value"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic: one row
+    * `(n_a, n_b, d, ks_at)` — `d = max_v |ECDF_A(v) − ECDF_B(v)|` and
+    * `ks_at` the smallest value attaining it (ties on the max break to the
+    * leftmost — a deterministic, documented rule). The gap is computed as
+    * the INTEGER `|cum_a·n_b − cum_b·n_a|` and divided once at the end, so
+    * d is one correctly-rounded division of exact integers — hash-stable
+    * with no rounding pin needed. A present-but-empty group fails loudly;
+    * a fully empty input yields an empty frame (there is no row to raise
+    * from). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val c = counts(df, groupCol, valueCol, groupA, groupB)
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.select(col("__v"),
+      sum("__ca").over(w).as("__cum_a"), sum("__cb").over(w).as("__cum_b"))
+    val tot = c.agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__v"), col("n_a"), col("n_b"),
+        abs(col("__cum_a") * col("n_b") - col("__cum_b") * col("n_a"))
+          .as("__gap"))
+      .groupBy("n_a", "n_b")
+      .agg(max("__gap").as("__d_num"),
+           min_by(col("__v"), struct(negate(col("__gap")), col("__v")))
+             .as("ks_at"))
+      .select(
+        when(col("n_a").isNull || col("n_b").isNull
+            || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "ksTest: empty sample — both groups need rows")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"),
+        (col("__d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("d"),
+        col("ks_at"))
+  }
+}

@@ -685,4 +685,67 @@ class PlanQualitySpec extends AnyFunSuite {
     // checkpoints, so its partial-agg shape is pinned by the iterate's
     // stats/job pins above rather than this final-segment plan)
   }
+
+  test("x126 cusum: the four window columns share ONE key shuffle") {
+    val p = plan("x126_cusum_drift")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // prefix sums and running mins are Window nodes over the SAME
+    // (partitionBy key, orderBy day) spec — Catalyst may split them into
+    // 2 or 3 nodes (the mins reference the sums' output), but an Exchange
+    // or a fresh Sort between any of them means a window re-shuffled or
+    // re-sorted what the first already partitioned
+    val windows = """\(\d+\) Window""".r.findAllIn(p).toList
+    assert(windows.size >= 2 && windows.size <= 3,
+      s"expected the window stack (2-3 nodes):\n$p")
+    val seg = p.substring(p.indexOf(") Window"),
+      p.lastIndexOf(") Window"))
+    assert(!seg.contains("Exchange") && !seg.contains("Sort"),
+      s"the Window stack must share one exchange + sort:\n$p")
+    // daily counts combine map-side before their shuffle
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"daily-count aggregate must be partial:\n$p")
+  }
+
+  test("x127 mann-whitney: distinct-value collapse is partial, no joins at all") {
+    val p = plan("x127_mann_whitney")
+    // ranks, rank sums, and the tie term all live on the (value, ca, cb)
+    // frame — any join or cartesian means a row-level rank join crept back
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"),
+      s"value-keyed counts must combine map-side:\n$p")
+  }
+
+  test("x129 benjamini-hochberg: threshold broadcasts, flags stay map-only") {
+    val p = plan("x129_bh_fdr")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row m and threshold artifacts ride broadcast nested-loop
+    // crosses; the corpus side must NOT hash-shuffle for the flag pass
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"),
+      s"distinct-p counts must combine map-side:\n$p")
+  }
+
+  test("x131 permutation test: the explode feeds perms-bounded partials") {
+    val p = plan("x131_permutation_test")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ×perms row inflation must collapse BEFORE the shuffle: a
+    // Generate (explode) with a partial aggregate above it — if the
+    // partials disappear, the shuffle carries corpus × perms rows
+    assert(p.contains("Generate"), s"explode missing:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-permutation sums must combine map-side:\n$p")
+  }
+
+  test("x132 chi-squared: AQE reuses the cell exchange — one corpus scan at runtime") {
+    // the cell frame feeds four consumers; the STATIC plan prints four
+    // corpus scans, and the operator's contract (Contingency scaladoc) is
+    // that AQE exchange reuse collapses them at runtime. If this pin ever
+    // fires, reinstate the Iteration.cut spelling noted in the scaladoc.
+    val df = Queries.queries("x132_chi2_independence")(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"cell exchange must be reused at runtime:\n$p")
+  }
 }
