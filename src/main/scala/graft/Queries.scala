@@ -8661,6 +8661,77 @@ JOIN ha ON tt.pair = ha.pair
 JOIN hb ON tt.pair = hb.pair
 ORDER BY tt.pair"""))
 
+  private val x134 = DeclaredQuery("x134_zonemap_scan",
+    // File-level zone-map data skipping (sources/ZoneMap): lay documents
+    // out range-clustered on n_chars (8 files — the x18 discipline that
+    // makes per-file ranges tight), build the per-file min/max stats
+    // table in ONE scan, then answer a narrow range predicate by pruning
+    // the FILE LIST before any scan starts. The entry REQUIREs that
+    // pruning actually engaged (0 < files_read < files_total) — a plan
+    // that silently scans everything is the bug this layer exists to
+    // catch. Oracle is the plain filter: zone pruning is conservative, so
+    // the pruned read + exact predicate must be row-identical to it.
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x134")
+        .toString
+      t(s, d, "documents")
+        .repartitionByRange(8, col("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val zm = graft.sources.ZoneMap.build(s, tmp, Seq("n_chars"))
+      val (df, total, read) = graft.sources.ZoneMap.prunedScan(
+        s, tmp, zm, "n_chars", 250L, 280L)
+      require(read > 0 && read < total,
+        s"zone pruning must engage: read $read of $total files")
+      df.select("doc_id", "n_chars").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 250 AND 280 ORDER BY doc_id"""))
+
+  private val x135 = DeclaredQuery("x135_quantile_normalize",
+    // Pooled quantile normalization (QuantileNormalize.toPooled) of
+    // n_chars across sources — after it, every source's length
+    // distribution IS the pooled one and a single global threshold means
+    // the same thing in every source. normalized is a pooled DATA value
+    // selected by exact integer rank arithmetic (DECIMAL(38,0) product,
+    // integral div) — no rounding pin anywhere. The oracle replays the
+    // mid-rank formula and the k-th-order-statistic probe (as a theta
+    // join, affordable oracle-side at gate scale; the engine uses the
+    // merge-pattern window instead — never quadratic).
+    (s, d) => graft.operators.QuantileNormalize.toPooled(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("nc")),
+        "source", "nc")
+      .select(col("doc_id"), col("nc"), col("normalized"))
+      .orderBy("doc_id"),
+    Some("""WITH v AS (
+  SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS nc
+  FROM documents),
+blocks AS (SELECT g, nc, COUNT(*) AS cnt FROM v GROUP BY g, nc),
+ranked AS (
+  SELECT g, nc, cnt,
+    COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY nc
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      + cnt + 1 AS r2,
+    SUM(cnt) OVER (PARTITION BY g) AS ng
+  FROM blocks),
+pooled AS (
+  SELECT nc AS pv, SUM(c) OVER (ORDER BY nc
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT nc, COUNT(*) AS c FROM v GROUP BY nc) z),
+nn AS (SELECT COUNT(*) AS n FROM v),
+q AS (
+  SELECT g, nc,
+    (CAST(r2 - 1 AS HUGEINT) * n + 2 * ng - 1)
+      // (2 * CAST(ng AS HUGEINT)) AS k
+  FROM ranked, nn),
+map AS (
+  SELECT q.g, q.nc, MIN(pooled.pv) AS normalized
+  FROM q JOIN pooled ON pooled.cum >= q.k
+  GROUP BY q.g, q.nc)
+SELECT v.doc_id, v.nc, map.normalized
+FROM v JOIN map ON v.g = map.g AND v.nc = map.nc
+ORDER BY v.doc_id"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8682,7 +8753,7 @@ ORDER BY tt.pair"""))
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-    x10d, x10e, x10f)
+    x134, x135, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

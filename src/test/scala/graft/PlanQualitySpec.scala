@@ -737,6 +737,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"per-permutation sums must combine map-side:\n$p")
   }
 
+  test("x135 quantile normalization: merge-pattern probe, never a theta join") {
+    val p = plan("x135_quantile_normalize")
+    // the k → pooled-value probe is the union + following-frame window —
+    // a cum ≥ k join would be |group-values| × |pooled-values| pairs
+    assert(!p.contains("CartesianProduct"), p)
+    val nested = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).length
+    assert(nested <= 1,
+      s"only the 1-row N broadcast may be nested-loop ($nested):\n$p")
+    // the join back to rows is a key equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), s"row join must be equi:\n$p")
+  }
+
   test("x132 chi-squared: AQE reuses the cell exchange — one corpus scan at runtime") {
     // the cell frame feeds four consumers; the STATIC plan prints four
     // corpus scans, and the operator's contract (Contingency scaladoc) is

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.ZoneMap
+
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Range-clustered fixture: 3 files with disjoint id ranges, plus one
+    * file whose stat column is entirely NULL (unprunable). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+    (1 to 30).map(i => (i.toLong, Some(i.toLong * 10), s"p$i")).toDF("id", "x", "payload")
+      .repartitionByRange(3, col("id"))
+      .write.mode("overwrite").parquet(d)
+    Seq((100L, None: Option[Long], "pnull"), (101L, None, "pnull2"))
+      .toDF("id", "x", "payload")
+      .coalesce(1).write.mode("append").parquet(d)
+    d
+  }
+
+  test("build: one row per file, bounds match a per-file ground-truth read") {
+    val zm = ZoneMap.build(spark, dir, Seq("x")).collect()
+    assert(zm.length == 4)
+    zm.foreach { r =>
+      val f = r.getAs[String]("file")
+      val truth = spark.read.parquet(f)
+        .agg(count(lit(1)), min("x"), max("x")).collect().head
+      assert(r.getAs[Long]("rows") == truth.getLong(0))
+      assert(r.getAs[Any]("x_min") == truth.get(1))
+      assert(r.getAs[Any]("x_max") == truth.get(2))
+    }
+  }
+
+  test("prunedFiles: range intersection keeps only overlapping files + NULL-bound files") {
+    val zm = ZoneMap.build(spark, dir, Seq("x"))
+    val all = zm.count()
+    assert(all == 4)
+    // x in [10, 300]: the all-NULL file must survive (no evidence), the
+    // fully-out-of-range files must not
+    val mid = ZoneMap.prunedFiles(zm, "x", 10L, 100L)
+    assert(mid.size < all && mid.nonEmpty)
+    // a range covering nothing prunes every file with bounds, keeps NULL
+    val none = ZoneMap.prunedFiles(zm, "x", 100000L, 200000L)
+    assert(none.size == 1) // only the NULL-bound file survives
+  }
+
+  test("prunedScan: identical rows to the full filter, with files actually skipped") {
+    val zm = ZoneMap.build(spark, dir, Seq("x"))
+    val (df, total, read) = ZoneMap.prunedScan(spark, dir, zm, "x", 50L, 120L)
+    val got = df.select("id", "x").orderBy("id").collect().toSeq
+    val want = spark.read.parquet(dir)
+      .where(col("x").between(50L, 120L))
+      .select("id", "x").orderBy("id").collect().toSeq
+    assert(got == want)
+    assert(read < total, s"pruning must engage: read $read of $total")
+    assert(got.nonEmpty)
+  }
+
+  test("prunedScan: all files pruned short-circuits to an empty frame, schema intact") {
+    val zm = ZoneMap.build(spark, dir, Seq("id")) // id has no NULL file
+    val (df, total, read) = ZoneMap.prunedScan(spark, dir, zm, "id",
+      100000L, 200000L)
+    assert(read == 0 && total == 4)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("id", "x", "payload"))
+  }
+
+  test("surviving files still filter exactly (zone pruning is conservative)") {
+    val zm = ZoneMap.build(spark, dir, Seq("x"))
+    // [55, 65] lands inside one file's [min,max] but matches one row
+    val (df, _, read) = ZoneMap.prunedScan(spark, dir, zm, "x", 55L, 65L)
+    assert(df.select("x").collect().map(_.getLong(0)).toSeq == Seq(60L))
+    assert(read >= 1)
+  }
+}
