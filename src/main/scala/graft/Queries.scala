@@ -8732,6 +8732,125 @@ SELECT v.doc_id, v.nc, map.normalized
 FROM v JOIN map ON v.g = map.g AND v.nc = map.nc
 ORDER BY v.doc_id"""))
 
+  private val x136 = DeclaredQuery("x136_kruskal_wallis",
+    // Kruskal-Wallis H (TwoSample.kruskalWallis) — the k-sample screen
+    // before k² pairwise tests, run over BOTH metadata facets at once:
+    // n_chars across the 5 languages and across the sources. Rank sums
+    // are exact halves (x125 machinery), the tie term exact BIGINT; the
+    // per-group ΣR²/n fold and the final H arithmetic carry the IEEE ops
+    // (round6 pin).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def face(name: String, gc: String) =
+        graft.operators.TwoSample.kruskalWallis(
+            docs.select(col(gc).as("g"), col("n_chars")), "g", "n_chars")
+          .select(lit(name).as("pair"), col("k"), col("n"),
+            (floor(col("h") * 1000000 + 0.5) / 1000000).as("h"))
+      face("lang", "lang").unionAll(face("source", "source"))
+        .orderBy("pair")
+    },
+    Some("""WITH face AS (
+  SELECT 'lang' AS pair, lang AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents
+  UNION ALL
+  SELECT 'source', source, CAST(n_chars AS DOUBLE) FROM documents),
+cells AS (SELECT pair, g, v, COUNT(*) AS c FROM face GROUP BY 1, 2, 3),
+tv AS (SELECT pair, v, SUM(c) AS t FROM cells GROUP BY pair, v),
+vals AS (
+  SELECT pair, v,
+    CAST(COALESCE(SUM(t) OVER (PARTITION BY pair ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      + CAST(t + 1 AS DOUBLE) / 2.0 AS rk
+  FROM tv),
+pg AS (
+  SELECT cells.pair, cells.g, SUM(cells.c) AS ng,
+    SUM(CAST(cells.c AS DOUBLE) * vals.rk) AS rg
+  FROM cells JOIN vals ON cells.pair = vals.pair AND cells.v = vals.v
+  GROUP BY cells.pair, cells.g),
+tie AS (
+  SELECT pair, CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+  FROM tv GROUP BY pair),
+agg AS (
+  SELECT pg.pair, CAST(COUNT(DISTINCT pg.g) AS BIGINT) AS k,
+    CAST(SUM(pg.ng) AS BIGINT) AS n,
+    SUM(rg * rg / CAST(ng AS DOUBLE)) AS sr
+  FROM pg GROUP BY pg.pair)
+SELECT agg.pair, k, n,
+  CASE WHEN 1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) <= 0.0 THEN NULL
+  ELSE FLOOR((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sr
+      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+    / (1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+    * 1000000 + 0.5) / 1000000 END AS h
+FROM agg JOIN tie ON agg.pair = tie.pair ORDER BY agg.pair"""))
+
+  private val x137 = DeclaredQuery("x137_mann_kendall",
+    // Mann-Kendall trend + Theil-Sen slope (Trend.mannKendall) over the
+    // x126 per-type daily count series — CUSUM localizes WHEN a series
+    // left a level, this asks whether a monotone trend exists at all and
+    // estimates its robust rate. The day axis derives from the data's own
+    // min date (no hardcoded fixture year — the q53 lesson). S and the
+    // variance terms are exact integers, each slope one IEEE division,
+    // the median picked by integer position — z alone carries the sqrt
+    // (round6).
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val mn = daily.agg(min("day").as("__mn"))
+      val series = daily.crossJoin(broadcast(mn))
+        .withColumn("ord", datediff(col("day"), col("__mn")))
+      graft.operators.Trend.mannKendall(series, "event_type", "ord", "cnt")
+        .select(col("event_type"), col("n"), col("s"), col("var_s"),
+          (floor(col("z") * 1000000 + 0.5) / 1000000).as("z"),
+          col("sen_slope"))
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2),
+mn AS (SELECT MIN(day) AS mnd FROM d),
+e AS (SELECT event_type, CAST(day - mn.mnd AS DOUBLE) AS o, cnt
+      FROM d, mn),
+p AS (
+  SELECT l.event_type, SIGN(r.cnt - l.cnt) AS sgn,
+    (r.cnt - l.cnt) / (r.o - l.o) AS slope
+  FROM e l JOIN e r ON l.event_type = r.event_type AND l.o < r.o),
+med AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s,
+    AVG(CASE WHEN rn = (np + 1) // 2 OR rn = np // 2 + 1
+      THEN slope END) AS sen_slope
+  FROM (
+    SELECT event_type, sgn, slope,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS np
+    FROM p) z
+  GROUP BY event_type),
+tt AS (
+  SELECT event_type, SUM(t * (t - 1) * (t * 2 + 5)) AS tterm
+  FROM (SELECT event_type, cnt, COUNT(*) AS t FROM e GROUP BY 1, 2) z
+  GROUP BY event_type),
+nk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY event_type),
+j AS (
+  SELECT nk.event_type, nk.n, med.s,
+    CASE WHEN nk.n >= 2 THEN
+      CAST(nk.n * (nk.n - 1) * (nk.n * 2 + 5) - tt.tterm AS DOUBLE) / 18.0
+    END AS var_s,
+    med.sen_slope
+  FROM nk JOIN tt USING (event_type) LEFT JOIN med USING (event_type))
+SELECT event_type, n, s, var_s,
+  CASE WHEN var_s IS NULL OR var_s <= 0.0 THEN NULL
+    WHEN s > 0 THEN FLOOR(CAST(s - 1 AS DOUBLE) / SQRT(var_s)
+      * 1000000 + 0.5) / 1000000
+    WHEN s < 0 THEN FLOOR(CAST(s + 1 AS DOUBLE) / SQRT(var_s)
+      * 1000000 + 0.5) / 1000000
+    ELSE 0.0 END AS z,
+  sen_slope
+FROM j ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8753,7 +8872,7 @@ ORDER BY v.doc_id"""))
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-    x134, x135, x10d, x10e, x10f)
+    x134, x135, x136, x137, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

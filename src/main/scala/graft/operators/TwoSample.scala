@@ -240,6 +240,68 @@ object TwoSample {
           / (col("n_perms") + 1).cast("double")).as("p_value"))
   }
 
+  /** Kruskal-Wallis H (Kruskal & Wallis 1952, JASA 47) — the k-SAMPLE
+    * extension of [[mannWhitneyU]]: "do ANY of these sources differ in
+    * location?", the one-shot screen before k² pairwise tests. One row
+    * `(k, n, h)` over ALL groups in `groupCol`:
+    * `H = [(12/(N(N+1)))·Σ_g R_g²/n_g − 3(N+1)] / C` with average-of-ties
+    * ranks and the tie correction `C = 1 − Σ(t³−t)/(N³−N)`; compare to
+    * χ²(k−1). NULL when C = 0 (every value tied — no ordering
+    * information). Groups with NULL names fail loudly; k < 2 fails loudly
+    * (no comparison exists).
+    *
+    * Shape: one (group, value)-keyed count shuffle, a cumulative window
+    * over GLOBAL distinct values (cardinality-bounded — the x125
+    * machinery), a per-group aggregate of the |groups|·|values|-bounded
+    * frame, then a 1-row fold. Rank sums are exact halves; the tie term
+    * is exact BIGINT; the final H carries a handful of IEEE ops (round6
+    * in the gate). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val g = when(col(groupCol).isNull || col(valueCol).isNull,
+        raise_error(lit(s"kruskalWallis: NULL $groupCol/$valueCol — drop " +
+          "or impute upstream")))
+      .otherwise(col(groupCol))
+    val cells = df.select(g.as("__g"), col(valueCol).cast("double").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    // global distinct-value tie counts + average ranks
+    val vals = cells.groupBy("__v").agg(sum("__c").as("__t"))
+      .withColumn("__rank",
+        coalesce(sum("__t").over(Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast("double")
+          + (col("__t") + 1).cast("double") / 2.0)
+    val perGroup = cells.join(vals.select("__v", "__rank"), Seq("__v"))
+      .groupBy("__g")
+      .agg(sum("__c").as("__ng"),
+        sum(col("__c").cast("double") * col("__rank")).as("__rg"))
+    val ties = vals.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("double").as("__ties"))
+    perGroup
+      .agg(countDistinct("__g").as("k"), sum("__ng").as("n"),
+        sum(col("__rg") * col("__rg") / col("__ng").cast("double"))
+          .as("__sr"))
+      .crossJoin(broadcast(ties))
+      .select(
+        when(col("k").isNull || col("k") < 2, raise_error(lit(
+          "kruskalWallis: need at least 2 groups")))
+          .otherwise(col("k")).as("k"),
+        col("n"),
+        {
+          // the tie-correction division by N³−N stays inside a lazy
+          // branch: with a single row it is 0/0, and the k-guard above
+          // must win the race under ANSI eager evaluation
+          val nD = col("n").cast("double")
+          val h0 = lit(12.0) / (nD * (nD + 1.0)) * col("__sr") -
+            lit(3.0) * (nD + 1.0)
+          val c = lit(1.0) - col("__ties") / (nD * nD * nD - nD)
+          when(col("n") <= 1, lit(null).cast("double"))
+            .otherwise(when(c <= 0.0, lit(null).cast("double"))
+              .otherwise(h0 / c)).as("h")
+        })
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic: one row
     * `(n_a, n_b, d, ks_at)` — `d = max_v |ECDF_A(v) − ECDF_B(v)|` and
     * `ks_at` the smallest value attaining it (ties on the max break to the

@@ -149,6 +149,44 @@ class TwoSampleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty sample"))
   }
 
+  test("kruskalWallis: hand ranks without ties") {
+    // A = [1,2], B = [3,4]: R_A = 3, R_B = 7
+    // H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4
+    val d = df(Seq(1, 2), Seq(3, 4))
+    val r = TwoSample.kruskalWallis(d, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-14)
+  }
+
+  test("kruskalWallis: tie correction divides H0 by C") {
+    // A = [1,2,2], B = [3]: ranks 1, 2.5, 2.5, 4 → ΣR²/n = 12 + 16
+    // H0 = 12/20·28 − 15 = 1.8; C = 1 − 6/60 = 0.9 → H = 2.0
+    val d = df(Seq(1, 2, 2), Seq(3))
+    val r = TwoSample.kruskalWallis(d, "g", "v").collect().head
+    assert(math.abs(r.getAs[Double]("h") - 2.0) < 1e-14)
+  }
+
+  test("kruskalWallis at k = 2 equals the squared MWU z (shared tie correction)") {
+    val d = df(Seq(1, 3, 3, 7, 9, 2), Seq(2, 3, 8, 5))
+    val h = TwoSample.kruskalWallis(d, "g", "v").collect().head
+      .getAs[Double]("h")
+    val z = TwoSample.mannWhitneyU(d, "g", "v", "A", "B").collect().head
+      .getAs[Double]("z")
+    assert(math.abs(h - z * z) < 1e-12)
+  }
+
+  test("kruskalWallis: three groups, all values tied → NULL; k < 2 loud") {
+    val tied = (Seq.fill(2)("A") ++ Seq.fill(2)("B") ++ Seq.fill(2)("C"))
+      .map((_, 5.0)).toDF("g", "v")
+    val r = TwoSample.kruskalWallis(tied, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.isNullAt(r.fieldIndex("h")))
+    val e = intercept[Exception] {
+      TwoSample.kruskalWallis(df(Seq(1, 2), Seq()), "g", "v").collect()
+    }
+    assert(e.getMessage.contains("at least 2 groups"))
+  }
+
   test("NULL value fails loudly") {
     val bad = Seq(("A", Some(1.0)), ("B", None)).toDF("g", "v")
     val e = intercept[Exception] {
