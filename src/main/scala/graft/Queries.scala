@@ -8851,6 +8851,88 @@ SELECT event_type, n, s, var_s,
   sen_slope
 FROM j ORDER BY event_type"""))
 
+  private val x138 = DeclaredQuery("x138_streaming_cusum",
+    // The x126 CUSUM monitor run ONLINE (EventStreams.cusumMonitor): the
+    // closed form is exactly incrementalizable, so per-key state is four
+    // doubles + the last order key however long the series runs. The
+    // per-type daily series replays in three ORDERED micro-batches
+    // (sequential write jobs → increasing mod-times → file-source order);
+    // every point's statistics are final on emission (Append + parquet
+    // sink), and the oracle is the BATCH closed form — the streaming
+    // recursion must be bit-identical to the window spelling on the same
+    // integer-exact series. Day axis derives from the data's min date.
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val levels = daily.groupBy("event_type")
+        .agg(sum("cnt").as("__sc"), count(lit(1)).as("__nd"))
+        .select(col("event_type"), expr("__sc div __nd").as("target"))
+        .withColumn("k", greatest(lit(1L), expr("target div 20")))
+        .withColumn("h", col("k") * 5)
+      val mn = daily.agg(min("day").as("__mn"))
+      val series = daily.join(levels, Seq("event_type"))
+        .crossJoin(broadcast(mn))
+        .select(col("event_type").as("key"),
+          datediff(col("day"), col("__mn")).cast("long").as("ord"),
+          col("cnt").cast("double").as("value"),
+          col("target").cast("double").as("target"),
+          col("k").cast("double").as("allow"),
+          col("h").cast("double").as("thresh"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x138")
+      val ingest = tmp.resolve("ingest").toString
+      Seq((0L, 10L), (10L, 20L), (20L, 100000L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          series.where(col("ord") >= lo && col("ord") < hi)
+            .coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(ingest)
+      }
+      val stream = s.readStream
+        .schema("key STRING, ord LONG, value DOUBLE, target DOUBLE, " +
+          "allow DOUBLE, thresh DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val out = tmp.resolve("out").toString
+      val q = graft.streaming.EventStreams.cusumMonitor(s, stream)
+        .toDF()
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).orderBy("key", "ord")
+    },
+    Some("""WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+mn AS (SELECT MIN(day) AS mnd FROM d),
+lv AS (
+  SELECT event_type,
+    CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS target,
+    CAST(GREATEST(1, (SUM(cnt) // COUNT(*)) // 20) AS BIGINT) AS k
+  FROM d GROUP BY 1),
+j AS (
+  SELECT d.event_type AS key, CAST(d.day - mn.mnd AS BIGINT) AS ord,
+    CAST(d.cnt AS DOUBLE) AS value, CAST(lv.target AS DOUBLE) AS t,
+    CAST(lv.k AS DOUBLE) AS kk, CAST(lv.k * 5 AS DOUBLE) AS h
+  FROM d JOIN lv USING (event_type), mn),
+p AS (
+  SELECT *,
+    SUM(value - t - kk) OVER w AS p_up,
+    SUM(t - value - kk) OVER w AS p_dn
+  FROM j
+  WINDOW w AS (PARTITION BY key ORDER BY ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT *,
+    p_up - LEAST(MIN(p_up) OVER w, 0) AS cusum_up,
+    p_dn - LEAST(MIN(p_dn) OVER w, 0) AS cusum_dn
+  FROM p
+  WINDOW w AS (PARTITION BY key ORDER BY ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT key, ord, value, cusum_up, cusum_dn,
+  cusum_up > h AS alarm_up, cusum_dn > h AS alarm_dn
+FROM c ORDER BY key, ord"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8872,7 +8954,7 @@ FROM j ORDER BY event_type"""))
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-    x134, x135, x136, x137, x10d, x10e, x10f)
+    x134, x135, x136, x137, x138, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -177,6 +177,62 @@ object EventStreams {
       }
   }
 
+  final case class CusumPoint(key: String, ord: Long, value: Double,
+                              target: Double, allow: Double, thresh: Double)
+  final case class CusumState(lastOrd: Long, pUp: Double, mUp: Double,
+                              pDn: Double, mDn: Double)
+  final case class CusumFlag(key: String, ord: Long, value: Double,
+                             cusum_up: Double, cusum_dn: Double,
+                             alarm_up: Boolean, alarm_dn: Boolean)
+
+  /** Streaming CUSUM drift monitor — the online form of
+    * [[graft.operators.ChangePoint.cusum]], and the reason its closed form
+    * matters twice: `S⁺_i = P_i − min(0, min_{j≤i} P_j)` is exactly
+    * incrementalizable, so the per-key state is FOUR doubles + the last
+    * order key (prefix sum and running min per side), O(1) however long
+    * the series runs — no window buffer, no replay. Each input point emits
+    * exactly one flag row whose statistics are FINAL (past rows are never
+    * revised), so Append mode is the natural sink and the batch operator
+    * is bit-identical on the same ordered series (pinned in
+    * StreamingCusumSpec).
+    *
+    * Ordering contract: each key's series must arrive in `ord` order
+    * ACROSS micro-batches (within a batch the fold sorts); a stale point
+    * fails LOUDLY rather than corrupting the recursion — the same
+    * trade as [[dedupEvents]], with batch `ChangePoint.cusum` as the
+    * exact out-of-order backstop. Input columns must match [[CusumPoint]]
+    * (`target`/`allow`/`thresh` ride each row, constant per key). */
+  def cusumMonitor(spark: SparkSession,
+                   points: DataFrame): Dataset[CusumFlag] = {
+    import spark.implicits._
+    points.as[CusumPoint]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CusumPoint],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue,
+            0.0, Double.PositiveInfinity, 0.0, Double.PositiveInfinity))
+          val out = rows.toSeq.sortBy(_.ord).map { p =>
+            require(p.ord > st.lastOrd,
+              s"cusumMonitor: out-of-order ord ${p.ord} ≤ ${st.lastOrd} " +
+                s"for key $key — deliver each key's series in order " +
+                "(batch ChangePoint.cusum is the exact backstop)")
+            val pUp = st.pUp + (p.value - p.target - p.allow)
+            val mUp = math.min(st.mUp, pUp)
+            val pDn = st.pDn + (p.target - p.value - p.allow)
+            val mDn = math.min(st.mDn, pDn)
+            st = CusumState(p.ord, pUp, mUp, pDn, mDn)
+            val up = pUp - math.min(mUp, 0.0)
+            val dn = pDn - math.min(mDn, 0.0)
+            CusumFlag(key, p.ord, p.value, up, dn,
+              up > p.thresh, dn > p.thresh)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-time form of the X1 batch operator:
     * keep the first arrival per key across micro-batches. The watermark
     * bounds the dedup state (keys older than the watermark are evicted), so
