@@ -8933,6 +8933,169 @@ SELECT key, ord, value, cusum_up, cusum_dn,
   cusum_up > h AS alarm_up, cusum_dn > h AS alarm_dn
 FROM c ORDER BY key, ord"""))
 
+  private val x139 = DeclaredQuery("x139_benford",
+    // Benford first-digit conformance (Forensics.benfordDigits) — the
+    // "does this source's numeric metadata look organic?" forensics
+    // screen, two deliberately contrasting faces: o_totalprice spans
+    // scales (Benford-ish, low MAD) while n_chars is a narrow band
+    // (wildly non-conforming — a finding about the column, which is the
+    // point). Doubles floor to BIGINT with an explicit FLOOR in BOTH
+    // engines (Spark's double→long cast truncates, DuckDB's ROUNDS —
+    // first digits would silently differ at .5 boundaries); digit
+    // extraction is the decimal rendering of a BIGINT, exact
+    // cross-engine where log10-based extraction can flip at powers of
+    // ten. Counts exact; log10 is the one libm op — round6.
+    (s, d) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def face(name: String, in: DataFrame) =
+        graft.operators.Forensics.benfordDigits(in, "v")
+          .select(lit(name).as("pair"), col("digit"), col("n_obs"),
+            r6(col("prop")).as("prop"), r6(col("expected")).as("expected"),
+            r6(col("dev")).as("dev"), r6(col("mad")).as("mad"))
+      face("orders:o_totalprice",
+          t(s, d, "orders")
+            .select(floor(col("o_totalprice")).cast("long").as("v")))
+        .unionAll(face("docs:n_chars",
+          t(s, d, "documents").select(col("n_chars").as("v"))))
+        .orderBy("pair", "digit")
+    },
+    Some("""WITH side AS (
+  SELECT 'orders:o_totalprice' AS pair,
+    CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders
+  UNION ALL
+  SELECT 'docs:n_chars', n_chars FROM documents),
+c AS (
+  SELECT pair, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+    COUNT(*) AS n_obs
+  FROM side GROUP BY 1, 2),
+spine AS (
+  SELECT p.pair, CAST(t.digit AS INT) AS digit
+  FROM (SELECT DISTINCT pair FROM side) p, range(1, 10) t(digit)),
+n AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS nn FROM side GROUP BY 1),
+pd AS (
+  SELECT spine.pair, spine.digit,
+    COALESCE(c.n_obs, 0) AS n_obs,
+    CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / CAST(n.nn AS DOUBLE) AS prop,
+    LOG10(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)) AS expected
+  FROM spine
+  LEFT JOIN c ON spine.pair = c.pair AND spine.digit = c.digit
+  JOIN n ON spine.pair = n.pair),
+m AS (
+  SELECT pair, SUM(ABS(prop - expected)) / 9.0 AS mad
+  FROM pd GROUP BY pair)
+SELECT pd.pair, pd.digit, pd.n_obs,
+  FLOOR(prop * 1000000 + 0.5) / 1000000 AS prop,
+  FLOOR(expected * 1000000 + 0.5) / 1000000 AS expected,
+  FLOOR(ABS(prop - expected) * 1000000 + 0.5) / 1000000 AS dev,
+  FLOOR(mad * 1000000 + 0.5) / 1000000 AS mad
+FROM pd JOIN m ON pd.pair = m.pair
+ORDER BY pd.pair, pd.digit"""))
+
+  private val x140 = DeclaredQuery("x140_cuped",
+    // CUPED-adjusted Welch t (Cuped.welchTAdjusted): token counts
+    // compared between src0 and src1 with n_chars as the covariate —
+    // chars explain most token-count variance (ρ² ≈ 0.9+), so the
+    // adjusted read needs a fraction of the samples the raw read does.
+    // Everything derives from ONE joint-moment pass (integer-exact sums;
+    // materializing adjusted rows would make downstream sums
+    // order-dependent cross-engine); the oracle replays the identical
+    // moment algebra. round6 on the derived outputs.
+    (s, d) => {
+      val v = t(s, d, "documents")
+        .select(col("source"),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("double").as("y"),
+          col("n_chars").cast("double").as("x"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      graft.operators.Cuped.welchTAdjusted(
+          v, "source", "y", "x", "src0", "src1")
+        .select(col("n_a"), col("n_b"),
+          r6(col("theta")).as("theta"), r6(col("rho2")).as("rho2"),
+          r6(col("mean_adj_a")).as("mean_adj_a"),
+          r6(col("mean_adj_b")).as("mean_adj_b"),
+          r6(col("t_raw")).as("t_raw"), r6(col("t_adj")).as("t_adj"))
+    },
+    Some("""WITH v AS (
+  SELECT source AS g,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      t -> length(t) > 0)) AS DOUBLE) AS y,
+    CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE source IN ('src0', 'src1')),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN g = 'src0' THEN y ELSE 0.0 END) AS sya,
+    SUM(CASE WHEN g = 'src1' THEN y ELSE 0.0 END) AS syb,
+    SUM(CASE WHEN g = 'src0' THEN x ELSE 0.0 END) AS sxa,
+    SUM(CASE WHEN g = 'src1' THEN x ELSE 0.0 END) AS sxb,
+    SUM(CASE WHEN g = 'src0' THEN y * y ELSE 0.0 END) AS syya,
+    SUM(CASE WHEN g = 'src1' THEN y * y ELSE 0.0 END) AS syyb,
+    SUM(CASE WHEN g = 'src0' THEN x * x ELSE 0.0 END) AS sxxa,
+    SUM(CASE WHEN g = 'src1' THEN x * x ELSE 0.0 END) AS sxxb,
+    SUM(CASE WHEN g = 'src0' THEN x * y ELSE 0.0 END) AS sxya,
+    SUM(CASE WHEN g = 'src1' THEN x * y ELSE 0.0 END) AS sxyb
+  FROM v),
+pool AS (
+  SELECT *,
+    n_a + n_b AS nn, sxa + sxb AS sx, sya + syb AS sy,
+    sxxa + sxxb AS sxx, syya + syyb AS syy, sxya + sxyb AS sxy
+  FROM m),
+der AS (
+  SELECT *,
+    sx / CAST(nn AS DOUBLE) AS xbar,
+    (sxx - sx * sx / CAST(nn AS DOUBLE)) / CAST(nn - 1 AS DOUBLE) AS varx,
+    (syy - sy * sy / CAST(nn AS DOUBLE)) / CAST(nn - 1 AS DOUBLE) AS vary,
+    (sxy - sx * sy / CAST(nn AS DOUBLE)) / CAST(nn - 1 AS DOUBLE) AS covxy
+  FROM pool),
+th AS (
+  SELECT *,
+    CASE WHEN varx <= 0.0 THEN NULL ELSE covxy / varx END AS theta,
+    CASE WHEN varx <= 0.0 OR vary <= 0.0 THEN NULL
+      ELSE covxy * covxy / (varx * vary) END AS rho2
+  FROM der),
+grp AS (
+  SELECT *,
+    sya / CAST(n_a AS DOUBLE) AS mya, syb / CAST(n_b AS DOUBLE) AS myb,
+    sxa / CAST(n_a AS DOUBLE) AS mxa, sxb / CAST(n_b AS DOUBLE) AS mxb,
+    (syya - sya * sya / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+      AS vya,
+    (syyb - syb * syb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)
+      AS vyb,
+    (sxxa - sxa * sxa / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+      AS vxa,
+    (sxxb - sxb * sxb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)
+      AS vxb,
+    (sxya - sxa * sya / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+      AS cva,
+    (sxyb - sxb * syb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)
+      AS cvb
+  FROM th),
+adj AS (
+  SELECT *,
+    mya - theta * (mxa - xbar) AS maja,
+    myb - theta * (mxb - xbar) AS majb,
+    vya - 2.0 * theta * cva + theta * theta * vxa AS vaja,
+    vyb - 2.0 * theta * cvb + theta * theta * vxb AS vajb
+  FROM grp)
+SELECT n_a, n_b,
+  FLOOR(theta * 1000000 + 0.5) / 1000000 AS theta,
+  FLOOR(rho2 * 1000000 + 0.5) / 1000000 AS rho2,
+  FLOOR(maja * 1000000 + 0.5) / 1000000 AS mean_adj_a,
+  FLOOR(majb * 1000000 + 0.5) / 1000000 AS mean_adj_b,
+  CASE WHEN vya / CAST(n_a AS DOUBLE) + vyb / CAST(n_b AS DOUBLE) <= 0.0
+    THEN NULL ELSE FLOOR((mya - myb)
+      / SQRT(vya / CAST(n_a AS DOUBLE) + vyb / CAST(n_b AS DOUBLE))
+      * 1000000 + 0.5) / 1000000 END AS t_raw,
+  CASE WHEN vaja IS NULL OR vajb IS NULL
+      OR vaja / CAST(n_a AS DOUBLE) + vajb / CAST(n_b AS DOUBLE) <= 0.0
+    THEN NULL ELSE FLOOR((maja - majb)
+      / SQRT(vaja / CAST(n_a AS DOUBLE) + vajb / CAST(n_b AS DOUBLE))
+      * 1000000 + 0.5) / 1000000 END AS t_adj
+FROM adj"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -8954,7 +9117,7 @@ FROM c ORDER BY key, ord"""))
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-    x134, x135, x136, x137, x138, x10d, x10e, x10f)
+    x134, x135, x136, x137, x138, x139, x140, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
