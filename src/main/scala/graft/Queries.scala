@@ -9096,6 +9096,119 @@ SELECT n_a, n_b,
       * 1000000 + 0.5) / 1000000 END AS t_adj
 FROM adj"""))
 
+  private val x141 = DeclaredQuery("x141_effect_sizes",
+    // Standardized effect sizes (TwoSample.effectSizes) on the x127
+    // faces — the "HOW different" read that decides a mixture change at
+    // corpus n, where everything is significant: Cliff's δ (the MWU U
+    // rescaled to P(a>b) − P(a<b) — exact divisions, raw), Cohen's d and
+    // Hedges' g (pooled-SD standardized mean gap + small-sample
+    // correction — one sqrt, round6).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def face(name: String, gc: String, a: String, b: String) =
+        graft.operators.TwoSample.effectSizes(docs, gc, "n_chars", a, b)
+          .select(lit(name).as("pair"), col("n_a"), col("n_b"),
+            col("cliffs_delta"), r6(col("cohens_d")).as("cohens_d"),
+            r6(col("hedges_g")).as("hedges_g"))
+      face("lang:de~fr", "lang", "de", "fr")
+        .unionAll(face("source:src0~src1", "source", "src0", "src1"))
+        .orderBy("pair")
+    },
+    Some("""WITH face AS (
+  SELECT 'lang:de~fr' AS pair, lang AS g, 'de' AS ga, 'fr' AS gb,
+    CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang IN ('de', 'fr')
+  UNION ALL
+  SELECT 'source:src0~src1', source, 'src0', 'src1',
+    CAST(n_chars AS DOUBLE) FROM documents WHERE source IN ('src0', 'src1')),
+c AS (
+  SELECT pair, ga, gb, v,
+    SUM(CASE WHEN g = ga THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN g = gb THEN 1 ELSE 0 END) AS cb
+  FROM face GROUP BY pair, ga, gb, v),
+r AS (
+  SELECT *,
+    CAST(COALESCE(SUM(ca + cb) OVER (PARTITION BY pair ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      + CAST(ca + cb + 1 AS DOUBLE) / 2.0 AS rk
+  FROM c),
+m AS (
+  SELECT pair,
+    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+    SUM(CAST(ca AS DOUBLE) * rk) AS ra,
+    SUM(CAST(ca AS DOUBLE) * v) AS sa, SUM(CAST(cb AS DOUBLE) * v) AS sb,
+    SUM(CAST(ca AS DOUBLE) * v * v) AS qa,
+    SUM(CAST(cb AS DOUBLE) * v * v) AS qb
+  FROM r GROUP BY pair),
+u AS (
+  SELECT *,
+    ra - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0 AS ua,
+    ((qa - sa * sa / CAST(n_a AS DOUBLE))
+      + (qb - sb * sb / CAST(n_b AS DOUBLE)))
+      / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+  FROM m)
+SELECT pair, n_a, n_b,
+  2.0 * ua / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1.0
+    AS cliffs_delta,
+  CASE WHEN sp2 <= 0.0 THEN NULL ELSE
+    FLOOR((sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE))
+      / SQRT(sp2) * 1000000 + 0.5) / 1000000 END AS cohens_d,
+  CASE WHEN sp2 <= 0.0 THEN NULL ELSE
+    FLOOR((sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE))
+      / SQRT(sp2)
+      * (1.0 - 3.0 / (CAST(n_a + n_b AS DOUBLE) * 4.0 - 9.0))
+      * 1000000 + 0.5) / 1000000 END AS hedges_g
+FROM u ORDER BY pair"""))
+
+  private val x142 = DeclaredQuery("x142_two_proportion",
+    // Two-proportion z (TwoSample.proportionZ) — the keep-rate read
+    // after every filter change: success = the n_chars ≥ 300 screen,
+    // compared src0~src1 (same generator — null face) and de~fr. Counts
+    // exact from ONE conditional aggregate; p's exact divisions (raw);
+    // z carries the one sqrt (round6).
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("kept", col("n_chars") >= 300)
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def face(name: String, gc: String, a: String, b: String) =
+        graft.operators.TwoSample.proportionZ(docs, gc, "kept", a, b)
+          .select(lit(name).as("pair"), col("n_a"), col("n_b"),
+            col("k_a"), col("k_b"), col("p_a"), col("p_b"),
+            r6(col("z")).as("z"))
+      face("lang:de~fr", "lang", "de", "fr")
+        .unionAll(face("source:src0~src1", "source", "src0", "src1"))
+        .orderBy("pair")
+    },
+    Some("""WITH face AS (
+  SELECT 'lang:de~fr' AS pair, lang AS g, 'de' AS ga, 'fr' AS gb,
+    n_chars >= 300 AS kept FROM documents WHERE lang IN ('de', 'fr')
+  UNION ALL
+  SELECT 'source:src0~src1', source, 'src0', 'src1',
+    n_chars >= 300 FROM documents WHERE source IN ('src0', 'src1')),
+m AS (
+  SELECT pair,
+    CAST(SUM(CASE WHEN g = ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = gb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN g = ga AND kept THEN 1 ELSE 0 END) AS BIGINT)
+      AS k_a,
+    CAST(SUM(CASE WHEN g = gb AND kept THEN 1 ELSE 0 END) AS BIGINT)
+      AS k_b
+  FROM face GROUP BY pair),
+p AS (
+  SELECT *,
+    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+    CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+    CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS ph
+  FROM m)
+SELECT pair, n_a, n_b, k_a, k_b, p_a, p_b,
+  CASE WHEN ph <= 0.0 OR ph >= 1.0 THEN NULL ELSE
+    FLOOR((p_a - p_b) / SQRT(ph * (1.0 - ph)
+      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      * 1000000 + 0.5) / 1000000 END AS z
+FROM p ORDER BY pair"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9117,7 +9230,8 @@ FROM adj"""))
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-    x134, x135, x136, x137, x138, x139, x140, x10d, x10e, x10f)
+    x134, x135, x136, x137, x138, x139, x140, x141, x142,
+    x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

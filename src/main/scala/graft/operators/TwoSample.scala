@@ -302,6 +302,125 @@ object TwoSample {
         })
   }
 
+  /** Standardized effect sizes (Cliff 1993, Psych. Bull. 114; Cohen 1988;
+    * Hedges 1981) — the "HOW different?" companion to the significance
+    * tests: at corpus n, everything is significant, and what decides a
+    * mixture or filter change is the magnitude. One row `(n_a, n_b,
+    * cliffs_delta, cohens_d, hedges_g)`:
+    * `δ = 2U_A/(n_a·n_b) − 1` (the rank effect — P(a > b) − P(a < b),
+    * ties counting neither side; exactly the [[mannWhitneyU]] U rescaled,
+    * so it shares the exact-half rank machinery), `d = (ȳ_a − ȳ_b)/s_p`
+    * with the pooled SD, and `g` Hedges' small-sample-corrected d
+    * (× `1 − 3/(4n − 9)`). d/g NULL when the pooled variance is zero or
+    * n_a + n_b < 3 (a singleton group is fine — its sum of squares is
+    * exactly 0); δ is always defined for nonempty groups.
+    *
+    * Shape: the distinct-value count frame + one cumulative window (for
+    * U) and one conditional-moments aggregate (for d) — the same bounded
+    * machinery as the tests. Determinism: U and every moment are exact
+    * for integer metrics; δ is two exact divisions; d/g carry the
+    * sqrt (gate pins round6). */
+  def effectSizes(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val c = counts(df, groupCol, valueCol, groupA, groupB)
+    val ranked = c.withColumn("__rank",
+      coalesce(sum(col("__ca") + col("__cb")).over(
+          Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("double")
+        + (col("__ca") + col("__cb") + 1).cast("double") / 2.0)
+    val m = ranked.agg(
+      sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+      sum(col("__ca").cast("double") * col("__rank")).as("__ra"),
+      sum(col("__ca").cast("double") * col("__v")).as("__sa"),
+      sum(col("__cb").cast("double") * col("__v")).as("__sb"),
+      sum(col("__ca").cast("double") * col("__v") * col("__v"))
+        .as("__qa"),
+      sum(col("__cb").cast("double") * col("__v") * col("__v"))
+        .as("__qb"))
+    m.select(
+        when(col("n_a").isNull || col("n_b").isNull
+            || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "effectSizes: empty sample — both groups need rows")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"), col("__ra"), col("__sa"), col("__sb"),
+        col("__qa"), col("__qb"))
+      .withColumn("__u",
+        col("__ra") - col("n_a").cast("double")
+          * (col("n_a") + 1).cast("double") / 2.0)
+      .withColumn("cliffs_delta",
+        lit(2.0) * col("__u")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          - 1.0)
+      .withColumn("__sp2", // pooled variance, lazily guarded (ANSI);
+        // a singleton group is fine — its sum of squares is exactly 0
+        when(col("n_a") + col("n_b") >= 3,
+          ((col("__qa") - col("__sa") * col("__sa")
+              / col("n_a").cast("double"))
+            + (col("__qb") - col("__sb") * col("__sb")
+              / col("n_b").cast("double")))
+            / (col("n_a") + col("n_b") - 2).cast("double")))
+      .withColumn("cohens_d",
+        when(col("__sp2").isNull || col("__sp2") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("__sa") / col("n_a").cast("double")
+            - col("__sb") / col("n_b").cast("double"))
+            / sqrt(col("__sp2"))))
+      .withColumn("hedges_g",
+        col("cohens_d") * (lit(1.0)
+          - lit(3.0) / ((col("n_a") + col("n_b")).cast("double") * 4.0
+            - 9.0)))
+      .select("n_a", "n_b", "cliffs_delta", "cohens_d", "hedges_g")
+  }
+
+  /** Two-proportion z-test (the classic pooled-variance form) — the
+    * keep-rate comparison a pipeline runs after every filter change: one
+    * row `(n_a, n_b, k_a, k_b, p_a, p_b, z)` for a boolean `successCol`.
+    * `z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))` with the pooled p̂;
+    * NULL when p̂ is 0 or 1 (no variance — both groups unanimous).
+    * Counts are exact integers from ONE conditional aggregate (map-side
+    * partials, no shuffle beyond the 1-row fold); p's are single exact
+    * divisions; z carries the sqrt (gate pins round6). NULL group or
+    * success values fail loudly — a NULL "kept?" is a pipeline bug, not
+    * a false. */
+  def proportionZ(df: DataFrame, groupCol: String, successCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, s"two-sample groups must differ, got $groupA")
+    val g = when(col(groupCol).isNull || col(successCol).isNull,
+        raise_error(lit(s"proportionZ: NULL $groupCol/$successCol — a " +
+          "NULL success flag is a pipeline bug, not a false")))
+      .otherwise(col(groupCol))
+    val s = col(successCol).cast("boolean")
+    val m = df.select(g.as("__g"), s.as("__s"))
+      .filter(col("__g").isin(groupA, groupB))
+      .agg(
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__g") === groupA && col("__s"), 1L).otherwise(0L))
+          .as("k_a"),
+        sum(when(col("__g") === groupB && col("__s"), 1L).otherwise(0L))
+          .as("k_b"))
+    m.select(
+        when(col("n_a").isNull || col("n_b").isNull
+            || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
+          "proportionZ: empty sample — both groups need rows")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"), col("k_a"), col("k_b"))
+      .withColumn("p_a", col("k_a").cast("double")
+        / col("n_a").cast("double"))
+      .withColumn("p_b", col("k_b").cast("double")
+        / col("n_b").cast("double"))
+      .withColumn("__ph", (col("k_a") + col("k_b")).cast("double")
+        / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        when(col("__ph") <= 0.0 || col("__ph") >= 1.0,
+          lit(null).cast("double"))
+          .otherwise((col("p_a") - col("p_b"))
+            / sqrt(col("__ph") * (lit(1.0) - col("__ph"))
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double")))))
+      .select("n_a", "n_b", "k_a", "k_b", "p_a", "p_b", "z")
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic: one row
     * `(n_a, n_b, d, ks_at)` — `d = max_v |ECDF_A(v) − ECDF_B(v)|` and
     * `ks_at` the smallest value attaining it (ties on the max break to the

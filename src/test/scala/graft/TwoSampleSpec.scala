@@ -187,6 +187,63 @@ class TwoSampleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at least 2 groups"))
   }
 
+  test("effectSizes: hand U, pooled sd, and the Hedges correction") {
+    // A = [1,2,3], B = [2,4] (the MWU fixture): U_A = 1.5
+    // δ = 2·1.5/6 − 1 = −0.5
+    // SS_a = 14 − 12 = 2; SS_b = 20 − 18 = 2; s_p² = 4/3
+    // d = (2 − 3)/√(4/3); g = d·(1 − 3/(4·5 − 9))
+    val r = TwoSample.effectSizes(df(Seq(1, 2, 3), Seq(2, 4)),
+      "g", "v", "A", "B").collect().head
+    assert(r.getAs[Double]("cliffs_delta") == -0.5)
+    val d0 = -1.0 / math.sqrt(4.0 / 3)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d0) < 1e-14)
+    assert(math.abs(r.getAs[Double]("hedges_g") - d0 * (1 - 3.0 / 11))
+      < 1e-14)
+  }
+
+  test("effectSizes: δ hits ±1 on disjoint supports, 0 on identical samples") {
+    val hi = TwoSample.effectSizes(df(Seq(10, 20), Seq(1, 2)),
+      "g", "v", "A", "B").collect().head
+    assert(hi.getAs[Double]("cliffs_delta") == 1.0)
+    val same = TwoSample.effectSizes(df(Seq(1, 2, 3), Seq(1, 2, 3)),
+      "g", "v", "A", "B").collect().head
+    assert(same.getAs[Double]("cliffs_delta") == 0.0)
+  }
+
+  test("effectSizes: zero pooled variance → NULL d/g, δ still reads") {
+    val r = TwoSample.effectSizes(df(Seq(5, 5), Seq(5, 5)),
+      "g", "v", "A", "B").collect().head
+    assert(r.getAs[Double]("cliffs_delta") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("cohens_d")))
+    assert(r.isNullAt(r.fieldIndex("hedges_g")))
+  }
+
+  test("proportionZ: hand pooled z and the exact counts") {
+    // A: 30 of 50; B: 20 of 50 → p̂ = 0.5
+    // z = 0.2/√(0.25·(1/50+1/50)) = 0.2/0.1 = 2
+    val rows = (Seq.fill(30)(("A", true)) ++ Seq.fill(20)(("A", false)) ++
+      Seq.fill(20)(("B", true)) ++ Seq.fill(30)(("B", false)))
+      .toDF("g", "ok")
+    val r = TwoSample.proportionZ(rows, "g", "ok", "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("k_a") == 30L && r.getAs[Long]("k_b") == 20L)
+    assert(r.getAs[Double]("p_a") == 0.6 && r.getAs[Double]("p_b") == 0.4)
+    assert(math.abs(r.getAs[Double]("z") - 2.0) < 1e-12)
+  }
+
+  test("proportionZ: unanimous groups → NULL z; NULL flag loud") {
+    val rows = (Seq.fill(3)(("A", true)) ++ Seq.fill(3)(("B", true)))
+      .toDF("g", "ok")
+    val r = TwoSample.proportionZ(rows, "g", "ok", "A", "B")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("z")))
+    val bad = Seq(("A", Some(true)), ("B", None)).toDF("g", "ok")
+    val e = intercept[Exception] {
+      TwoSample.proportionZ(bad, "g", "ok", "A", "B").collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("NULL value fails loudly") {
     val bad = Seq(("A", Some(1.0)), ("B", None)).toDF("g", "v")
     val e = intercept[Exception] {
