@@ -9209,6 +9209,95 @@ SELECT pair, n_a, n_b, k_a, k_b, p_a, p_b,
       * 1000000 + 0.5) / 1000000 END AS z
 FROM p ORDER BY pair"""))
 
+  private val x134b = DeclaredQuery("x134b_zonemap_incremental",
+    // Incremental zone-map maintenance (ZoneMap.update — the daily-crawl
+    // shape): lay out 4/5 of documents range-clustered, build + FREEZE
+    // the map (eager localCheckpoint — a lazy map would silently re-list
+    // the directory after the append and see nothing fresh), append the
+    // held-out fifth as a new file, update by scanning ONLY that file,
+    // and answer the x134 predicate THROUGH the merged map. REQUIREs the
+    // update added exactly one stats row and that pruning still engages;
+    // the oracle is the plain filter over ALL documents — a stale or
+    // mis-merged map loses or duplicates rows.
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x134b")
+        .toString
+      docs.where(col("doc_id") % 5 =!= 0)
+        .repartitionByRange(6, col("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val zm0 = graft.sources.ZoneMap.build(s, tmp, Seq("n_chars"))
+        .localCheckpoint(true)
+      val n0 = zm0.count()
+      docs.where(col("doc_id") % 5 === 0)
+        .coalesce(1).write.mode("append").parquet(tmp)
+      val zm1 = graft.sources.ZoneMap.update(s, tmp, zm0, Seq("n_chars"))
+      require(zm1.count() == n0 + 1,
+        "update must add exactly the appended file's stats row")
+      val (df, total, read) = graft.sources.ZoneMap.prunedScan(
+        s, tmp, zm1, "n_chars", 250L, 280L)
+      require(read > 0 && read < total,
+        s"zone pruning must engage through the merged map: $read/$total")
+      df.select("doc_id", "n_chars").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 250 AND 280 ORDER BY doc_id"""))
+
+  private val x143 = DeclaredQuery("x143_mde",
+    // Minimum detectable effect (Power.minimumDetectableEffect) — the
+    // question to ask BEFORE an A/B read: at these group sizes and this
+    // variance, how small a shift could the comparison even detect?
+    // Three standard designs over the purchase~view value metric
+    // (FLOORed so the moment sums are exact integers in doubles — Spark
+    // and DuckDB FLOOR agree where their double→long CASTs do not, the
+    // x139 lesson). z quantiles are shared 17-digit literals (the normal
+    // inverse CDF has no portable SQL spelling); round6 pins the one
+    // sqrt fold.
+    (s, d) => {
+      val ev = t(s, d, "events").withColumn("fv", floor(col("value")))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      graft.operators.Power.minimumDetectableEffect(
+          ev, "event_type", "fv", "purchase", "view",
+          Seq(0.05 -> 0.80, 0.01 -> 0.90, 0.10 -> 0.80))
+        .select(col("alpha"), col("power"), col("n_a"), col("n_b"),
+          r6(col("mde_abs")).as("mde_abs"), r6(col("mde_rel")).as("mde_rel"))
+        .orderBy("alpha", "power")
+    },
+    Some("""WITH f AS (
+  SELECT event_type AS g, FLOOR(value) AS v FROM events
+  WHERE event_type IN ('purchase', 'view')),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN g = 'purchase' THEN v ELSE 0.0 END) AS sa,
+    SUM(CASE WHEN g = 'view' THEN v ELSE 0.0 END) AS sb,
+    SUM(CASE WHEN g = 'purchase' THEN v * v ELSE 0.0 END) AS qa,
+    SUM(CASE WHEN g = 'view' THEN v * v ELSE 0.0 END) AS qb
+  FROM f),
+plans AS (
+  SELECT CAST(alpha AS DOUBLE) AS alpha, CAST(power AS DOUBLE) AS power,
+    zsum
+  FROM (VALUES
+    (0.05, 0.80, 1.959963984540054 + 0.8416212335729143),
+    (0.01, 0.90, 2.5758293035489004 + 1.2815515655446004),
+    (0.10, 0.80, 1.6448536269514722 + 0.8416212335729143))
+    t(alpha, power, zsum)),
+se AS (
+  SELECT plans.*, m.n_a, m.n_b, m.sa,
+    ((qa - sa * sa / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+      / CAST(n_a AS DOUBLE))
+    + ((qb - sb * sb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)
+      / CAST(n_b AS DOUBLE)) AS se2
+  FROM plans, m)
+SELECT alpha, power, n_a, n_b,
+  FLOOR(zsum * SQRT(se2) * 1000000 + 0.5) / 1000000 AS mde_abs,
+  FLOOR(zsum * SQRT(se2) / (sa / CAST(n_a AS DOUBLE))
+    * 1000000 + 0.5) / 1000000 AS mde_rel
+FROM se ORDER BY alpha, power"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9230,7 +9319,7 @@ FROM p ORDER BY pair"""))
     x102, x103, x104, x105, x106, x107, x108, x109, x110, x111, x112,
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
-    x134, x135, x136, x137, x138, x139, x140, x141, x142,
+    x134, x134b, x135, x136, x137, x138, x139, x140, x141, x142, x143,
     x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -41,6 +41,47 @@ object ZoneMap {
       .agg(count(lit(1)).as("rows"), statCols: _*)
   }
 
+  /** Incremental maintenance for append-only layouts: stats rows for
+    * files already in `zoneMap` are reused VERBATIM; only files present
+    * in the directory but absent from the map are scanned (the point at
+    * 100 TB: a daily crawl append re-scans the day, not the corpus).
+    * Returns the merged map, equal to a full [[build]] over the same
+    * directory (spec-pinned). If the map references files that no longer
+    * exist (compaction, deletes), this REFUSES loudly instead of merging
+    * a stale layout — stale rows would mis-prune; rebuild with the
+    * layout, that is what "version the map with the layout" means.
+    * Listing is a driver-side filesystem call (O(files)), never a scan. */
+  def update(spark: SparkSession, path: String, zoneMap: DataFrame,
+             cols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def norm(s: String): String = new java.net.URI(s).getPath
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(hPath).iterator
+      .map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    val listedNorm = listed.map(norm).toSet
+    val known = zoneMap.select("file").collect().map(_.getString(0)).toSeq
+    val gone = known.filterNot(f => listedNorm.contains(norm(f)))
+    require(gone.isEmpty,
+      s"zone map references ${gone.size} file(s) no longer in $path " +
+        s"(first: ${gone.headOption.getOrElse("")}) — the layout was " +
+        "compacted or pruned; rebuild the map with the layout instead of " +
+        "merging stale bounds")
+    val knownNorm = known.map(norm).toSet
+    val fresh = listed.filterNot(f => knownNorm.contains(norm(f)))
+    if (fresh.isEmpty) zoneMap
+    else {
+      val statCols = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+      }
+      val freshStats = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("rows"), statCols: _*)
+      zoneMap.unionByName(freshStats)
+    }
+  }
+
   /** The file list a range predicate `valueCol BETWEEN lo AND hi` cannot
     * exclude: a file survives unless `max < lo` or `min > hi` is PROVEN
     * (NULL bounds keep the file). Driver-side O(files) rows — the zone map

@@ -68,6 +68,56 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("id", "x", "payload"))
   }
 
+  test("update: appended files merge to exactly the full rebuild; no-op when nothing is new") {
+    val d = java.nio.file.Files.createTempDirectory("graft-zonemap-inc")
+      .toString
+    (1 to 10).map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+      .repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(d)
+    val zm0 = ZoneMap.build(spark, d, Seq("x"))
+    // no-op: nothing new → the same frame comes back
+    assert(ZoneMap.update(spark, d, zm0, Seq("x")).collect().toSet
+      == zm0.collect().toSet)
+    // append a new range and update — only the fresh file is scanned,
+    // and the merged map must equal a full rebuild
+    (11 to 15).map(i => (i.toLong, i.toLong * 10)).toDF("id", "x")
+      .coalesce(1).write.mode("append").parquet(d)
+    val zm1 = ZoneMap.update(spark, d, zm0, Seq("x"))
+    val full = ZoneMap.build(spark, d, Seq("x"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("file"),
+        r.getAs[Long]("rows"), r.getAs[Any]("x_min"),
+        r.getAs[Any]("x_max"))).toSet
+    assert(canon(zm1) == canon(full))
+    assert(zm1.count() == zm0.count() + 1)
+    // the updated map prunes end-to-end like a fresh one
+    val (df, total, read) = ZoneMap.prunedScan(spark, d, zm1, "x",
+      110L, 150L)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (11L to 15L))
+    assert(read < total)
+  }
+
+  test("update: a map referencing vanished files refuses loudly") {
+    val d = java.nio.file.Files.createTempDirectory("graft-zonemap-gone")
+      .toString
+    (1 to 6).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+      .repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(d)
+    val zm = ZoneMap.build(spark, d, Seq("x"))
+    zm.count() // materialize stats before the file disappears
+    val zmRows = zm.collect()
+    val victim = new java.io.File(
+      new java.net.URI(zmRows.head.getAs[String]("file")).getPath)
+    assert(victim.delete())
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(zmRows.toIndexedSeq), zm.schema)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.update(spark, d, frozen, Seq("x"))
+    }
+    assert(e.getMessage.contains("no longer"))
+  }
+
   test("surviving files still filter exactly (zone pruning is conservative)") {
     val zm = ZoneMap.build(spark, dir, Seq("x"))
     // [55, 65] lands inside one file's [min,max] but matches one row
