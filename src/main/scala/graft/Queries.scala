@@ -9298,6 +9298,128 @@ SELECT alpha, power, n_a, n_b,
     * 1000000 + 0.5) / 1000000 AS mde_rel
 FROM se ORDER BY alpha, power"""))
 
+  private val x144 = DeclaredQuery("x144_chi2_uniformity",
+    // Chi-squared goodness of fit vs uniform (Contingency.chi2Uniformity
+    // — the 1-sample complement of x132's independence test): the
+    // label-balance / shard-balance screen, two faces — day-of-week of
+    // events (a 30-day window covers weekdays unequally, chi2 reflects
+    // the calendar) and event_type (balanced by construction, chi2
+    // small). Day-of-week spelled dayofweek(ts) in Spark (1–7, Sun=1)
+    // and dayofweek(ts)+1 in DuckDB (0–6, Sun=0) — same values. Counts
+    // exact; one fold over k cells (round6).
+    (s, d) => {
+      val ev = t(s, d, "events")
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000 + 0.5) / 1000000
+      def shape(name: String, in: DataFrame, c: String) =
+        graft.operators.Contingency.chi2Uniformity(in.select(col(c)), c)
+          .select(lit(name).as("pair"), col("n"), col("k"), col("dof"),
+            r6(col("chi2")).as("chi2"))
+      shape("events:dow", ev.withColumn("dow", dayofweek(col("ts"))),
+          "dow")
+        .unionAll(shape("events:type", ev, "event_type"))
+        .orderBy("pair")
+    },
+    Some("""WITH side AS (
+  SELECT 'events:dow' AS pair, CAST(dayofweek(ts) + 1 AS VARCHAR) AS f
+  FROM events
+  UNION ALL
+  SELECT 'events:type', event_type FROM events),
+cells AS (SELECT pair, f, COUNT(*) AS o FROM side GROUP BY 1, 2),
+tot AS (
+  SELECT pair, CAST(SUM(o) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells GROUP BY 1),
+s AS (
+  SELECT cells.pair, tot.n, tot.k,
+    SUM((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE))
+      / (CAST(n AS DOUBLE) / CAST(k AS DOUBLE))) AS chi2
+  FROM cells JOIN tot ON cells.pair = tot.pair
+  GROUP BY cells.pair, tot.n, tot.k)
+SELECT pair, n, k, k - 1 AS dof,
+  CASE WHEN k = 1 THEN NULL
+    ELSE FLOOR(chi2 * 1000000 + 0.5) / 1000000 END AS chi2
+FROM s ORDER BY pair"""))
+
+  private val x145 = DeclaredQuery("x145_autocorrelation",
+    // Lag-k autocorrelation (Trend.autocorrelation) of the per-type
+    // daily count series at lags 1, 2, 7 — the periodicity read that
+    // keeps a weekly rhythm from paging as drift (x126) or trend (x137).
+    // One window shuffle serves all three LAG columns; the cross-term
+    // expands to exact integer sums and the estimator is a fixed IEEE
+    // expression (round6 over the final folds).
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val mn = daily.agg(min("day").as("__mn"))
+      val series = daily.crossJoin(broadcast(mn))
+        .withColumn("ord", datediff(col("day"), col("__mn")))
+      graft.operators.Trend.autocorrelation(
+          series, "event_type", "ord", "cnt", Seq(1, 2, 7))
+        .select(col("event_type"), col("lag"), col("n"),
+          (floor(col("acf") * 1000000 + 0.5) / 1000000).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some("""WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2),
+mn AS (SELECT MIN(day) AS mnd FROM d),
+e AS (SELECT event_type, CAST(day - mn.mnd AS BIGINT) AS o, cnt
+      FROM d, mn),
+l AS (
+  SELECT event_type, cnt,
+    LAG(cnt, 1) OVER w AS l1, LAG(cnt, 2) OVER w AS l2,
+    LAG(cnt, 7) OVER w AS l7
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY o)),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(cnt) AS s, SUM(cnt * cnt) AS q,
+    SUM(cnt * l1) AS sxy1,
+    SUM(CASE WHEN l1 IS NOT NULL THEN cnt ELSE 0.0 END) AS sh1,
+    SUM(COALESCE(l1, 0.0)) AS st1,
+    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS m1,
+    SUM(cnt * l2) AS sxy2,
+    SUM(CASE WHEN l2 IS NOT NULL THEN cnt ELSE 0.0 END) AS sh2,
+    SUM(COALESCE(l2, 0.0)) AS st2,
+    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS m2,
+    SUM(cnt * l7) AS sxy7,
+    SUM(CASE WHEN l7 IS NOT NULL THEN cnt ELSE 0.0 END) AS sh7,
+    SUM(COALESCE(l7, 0.0)) AS st7,
+    CAST(SUM(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS m7
+  FROM l GROUP BY event_type),
+acf AS (
+  SELECT event_type, 1 AS lag, n,
+    CASE WHEN m1 = 0 OR q - s * s / CAST(n AS DOUBLE) <= 0.0 THEN NULL
+      ELSE (sxy1 - (s / CAST(n AS DOUBLE)) * (sh1 + st1)
+        + CAST(m1 AS DOUBLE) * (s / CAST(n AS DOUBLE))
+          * (s / CAST(n AS DOUBLE)))
+        / (q - s * s / CAST(n AS DOUBLE)) END AS a
+  FROM m
+  UNION ALL
+  SELECT event_type, 2, n,
+    CASE WHEN m2 = 0 OR q - s * s / CAST(n AS DOUBLE) <= 0.0 THEN NULL
+      ELSE (sxy2 - (s / CAST(n AS DOUBLE)) * (sh2 + st2)
+        + CAST(m2 AS DOUBLE) * (s / CAST(n AS DOUBLE))
+          * (s / CAST(n AS DOUBLE)))
+        / (q - s * s / CAST(n AS DOUBLE)) END
+  FROM m
+  UNION ALL
+  SELECT event_type, 7, n,
+    CASE WHEN m7 = 0 OR q - s * s / CAST(n AS DOUBLE) <= 0.0 THEN NULL
+      ELSE (sxy7 - (s / CAST(n AS DOUBLE)) * (sh7 + st7)
+        + CAST(m7 AS DOUBLE) * (s / CAST(n AS DOUBLE))
+          * (s / CAST(n AS DOUBLE)))
+        / (q - s * s / CAST(n AS DOUBLE)) END
+  FROM m)
+SELECT event_type, lag, n,
+  FLOOR(a * 1000000 + 0.5) / 1000000 AS acf
+FROM acf ORDER BY event_type, lag"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9320,7 +9442,7 @@ FROM se ORDER BY alpha, power"""))
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
     x134, x134b, x135, x136, x137, x138, x139, x140, x141, x142, x143,
-    x10d, x10e, x10f)
+    x144, x145, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

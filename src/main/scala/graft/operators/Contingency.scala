@@ -45,6 +45,37 @@ object Contingency {
     * hash-pinning should canonicalize chi2/cramers_v (the gate pins
     * round6; cell contributions are O(1..n) doubles, so fold divergence
     * sits ~1e-10 below that pin). */
+  /** Chi-squared GOODNESS OF FIT against uniform expectation (Pearson
+    * 1900 — the one-sample complement of [[chi2Independence]]): one row
+    * `(n, k, dof, chi2)` testing whether the observed category counts of
+    * `colA` are consistent with all-equal frequencies — the label-balance
+    * / shard-balance / day-of-week-uniformity screen. `e = n/k` for every
+    * OBSERVED category (absent categories are unknowable without an
+    * explicit expectation — supply one by unioning zero-count rows
+    * upstream if the category universe is closed); chi2 NULL at k = 1
+    * (dof 0). Same determinism story as chi2Independence: counts exact,
+    * one fold over k cells, round6 in the gate. One count shuffle, k-row
+    * artifact math. */
+  def chi2Uniformity(df: DataFrame, colA: String): DataFrame = {
+    val guard = when(col(colA).isNull,
+        raise_error(lit(s"chi2Uniformity: NULL $colA — map missing to a " +
+          "sentinel category upstream")))
+      .otherwise(col(colA))
+    val cells = df.select(guard.as("__a"))
+      .groupBy("__a").agg(count(lit(1)).as("__o"))
+    val tot = cells.agg(sum("__o").as("n"), count(lit(1)).as("k"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("n"), col("k"),
+        (col("__o").cast("double")
+          - col("n").cast("double") / col("k").cast("double")).as("__d"),
+        (col("n").cast("double") / col("k").cast("double")).as("__e"))
+      .groupBy("n", "k")
+      .agg(sum(col("__d") * col("__d") / col("__e")).as("__chi2"))
+      .select(col("n"), col("k"), (col("k") - 1).as("dof"),
+        when(col("k") === 1, lit(null).cast("double"))
+          .otherwise(col("__chi2")).as("chi2"))
+  }
+
   /** Mutual information between two categorical facets, in nats: one row
     * `(n, r, c, h_a, h_b, mi, nmi)` — `mi = Σ_cells p_ij·ln(p_ij/(p_i·p_j))`
     * over OCCUPIED cells (empty cells contribute 0·ln0 = 0, so unlike

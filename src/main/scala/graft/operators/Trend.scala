@@ -42,6 +42,69 @@ object Trend {
     * picks order statistics by integer position (ties in slope value make
     * the picked VALUE unique regardless of row permutation) — z alone
     * carries a sqrt (gate pins round6). */
+  /** Per-key sample autocorrelation at the requested lags — the
+    * periodicity read next to the trend read: a weekly rhythm in a daily
+    * health series shows up as acf(7) ≫ acf(1), and a monitoring alarm
+    * that ignores it pages every weekend. One row per (key, lag):
+    * `(key, lag, n, acf)` with the standard biased-denominator estimator
+    * `acf_k = Σ_{t>k}(x_t − x̄)(x_{t−k} − x̄) / Σ(x_t − x̄)²` (x̄ the
+    * full-series mean). NULL when the series is constant (zero
+    * denominator) or when n ≤ lag (no pairs). NULL key/order/value fail
+    * loudly; orderCol must be unique per key.
+    *
+    * Shape: ONE window shuffle serves every lag (all LAG columns share
+    * the (key, order) spec), then one aggregate per key; the cross-term
+    * expands as `Σx_t·x_{t−k} − x̄(Σ_head + Σ_tail) + m·x̄²`, so every
+    * sum is exact for integer series and the estimator is a fixed IEEE
+    * expression (gate pins round6). */
+  def autocorrelation(df: DataFrame, keyCol: String, orderCol: String,
+                      valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be positive: $lags")
+    val v = when(col(keyCol).isNull || col(orderCol).isNull
+        || col(valueCol).isNull,
+      raise_error(lit(s"autocorrelation: NULL $keyCol/$orderCol/" +
+        s"$valueCol — drop or impute upstream")))
+      .otherwise(col(valueCol).cast("double"))
+    val withLags = df.select(col(keyCol).as("__k"),
+        col(orderCol).as("__o"), v.as("__v"))
+      .withColumns(lags.map(k => s"__l$k" ->
+        lag(col("__v"), k).over(
+          Window.partitionBy("__k").orderBy("__o"))).toMap)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum("__v").as("__s"),
+      sum(col("__v") * col("__v")).as("__q")) ++ lags.flatMap { k =>
+      Seq(
+        sum(col("__v") * col(s"__l$k")).as(s"__sxy$k"),
+        sum(when(col(s"__l$k").isNotNull, col("__v")).otherwise(0.0))
+          .as(s"__sh$k"),
+        sum(coalesce(col(s"__l$k"), lit(0.0))).as(s"__st$k"),
+        sum(when(col(s"__l$k").isNotNull, 1L).otherwise(0L))
+          .as(s"__m$k"))
+    }
+    val m = withLags.groupBy("__k").agg(aggs.head, aggs.tail: _*)
+    // ONE projection explodes all lags from the single aggregate row — a
+    // per-lag union would re-plan the window + aggregate subtree once per
+    // lag (3 Windows, 3 scans in the static plan; the x132 lesson, caught
+    // by the PlanQualitySpec pin)
+    val xbar = col("__s") / col("n").cast("double")
+    val den = col("__q") -
+      col("__s") * col("__s") / col("n").cast("double")
+    val lagStructs = lags.map { k =>
+      val num = col(s"__sxy$k") -
+        xbar * (col(s"__sh$k") + col(s"__st$k")) +
+        col(s"__m$k").cast("double") * xbar * xbar
+      struct(lit(k).as("lag"),
+        when(col(s"__m$k") === 0 || den <= 0.0, lit(null).cast("double"))
+          .otherwise(num / den).as("acf"))
+    }
+    m.select(col("__k").as(keyCol), col("n"),
+        explode(array(lagStructs: _*)).as("__e"))
+      .select(col(keyCol), col("__e.lag").as("lag"), col("n"),
+        col("__e.acf").as("acf"))
+  }
+
   def mannKendall(df: DataFrame, keyCol: String, orderCol: String,
                   valueCol: String): DataFrame = {
     val v = when(col(keyCol).isNull || col(orderCol).isNull

@@ -111,6 +111,27 @@ class ContingencySpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("nmi")))
   }
 
+  test("chi2Uniformity: hand counts vs equal expectation") {
+    // counts 6, 2, 4 over k=3, n=12 → e=4; chi2 = 4/4 + 4/4 + 0 = 2
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c"))
+      .map(Tuple1(_)).toDF("f")
+    val r = Contingency.chi2Uniformity(rows, "f").collect().head
+    assert(r.getAs[Long]("n") == 12L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(math.abs(r.getAs[Double]("chi2") - 2.0) < 1e-12)
+  }
+
+  test("chi2Uniformity: perfectly balanced → exactly 0; single category → NULL") {
+    val bal = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).map(Tuple1(_))
+      .toDF("f")
+    assert(Contingency.chi2Uniformity(bal, "f").collect().head
+      .getAs[Double]("chi2") == 0.0)
+    val one = Seq.fill(7)("a").map(Tuple1(_)).toDF("f")
+    val r = Contingency.chi2Uniformity(one, "f").collect().head
+    assert(r.getAs[Long]("dof") == 0L)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
   test("NULL category fails loudly") {
     val bad = Seq((Some("r1"), Some("c1")), (None, Some("c2")))
       .toDF("a", "b")

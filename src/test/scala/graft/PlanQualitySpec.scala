@@ -750,6 +750,38 @@ class PlanQualitySpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), s"row join must be equi:\n$p")
   }
 
+  test("x137 mann-kendall: the pair expansion is a key equi-join, never cartesian") {
+    val p = plan("x137_mann_kendall")
+    // O(len²) per key is the contract — a CartesianProduct would make it
+    // O((keys·len)²) over the whole frame. The pair join itself must be
+    // a shuffled equi-join; BroadcastNestedLoopJoin instances are the
+    // 1-row min-date broadcast whose subtree the consumers replicate in
+    // the STATIC plan (AQE exchange reuse collapses them at runtime —
+    // the x132 pinned contract)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"the pair expansion must be an equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"daily counts must combine map-side:\n$p")
+  }
+
+  test("x145 autocorrelation: all lag columns share one window shuffle") {
+    val p = plan("x145_autocorrelation")
+    assert(!p.contains("CartesianProduct"), p)
+    // three LAG columns over the same (key, ord) spec → ONE Window node
+    val windows = """\(\d+\) Window""".r.findAllIn(p).toList
+    assert(windows.size == 1,
+      s"expected one shared Window node for all lags:\n$p")
+  }
+
+  test("x144 uniformity chi2: cells collapse with map-side partials") {
+    val p = plan("x144_chi2_uniformity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"category counts must combine map-side:\n$p")
+  }
+
   test("x132 chi-squared: AQE reuses the cell exchange — one corpus scan at runtime") {
     // the cell frame feeds four consumers; the STATIC plan prints four
     // corpus scans, and the operator's contract (Contingency scaladoc) is

@@ -72,6 +72,50 @@ class TrendSpec extends AnyFunSuite {
     assert(lone.isNullAt(lone.fieldIndex("sen_slope")))
   }
 
+  test("autocorrelation: hand acf(1) on a 4-point series") {
+    // x = [1,2,3,4], x̄ = 2.5, den = Σ(x−x̄)² = 5
+    // num(1) = (−1.5)(−0.5) + (−0.5)(0.5) + (0.5)(1.5) = 1.25
+    val df = (1 to 4).map(i => ("a", i, i.toDouble)).toDF("k", "o", "v")
+    val r = Trend.autocorrelation(df, "k", "o", "v", Seq(1))
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("acf") - 0.25) < 1e-14)
+  }
+
+  test("autocorrelation: a period-2 alternation reads acf(2) ≈ +, acf(1) ≈ −") {
+    val xs = (1 to 40).map(i => if (i % 2 == 0) 10.0 else 0.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i, x) }
+      .toDF("k", "o", "v")
+    val m = Trend.autocorrelation(df, "k", "o", "v", Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf"))
+      .toMap
+    assert(m(1) < -0.9)
+    assert(m(2) > 0.9)
+  }
+
+  test("autocorrelation: constant series and n ≤ lag → NULL") {
+    val flat = (1 to 5).map(i => ("a", i, 3.0)).toDF("k", "o", "v")
+    val r = Trend.autocorrelation(flat, "k", "o", "v", Seq(1))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("acf")))
+    val short = (1 to 3).map(i => ("a", i, i.toDouble)).toDF("k", "o", "v")
+    val s = Trend.autocorrelation(short, "k", "o", "v", Seq(5))
+      .collect().head
+    assert(s.isNullAt(s.fieldIndex("acf")))
+  }
+
+  test("autocorrelation: keys independent, one row per (key, lag)") {
+    val df = ((1 to 6).map(i => ("up", i, i.toDouble)) ++
+      (1 to 6).map(i => ("rnd", i, ((i * 7) % 5).toDouble)))
+      .toDF("k", "o", "v")
+    val rows = Trend.autocorrelation(df, "k", "o", "v", Seq(1, 2))
+      .collect()
+    assert(rows.length == 4)
+    val up1 = rows.find(r => r.getString(0) == "up" && r.getInt(1) == 1)
+      .get.getAs[Double]("acf")
+    assert(up1 > 0.4) // a ramp is strongly positively autocorrelated
+  }
+
   test("NULL value fails loudly") {
     val bad = Seq(("a", Some(1), Some(1.0)), ("a", Some(2), None))
       .toDF("k", "o", "v")
