@@ -8856,7 +8856,8 @@ FROM j ORDER BY event_type"""))
     // closed form is exactly incrementalizable, so per-key state is four
     // doubles + the last order key however long the series runs. The
     // per-type daily series replays in three ORDERED micro-batches
-    // (sequential write jobs → increasing mod-times → file-source order);
+    // (explicitly PINNED increasing mod-times → file-source order — wall
+    // clocks can land two writes in one millisecond);
     // every point's statistics are final on emission (Append + parquet
     // sink), and the oracle is the BATCH closed form — the streaming
     // recursion must be bit-identical to the window spelling on the same
@@ -8881,11 +8882,25 @@ FROM j ORDER BY event_type"""))
           col("h").cast("double").as("thresh"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-x138")
       val ingest = tmp.resolve("ingest").toString
+      // The file source orders micro-batches by modification time, and three
+      // sequential writes CAN land in the same millisecond — which would
+      // reorder batches and trip cusumMonitor's out-of-order require (loud
+      // flake). Pin each batch's mtime to an explicit increasing minute so
+      // the replay order is deterministic, not clock-granularity luck.
+      val ingestPath = new org.apache.hadoop.fs.Path(ingest)
+      val ingestFs = ingestPath.getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val mtimeBase = 1600000000000L // fixed epoch far below any real clock
       Seq((0L, 10L), (10L, 20L), (20L, 100000L)).zipWithIndex.foreach {
         case ((lo, hi), i) =>
           series.where(col("ord") >= lo && col("ord") < hi)
             .coalesce(1).write
             .mode(if (i == 0) "overwrite" else "append").parquet(ingest)
+          ingestFs.listStatus(ingestPath).foreach { f =>
+            if (f.getPath.getName.endsWith(".parquet")
+                && f.getModificationTime > mtimeBase + 180000L)
+              ingestFs.setTimes(f.getPath, mtimeBase + i * 60000L, -1L)
+          }
       }
       val stream = s.readStream
         .schema("key STRING, ord LONG, value DOUBLE, target DOUBLE, " +

@@ -17,12 +17,16 @@ object Power {
 
   /** z quantiles for the conventional designs, as shared literals: the
     * normal inverse CDF has no portable SQL spelling, and these five
-    * cover the designs anyone actually runs. Keys are the TWO-SIDED α
-    * or the power level. */
-  val ZQuantile: Map[Double, Double] = Map(
+    * cover the designs anyone actually runs. The α and power tables are
+    * SEPARATE maps on purpose — a single shared map would let a swapped
+    * design like (0.90, 0.05) pass validation and silently use a power
+    * quantile as z_{1−α/2}. */
+  val AlphaZ: Map[Double, Double] = Map(
     0.10 -> 1.6448536269514722, // z_{0.95}  (two-sided α = 0.10)
     0.05 -> 1.959963984540054, // z_{0.975} (two-sided α = 0.05)
-    0.01 -> 2.5758293035489004, // z_{0.995} (two-sided α = 0.01)
+    0.01 -> 2.5758293035489004) // z_{0.995} (two-sided α = 0.01)
+
+  val PowerZ: Map[Double, Double] = Map(
     0.80 -> 0.8416212335729143, // z_{0.80}  (power 80%)
     0.90 -> 1.2815515655446004) // z_{0.90}  (power 90%)
 
@@ -47,10 +51,11 @@ object Power {
     require(groupA != groupB, s"groups must differ, got $groupA")
     require(designs.nonEmpty, "at least one (alpha, power) design")
     designs.foreach { case (a, p) =>
-      require(ZQuantile.contains(a) && ZQuantile.contains(p),
+      require(AlphaZ.contains(a) && PowerZ.contains(p),
         s"unsupported design ($a, $p) — supported α: 0.10/0.05/0.01, " +
           "power: 0.80/0.90 (the normal inverse CDF has no portable SQL " +
-          "spelling, so designs are pinned literals)")
+          "spelling, so designs are pinned literals; a design like " +
+          "(0.90, 0.05) with the slots swapped is rejected, not reordered)")
     }
     val spark = df.sparkSession
     import spark.implicits._
@@ -79,7 +84,7 @@ object Power {
           .otherwise(col("n_a")).as("n_a"),
         col("n_b"), col("__sa"), col("__sb"), col("__qa"), col("__qb"))
     val plans = designs.map { case (a, p) =>
-      (a, p, ZQuantile(a) + ZQuantile(p))
+      (a, p, AlphaZ(a) + PowerZ(p))
     }.toDF("alpha", "power", "__zsum")
     plans.crossJoin(broadcast(m))
       .withColumn("__se2",

@@ -139,7 +139,12 @@ object Trend {
             || col("__rn") === expr("__np div 2 + 1"), col("__slope")))
           .as("sen_slope"))
     perKey
-      .join(broadcast(tieTerm), Seq("__k"))
+      // no broadcast hint: tieTerm is bounded by KEY cardinality, which a
+      // per-source monitoring deployment can push into the millions —
+      // perKey/tieTerm/medians are all already partitioned by __k, so AQE
+      // picks broadcast when the frame is actually small and a co-located
+      // shuffle join when it is not (driver OOM is not a plan choice)
+      .join(tieTerm, Seq("__k"))
       .join(medians, Seq("__k"), "left") // singleton keys: NULL stats
       .select(col("__k").as(keyCol), col("n"), col("s"),
         when(col("n") >= 2,

@@ -50,24 +50,28 @@ object TwoSample {
     * and the test fails loudly when either sample is empty.
     *
     * Determinism: average ranks are exact halves (the [[graft.operators
-    * .Profiling.spearman]] discipline), so R_A, U_A, and both variance
-    * terms are exact integer-or-half sums at any realistic scale; the only
-    * libm ops are the final sqrt + division — consumers hash-pinning
-    * should canonicalize z (the gate pins round6). */
+    * .Profiling.spearman]] discipline), and the rank sum accumulates as
+    * DECIMAL(38,0) over the DOUBLED ranks (2·rank is an exact BIGINT), so
+    * R_A and U_A are exact at ANY scale — a double fold would reach
+    * ~n²/2 ≈ 2⁵³ around n ≈ 1.3·10⁸ and turn fold-order-dependent. The
+    * only libm ops are the final sqrt + division — consumers hash-pinning
+    * should canonicalize z (the gate pins round6); u_a itself is one
+    * correctly-rounded cast of an exact half-integer. */
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    groupA: String, groupB: String): DataFrame = {
     val c = counts(df, groupCol, valueCol, groupA, groupB)
-    val ranked = c.withColumn("__rank",
+    // 2·rank of a tie group = 2·(count before it) + (size + 1): exact BIGINT
+    val ranked = c.withColumn("__rank2",
       coalesce(sum(col("__ca") + col("__cb")).over(
           Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).cast("double")
-        + (col("__ca") + col("__cb") + 1).cast("double") / 2.0)
+        lit(0L)) * 2 + (col("__ca") + col("__cb") + 1))
     // tie term in exact BIGINT (t³ as a double drifts past 2^53; BIGINT is
     // exact to t ≈ 2.1M per tie group — quantize upstream beyond that)
     val t = col("__ca") + col("__cb")
     val m = ranked.agg(
       sum("__ca").as("n_a"), sum("__cb").as("n_b"),
-      sum(col("__ca").cast("double") * col("__rank")).as("__ra"),
+      // DECIMAL(38,0) accumulator: ca·rank2 ≤ 2n² ≈ 10²⁹ even at n = 10¹⁴
+      sum(col("__ca").cast("decimal(38,0)") * col("__rank2")).as("__ra2"),
       sum(t * t * t - t).cast("double").as("__ties"))
     m.select(
         when(col("n_a").isNull || col("n_b").isNull
@@ -75,8 +79,12 @@ object TwoSample {
           "mannWhitneyU: empty sample — both groups need rows")))
           .otherwise(col("n_a")).as("n_a"),
         col("n_b"),
-        (col("__ra") - col("n_a").cast("double")
-          * (col("n_a") + 1).cast("double") / 2.0).as("u_a"),
+        // U_A = R_A − n_a(n_a+1)/2 = (ra2 − n_a(n_a+1))/2: the subtraction
+        // is exact in decimal; one cast + one halving gives the correctly-
+        // rounded double regardless of aggregation fold order
+        ((col("__ra2") - col("n_a").cast("decimal(38,0)")
+          * (col("n_a") + 1).cast("decimal(38,0)")).cast("double") / 2.0)
+          .as("u_a"),
         col("__ties"))
       .withColumn("__n", col("n_a") + col("n_b"))
       .withColumn("__var",
@@ -323,14 +331,15 @@ object TwoSample {
   def effectSizes(df: DataFrame, groupCol: String, valueCol: String,
                   groupA: String, groupB: String): DataFrame = {
     val c = counts(df, groupCol, valueCol, groupA, groupB)
-    val ranked = c.withColumn("__rank",
+    // doubled-rank DECIMAL(38,0) accumulation — the mannWhitneyU recipe:
+    // exact U at any n, where a double fold drifts past 2^53 at n ≈ 1.3e8
+    val ranked = c.withColumn("__rank2",
       coalesce(sum(col("__ca") + col("__cb")).over(
           Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).cast("double")
-        + (col("__ca") + col("__cb") + 1).cast("double") / 2.0)
+        lit(0L)) * 2 + (col("__ca") + col("__cb") + 1))
     val m = ranked.agg(
       sum("__ca").as("n_a"), sum("__cb").as("n_b"),
-      sum(col("__ca").cast("double") * col("__rank")).as("__ra"),
+      sum(col("__ca").cast("decimal(38,0)") * col("__rank2")).as("__ra2"),
       sum(col("__ca").cast("double") * col("__v")).as("__sa"),
       sum(col("__cb").cast("double") * col("__v")).as("__sb"),
       sum(col("__ca").cast("double") * col("__v") * col("__v"))
@@ -342,11 +351,11 @@ object TwoSample {
             || col("n_a") === 0 || col("n_b") === 0, raise_error(lit(
           "effectSizes: empty sample — both groups need rows")))
           .otherwise(col("n_a")).as("n_a"),
-        col("n_b"), col("__ra"), col("__sa"), col("__sb"),
+        col("n_b"), col("__ra2"), col("__sa"), col("__sb"),
         col("__qa"), col("__qb"))
       .withColumn("__u",
-        col("__ra") - col("n_a").cast("double")
-          * (col("n_a") + 1).cast("double") / 2.0)
+        (col("__ra2") - col("n_a").cast("decimal(38,0)")
+          * (col("n_a") + 1).cast("decimal(38,0)")).cast("double") / 2.0)
       .withColumn("cliffs_delta",
         lit(2.0) * col("__u")
           / (col("n_a").cast("double") * col("n_b").cast("double"))

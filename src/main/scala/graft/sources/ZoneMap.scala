@@ -57,9 +57,31 @@ object ZoneMap {
     def norm(s: String): String = new java.net.URI(s).getPath
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = fs.listStatus(hPath).iterator
-      .map(_.getPath.toString)
-      .filter(_.endsWith(".parquet")).toSeq
+    // RECURSIVE listing, because build() reads via spark.read.parquet(path)
+    // which descends into partitioned layouts (dt=…/part-*.parquet): a
+    // top-level-only listing would see zero files there, making every known
+    // file look 'gone' — or worse, on a map built before partitioning,
+    // silently returning the stale map unchanged. Hidden entries (_SUCCESS,
+    // .crc, _committed) are excluded the same way Spark's file index does:
+    // any path COMPONENT under `path` starting with '_' or '.' disqualifies
+    // the file.
+    val rootDepth = norm(fs.makeQualified(hPath).toString)
+      .split('/').count(_.nonEmpty)
+    def visible(p: Path): Boolean =
+      norm(p.toString).split('/').filter(_.nonEmpty).drop(rootDepth)
+        .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
+    val it = fs.listFiles(hPath, true)
+    val listedB = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && visible(p))
+        listedB += p.toString
+    }
+    val listed = listedB.result()
+    require(listed.nonEmpty,
+      s"zone map update found no parquet files under $path — either the " +
+        "directory vanished or the layout moved; rebuild the map with the " +
+        "layout instead of merging against an empty listing")
     val listedNorm = listed.map(norm).toSet
     val known = zoneMap.select("file").collect().map(_.getString(0)).toSeq
     val gone = known.filterNot(f => listedNorm.contains(norm(f)))

@@ -16,7 +16,7 @@ class PowerSpec extends AnyFunSuite {
     val r = Power.minimumDetectableEffect(
         df(Seq(1, 2, 3, 4), Seq(2, 4, 6)), "g", "v", "A", "B",
         Seq(0.05 -> 0.80)).collect().head
-    val exp = (Power.ZQuantile(0.05) + Power.ZQuantile(0.80)) *
+    val exp = (Power.AlphaZ(0.05) + Power.PowerZ(0.80)) *
       math.sqrt(1.75)
     assert(math.abs(r.getAs[Double]("mde_abs") - exp) < 1e-12)
     assert(math.abs(r.getAs[Double]("mde_rel") - exp / 2.5) < 1e-12)
@@ -51,6 +51,16 @@ class PowerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Power.minimumDetectableEffect(df(Seq(1), Seq(2)), "g", "v",
         "A", "B", Seq(0.07 -> 0.80))
+    }
+    // slots swapped — each key must validate against its OWN table, not a
+    // shared map that would silently compute with the wrong quantile
+    intercept[IllegalArgumentException] {
+      Power.minimumDetectableEffect(df(Seq(1), Seq(2)), "g", "v",
+        "A", "B", Seq(0.90 -> 0.80))
+    }
+    intercept[IllegalArgumentException] {
+      Power.minimumDetectableEffect(df(Seq(1), Seq(2)), "g", "v",
+        "A", "B", Seq(0.05 -> 0.01))
     }
     val e = intercept[Exception] {
       Power.minimumDetectableEffect(df(Seq(1), Seq()), "g", "v",

@@ -98,6 +98,54 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(read < total)
   }
 
+  test("update: partitioned dt=… layout merges correctly (recursive listing)") {
+    // build() reads via spark.read.parquet, which descends into Hive-style
+    // partition directories — update()'s listing must descend the same way,
+    // or every known file looks 'gone' / fresh appends go unseen (the
+    // r18 fail-silent path: a non-recursive listing saw zero files and
+    // returned the stale map unchanged)
+    val d = java.nio.file.Files.createTempDirectory("graft-zonemap-part")
+      .toString
+    (1 to 10).map(i => (i.toLong, i.toLong * 10, s"d${i % 2}"))
+      .toDF("id", "x", "dt")
+      .write.mode("overwrite").partitionBy("dt").parquet(d)
+    val zm0 = ZoneMap.build(spark, d, Seq("x"))
+    assert(zm0.count() >= 2) // at least one file per partition dir
+    // no-op first: all known files must be FOUND (not reported gone)
+    assert(ZoneMap.update(spark, d, zm0, Seq("x")).collect().toSet
+      == zm0.collect().toSet)
+    // append into a NEW partition directory; update must pick it up
+    Seq((11L, 110L, "d9"), (12L, 120L, "d9")).toDF("id", "x", "dt")
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(d)
+    val zm1 = ZoneMap.update(spark, d, zm0, Seq("x"))
+    val full = ZoneMap.build(spark, d, Seq("x"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("file"),
+        r.getAs[Long]("rows"), r.getAs[Any]("x_min"),
+        r.getAs[Any]("x_max"))).toSet
+    assert(canon(zm1) == canon(full))
+    assert(zm1.count() == zm0.count() + 1)
+  }
+
+  test("update: an empty/vanished layout refuses loudly instead of merging") {
+    val d = java.nio.file.Files.createTempDirectory("graft-zonemap-empty")
+      .toString
+    (1 to 4).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val zm = ZoneMap.build(spark, d, Seq("x"))
+    val zmRows = zm.collect()
+    // delete every data file → the recursive listing is empty; update must
+    // refuse before even reaching the gone-files check
+    new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(zmRows.toIndexedSeq), zm.schema)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.update(spark, d, frozen, Seq("x"))
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
   test("update: a map referencing vanished files refuses loudly") {
     val d = java.nio.file.Files.createTempDirectory("graft-zonemap-gone")
       .toString
