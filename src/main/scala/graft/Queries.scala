@@ -462,6 +462,92 @@ sm AS (SELECT l_returnflag, v AS mode_status FROM (
 SELECT qm.l_returnflag, qm.mode_qty, sm.mode_status
 FROM qm JOIN sm USING (l_returnflag) ORDER BY l_returnflag"""))
 
+  private val q57 = DeclaredQuery("q57_fetch_with_ties",
+    // FETCH FIRST n ROWS WITH TIES (Postgres 13+, forwarded verbatim by
+    // the reference): the first n rows of the ordering PLUS every row tied
+    // with the n-th on the sort key — a deterministic SET even when the
+    // ordering itself is not a total order (strictly-better rows ∪ the
+    // whole boundary tie group). Neither Spark nor DuckDB 1.0 parses the
+    // clause, so BOTH engines run the standard engine spelling —
+    // RANK() ≤ n — which is definitionally the same set; the shared text
+    // is the contract under test. Scale shape: Spark's
+    // InferWindowGroupLimit rewrites the rank-filter into a
+    // WindowGroupLimit that top-k-prunes EACH partition before the
+    // single-partition rank window, so the global sort sees ≤ n·p rows,
+    // not the corpus (plan-pinned in PlanQualitySpec). The tie face
+    // genuinely fires here: l_quantity is 50-valued, so rank ≤ 100 keeps
+    // the entire boundary quantity's tie group (~1.2k rows at sf0.01).
+    (s, d) => {
+      val w = Window.orderBy(col("l_quantity").desc)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          rank().over(w).as("__rnk"))
+        .where(col("__rnk") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"),
+          col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         RANK() OVER (ORDER BY l_quantity DESC) AS rnk
+  FROM lineitem) z
+WHERE rnk <= 100
+ORDER BY l_quantity DESC, l_orderkey, l_linenumber"""))
+
+  private val q58 = DeclaredQuery("q58_window_exclude_frames",
+    // Window frame EXCLUDE clauses (Postgres EXCLUDE CURRENT ROW / GROUP /
+    // TIES, forwarded verbatim by the reference). Spark has no EXCLUDE, so
+    // the engine spelling is the frame ALGEBRA: over the cumulative RANGE
+    // frame F and the current row's peer group P (same ORDER BY value),
+    //   EXCLUDE CURRENT ROW = sum(F) − x        (NULL when F = {x})
+    //   EXCLUDE GROUP       = sum(F) − sum(P)   (NULL when F = P)
+    //   EXCLUDE TIES        = sum(F) − sum(P) + x
+    // — two window passes that SHARE one (priority, date) shuffle: the
+    // cumulative frame and the peer-group frame use the same partition
+    // keys prefix, and the peer sums are a plain partition-by window, so
+    // nothing here is corpus-scaled beyond the one sort. The oracle runs
+    // DuckDB's NATIVE EXCLUDE implementation — an independent derivation,
+    // not an echo of the algebra — so the hash match proves the rewrite.
+    // Sums are exact DECIMAL(12,2) (one terminal cast to double), and the
+    // date-truncated order key manufactures real peer groups.
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice").cast("decimal(12,2)").as("__p"))
+      val wFull = Window.partitionBy("o_orderpriority").orderBy("od")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPeer = Window.partitionBy("o_orderpriority", "od")
+      o.withColumn("__full", sum("__p").over(wFull))
+        .withColumn("__cfull", count(lit(1)).over(wFull))
+        .withColumn("__peer", sum("__p").over(wPeer))
+        .withColumn("__cpeer", count(lit(1)).over(wPeer))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("od"),
+          when(col("__cfull") === 1, lit(null))
+            .otherwise(col("__full") - col("__p")).cast("double")
+            .as("sum_xcur"),
+          when(col("__cfull") === col("__cpeer"), lit(null))
+            .otherwise(col("__full") - col("__peer")).cast("double")
+            .as("sum_xgrp"),
+          (col("__full") - col("__peer") + col("__p")).cast("double")
+            .as("sum_xties"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH o AS (
+  SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders)
+SELECT o_orderkey, o_orderpriority, od,
+  CAST(SUM(p) OVER (PARTITION BY o_orderpriority ORDER BY od
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    EXCLUDE CURRENT ROW) AS DOUBLE) AS sum_xcur,
+  CAST(SUM(p) OVER (PARTITION BY o_orderpriority ORDER BY od
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    EXCLUDE GROUP) AS DOUBLE) AS sum_xgrp,
+  CAST(SUM(p) OVER (PARTITION BY o_orderpriority ORDER BY od
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    EXCLUDE TIES) AS DOUBLE) AS sum_xties
+FROM o ORDER BY o_orderkey"""))
+
   private val q46 = DeclaredQuery("q46_like_predicates",
     (s, d) => t(s, d, "customer")
       .select(col("c_custkey"),
@@ -9444,7 +9530,7 @@ FROM acf ORDER BY event_type, lag"""))
     q25, q26, q26b, q27, q28, q29, q30, q30a, q31, q32,
     q19b, q25b, q27b, q31b, q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56,
+    q55, q56, q57, q58,
     q32b, q32c,
     x1, x1b, x2, x2b, x2c, x2d, x2e, x3, x3b, x3c, x3cs, x3ci, x3d, x4, x4b, x4c, x4d, x4e, x4f, x4g,
     x5, x5b, x5c, x5d, x6, x6b, x6c, x7, x7b, x7c, x7d, x7e, x7f, x8, x8b, x9, x10, x10b, x11, x12, x12b,

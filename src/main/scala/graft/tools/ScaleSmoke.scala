@@ -86,7 +86,14 @@ object ScaleSmoke {
     "x70_ngram_diversity", "x71_scd2_historize", "x72_preference_pairs",
     "x72b_adjacent_pairs", "x73_kll_quantile_sketch",
     "x74_reward_model", "x75_vocab_coverage", "x76_embedding_drift",
-    "x77_padding_audit", "x78_streaming_vocab_replay")
+    "x77_padding_audit", "x78_streaming_vocab_replay",
+    // round-19 SQL-surface tail: q57 rides the row-scaled lineitem — the
+    // WindowGroupLimit rewrite must keep the single-partition rank window
+    // fed by ≤ 100·partitions rows whatever the corpus (without it the
+    // global sort IS the corpus); q58 rides the key-scaled orders with its
+    // 5-value partition key held hot — both window passes must stay on the
+    // one shared exchange while per-priority sorts grow with the corpus
+    "q57_fetch_with_ties", "q58_window_exclude_frames")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

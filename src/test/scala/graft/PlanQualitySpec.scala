@@ -572,6 +572,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("o_custkey") && p.contains("< 100"), p)
   }
 
+  test("q57 WITH-TIES rank filter plans as WindowGroupLimit (partial top-k " +
+    "before the single-partition window)") {
+    val p = plan("q57_fetch_with_ties")
+    // InferWindowGroupLimit must rewrite rank()<=n into a per-partition
+    // top-k prune BELOW the exchange plus a final one above — without it
+    // the global rank window sorts the whole corpus in one partition
+    val limits = p.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(limits >= 2,
+      s"expected partial+final WindowGroupLimit, found $limits:\n$p")
+  }
+
+  test("q58 EXCLUDE-frame algebra: both window passes share ONE hash exchange") {
+    val p = plan("q58_window_exclude_frames")
+    // the cumulative (priority ORDER BY od) window and the peer-group
+    // (priority, od) window must stack on the same hashpartitioning
+    // (priority) exchange + sort — hash partitioning on a PREFIX of the
+    // peer keys satisfies its clustering, so a second exchange between the
+    // two Window nodes means the shared-shuffle shape regressed
+    // count formatted-plan detail headers "(n) Exchange" — one per node
+    def nodes(op: String) = p.linesIterator
+      .count(_.matches(s"""\\(\\d+\\) $op\\s*"""))
+    assert(nodes("Exchange") == 2, // window shuffle + output-order sort
+      s"expected exactly 2 exchanges (window + output order):\n$p")
+    assert(nodes("Window") == 2, s"expected 2 stacked Window nodes:\n$p")
+  }
+
   test("x115 containment: inverted-index equi-joins only, never all-pairs") {
     // the posting self-join is bounded by shared shingles and the size
     // joins are key lookups — a CartesianProduct or BNLJ anywhere means
