@@ -7669,18 +7669,27 @@ FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
         .repartition(3).write.mode("overwrite").parquet(lDir)
       ev.where(col("event_type") === "purchase")
         .repartition(3).write.mode("overwrite").parquet(rDir)
+      // No maxFilesPerTrigger: the 3+3 initial files land in ONE
+      // micro-batch (x92 keeps the per-file replay face for this family;
+      // here the semantics under test are the two OUTER faces, which are
+      // watermark-driven by the sentinel flushes — per-file batching just
+      // multiplied the fixed micro-batch cost). Each flush round is still
+      // its own batch: the files appear only after processAllAvailable
+      // returns.
       def rd(p: String): DataFrame = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(p)
+        .parquet(p)
         .withColumn("ts", col("ts").cast("timestamp"))
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams
-        .intervalJoin(rd(lDir), rd(rDir), "user_id",
-          maxDelay = "6 hours", watermark = s"$delayMin minutes",
-          joinType = "full_outer")
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("parquet").option("path", out).start()
+      // State-store partitions sized to the STREAM, not the session
+      // default: a stream-stream join keeps 4 state stores per partition,
+      // and every micro-batch commits a delta file per store — at 32
+      // session partitions × 4 stores × 5+ batches the gate entry's wall
+      // time was checkpoint I/O, not join work. 8 partitions is still a
+      // real distributed shape. The conf is read when the FIRST batch is
+      // planned (async after start()), so it stays set until the query
+      // stops and is restored in the same finally — the entry runs alone
+      // at that point in Verify/Bench, nothing else reads it.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val flushUser = 999999999L
       def flush(dir: String, tsMs: Long): Unit =
         s.range(1).select(lit(0L).as("event_id"),
@@ -7688,13 +7697,24 @@ FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
             lit(flushUser).as("user_id"), lit("flush").as("event_type"))
           .coalesce(1).write.mode("append").parquet(dir)
       try {
-        q.processAllAvailable()
-        val seal1 = hiMs + delayMin * 60000 + maxDelayMs + 3600000L
-        flush(lDir, seal1); flush(rDir, seal1)
-        q.processAllAvailable()
-        flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
-        q.processAllAvailable()
-      } finally q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.EventStreams
+          .intervalJoin(rd(lDir), rd(rDir), "user_id",
+            maxDelay = "6 hours", watermark = s"$delayMin minutes",
+            joinType = "full_outer")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try {
+          q.processAllAvailable()
+          val seal1 = hiMs + delayMin * 60000 + maxDelayMs + 3600000L
+          flush(lDir, seal1); flush(rDir, seal1)
+          q.processAllAvailable()
+          flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out).where(col("user_id") =!= flushUser)
         .select(col("user_id"), col("l_id"), col("r_id"),
           col("l_ts").cast("timestamp_ntz").as("l_ts"),
