@@ -9541,6 +9541,159 @@ SELECT event_type, lag, n,
   FLOOR(a * 1000000 + 0.5) / 1000000 AS acf
 FROM acf ORDER BY event_type, lag"""))
 
+  private val x146 = DeclaredQuery("x146_streaming_drift_replay",
+    // The x39 PSI drift monitor run AT INGEST TIME (EventStreams
+    // .binnedHistogram): bin edges are the reference slice's exact
+    // quantiles fitted BATCH-side (a model artifact — the x39 recipe),
+    // the current corpus replays as 10-day ingest phases in ordered
+    // micro-batches (pinned mtimes, the x138 recipe), each row bins
+    // map-only against the literal edge fold, and a tumbling-window
+    // streaming count emits each phase's histogram EXACTLY ONCE when the
+    // watermark seals it — state is ≤ 5 bucket rows per open phase,
+    // partial-aggregated map-side. PSI assembly (reference join +
+    // eps-clamped terms, per phase) is batch arithmetic over the k-row
+    // sink. Event time is synthesized as epoch + ord days so the 10-day
+    // tumbling windows ARE the ingest phases; two far-future sentinel
+    // flushes (non-NULL value — the filter pushes below the watermark
+    // node, so a NULL row would not advance event time; their own window
+    // never seals) drive the two-step watermark ratchet. Oracle: the
+    // full batch derivation — QUANTILE_CONT fit, phase histograms, the
+    // x39 eps-clamp/ln spelling — per phase.
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("ts"), col("value"))
+        .where(col("value").isNotNull)
+      val mn = ev.agg(min(to_date(col("ts"))).as("__mn"))
+      val base = ev.crossJoin(broadcast(mn))
+        .select(
+          datediff(to_date(col("ts")), col("__mn")).cast("long").as("ord"),
+          col("value").cast("double").as("value"))
+      val ref = base.where(col("ord") < 10)
+      val edges = graft.operators.Percentiles.exactGlobalValues(
+        ref, "value", Seq(0.2, 0.4, 0.6, 0.8)).flatten
+      def bucketOf(v: org.apache.spark.sql.Column) =
+        edges.foldLeft(lit(1)) { (acc, t) =>
+          acc + when(v >= t, 1).otherwise(0)
+        }
+      val refH = ref.select(bucketOf(col("value")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+      val cur = base.where(col("ord") >= 10)
+        .select(timestamp_seconds(col("ord") * 86400L).as("ts"),
+          col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-x146")
+      val ingest = tmp.resolve("ingest").toString
+      val ingestPath = new org.apache.hadoop.fs.Path(ingest)
+      val ingestFs = ingestPath.getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val mtimeBase = 1600000000000L
+      var batchIdx = 0
+      def pinTimes(): Unit = {
+        ingestFs.listStatus(ingestPath).foreach { f =>
+          if (f.getPath.getName.endsWith(".parquet")
+              && f.getModificationTime > mtimeBase + 600000L)
+            ingestFs.setTimes(f.getPath, mtimeBase + batchIdx * 60000L, -1L)
+        }
+        batchIdx += 1
+      }
+      Seq((10L, 20L), (20L, 100000L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          cur.where(col("ts") >= timestamp_seconds(lit(lo * 86400L))
+              && col("ts") < timestamp_seconds(lit(hi * 86400L)))
+            .coalesce(1).write
+            .mode(if (i == 0) "overwrite" else "append").parquet(ingest)
+          pinTimes()
+      }
+      val stream = s.readStream.schema("ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val out = tmp.resolve("out").toString
+      def flush(ordDay: Long): Unit = {
+        s.range(1).select(
+            timestamp_seconds(lit(ordDay * 86400L)).as("ts"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(ingest)
+        pinTimes()
+      }
+      // state-store partitions sized to the STREAM (the x116 lesson): the
+      // aggregation state is ≤ 5 bucket rows per open phase, so 32 session
+      // partitions × 4 micro-batches of delta commits would be pure
+      // checkpoint I/O. Conf restored after the query stops.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.EventStreams
+          .binnedHistogram(stream, "value", edges,
+            window_ = "10 days", watermark = "0 seconds")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try {
+          q.processAllAvailable()
+          flush(200000L); q.processAllAvailable()
+          flush(200010L); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val got = s.read.parquet(out)
+        .where(col("ws") < timestamp_seconds(lit(100000L * 86400L)))
+        .select((col("ws").cast("long") / 86400L).cast("long").as("phase"),
+          col("bucket"), col("n_cur"))
+      val spine = got.select("phase").distinct()
+        .crossJoin(s.range(1, 6).select(col("id").cast("int").as("bucket")))
+      val wPhase = org.apache.spark.sql.expressions.Window
+        .partitionBy("phase")
+      def clamp(c: org.apache.spark.sql.Column) = greatest(c, lit(1e-6))
+      spine
+        .join(got, Seq("phase", "bucket"), "left")
+        .join(refH, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_cur", "n_ref"))
+        .withColumn("p_ref",
+          col("n_ref").cast("double") / sum("n_ref").over(wPhase))
+        .withColumn("p_cur",
+          col("n_cur").cast("double") / sum("n_cur").over(wPhase))
+        .select(col("phase"), col("bucket"), col("n_ref"), col("n_cur"),
+          round4(col("p_ref")).as("p_ref"),
+          round4(col("p_cur")).as("p_cur"),
+          round4((clamp(col("p_cur")) - clamp(col("p_ref")))
+            * log(clamp(col("p_cur")) / clamp(col("p_ref"))))
+            .as("psi_term"))
+        .orderBy("phase", "bucket")
+    },
+    Some("""WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+mn AS (SELECT MIN(day) AS mnd FROM d),
+o AS (SELECT CAST(day - mn.mnd AS BIGINT) AS ord, v FROM d, mn),
+r0 AS (SELECT v FROM o WHERE ord < 10),
+e AS (SELECT QUANTILE_CONT(v, 0.2) AS e1, QUANTILE_CONT(v, 0.4) AS e2,
+             QUANTILE_CONT(v, 0.6) AS e3, QUANTILE_CONT(v, 0.8) AS e4
+      FROM r0),
+rb AS (SELECT 1 + CAST(v >= e1 AS INT) + CAST(v >= e2 AS INT)
+         + CAST(v >= e3 AS INT) + CAST(v >= e4 AS INT) AS bucket
+       FROM r0 CROSS JOIN e),
+rc AS (SELECT bucket, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+cb AS (SELECT ord // 10 * 10 AS phase,
+         1 + CAST(v >= e1 AS INT) + CAST(v >= e2 AS INT)
+         + CAST(v >= e3 AS INT) + CAST(v >= e4 AS INT) AS bucket
+       FROM o CROSS JOIN e WHERE ord >= 10),
+cc AS (SELECT phase, bucket, COUNT(*) AS n_cur FROM cb GROUP BY 1, 2),
+ph AS (SELECT DISTINCT phase FROM cc),
+b AS (SELECT CAST(i AS INT) AS bucket FROM range(1, 6) t(i)),
+sp AS (SELECT phase, bucket FROM ph CROSS JOIN b),
+j AS (SELECT sp.phase, sp.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+             COALESCE(cc.n_cur, 0) AS n_cur
+      FROM sp LEFT JOIN rc USING (bucket)
+              LEFT JOIN cc USING (phase, bucket)),
+p AS (SELECT *,
+        n_ref * 1.0 / SUM(n_ref) OVER (PARTITION BY phase) AS p_ref,
+        n_cur * 1.0 / SUM(n_cur) OVER (PARTITION BY phase) AS p_cur
+      FROM j)
+SELECT phase, bucket, n_ref, n_cur,
+  FLOOR(p_ref * 10000 + 0.5) / 10000 AS p_ref,
+  FLOOR(p_cur * 10000 + 0.5) / 10000 AS p_cur,
+  FLOOR((GREATEST(p_cur, 1e-6) - GREATEST(p_ref, 1e-6))
+    * LN(GREATEST(p_cur, 1e-6) / GREATEST(p_ref, 1e-6)) * 10000 + 0.5)
+    / 10000 AS psi_term
+FROM p ORDER BY phase, bucket"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9563,7 +9716,7 @@ FROM acf ORDER BY event_type, lag"""))
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
     x134, x134b, x135, x136, x137, x138, x139, x140, x141, x142, x143,
-    x144, x145, x10d, x10e, x10f)
+    x144, x145, x146, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

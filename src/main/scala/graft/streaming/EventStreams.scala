@@ -233,6 +233,39 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-window value histogram — the INGEST half of the x39 PSI
+    * drift monitor: each row bins map-only against the broadcast-literal
+    * edge fold (the SAME value-split rule as `Profiling.distributionDrift`
+    * / `Selection.assignQuantileBuckets`: x ≥ edge → higher bin; edges are
+    * fitted BATCH-side on the reference corpus — a model artifact, like
+    * IVF centroids), then a tumbling-window streaming count keyed
+    * (window, bucket). State is ≤ |edges|+1 rows per OPEN window, the
+    * aggregation partial-aggregates map-side before the state shuffle, and
+    * Append emits each window's histogram exactly once when the watermark
+    * seals it — so the PSI read over any sealed window is FINAL on
+    * emission. PSI assembly (reference join + eps-clamped terms) happens
+    * batch-side over the k-row sink; the stream never carries more than
+    * the histogram. NULL values are excluded like the batch form — and
+    * since Catalyst pushes that filter BELOW the watermark node (it does
+    * not reference the event-time column), a NULL-valued row is NOT
+    * guaranteed to advance event time: watermark-driving sentinel rows
+    * must carry a non-NULL value (their own far-future window simply
+    * never seals, so they can't contaminate the sink). */
+  def binnedHistogram(stream: DataFrame, valueCol: String,
+                      edges: Seq[Double], window_ : String,
+                      watermark: String): DataFrame = {
+    require(edges.nonEmpty, "binnedHistogram needs at least one bin edge")
+    val v = col(valueCol).cast("double")
+    val bucket = edges.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(v >= t, 1).otherwise(0)
+    }
+    stream.withWatermark("ts", watermark)
+      .where(v.isNotNull)
+      .groupBy(window(col("ts"), window_).as("w"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+      .select(col("w.start").as("ws"), col("bucket"), col("n_cur"))
+  }
+
   /** Streaming exact dedup — the ingest-time form of the X1 batch operator:
     * keep the first arrival per key across micro-batches. The watermark
     * bounds the dedup state (keys older than the watermark are evicted), so

@@ -93,7 +93,12 @@ object ScaleSmoke {
     // global sort IS the corpus); q58 rides the key-scaled orders with its
     // 5-value partition key held hot — both window passes must stay on the
     // one shared exchange while per-priority sorts grow with the corpus
-    "q57_fetch_with_ties", "q58_window_exclude_frames")
+    "q57_fetch_with_ties", "q58_window_exclude_frames",
+    // streaming PSI replay: the stream carries raw (ts, value) rows but the
+    // STATE is ≤ 5 bucket rows per open 10-day phase (map-side partials
+    // before the state shuffle) — growth must be the scan + sink, never
+    // state
+    "x146_streaming_drift_replay")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

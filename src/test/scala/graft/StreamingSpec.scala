@@ -826,4 +826,56 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(est == Map("en" -> 4L, "de" -> 2L, "fr" -> 1L), est.toString)
   }
+
+  test("binnedHistogram: sealed windows equal the batch histogram, emitted exactly once") {
+    import spark.implicits._
+    // two 10-day phases in separate files (ordered micro-batches), then a
+    // far-future sentinel to ratchet the watermark twice — the x146 shape.
+    // Values chosen so the edge fold's tie rule matters: 5.0 sits ON an edge
+    // and must land in the HIGHER bin (x >= edge) on both paths.
+    val dir = Files.createTempDirectory("hist-stream").toString
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val p1 = Seq((ts(10), 1.0), (ts(11), 5.0), (ts(12), 9.0), (ts(13), 5.0))
+    val p2 = Seq((ts(20), 2.0), (ts(21), 7.0), (ts(22), 7.0))
+    p1.toDF("ts", "value").coalesce(1).write.parquet(dir + "/b1")
+    p2.toDF("ts", "value").coalesce(1).write.parquet(dir + "/b2")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$b"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.setTimes(f.getPath, 1600000000000L + i * 60000L, -1L))
+    }
+    val edges = Seq(5.0)
+    val src = spark.readStream.schema("ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/b*")
+    val sink = Files.createTempDirectory("hist-sink").toString
+    val q = EventStreams.binnedHistogram(src, "value", edges,
+        window_ = "10 days", watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("hist-ckpt").toString)
+      .format("parquet").option("path", sink).start()
+    def flush(day: Long): Unit =
+      Seq((ts(day), 0.0)).toDF("ts", "value")
+        .coalesce(1).write.mode("append").parquet(dir + "/b2")
+    try {
+      q.processAllAvailable()
+      flush(100000L); q.processAllAvailable()
+      flush(100010L); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(sink)
+      .where(col("ws") < lit(ts(99999L)))
+      .select((col("ws").cast("long") / 86400L).cast("long").as("phase"),
+        col("bucket"), col("n_cur"))
+      .as[(Long, Int, Long)].collect().toSet
+    // batch truth: phase 10 → {1.0}→b1, {5.0,5.0,9.0}→b2; phase 20 →
+    // {2.0}→b1, {7.0,7.0}→b2
+    assert(got == Set((10L, 1, 1L), (10L, 2, 3L), (20L, 1, 1L), (20L, 2, 2L)),
+      got.toString)
+    // exactly-once: no (window, bucket) row is ever re-emitted
+    val dups = spark.read.parquet(sink)
+      .groupBy("ws", "bucket").count().where(col("count") > 1).count()
+    assert(dups == 0)
+  }
 }
