@@ -40,6 +40,22 @@ object Queries {
   }
 
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`, restored
+    * afterwards — the streaming gate entries size their STATE-STORE
+    * partition count to the stream instead of the session default (the
+    * r19 x116 lesson: a stream-stream join keeps 4 state stores per
+    * partition and every micro-batch commits a delta file per store, so at
+    * 32 session partitions the replay entries' wall time was checkpoint
+    * I/O, not operator work). The conf is read when the FIRST micro-batch
+    * is planned (async after start()), so it must stay set until the query
+    * stops — `body` must contain the whole start/drain/stop lifecycle.
+    * Entries run alone in Verify/Bench, so nothing else observes it. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Canonical 2-decimal rounding: FLOOR(x*100 + 0.5)/100 in BOTH engines.
     * Unlike ROUND(double,2) — which Spark implements via exact BigDecimal
     * expansion and DuckDB via pow-multiply, diverging at representation ties —
@@ -5238,16 +5254,19 @@ ORDER BY a.doc_id"""))
       // gate never buffers rows on the driver) and is read back as a
       // batch frame for hashing.
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams
-        .latestPerKey(stream, Seq("user_id"), Seq("ts", "event_id"))
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      // per-file replay face kept; state partitions sized to the stream
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .latestPerKey(stream, Seq("user_id"), Seq("ts", "event_id"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.read.parquet(out)
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
@@ -5697,14 +5716,6 @@ FROM per GROUP BY ordering ORDER BY ordering"""))
       // per micro-batch and the dir is read back as a batch frame — same
       // rows, no driver buffering (the shape that must survive sf1).
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams
-        .closedUserSessions(s, stream, gapMs = gapMs,
-          watermark = s"$delayMin minutes")
-        .toDF()
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("parquet").option("path", out).start()
       val flushUser = 999999999L
       def flush(tsMs: Long): Unit =
         s.range(1).select(lit(0L).as("event_id"),
@@ -5712,13 +5723,24 @@ FROM per GROUP BY ordering ORDER BY ordering"""))
             lit(flushUser).as("user_id"), lit("flush").as("event_type"),
             lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(ingest)
-      try {
-        q.processAllAvailable()
-        flush(hiMs + delayMin * 60000 + gapMs + 3600000L)
-        q.processAllAvailable()
-        flush(hiMs + delayMin * 60000 + gapMs + 7200000L)
-        q.processAllAvailable()
-      } finally q.stop()
+      // per-file replay face kept; state partitions sized to the stream
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .closedUserSessions(s, stream, gapMs = gapMs,
+            watermark = s"$delayMin minutes")
+          .toDF()
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try {
+          q.processAllAvailable()
+          flush(hiMs + delayMin * 60000 + gapMs + 3600000L)
+          q.processAllAvailable()
+          flush(hiMs + delayMin * 60000 + gapMs + 7200000L)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(out).where(col("user_id") =!= flushUser)
         .select(col("user_id"),
           timestamp_micros(col("start_us")).cast("timestamp_ntz")
@@ -5770,14 +5792,17 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
       // parquet file sink, not memory: joined pairs land executor-side per
       // micro-batch; the dir is read back for hashing (no driver buffering).
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams
-        .intervalJoin(rd(lDir), rd(rDir), "user_id",
-          maxDelay = "6 hours", watermark = s"$delayMin minutes")
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("parquet").option("path", out).start()
-      try q.processAllAvailable() finally q.stop()
+      // per-file replay face kept; state partitions sized to the stream
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .intervalJoin(rd(lDir), rd(rDir), "user_id",
+            maxDelay = "6 hours", watermark = s"$delayMin minutes")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(out)
         .select(col("user_id"), col("l_id"), col("r_id"),
           col("l_ts").cast("timestamp_ntz").as("l_ts"),
@@ -6065,14 +6090,17 @@ FROM sig ORDER BY doc_id"""))
       // parquet file sink, not memory: surviving first-copies land
       // executor-side per micro-batch; read back as a batch frame.
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams
-        .dedupEvents(stream, Seq("user_id", "event_type"),
-          watermark = s"$delayMin minutes")
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("parquet").option("path", out).start()
-      try q.processAllAvailable() finally q.stop()
+      // per-file replay face kept; state partitions sized to the stream
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .dedupEvents(stream, Seq("user_id", "event_type"),
+            watermark = s"$delayMin minutes")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(out).select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     },
@@ -6345,31 +6373,36 @@ ORDER BY metric"""))
       // null-padded rows land executor-side per micro-batch; the dir is
       // read back for hashing (no driver buffering).
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams
-        .intervalJoin(rd(lDir), rd(rDir), "user_id",
-          maxDelay = "6 hours", watermark = s"$delayMin minutes",
-          joinType = "left_outer")
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("parquet").option("path", out).start()
       val flushUser = 999999999L
       def flush(dir: String, tsMs: Long): Unit =
         s.range(1).select(lit(0L).as("event_id"),
             timestamp_millis(lit(tsMs)).cast("timestamp_ntz").as("ts"),
             lit(flushUser).as("user_id"), lit("flush").as("event_type"))
           .coalesce(1).write.mode("append").parquet(dir)
-      try {
-        q.processAllAvailable()
-        // first flush advances both sides' watermarks past every seal
-        // point; the second (plus Spark's no-data batches) drains the
-        // now-provably-unmatched left state as null-padded rows
-        val seal1 = hiMs + delayMin * 60000 + maxDelayMs + 3600000L
-        flush(lDir, seal1); flush(rDir, seal1)
-        q.processAllAvailable()
-        flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
-        q.processAllAvailable()
-      } finally q.stop()
+      // per-file replay face KEPT (maxFilesPerTrigger=1 is this entry's
+      // point — cross-micro-batch pairing); state-store partitions sized
+      // to the stream, the r19 x116 lesson
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .intervalJoin(rd(lDir), rd(rDir), "user_id",
+            maxDelay = "6 hours", watermark = s"$delayMin minutes",
+            joinType = "left_outer")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try {
+          q.processAllAvailable()
+          // first flush advances both sides' watermarks past every seal
+          // point; the second (plus Spark's no-data batches) drains the
+          // now-provably-unmatched left state as null-padded rows
+          val seal1 = hiMs + delayMin * 60000 + maxDelayMs + 3600000L
+          flush(lDir, seal1); flush(rDir, seal1)
+          q.processAllAvailable()
+          flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(out).where(col("user_id") =!= flushUser)
         .select(col("user_id"), col("l_id"), col("r_id"),
           col("l_ts").cast("timestamp_ntz").as("l_ts"),
@@ -7685,19 +7718,14 @@ FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
       // and every micro-batch commits a delta file per store — at 32
       // session partitions × 4 stores × 5+ batches the gate entry's wall
       // time was checkpoint I/O, not join work. 8 partitions is still a
-      // real distributed shape. The conf is read when the FIRST batch is
-      // planned (async after start()), so it stays set until the query
-      // stops and is restored in the same finally — the entry runs alone
-      // at that point in Verify/Bench, nothing else reads it.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      // real distributed shape ([[withStatePartitions]]).
       val flushUser = 999999999L
       def flush(dir: String, tsMs: Long): Unit =
         s.range(1).select(lit(0L).as("event_id"),
             timestamp_millis(lit(tsMs)).cast("timestamp_ntz").as("ts"),
             lit(flushUser).as("user_id"), lit("flush").as("event_type"))
           .coalesce(1).write.mode("append").parquet(dir)
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      withStatePartitions(s, 8) {
         val q = graft.streaming.EventStreams
           .intervalJoin(rd(lDir), rd(rDir), "user_id",
             maxDelay = "6 hours", watermark = s"$delayMin minutes",
@@ -7714,7 +7742,7 @@ FROM p WHERE GREATEST(c12, c21) >= 0.9 ORDER BY id_1, id_2"""))
           flush(lDir, seal1 + 3600000L); flush(rDir, seal1 + 3600000L)
           q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(out).where(col("user_id") =!= flushUser)
         .select(col("user_id"), col("l_id"), col("r_id"),
           col("l_ts").cast("timestamp_ntz").as("l_ts"),
@@ -9013,13 +9041,16 @@ FROM j ORDER BY event_type"""))
           "allow DOUBLE, thresh DOUBLE")
         .option("maxFilesPerTrigger", 1).parquet(ingest)
       val out = tmp.resolve("out").toString
-      val q = graft.streaming.EventStreams.cusumMonitor(s, stream)
-        .toDF()
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .format("parquet").option("path", out).start()
-      try q.processAllAvailable() finally q.stop()
+      // ordered replay face kept; state partitions sized to the stream
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.cusumMonitor(s, stream)
+          .toDF()
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .format("parquet").option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(out).orderBy("key", "ord")
     },
     Some("""WITH d AS (
@@ -9615,10 +9646,8 @@ FROM acf ORDER BY event_type, lag"""))
       // state-store partitions sized to the STREAM (the x116 lesson): the
       // aggregation state is ≤ 5 bucket rows per open phase, so 32 session
       // partitions × 4 micro-batches of delta commits would be pure
-      // checkpoint I/O. Conf restored after the query stops.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+      // checkpoint I/O ([[withStatePartitions]]).
+      withStatePartitions(s, 8) {
         val q = graft.streaming.EventStreams
           .binnedHistogram(stream, "value", edges,
             window_ = "10 days", watermark = "0 seconds")
@@ -9631,7 +9660,7 @@ FROM acf ORDER BY event_type, lag"""))
           flush(200000L); q.processAllAvailable()
           flush(200010L); q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val got = s.read.parquet(out)
         .where(col("ws") < timestamp_seconds(lit(100000L * 86400L)))
         .select((col("ws").cast("long") / 86400L).cast("long").as("phase"),
