@@ -9723,6 +9723,134 @@ SELECT phase, bucket, n_ref, n_cur,
     / 10000 AS psi_term
 FROM p ORDER BY phase, bucket"""))
 
+  private val x147 = DeclaredQuery("x147_sequential_mixture_test",
+    // Always-valid sequential mean test (Sequential.alwaysValidMeanTest —
+    // mixture SPRT, Robbins 1970 / Johari et al. KDD'17): the A/B read
+    // that stays valid under CONTINUOUS monitoring — x130's Welch t is a
+    // one-look test, but a pipeline peeks every ingest day, and the
+    // mSPRT p-process is a running minimum that is simultaneously valid
+    // at every look. One per-day conditional aggregate collapses the
+    // corpus to a looks-bounded frame; cumulative moments via one window
+    // over the DAY axis (the x126 collapse); Λ reported as ln Λ (the
+    // ratio itself overflows at corpus effect sizes). Moment sums exact
+    // for this integral-valued metric; ln/exp/sqrt are the only libm ops
+    // — round6 pins all three reported statistics (x39 precedent).
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val mn = ev.agg(min(to_date(col("ts"))).as("__mn"))
+      val base = ev.crossJoin(broadcast(mn))
+        .select(col("event_type"), col("value"),
+          datediff(to_date(col("ts")), col("__mn")).cast("long").as("ord"))
+      graft.operators.Sequential.alwaysValidMeanTest(
+          base, "event_type", "value", "ord", "view", "click", tau2 = 25.0)
+        .select(col("ord"), col("n_a"), col("n_b"),
+          (floor(col("diff") * 1000000 + 0.5) / 1000000).as("diff"),
+          (floor(col("log_lambda") * 1000000 + 0.5) / 1000000)
+            .as("log_lambda"),
+          (floor(col("p_value") * 1000000 + 0.5) / 1000000).as("p_value"))
+        .orderBy("ord")
+    },
+    Some("""WITH f AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type IN ('view', 'click')),
+mn AS (SELECT MIN(CAST(ts AS DATE)) AS mnd FROM events),
+pl AS (
+  SELECT CAST(day - mn.mnd AS BIGINT) AS ord,
+    SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS da,
+    SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS db,
+    SUM(CASE WHEN g = 'view' THEN v ELSE 0.0 END) AS dsa,
+    SUM(CASE WHEN g = 'click' THEN v ELSE 0.0 END) AS dsb,
+    SUM(CASE WHEN g = 'view' THEN v * v ELSE 0.0 END) AS dqa,
+    SUM(CASE WHEN g = 'click' THEN v * v ELSE 0.0 END) AS dqb
+  FROM f, mn GROUP BY 1),
+c AS (
+  SELECT ord,
+    CAST(SUM(da) OVER w AS BIGINT) AS n_a,
+    CAST(SUM(db) OVER w AS BIGINT) AS n_b,
+    SUM(dsa) OVER w AS sa, SUM(dsb) OVER w AS sb,
+    SUM(dqa) OVER w AS qa, SUM(dqb) OVER w AS qb
+  FROM pl
+  WINDOW w AS (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT ord, n_a, n_b,
+    CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+      sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE) END AS diff,
+    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+      (qa - sa * sa / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+        / CAST(n_a AS DOUBLE)
+      + (qb - sb * sb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)
+        / CAST(n_b AS DOUBLE) END AS vn
+  FROM c),
+l AS (
+  SELECT ord, n_a, n_b, diff,
+    CASE WHEN vn IS NULL OR vn <= 0.0 THEN NULL
+      ELSE 0.5 * LN(vn / (vn + 25.0))
+        + diff * diff * 25.0 / (2.0 * vn * (vn + 25.0)) END AS ll
+  FROM s),
+m AS (
+  SELECT *, MAX(ll) OVER (ORDER BY ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mll
+  FROM l)
+SELECT ord, n_a, n_b,
+  FLOOR(diff * 1000000 + 0.5) / 1000000 AS diff,
+  FLOOR(ll * 1000000 + 0.5) / 1000000 AS log_lambda,
+  FLOOR(CASE WHEN mll IS NULL THEN NULL
+    ELSE LEAST(1.0, EXP(-mll)) END * 1000000 + 0.5) / 1000000 AS p_value
+FROM m ORDER BY ord"""))
+
+  private val x148 = DeclaredQuery("x148_poisson_bootstrap_ci",
+    // Poisson-bootstrap percentile CI (Bootstrap.poissonBootstrapCI —
+    // Efron's bootstrap made single-pass): per-source mean n_chars with
+    // a 95% interval from 200 hash-deterministic Poisson(1) replicates.
+    // The ENTIRE resampling universe is oracled: weights are the x06d
+    // sha256 unit hash inverted through the shared Poisson CDF literals,
+    // replicate means are exact-integer ratios, and the percentile pick
+    // is QUANTILE_CONT's own (1−d)·lo + d·hi interpolation (the x36c
+    // bit-parity) — round6 pins the reported doubles.
+    (s, d) => graft.operators.Bootstrap.poissonBootstrapCI(
+        t(s, d, "documents"), "doc_id", "source", "n_chars",
+        replicates = 200, alpha = 0.05)
+      .select(col("source"), col("n"),
+        (floor(col("mean") * 1000000 + 0.5) / 1000000).as("mean"),
+        (floor(col("ci_lo") * 1000000 + 0.5) / 1000000).as("ci_lo"),
+        (floor(col("ci_hi") * 1000000 + 0.5) / 1000000).as("ci_hi"),
+        col("n_replicates"))
+      .orderBy("source"),
+    Some("""WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source AS g,
+    CAST(n_chars AS DOUBLE) AS v
+  FROM documents),
+p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) / COUNT(*) AS mean
+      FROM f GROUP BY g),
+u AS (
+  SELECT g, t.j, v,
+    CAST(('0x' || substring(
+      sha256(id || ':boot:' || CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS uu
+  FROM f, range(200) t(j)),
+ww AS (
+  SELECT g, j, v,
+    CASE WHEN uu >= 0.36787944117144233 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.7357588823428847 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9196986029286058 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9810118431238462 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9963401531726563 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9994058151824183 THEN 1 ELSE 0 END AS w
+  FROM u),
+m AS (
+  SELECT g, j,
+    CASE WHEN SUM(w) > 0 THEN SUM(w * v) / SUM(w) END AS m
+  FROM ww GROUP BY g, j),
+ci AS (
+  SELECT g, QUANTILE_CONT(m, 0.025) AS ci_lo, QUANTILE_CONT(m, 0.975) AS ci_hi
+  FROM m WHERE m IS NOT NULL GROUP BY g)
+SELECT p.g AS source, p.n,
+  FLOOR(p.mean * 1000000 + 0.5) / 1000000 AS mean,
+  FLOOR(ci.ci_lo * 1000000 + 0.5) / 1000000 AS ci_lo,
+  FLOOR(ci.ci_hi * 1000000 + 0.5) / 1000000 AS ci_hi,
+  CAST(200 AS INT) AS n_replicates
+FROM p JOIN ci ON p.g = ci.g ORDER BY source"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9745,7 +9873,7 @@ FROM p ORDER BY phase, bucket"""))
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
     x134, x134b, x135, x136, x137, x138, x139, x140, x141, x142, x143,
-    x144, x145, x146, x10d, x10e, x10f)
+    x144, x145, x146, x147, x148, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -98,7 +98,11 @@ object ScaleSmoke {
     // STATE is ≤ 5 bucket rows per open 10-day phase (map-side partials
     // before the state shuffle) — growth must be the scan + sink, never
     // state
-    "x146_streaming_drift_replay")
+    "x146_streaming_drift_replay",
+    // sequential test collapses to a looks-bounded frame (days, not rows)
+    // before any window; the bootstrap's explode×200 must stay partial-agg
+    // bounded at (groups × B) shuffle rows whatever the corpus
+    "x147_sequential_mixture_test", "x148_poisson_bootstrap_ci")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but
