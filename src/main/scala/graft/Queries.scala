@@ -9851,6 +9851,61 @@ SELECT p.g AS source, p.n,
   CAST(200 AS INT) AS n_replicates
 FROM p JOIN ci ON p.g = ci.g ORDER BY source"""))
 
+  private val x148b = DeclaredQuery("x148b_cluster_bootstrap_ci",
+    // The CLUSTER face of the Poisson bootstrap
+    // (Bootstrap.clusterPoissonBootstrapCI — Owen & Eckles 2012): per
+    // event_type mean value with the USER-level resample — rows within a
+    // user are correlated, so the row-level bootstrap understates the
+    // variance; here every row of a user draws ONE multiplicity per
+    // replicate (hash keys on user_id, not the row), and a user's whole
+    // event history enters or leaves a replicate together. Replicate
+    // means are double folds over a non-integral metric — the 6-decimal
+    // pin absorbs the cross-engine fold divergence (the x57/x69 GD-loss
+    // precedent: ~1e-13 relative, 7+ orders from the rounding boundary).
+    (s, d) => graft.operators.Bootstrap.clusterPoissonBootstrapCI(
+        t(s, d, "events").select("user_id", "event_type", "value"),
+        "user_id", "event_type", "value", replicates = 200, alpha = 0.05)
+      .select(col("event_type"), col("n"),
+        (floor(col("mean") * 1000000 + 0.5) / 1000000).as("mean"),
+        (floor(col("ci_lo") * 1000000 + 0.5) / 1000000).as("ci_lo"),
+        (floor(col("ci_hi") * 1000000 + 0.5) / 1000000).as("ci_hi"),
+        col("n_replicates"))
+      .orderBy("event_type"),
+    Some("""WITH f AS (
+  SELECT CAST(user_id AS VARCHAR) AS id, event_type AS g,
+    CAST(value AS DOUBLE) AS v
+  FROM events),
+p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) / COUNT(*) AS mean
+      FROM f GROUP BY g),
+u AS (
+  SELECT g, t.j, v,
+    CAST(('0x' || substring(
+      sha256(id || ':boot:' || CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS uu
+  FROM f, range(200) t(j)),
+ww AS (
+  SELECT g, j, v,
+    CASE WHEN uu >= 0.36787944117144233 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.7357588823428847 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9196986029286058 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9810118431238462 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9963401531726563 THEN 1 ELSE 0 END
+    + CASE WHEN uu >= 0.9994058151824183 THEN 1 ELSE 0 END AS w
+  FROM u),
+m AS (
+  SELECT g, j,
+    CASE WHEN SUM(w) > 0 THEN SUM(w * v) / SUM(w) END AS m
+  FROM ww GROUP BY g, j),
+ci AS (
+  SELECT g, QUANTILE_CONT(m, 0.025) AS ci_lo, QUANTILE_CONT(m, 0.975) AS ci_hi
+  FROM m WHERE m IS NOT NULL GROUP BY g)
+SELECT p.g AS event_type, p.n,
+  FLOOR(p.mean * 1000000 + 0.5) / 1000000 AS mean,
+  FLOOR(ci.ci_lo * 1000000 + 0.5) / 1000000 AS ci_lo,
+  FLOOR(ci.ci_hi * 1000000 + 0.5) / 1000000 AS ci_hi,
+  CAST(200 AS INT) AS n_replicates
+FROM p JOIN ci ON p.g = ci.g ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9873,7 +9928,7 @@ FROM p JOIN ci ON p.g = ci.g ORDER BY source"""))
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
     x134, x134b, x135, x136, x137, x138, x139, x140, x141, x142, x143,
-    x144, x145, x146, x147, x148, x10d, x10e, x10f)
+    x144, x145, x146, x147, x148, x148b, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

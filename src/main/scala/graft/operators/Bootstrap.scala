@@ -56,16 +56,77 @@ object Bootstrap {
     * `replicates`, not the corpus. */
   def poissonBootstrapCI(df: DataFrame, idCol: String, groupCol: String,
                          valueCol: String, replicates: Int,
-                         alpha: Double): DataFrame = {
+                         alpha: Double): DataFrame =
+    bootstrapCore(df, idCol, groupCol, valueCol, replicates, alpha)
+
+  /** [[poissonBootstrapCI]] resampling whole CLUSTERS instead of rows —
+    * the user-level bootstrap every event-metric CI actually needs: rows
+    * within a user are correlated, and a row-level resample treats them
+    * as independent, understating the variance (Owen & Eckles 2012, Ann.
+    * Appl. Stat. "Bootstrapping data arrays"). All rows sharing
+    * `clusterCol` draw ONE multiplicity per replicate (the hash keys on
+    * the cluster, not the row), so within-cluster structure enters or
+    * leaves a replicate whole; the replicate mean is the ratio estimator
+    * `Σ_c w_c·sum_c / Σ_c w_c·n_c` — algebraically identical to weighting
+    * every row, because the weight is constant within a cluster.
+    *
+    * Shape: ONE row-bounded (group, cluster) pre-aggregate collapses the
+    * corpus to cluster totals FIRST, so the ×B explode (and its sha256
+    * per draw) runs over clusters × B, not rows × B — at event-level data
+    * that is the difference between hashing every event 200 times and
+    * hashing every user 200 times. The row form coincides with this one
+    * when `clusterCol` is unique per row (spec-pinned within fold
+    * tolerance — the per-cluster pre-sum reorders the IEEE fold). */
+  def clusterPoissonBootstrapCI(df: DataFrame, clusterCol: String,
+                                groupCol: String, valueCol: String,
+                                replicates: Int, alpha: Double): DataFrame = {
     require(replicates >= 2, s"need at least 2 replicates: $replicates")
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
     val base = df.select(
       when(col(groupCol).isNull || col(valueCol).isNull
-          || col(idCol).isNull,
-        raise_error(lit(s"poissonBootstrapCI: NULL $idCol/$groupCol/" +
+          || col(clusterCol).isNull,
+        raise_error(lit(s"poissonBootstrapCI: NULL $clusterCol/$groupCol/" +
           s"$valueCol — drop or impute upstream")))
         .otherwise(col(groupCol)).as("__g"),
-      col(idCol).cast("string").as("__id"),
+      col(clusterCol).cast("string").as("__id"),
+      col(valueCol).cast("double").as("__v"))
+    val point = base.groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        (sum("__v") / count(lit(1)).cast("double")).as("mean"))
+    val perCluster = base.groupBy("__g", "__id")
+      .agg(count(lit(1)).as("__cn"), sum("__v").as("__cs"))
+    val u = Sampling.hashUnit(
+      concat_ws(":", col("__id"), lit("boot"), col("__j").cast("string")))
+    val means = perCluster
+      .withColumn("__j", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__w", weight(u))
+      .groupBy("__g", "__j")
+      .agg(sum(col("__w").cast("long") * col("__cn")).as("__sw"),
+        sum(col("__w").cast("double") * col("__cs")).as("__swv"))
+      .select(col("__g"),
+        when(col("__sw") > 0, col("__swv") / col("__sw").cast("double"))
+          .as("__m"))
+      .where(col("__m").isNotNull)
+    val ci = Percentiles.exactByGroup(means, "__g", "__m",
+      Seq(alpha / 2.0, 1.0 - alpha / 2.0), Seq("ci_lo", "ci_hi"))
+    point.join(ci, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"),
+        lit(replicates).as("n_replicates"))
+  }
+
+  private def bootstrapCore(df: DataFrame, keyCol: String, groupCol: String,
+                            valueCol: String, replicates: Int,
+                            alpha: Double): DataFrame = {
+    require(replicates >= 2, s"need at least 2 replicates: $replicates")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val base = df.select(
+      when(col(groupCol).isNull || col(valueCol).isNull
+          || col(keyCol).isNull,
+        raise_error(lit(s"poissonBootstrapCI: NULL $keyCol/$groupCol/" +
+          s"$valueCol — drop or impute upstream")))
+        .otherwise(col(groupCol)).as("__g"),
+      col(keyCol).cast("string").as("__id"),
       col(valueCol).cast("double").as("__v"))
     val point = base.groupBy("__g")
       .agg(count(lit(1)).as("n"),

@@ -102,7 +102,11 @@ object ScaleSmoke {
     // sequential test collapses to a looks-bounded frame (days, not rows)
     // before any window; the bootstrap's explode×200 must stay partial-agg
     // bounded at (groups × B) shuffle rows whatever the corpus
-    "x147_sequential_mixture_test", "x148_poisson_bootstrap_ci")
+    "x147_sequential_mixture_test", "x148_poisson_bootstrap_ci",
+    // cluster bootstrap: the (group, cluster) pre-aggregate must keep the
+    // ×B explode clusters-bounded — hashing every USER 200 times, never
+    // every event
+    "x148b_cluster_bootstrap_ci")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

@@ -94,6 +94,48 @@ class BootstrapSpec extends AnyFunSuite {
     assert(draws.count(_ == 0).toDouble / draws.size > 0.3) // ~e⁻¹
   }
 
+  test("cluster form: whole clusters enter or leave a replicate together; " +
+    "coincides with the row form on unique keys") {
+    // two rows per cluster with OPPOSITE deviations: a row-level resample
+    // can split them (variance from within-cluster noise), the cluster
+    // form cannot — each replicate mean over a fully-kept cluster pair is
+    // exactly the cluster mean, so the CI must collapse to the point mean
+    val paired = (1 to 40).flatMap { c =>
+      Seq((s"c$c", "g", 100.0 + c), (s"c$c", "g", 100.0 - c))
+    }
+    val r = Bootstrap.clusterPoissonBootstrapCI(
+        paired.toDF("cl", "g", "v"), "cl", "g", "v",
+        replicates = 60, alpha = 0.1).collect().head
+    assert(math.abs(r.getAs[Double]("mean") - 100.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_lo") - 100.0) < 1e-9
+      && math.abs(r.getAs[Double]("ci_hi") - 100.0) < 1e-9,
+      s"balanced-pair clusters must collapse the CI: $r")
+    // row-level resampling on the same data has genuine width
+    val row = Bootstrap.poissonBootstrapCI(
+        paired.zipWithIndex.map { case ((c, g, v), i) => (s"r$i", g, v) }
+          .toDF("id", "g", "v"), "id", "g", "v",
+        replicates = 60, alpha = 0.1).collect().head
+    assert(row.getAs[Double]("ci_hi") - row.getAs[Double]("ci_lo") > 1.0)
+    // unique cluster keys ≡ the row form (within fold tolerance — the
+    // cluster path pre-sums per cluster, reordering the IEEE fold)
+    val uniq = fixture.map { case (id, g, v) => (id, g, v) }
+    def nums(r: org.apache.spark.sql.Row) = Seq(
+      r.getAs[Double]("mean"), r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("ci_hi"))
+    val a = Bootstrap.poissonBootstrapCI(uniq.toDF("id", "g", "v"),
+      "id", "g", "v", replicates = 30, alpha = 0.1)
+      .orderBy("g").collect().toSeq
+    val b = Bootstrap.clusterPoissonBootstrapCI(uniq.toDF("id", "g", "v"),
+      "id", "g", "v", replicates = 30, alpha = 0.1)
+      .orderBy("g").collect().toSeq
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      nums(x).zip(nums(y)).foreach { case (p, q) =>
+        assert(math.abs(p - q) < 1e-9, s"$x vs $y")
+      }
+    }
+  }
+
   test("guards: alpha range, replicate floor, NULL inputs loud") {
     intercept[IllegalArgumentException] {
       Bootstrap.poissonBootstrapCI(fixture.toDF("id", "g", "v"),

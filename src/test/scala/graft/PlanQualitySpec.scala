@@ -598,6 +598,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodes("Window") == 2, s"expected 2 stacked Window nodes:\n$p")
   }
 
+  test("x147 sequential test: corpus collapses via a partial per-look " +
+    "aggregate before any window touches a single partition") {
+    val p = plan("x147_sequential_mixture_test")
+    // the day-keyed conditional aggregate must partial-aggregate map-side
+    // (the corpus → looks collapse happens BEFORE the shuffle); the
+    // single-partition cumulative window then runs over days, never rows
+    assert(p.contains("partial_"), s"per-look aggregate must be partial:\n$p")
+    def nodes(op: String) = p.linesIterator
+      .count(_.matches(s"""\\(\\d+\\) $op\\s*"""))
+    assert(nodes("Window") <= 2, s"look-axis windows only:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x148 bootstrap: the x200 explode partial-aggregates to (group x B) " +
+    "rows before its shuffle") {
+    val p = plan("x148_poisson_bootstrap_ci")
+    // Generate (the replicate explode) must feed a partial HashAggregate —
+    // without map-side combine the shuffle carries corpus x B rows and the
+    // single-pass bootstrap claim is void
+    assert(p.contains("Generate"), s"replicate explode missing:\n$p")
+    assert(p.contains("partial_sum"),
+      s"replicate sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x115 containment: inverted-index equi-joins only, never all-pairs") {
     // the posting self-join is bounded by shared shingles and the size
     // joins are key lookups — a CartesianProduct or BNLJ anywhere means
