@@ -9906,6 +9906,126 @@ SELECT p.g AS event_type, p.n,
   CAST(200 AS INT) AS n_replicates
 FROM p JOIN ci ON p.g = ci.g ORDER BY event_type"""))
 
+  private val x149 = DeclaredQuery("x149_diff_in_diff",
+    // Difference-in-differences (Did.differenceInDifferences — Card &
+    // Krueger's design): the natural-experiment read for changes that
+    // can't be randomized — a crawl policy flipped for one source at
+    // date T. Treated = view events, control = click events, post = the
+    // fixture-derived second half of the date range (midpoint from
+    // min/max, the q53 lesson); DiD differences out both the stable
+    // view~click gap and the common time trend. ONE conditional-moments
+    // pass (12 sums, map-side partials); means and differences are fixed
+    // IEEE expressions over exact-ish sums, se carries the one sqrt —
+    // round6 pins the five derived columns.
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("event_type").isin("view", "click"))
+      val bounds = ev.agg(min(to_date(col("ts"))).as("__lo"),
+        max(to_date(col("ts"))).as("__hi"))
+      val base = ev.crossJoin(broadcast(bounds))
+        .select((col("event_type") === "view").as("treated"),
+          (datediff(to_date(col("ts")), col("__lo"))
+            >= expr("datediff(__hi, __lo) div 2")).as("post"),
+          col("value"))
+      graft.operators.Did
+        .differenceInDifferences(base, "treated", "post", "value")
+        .select(col("n_tpre"), col("n_tpost"), col("n_cpre"),
+          col("n_cpost"),
+          (floor(col("diff_treat") * 1000000 + 0.5) / 1000000)
+            .as("diff_treat"),
+          (floor(col("diff_control") * 1000000 + 0.5) / 1000000)
+            .as("diff_control"),
+          (floor(col("did") * 1000000 + 0.5) / 1000000).as("did"),
+          (floor(col("se") * 1000000 + 0.5) / 1000000).as("se"),
+          (floor(col("t") * 1000000 + 0.5) / 1000000).as("t"))
+    },
+    Some("""WITH f AS (
+  SELECT event_type = 'view' AS tr, CAST(ts AS DATE) AS day,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_type IN ('view', 'click')),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM f),
+g AS (SELECT tr, (day - b.lo) >= (b.hi - b.lo) // 2 AS po, v FROM f, b),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+    CAST(SUM(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+    CAST(SUM(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+    CAST(SUM(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+    SUM(CASE WHEN tr AND NOT po THEN v ELSE 0.0 END) AS s_tpre,
+    SUM(CASE WHEN tr AND po THEN v ELSE 0.0 END) AS s_tpost,
+    SUM(CASE WHEN NOT tr AND NOT po THEN v ELSE 0.0 END) AS s_cpre,
+    SUM(CASE WHEN NOT tr AND po THEN v ELSE 0.0 END) AS s_cpost,
+    SUM(CASE WHEN tr AND NOT po THEN v * v ELSE 0.0 END) AS q_tpre,
+    SUM(CASE WHEN tr AND po THEN v * v ELSE 0.0 END) AS q_tpost,
+    SUM(CASE WHEN NOT tr AND NOT po THEN v * v ELSE 0.0 END) AS q_cpre,
+    SUM(CASE WHEN NOT tr AND po THEN v * v ELSE 0.0 END) AS q_cpost
+  FROM g),
+dd AS (
+  SELECT *,
+    s_tpost / n_tpost - s_tpre / n_tpre AS diff_treat,
+    s_cpost / n_cpost - s_cpre / n_cpre AS diff_control,
+    (q_tpre - s_tpre * s_tpre / n_tpre) / (n_tpre - 1) / n_tpre
+      + (q_tpost - s_tpost * s_tpost / n_tpost) / (n_tpost - 1) / n_tpost
+      + (q_cpre - s_cpre * s_cpre / n_cpre) / (n_cpre - 1) / n_cpre
+      + (q_cpost - s_cpost * s_cpost / n_cpost) / (n_cpost - 1) / n_cpost
+      AS se2
+  FROM m)
+SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+  FLOOR(diff_treat * 1000000 + 0.5) / 1000000 AS diff_treat,
+  FLOOR(diff_control * 1000000 + 0.5) / 1000000 AS diff_control,
+  FLOOR((diff_treat - diff_control) * 1000000 + 0.5) / 1000000 AS did,
+  FLOOR(CASE WHEN se2 <= 0.0 THEN NULL ELSE SQRT(se2) END
+    * 1000000 + 0.5) / 1000000 AS se,
+  FLOOR(CASE WHEN se2 <= 0.0 THEN NULL
+    ELSE (diff_treat - diff_control) / SQRT(se2) END
+    * 1000000 + 0.5) / 1000000 AS t
+FROM dd"""))
+
+  private val x150 = DeclaredQuery("x150_hill_tail_index",
+    // Hill tail-index (Relevance.hillTailIndex — Hill 1975): the
+    // heavy-tail screen next to x46's Zipf fit — α ≲ 2 means infinite
+    // variance (one giant document dominates any mean-based budget), α
+    // large means a bounded tail. Two deliberately contrasting faces:
+    // o_totalprice spans scales while n_chars is a narrow band — a
+    // finding about the column, which is the point (the x139 pattern).
+    // Top-(k+1) order statistics plan as TakeOrderedAndProject
+    // (per-partition heaps, never a global sort); the estimate is one
+    // aggregate over k+1 rows; the (k+1)-term ln fold rides round6.
+    (s, d) => {
+      def face(df: DataFrame, colName: String): DataFrame =
+        graft.operators.Relevance.hillTailIndex(df, colName, k = 100)
+          .select(lit(colName).as("metric"), col("k"), col("threshold"),
+            (floor(col("hill") * 1000000 + 0.5) / 1000000).as("hill"),
+            (floor(col("alpha") * 1000000 + 0.5) / 1000000).as("alpha"))
+      face(t(s, d, "orders").select("o_totalprice"), "o_totalprice")
+        .unionByName(
+          face(t(s, d, "documents").select("n_chars"), "n_chars"))
+        .orderBy("metric")
+    },
+    Some("""WITH t1 AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  ORDER BY v DESC LIMIT 101),
+h1 AS (
+  SELECT 'o_totalprice' AS metric, CAST(100 AS INT) AS k,
+    MIN(v) AS threshold,
+    SUM(LN(v / (SELECT MIN(v) FROM t1))) / 100.0 AS hill
+  FROM t1),
+t2 AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY v DESC LIMIT 101),
+h2 AS (
+  SELECT 'n_chars' AS metric, CAST(100 AS INT) AS k, MIN(v) AS threshold,
+    SUM(LN(v / (SELECT MIN(v) FROM t2))) / 100.0 AS hill
+  FROM t2),
+u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+SELECT metric, k, threshold,
+  FLOOR(hill * 1000000 + 0.5) / 1000000 AS hill,
+  CASE WHEN hill <= 0.0 THEN NULL
+    ELSE FLOOR(1.0 / hill * 1000000 + 0.5) / 1000000 END AS alpha
+FROM u ORDER BY metric"""))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -9928,7 +10048,7 @@ FROM p JOIN ci ON p.g = ci.g ORDER BY event_type"""))
     x113, x114, x115, x115b, x116, x117, x118, x119, x120, x121, x122,
     x123, x124, x125, x126, x127, x128, x129, x130, x131, x132, x133,
     x134, x134b, x135, x136, x137, x138, x139, x140, x141, x142, x143,
-    x144, x145, x146, x147, x148, x148b, x10d, x10e, x10f)
+    x144, x145, x146, x147, x148, x148b, x149, x150, x10d, x10e, x10f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

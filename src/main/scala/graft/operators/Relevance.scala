@@ -431,6 +431,51 @@ object Relevance {
             * (col("n_tokens").cast("double") - 1.0))).as("simpson"))
   }
 
+  /** Hill tail-index estimator (Hill 1975, Ann. Stat. 3) — the
+    * heavy-tail read next to [[zipfFit]]: over the k largest POSITIVE
+    * values, `ĥ = (1/k)·Σ ln(x_(i)/x_(k+1))` and the tail index
+    * `α = 1/ĥ` — α ≲ 2 means infinite variance (a single giant document
+    * dominates any mean-based budget/quota), α large means a thin,
+    * bounded tail. One row: `(k, threshold, hill, alpha)` with
+    * `threshold = x_(k+1)`. `alpha` NULL when ĥ = 0 (the whole top-k
+    * tied — no tail information); fewer than k+1 positive values fail
+    * loudly (an undersized tail sample silently reads as thin).
+    *
+    * Shape: the top-(k+1) order statistics via orderBy+limit — Spark
+    * plans TakeOrderedAndProject (per-partition heaps + a k-row driver
+    * merge; never a global sort) — then ONE aggregate over k+1 rows of
+    * per-row `ln(x/x_(k+1))` terms (a threshold-tied row divides to
+    * exactly 1.0 and contributes exactly 0 — so the all-tied face reads
+    * hill = 0 precisely on both engines). Ties at the threshold are
+    * value-ties, so which rows the limit picks cannot change the
+    * estimate. The ln-sum is a (k+1)-term double fold — round6 in the
+    * gate absorbs engine fold ulps. */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val top = df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__v") > 0.0)
+      .orderBy(col("__v").desc).limit(k + 1)
+    // ĥ as a sum of PER-ROW ln(x/threshold) terms rather than
+    // Σln x − (k+1)·ln(threshold): a row tied with the threshold divides
+    // to exactly 1.0 and contributes exactly 0, so an all-tied top reads
+    // hill = 0 precisely (the rearranged form leaves a ±k·ulp residue
+    // whose SIGN decides the alpha-NULL face — unacceptable)
+    val thr = top.agg(min("__v").as("threshold"))
+    top.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("__n"), first("threshold").as("threshold"),
+        sum(log(col("__v") / col("threshold"))).as("__slr"))
+      .select(
+        when(col("__n") < k + 1, raise_error(lit(
+          s"hillTailIndex: fewer than ${k + 1} positive values — an " +
+            "undersized tail sample would silently read as thin")))
+          .otherwise(lit(k)).as("k"),
+        col("threshold"),
+        (col("__slr") / lit(k.toDouble)).as("hill"))
+      .withColumn("alpha",
+        when(col("hill") <= 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) / col("hill")))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
     require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
     val top = df

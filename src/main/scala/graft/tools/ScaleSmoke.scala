@@ -106,7 +106,11 @@ object ScaleSmoke {
     // cluster bootstrap: the (group, cluster) pre-aggregate must keep the
     // ×B explode clusters-bounded — hashing every USER 200 times, never
     // every event
-    "x148b_cluster_bootstrap_ci")
+    "x148b_cluster_bootstrap_ci",
+    // DiD is one conditional-moments pass (12 sums, map-side partials);
+    // Hill is top-(k+1) heaps + a (k+1)-row aggregate — both must track
+    // the scan exactly
+    "x149_diff_in_diff", "x150_hill_tail_index")
 
   /** Smoke-only runners for operators whose GATE parameterization is
     * deliberately scale-fixed. x30 pins nlist=8 for oracle determinism, but

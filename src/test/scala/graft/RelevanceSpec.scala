@@ -325,4 +325,44 @@ class RelevanceSpec extends AnyFunSuite {
     assert(a.getAs[Double]("simpson") == b.getAs[Double]("simpson"))
     assert(a.getAs[Double]("gt_unseen_mass") == b.getAs[Double]("gt_unseen_mass"))
   }
+
+  test("hillTailIndex recovers the exact closed form on a planted Pareto tail") {
+    // v_i = i^(−1/α): the j-th largest is j^(−1/α), so
+    // ĥ = (1/(αk))·Σ_{j≤k} ln((k+1)/j) exactly
+    val alpha = 2.5; val n = 400; val k = 50
+    val vals = (1 to n).map(i => (i.toLong, math.pow(i, -1.0 / alpha)))
+    val r = Relevance.hillTailIndex(
+        vals.toDF("id", "v").repartition(7), "v", k).collect().head
+    val want = (1 to k).map(j => math.log((k + 1).toDouble / j)).sum /
+      (alpha * k)
+    assert(r.getAs[Int]("k") == k)
+    assert(math.abs(r.getAs[Double]("hill") - want) < 1e-9)
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0 / want) < 1e-6)
+    assert(math.abs(r.getAs[Double]("threshold")
+      - math.pow(k + 1, -1.0 / alpha)) < 1e-12)
+  }
+
+  test("hillTailIndex: tied top reads NULL alpha; undersized tail fails loudly; " +
+    "non-positive values excluded") {
+    val tied = (1 to 20).map(i => (i.toLong, 7.0))
+    val r = Relevance.hillTailIndex(tied.toDF("id", "v"), "v", 10)
+      .collect().head
+    assert(r.getAs[Double]("hill") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+    val e = intercept[Exception] {
+      Relevance.hillTailIndex(
+        (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("id", "v"),
+        "v", 10).collect()
+    }
+    assert(e.getMessage.contains("fewer than"))
+    // zeros/negatives are not tail observations: with them filtered the
+    // positive count is 5 < k+1, so the same loud guard must fire
+    val e2 = intercept[Exception] {
+      Relevance.hillTailIndex(
+        ((1 to 5).map(i => (i.toLong, i.toDouble))
+          ++ (6 to 12).map(i => (i.toLong, -1.0 * i)))
+          .toDF("id", "v"), "v", 10).collect()
+    }
+    assert(e2.getMessage.contains("fewer than"))
+  }
 }
