@@ -624,6 +624,24 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x149 DiD: one conditional-moments aggregate — partial map-side, " +
+    "no join, no window") {
+    val p = plan("x149_diff_in_diff")
+    assert(p.contains("partial_"), s"cell moments must combine map-side:\n$p")
+    def nodes(op: String) = p.linesIterator
+      .count(_.matches(s"""\\(\\d+\\) $op\\s*"""))
+    assert(nodes("Window") == 0, s"DiD needs no window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
+  test("x150 Hill: order statistics plan as TakeOrderedAndProject, " +
+    "never a global sort") {
+    val p = plan("x150_hill_tail_index")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) must be per-partition heaps + a k-row merge:\n$p")
+  }
+
   test("x115 containment: inverted-index equi-joins only, never all-pairs") {
     // the posting self-join is bounded by shared shingles and the size
     // joins are key lookups — a CartesianProduct or BNLJ anywhere means
